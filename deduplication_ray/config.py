@@ -1,0 +1,68 @@
+"""Pipeline configuration.
+
+The reference exposes exactly two knobs — sample width and block size
+(``/root/reference/main.c:28-31``); everything else is hard-coded. The graft
+needs a real config surface: one frozen dataclass, hashed for lineage so a
+checkpoint written under one config can never be resumed under another
+(generalizes the header re-validation at ``/root/reference/src/compressor.c:246-252``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All tunables for the near-dup pipeline. Deterministic given ``seed``."""
+
+    seed: int = 42
+
+    # --- caption shingling + MinHash (T3/T4) ---
+    shingle_k: int = 5            # char k-grams over normalized caption
+    num_perm: int = 128           # MinHash permutations P
+    bands: int = 32               # LSH bands b (b * rows == num_perm)
+    rows_per_band: int = 4        # LSH rows-per-band r
+    jaccard_tau: float = 0.5      # verification threshold on estimated Jaccard
+
+    # --- pixel signatures (T5/T6) ---
+    phash_size: int = 32          # resize to phash_size^2 grayscale before DCT
+    phash_lowfreq: int = 8        # keep top-left 8x8 DCT coeffs -> 64 bits
+    phash_hamming_t: int = 10     # Hamming-ball radius for pHash match
+    simhash_dim: int = 64         # feature dims (8x8 tile means)
+    simhash_bits: int = 64
+    simhash_hamming_t: int = 6
+
+    # --- skew defusal (T8) ---
+    bucket_cap: int = 64          # max rows per LSH bucket before salting
+    pair_cap: int = 2048          # max emitted pairs per (sub)bucket; above -> anchor star
+
+    # --- substring pass (T11) ---
+    substring_min_len: int = 40   # Lmin: min shared-substring chars to link
+    winnow_window: int = 16       # winnowing window for cross-partition rendezvous
+
+    # --- union-find (T12) ---
+    max_rounds: int = 12          # hash-min propagation round cap (O(log n) expected)
+
+    # --- lossy-codec invariant ---
+    psnr_min_db: float = 40.0
+
+    # --- execution shape ---
+    batch_size: int = 1024        # rows per map_batches batch for image stages
+    text_batch_size: int = 4096   # rows per batch for caption-only stages
+    sig_concurrency: int | tuple = field(default=4)   # actor pool size for signature stages
+    num_partitions: int = 32      # hash-join / groupby partition count
+
+    def config_hash(self) -> str:
+        """Stable hash over every field — stamped into checkpoint manifests."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal num_perm ({self.num_perm})"
+            )

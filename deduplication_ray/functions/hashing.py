@@ -1,0 +1,272 @@
+"""Vectorized 64-bit hashing kernels.
+
+The reference's only "hash" is a linear ``memcmp`` scan over the dictionary
+(``/root/reference/src/dictionary.c:49-59``) — O(dict_size) per probe. At
+10^12-row scale the dedup index must be a *key*, not a scan: every identity
+and near-identity notion in this engine reduces to u64 keys produced here.
+
+All functions operate on numpy ``uint64`` arrays with wraparound arithmetic
+(two's-complement, like the C kernels they mirror) and are fully vectorized.
+u64 values are bit-cast to int64 at Arrow boundaries (Parquet + Ray aggregates
+are friendlier with signed types); comparisons downstream are on bit patterns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+U64 = np.uint64
+_SPLITMIX_GAMMA = U64(0x9E3779B97F4A7C15)
+_MIX1 = U64(0xBF58476D1CE4E5B9)
+_MIX2 = U64(0x94D049BB133111EB)
+# odd multiplier for the polynomial rolling shingle hash
+_POLY_P = U64(0x100000001B3)  # FNV-ish odd prime
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray:
+    """SplitMix64 finalizer — the u64 mixing primitive (public constant set)."""
+    with np.errstate(over="ignore"):
+        z = (np.asarray(x, dtype=U64) + _SPLITMIX_GAMMA).astype(U64)
+        z = (z ^ (z >> U64(30))) * _MIX1
+        z = (z ^ (z >> U64(27))) * _MIX2
+        return z ^ (z >> U64(31))
+
+
+def hash_u64_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Combine two u64 arrays into one (order-sensitive)."""
+    with np.errstate(over="ignore"):
+        return splitmix64(np.asarray(a, U64) * _MIX1 + splitmix64(np.asarray(b, U64)))
+
+
+def bitcast_u64_to_i64(a: np.ndarray) -> np.ndarray:
+    return np.asarray(a, dtype=U64).view(np.int64)
+
+
+def bitcast_i64_to_u64(a: np.ndarray) -> np.ndarray:
+    return np.asarray(a, dtype=np.int64).view(U64)
+
+
+def popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized popcount on u64 (SWAR — numpy<2 has no bit_count)."""
+    x = np.asarray(a, dtype=U64)
+    m1 = U64(0x5555555555555555)
+    m2 = U64(0x3333333333333333)
+    m4 = U64(0x0F0F0F0F0F0F0F0F)
+    h01 = U64(0x0101010101010101)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> U64(1)) & m1)
+        x = (x & m2) + ((x >> U64(2)) & m2)
+        x = (x + (x >> U64(4))) & m4
+        return ((x * h01) >> U64(56)).astype(np.int64)
+
+
+def hash_bytes_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Content hash of an Arrow binary/string column -> u64 per row.
+
+    Zero-copy: reads the Arrow value buffer directly (no per-row Python
+    bytes objects). This is the distributed replacement for the reference's
+    ``memcmp`` identity (``dictionary.c:53``): equal payloads -> equal u64;
+    a 64-bit key over <=10^12 rows has ~3e-4 collision odds per *equal-key
+    pair*, and exact mode re-verifies payload equality within each group.
+    """
+    buf, offsets = _arrow_flat_buffer(arr)
+    if len(offsets) <= 1:
+        return np.empty(0, dtype=U64)
+    # normalize to the covered byte range (array may be a non-zero-offset slice)
+    buf = buf[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    # chunked polynomial hash over the concatenated buffer, then segmented
+    # combine: h_row = finalize( poly_prefix[end] "minus" poly_prefix[start] )
+    # Simpler exact approach: 8-byte-wide FNV over each row via reduceat on
+    # u64-padded words would lose alignment; instead compute a per-position
+    # rolling state is O(n) sequential. We use a different trick: hash each
+    # byte position with a position-dependent mix and segment-sum (sum is
+    # order-aware because position enters the per-byte hash), fully vector.
+    n = len(buf)
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    lens = ends - starts
+    pos = np.arange(n, dtype=np.int64)
+    row_id = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+    rel_pos = pos - starts[row_id]
+    with np.errstate(over="ignore"):
+        per_byte = splitmix64(
+            (buf.astype(U64) + U64(1)) * _POLY_P + rel_pos.astype(U64) * _MIX2
+        )
+    # order-aware segment sum (position enters each byte's hash); reduceat is
+    # valid because row byte-ranges are contiguous — empty rows are masked.
+    seg = np.zeros(len(starts), dtype=U64)
+    nonempty = lens > 0
+    if nonempty.any():
+        with np.errstate(over="ignore"):
+            seg[nonempty] = np.add.reduceat(per_byte, starts[nonempty])
+    with np.errstate(over="ignore"):
+        seg = seg + lens.astype(U64) * _MIX1
+    return splitmix64(seg)
+
+
+def _arrow_flat_buffer(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 value buffer, int64 row offsets) of a string/binary column.
+
+    Zero-copy view into Arrow memory; handles chunked arrays and non-zero
+    array offsets. Large-binary offsets are int64 already; 32-bit offsets are
+    upcast.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # combine_chunks on empty can stay chunked
+        if arr.num_chunks == 0:
+            return np.empty(0, np.uint8), np.zeros(1, np.int64)
+        arr = arr.chunk(0)
+    buffers = arr.buffers()
+    if len(buffers) < 3 or buffers[2] is None:
+        return np.empty(0, np.uint8), np.zeros(len(arr) + 1, np.int64)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(buffers[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    return data, offs
+
+
+def shingle_window_hashes(
+    arr: pa.Array | pa.ChunkedArray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All char k-gram rolling hashes of a string column.
+
+    Returns ``(hashes, row_offsets)`` where ``hashes[row_offsets[i]:
+    row_offsets[i+1]]`` are the u64 hashes of row i's k-grams, in order.
+    Rows shorter than k get ONE hash (the whole-row content hash) so every
+    row participates in MinHash. Fully vectorized: k shifted
+    multiply-accumulate passes over the concatenated utf-8 buffer.
+
+    Generalizes the reference's block chunking (``compressor.c:75-86``) from
+    non-overlapping fixed tiles to overlapping k-grams — near-dup needs
+    overlap; exact-block mode keeps the non-overlapping variant (exact.py).
+    """
+    buf, offs = _arrow_flat_buffer(arr)
+    n_rows = len(offs) - 1
+    lens = offs[1:] - offs[:-1]
+    n = len(buf)
+
+    # window hash at every buffer position (invalid across-row windows masked out later)
+    h = np.zeros(max(n - k + 1, 0), dtype=U64)
+    if len(h):
+        with np.errstate(over="ignore"):
+            pw = U64(1)
+            for j in range(k - 1, -1, -1):
+                h += (buf[j : j + len(h)].astype(U64) + U64(1)) * pw
+                with np.errstate(over="ignore"):
+                    pw = pw * _POLY_P
+            h = splitmix64(h)
+
+    # per-row valid window count
+    counts = np.maximum(lens - k + 1, 0)
+    short = lens < k
+    out_counts = np.where(short, 1, counts)
+    row_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=row_offsets[1:])
+
+    out = np.empty(row_offsets[-1], dtype=U64)
+    # gather long rows: windows starting at offs[i] .. offs[i]+counts[i]-1
+    long_rows = np.nonzero(~short)[0]
+    if len(long_rows):
+        reps = counts[long_rows]
+        dest = np.repeat(row_offsets[long_rows], reps) + _ranges(reps)
+        src = np.repeat(offs[long_rows], reps) + _ranges(reps)
+        out[dest] = h[src]
+    # short rows: single whole-row hash
+    short_rows = np.nonzero(short)[0]
+    if len(short_rows):
+        whole = hash_bytes_array(arr)
+        out[row_offsets[short_rows]] = whole[short_rows]
+    return out, row_offsets
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] — vectorized per-segment aranges."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ids = np.repeat(np.arange(len(counts)), counts)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - starts[ids]
+
+
+def minhash_signatures(
+    hashes: np.ndarray, row_offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signature matrix (n_rows x P) from per-row shingle hashes.
+
+    ``sig[i, p] = min over row-i shingles s of (a[p]*s + b[p] mod 2^64)``.
+    Duplicate shingles don't affect the min, so no per-row dedup is needed.
+    Vectorized: one fused multiply-add + ``np.minimum.reduceat`` per
+    permutation (P passes over the flat shingle array; no row loop).
+    """
+    n_rows = len(row_offsets) - 1
+    P = len(a)
+    sig = np.empty((n_rows, P), dtype=U64)
+    if n_rows == 0:
+        return sig
+    nonempty = row_offsets[:-1] < row_offsets[1:]
+    red_idx = row_offsets[:-1][nonempty]
+    with np.errstate(over="ignore"):
+        for p in range(P):
+            v = hashes * a[p] + b[p]
+            col = np.full(n_rows, np.iinfo(U64).max, dtype=U64)
+            if len(red_idx):
+                col[nonempty] = np.minimum.reduceat(v, red_idx)
+            sig[:, p] = col
+    return sig
+
+
+def make_minhash_perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficient arrays; a forced odd (invertible mod 2^64)."""
+    base = splitmix64(np.arange(2 * num_perm, dtype=U64) + U64(seed * 0x9E37 + 1))
+    a = base[:num_perm] | U64(1)
+    b = base[num_perm:]
+    return a, b
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """Bucket key per (row, band): hash of the band's r signature values.
+
+    Returns (n_rows x bands) u64. Realizes T7: the groupby on
+    ``(band_id, bucket_key)`` is the LSH shuffle.
+    """
+    n, P = sig.shape
+    assert bands * rows_per_band == P
+    with np.errstate(over="ignore"):
+        view = sig.reshape(n, bands, rows_per_band)
+        acc = np.full((n, bands), _SPLITMIX_GAMMA, dtype=U64)
+        for r in range(rows_per_band):
+            acc = splitmix64(acc * _MIX1 + view[:, :, r])
+        # mix band index so identical row-chunks in different bands don't collide
+        acc = splitmix64(acc ^ (np.arange(bands, dtype=U64)[None, :] * _MIX2))
+    return acc
+
+
+def simhash_from_features(feats: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """64-bit sign-random-projection hash of real feature vectors.
+
+    ``feats``: (n, d) float; ``planes``: (bits, d) hyperplane normals.
+    bit j = sign(feats . planes[j]). Returns u64 per row.
+    """
+    proj = feats @ planes.T  # (n, bits)
+    bits = (proj > 0).astype(U64)
+    weights = U64(1) << np.arange(planes.shape[0], dtype=U64)
+    return (bits * weights[None, :]).sum(axis=1, dtype=U64)
+
+
+def make_simhash_planes(bits: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed + 0x51A)
+    return rng.standard_normal((bits, dim)).astype(np.float32)
+
+
+def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return popcount64(np.asarray(a, U64) ^ np.asarray(b, U64))
+
+
+def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard from two (n, P) aligned signature matrices."""
+    return (sig_a == sig_b).mean(axis=1)

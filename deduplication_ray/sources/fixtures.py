@@ -1,0 +1,313 @@
+"""Deterministic synthetic image+caption fixture generator (seed-driven).
+
+The reference's de-facto conformance corpus is ``/root/reference/samples/``
+(six real sensor captures, characterized in FIXTURES.md §1). The graft needs
+an image+caption corpus with *planted, known* duplicate structure so recall
+and precision are exactly measurable — this module synthesizes it. No
+external data: images are seeded low-frequency patterns, captions are word
+salad from a seeded vocabulary.
+
+Two phases so generation itself is Ray-Data-shaped and scales:
+
+1. ``plan_rows`` (driver, cheap): decides the cluster structure FIRST —
+   kinds, per-cluster pattern seeds, captions — and emits a spec table plus
+   ground-truth cluster labels. Everything is derived from ``seed``; row
+   order is then shuffled (seeded).
+2. ``RenderImages`` (``map_batches`` actor-compatible callable): renders
+   pixels from each row's ``(pattern_seed, noise_seed)``, encodes with the
+   row's fmt, computes the ``phash`` column. Deterministic per row ->
+   identical output at any parallelism.
+
+Planted populations (fractions of n; see FIXTURES.md §2):
+  unique 55% | exact dup clusters (2-8) 15% | re-encode dups 8% |
+  near-dup images 8% | near-dup captions 8% | substring dups 4% |
+  hot-bucket adversary 2% (+ stock phrase appended to 5% of uniques).
+Half of the re-encode / near-image variant rows get a FRESH caption so the
+pixel-signature path (pHash/SimHash) is load-bearing for recall, not shadowed
+by the caption MinHash path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from deduplication_ray.functions import codecs as C
+from deduplication_ray.functions.hashing import bitcast_u64_to_i64
+
+KINDS = ("unique", "exact", "reenc", "near_img", "near_cap", "substr", "hot")
+_FMTS = ("raw", "png", "qrgb")
+HOT_PHRASE_WORDS = 8
+
+
+def make_vocab(seed: int, size: int = 2000) -> list[str]:
+    rng = np.random.default_rng([seed, 0xCA])
+    cons = list("bcdfghjklmnprstvwz")
+    vow = list("aeiou")
+    words = set()
+    while len(words) < size:
+        n_syll = rng.integers(2, 5)
+        w = "".join(
+            cons[rng.integers(len(cons))] + vow[rng.integers(len(vow))]
+            for _ in range(n_syll)
+        )
+        words.add(w)
+    return sorted(words)
+
+
+def _salad(rng: np.random.Generator, vocab: list[str], lo: int = 25, hi: int = 45) -> str:
+    n = int(rng.integers(lo, hi + 1))
+    idx = rng.integers(0, len(vocab), n)
+    return " ".join(vocab[i] for i in idx)
+
+
+def _edit_caption(rng: np.random.Generator, caption: str, vocab: list[str], n_edits: int) -> str:
+    words = caption.split(" ")
+    for _ in range(n_edits):
+        pos = int(rng.integers(len(words)))
+        words[pos] = vocab[int(rng.integers(len(vocab)))]
+    return " ".join(words)
+
+
+def plan_rows(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Build the spec table + truth clusters.
+
+    Returns ``(spec, truth)``:
+      spec: image_id, kind, pattern_seed, noise_seed, fmt, w, h, caption
+      truth: image_id, cluster_id  (cluster_id = min image_id of the planted
+             cluster — matching the pipeline's deterministic representative
+             rule, the parallel-safe analog of the reference's
+             first-occurrence ids, ``compressor.c:109-113``)
+    """
+    rng = np.random.default_rng([seed, 1])
+    vocab = make_vocab(seed)
+    hot_phrase = " ".join(vocab[i] for i in range(0, HOT_PHRASE_WORDS * 7, 7))
+
+    quotas = {
+        "exact": int(0.15 * n_rows),
+        "reenc": int(0.08 * n_rows),
+        "near_img": int(0.08 * n_rows),
+        "near_cap": int(0.08 * n_rows),
+        "substr": int(0.04 * n_rows),
+        "hot": max(int(0.02 * n_rows), 3),
+    }
+
+    rows: list[dict] = []           # spec rows, generation order
+    cluster_of: list[int] = []      # planted cluster index per row
+    next_cluster = 0
+
+    def add(kind, pattern_seed, noise_seed, fmt, w, h, caption, cluster):
+        rows.append(
+            dict(kind=kind, pattern_seed=pattern_seed, noise_seed=noise_seed,
+                 fmt=fmt, w=w, h=h, caption=caption)
+        )
+        cluster_of.append(cluster)
+
+    def fresh_pattern() -> int:
+        return int(rng.integers(1, 2**31))
+
+    def dims() -> tuple[int, int]:
+        return int(rng.integers(32, 65)), int(rng.integers(32, 65))
+
+    def fmt() -> str:
+        return _FMTS[int(rng.integers(3))]
+
+    # --- dup clusters (built first; uniques fill the remainder) ---
+    for kind, quota in quotas.items():
+        made = 0
+        while made < quota:
+            cl = next_cluster
+            next_cluster += 1
+            w, h = dims()
+            ps = fresh_pattern()
+            base_cap = _salad(rng, vocab)
+            if kind == "exact":
+                size = int(rng.integers(2, 9))
+                f = fmt()
+                for _ in range(min(size, quota - made)):
+                    add("exact", ps, 0, f, w, h, base_cap, cl)
+                made += min(size, quota - made)
+            elif kind == "reenc":
+                size = min(3, quota - made) if quota - made >= 2 else quota - made
+                if size < 2:
+                    # cannot plant a pair; absorb remainder as unique
+                    add("unique", ps, 0, fmt(), w, h, base_cap, cl)
+                    made += 1
+                    continue
+                fmts = ["raw", "png", "qrgb"][:size]
+                for i, f in enumerate(fmts):
+                    cap = base_cap if (i == 0 or rng.random() < 0.5) \
+                        else _salad(rng, vocab)
+                    add("reenc", ps, 0, f, w, h, cap, cl)
+                made += size
+            elif kind == "near_img":
+                size = 2 if quota - made >= 2 else 1
+                if size < 2:
+                    add("unique", ps, 0, fmt(), w, h, base_cap, cl)
+                    made += 1
+                    continue
+                f = fmt()
+                add("near_img", ps, 0, f, w, h, base_cap, cl)
+                cap2 = base_cap if rng.random() < 0.5 else _salad(rng, vocab)
+                add("near_img", ps, int(rng.integers(1, 2**31)), f, w, h, cap2, cl)
+                made += 2
+            elif kind == "near_cap":
+                size = 2 if quota - made >= 2 else 1
+                if size < 2:
+                    add("unique", ps, 0, fmt(), w, h, base_cap, cl)
+                    made += 1
+                    continue
+                add("near_cap", ps, 0, fmt(), w, h, base_cap, cl)
+                cap2 = _edit_caption(rng, base_cap, vocab, int(rng.integers(1, 3)))
+                ps2 = fresh_pattern()  # different image — caption path must link
+                add("near_cap", ps2, 0, fmt(), w, h, cap2, cl)
+                made += 2
+            elif kind == "substr":
+                size = 2 if quota - made >= 2 else 1
+                if size < 2:
+                    add("unique", ps, 0, fmt(), w, h, base_cap, cl)
+                    made += 1
+                    continue
+                # caption A (>= Lmin chars) embedded verbatim inside longer B
+                cap_a = _salad(rng, vocab, 10, 14)
+                pre = _salad(rng, vocab, 6, 10)
+                post = _salad(rng, vocab, 6, 10)
+                cap_b = f"{pre} {cap_a} {post}"
+                add("substr", ps, 0, fmt(), w, h, cap_a, cl)
+                add("substr", fresh_pattern(), 0, fmt(), w, h, cap_b, cl)
+                made += 2
+            elif kind == "hot":
+                # ONE adversarial cluster: captions ~90% stock phrase
+                for _ in range(quota):
+                    extra = vocab[int(rng.integers(len(vocab)))]
+                    hw, hh = dims()
+                    add("hot", fresh_pattern(), 0, fmt(),
+                        hw, hh, f"{hot_phrase} {extra}", cl)
+                made = quota
+
+    # --- unique background fills the remainder ---
+    n_unique = n_rows - len(rows)
+    for i in range(n_unique):
+        cl = next_cluster
+        next_cluster += 1
+        w, h = dims()
+        cap = _salad(rng, vocab)
+        if rng.random() < 0.05:  # hot-phrase shingle mass on 5% of background
+            cap = f"{cap} {hot_phrase}"
+        add("unique", fresh_pattern(), 0, fmt(), w, h, cap, cl)
+
+    spec = pd.DataFrame(rows)
+    spec["image_id"] = [f"img_{i:09d}" for i in range(len(spec))]
+    spec["cluster_key"] = cluster_of
+
+    # truth: cluster_id = min image_id per planted cluster
+    truth = spec[["image_id", "cluster_key"]].copy()
+    truth["cluster_id"] = truth.groupby("cluster_key")["image_id"].transform("min")
+    truth = truth[["image_id", "cluster_id"]]
+
+    # shuffle row order (seeded) — the table must not leak generation order
+    perm = np.random.default_rng([seed, 2]).permutation(len(spec))
+    spec = spec.iloc[perm].reset_index(drop=True)
+    return spec, truth.sort_values("image_id").reset_index(drop=True)
+
+
+def render_pattern(pattern_seed: int, w: int, h: int) -> np.ndarray:
+    """Low-frequency random image: bilinear upsample of a seeded 8x8 RGB grid
+    (+ tiny deterministic texture). Low-freq => pHash is stable under the
+    planted mild-noise edits; distinct seeds => far apart."""
+    rng = np.random.default_rng([pattern_seed, 3])
+    grid = rng.integers(0, 256, (8, 8, 3)).astype(np.float32)
+    # _area_matrix rows average the straddled input cells per output cell,
+    # which for upsampling acts as a box/bilinear blend — smooth by design.
+    ky = C._area_matrix(8, h)
+    kx = C._area_matrix(8, w)
+    up = np.einsum("yi,ijc,xj->yxc", ky, grid, kx)
+    tex = rng.integers(-6, 7, (h, w, 1)).astype(np.float32)
+    return np.clip(up + tex, 0, 255).astype(np.uint8)
+
+
+def apply_noise(img: np.ndarray, noise_seed: int) -> np.ndarray:
+    """Mild pixel noise for near-dup image rows: +-2 on ~20% of pixels."""
+    if noise_seed == 0:
+        return img
+    rng = np.random.default_rng([noise_seed, 4])
+    mask = rng.random(img.shape[:2]) < 0.2
+    delta = rng.integers(-2, 3, img.shape)
+    out = img.astype(np.int16)
+    out[mask] += delta[mask].astype(np.int16)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+class RenderImages:
+    """map_batches callable: spec rows -> final fixture rows.
+
+    Stateless math but class-shaped so the fixture pipeline exercises the
+    same actor-pool pattern as the real signature stages.
+    """
+
+    def __init__(self, phash_size: int = 32, phash_lowfreq: int = 8):
+        self.size = phash_size
+        self.lowfreq = phash_lowfreq
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        pseeds = batch["pattern_seed"].to_numpy()
+        nseeds = batch["noise_seed"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        n = len(kinds)
+        payloads = []
+        grays = np.empty((n, self.size, self.size), dtype=np.float32)
+        for i in range(n):
+            img = apply_noise(render_pattern(int(pseeds[i]), int(ws[i]), int(hs[i])),
+                              int(nseeds[i]))
+            data = C.encode_image(img, fmts[i])
+            if fmts[i] == "qrgb":
+                dec = C.decode_qrgb(data)
+                if C.psnr_db(img, dec) < 40.0:
+                    raise AssertionError("qrgb codec violated PSNR >= 40 dB")
+                img = dec  # phash over what a reader will decode
+            payloads.append(data)
+            grays[i] = C.resize_area(C.to_grayscale(img), self.size)
+        ph = C.phash64_batch(grays, self.size, self.lowfreq)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "bytes": pa.array(payloads, type=pa.binary()),
+                "w": batch["w"].cast(pa.int32()),
+                "h": batch["h"].cast(pa.int32()),
+                "fmt": batch["fmt"],
+                "caption": batch["caption"],
+                "phash": pa.array(bitcast_u64_to_i64(ph), type=pa.int64()),
+            }
+        )
+
+
+def generate(out_dir: str, n_rows: int, seed: int = 42, num_files: int | None = None) -> None:
+    """Materialize a fixture dataset at ``out_dir`` (plus ``truth/``).
+
+    Requires an active Ray session (caller-owned). Deterministic for a given
+    (n_rows, seed) at any parallelism.
+    """
+    import os
+
+    import ray.data
+
+    from deduplication_ray.sources import storage
+
+    spec, truth = plan_rows(n_rows, seed)
+    if num_files is None:
+        num_files = max(4, min(64, n_rows // 2000))
+    ds = ray.data.from_pandas(spec).repartition(num_files)
+    # Stateless tasks, not an actor pool: rendering holds no real state, and a
+    # fixed-size pool sized >= num_cpus starves the write stage on small
+    # sessions (observed: 4-actor pool on a 4-CPU session deadlocks progress).
+    ds = ds.map_batches(RenderImages(), batch_size=512, batch_format="pyarrow")
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    storage.write_arrow_table(pa.Table.from_pandas(truth),
+                              os.path.join(out_dir, "truth"))
+    storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
+                                     "num_files": num_files, "stage": "fixture"})
