@@ -270,3 +270,29 @@ def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     """Estimated Jaccard from two (n, P) aligned signature matrices."""
     return (sig_a == sig_b).mean(axis=1)
+
+
+def pack_u64_rows(mat: np.ndarray) -> pa.Array:
+    """(n, P) u64 -> Arrow binary column of P*8-byte blobs (zero-copy-ish).
+
+    Signatures travel through shuffles/joins as plain binary because Arrow
+    acero joins reject fixed_size_list payload columns.
+    """
+    n, P = mat.shape
+    flat = np.ascontiguousarray(mat, dtype=U64).view(np.uint8).reshape(-1)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * (P * 8))
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(flat.tobytes())]
+    )
+
+
+def unpack_u64_rows(col: pa.Array | pa.ChunkedArray, P: int) -> np.ndarray:
+    """Arrow binary column of P*8-byte blobs -> (n, P) u64 (zero-copy)."""
+    buf, offs = _arrow_flat_buffer(col)
+    n = len(offs) - 1
+    if n == 0:
+        return np.empty((0, P), dtype=U64)
+    lens = offs[1:] - offs[:-1]
+    if not (lens == P * 8).all():
+        raise ValueError("signature blob length mismatch")
+    return buf[offs[0] : offs[-1]].view(U64).reshape(n, P)

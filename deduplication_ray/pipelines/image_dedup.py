@@ -1,0 +1,194 @@
+"""Flagship pipeline: near-duplicate detection + clustering over an
+image+caption table (BASELINE.json north rule).
+
+Stage DAG (each boundary is a checkpoint, see state/checkpoint.py):
+
+  input parquet (image_id, bytes, w, h, fmt, caption, phash)
+    | map_batches(ComputeSignatures actor pool)      [decode once; bytes die]
+  signatures (image_id, ck1, ck2, cap_hash, phash, phash_ok, simhash, minhash)
+    | exact_edges (ck groupby)  +  candidate_edges (LSH bands + salting)
+  edges (src, dst, kind)
+    | attach signatures (2 hash joins) -> verify (Hamming/Jaccard)
+  verified_edges
+    | connected_components (hash-min rounds, labels_r{k} checkpoints)
+  labels (node, label)
+    | finalize: left-join all ids -> clusters (image_id, cluster_id)
+  clusters / representatives / assignments
+
+This is the graft of the reference's compress path R1->R8->R11-R13
+(``/root/reference/src/compressor.c:41-207``): representatives generalize the
+dictionary, assignments generalize the block_ids stream. ``reconstruct``
+below is the decompress analog R15-R18 (``compressor.c:212-341``): a
+broadcast-style join of assignments x representative rows, verified by
+per-row invariants instead of byte equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.sources import storage
+from deduplication_ray.stages import lsh, verify
+from deduplication_ray.stages.signatures import ComputeSignatures
+from deduplication_ray.state import unionfind
+from deduplication_ray.state.checkpoint import CheckpointedRun
+
+
+def compute_signatures(input_ds: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    return input_ds.map_batches(
+        ComputeSignatures,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.sig_concurrency,
+        num_cpus=1,
+    )
+
+
+def build_edges(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    ex = lsh.exact_edges(signatures, cfg)
+    cand = lsh.candidate_edges(signatures, cfg)
+    return lsh.dedupe_edges(ex.union(cand))
+
+
+def verify_candidates(
+    edges: ray.data.Dataset, signatures: ray.data.Dataset, cfg: DedupConfig
+) -> ray.data.Dataset:
+    attached = verify.attach_signatures(edges, signatures, cfg)
+    return verify.verify_edges(attached, cfg, has_pixels=True)
+
+
+def finalize_clusters(
+    input_ids: ray.data.Dataset, labels: ray.data.Dataset, cfg: DedupConfig
+) -> ray.data.Dataset:
+    """clusters(image_id, cluster_id): propagated label, else self (singleton).
+
+    Left join realized as: ids LEFT JOIN labels ON image_id == node.
+    """
+    j = input_ids.join(
+        labels,
+        join_type="left_outer",
+        num_partitions=cfg.num_partitions,
+        on=("image_id",),
+        right_on=("node",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = pc.coalesce(t["label"], t["image_id"])
+        return pa.table({"image_id": t["image_id"], "cluster_id": lab})
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+def run_pipeline(
+    input_path: str,
+    run_dir: str,
+    cfg: DedupConfig | None = None,
+    input_ds: ray.data.Dataset | None = None,
+) -> dict:
+    """Execute (or resume) the full dedup DAG; returns stage metrics.
+
+    Outputs under run_dir: signatures/ edges/ verified_edges/ labels_r{k}/
+    clusters/ representatives/ assignments/ each with a lineage manifest.
+    """
+    cfg = cfg or DedupConfig()
+    run = CheckpointedRun(run_dir, cfg)
+
+    def read_input() -> ray.data.Dataset:
+        if input_ds is not None:
+            return input_ds
+        return storage.read_table(input_path)
+
+    sigs = run.run_stage("signatures", lambda: compute_signatures(read_input(), cfg), ["input"])
+
+    edges = run.run_stage("edges", lambda: build_edges(sigs, cfg), ["signatures"])
+
+    vedges = run.run_stage(
+        "verified_edges", lambda: verify_candidates(edges, sigs, cfg), ["edges"]
+    )
+
+    # --- union-find with per-round checkpoints (mid-shuffle resume) ---
+    start_round = run.latest_labels_round()
+    if run.is_complete("clusters"):
+        labels = None  # not needed
+    else:
+        eb = unionfind.bidirectional(vedges).materialize()
+        if start_round >= 0:
+            labels = storage.read_table(run.stage_dir(f"labels_r{start_round}"))
+        else:
+            labels = unionfind.init_labels(vedges, cfg.num_partitions).materialize()
+        rnd = start_round
+        while True:
+            rnd += 1
+            if rnd >= cfg.max_rounds + 1:
+                raise RuntimeError("union-find exceeded max_rounds")
+            new = run.run_stage(
+                f"labels_r{rnd}",
+                lambda: unionfind.propagate_round(labels, eb, cfg),
+                [f"labels_r{rnd - 1}" if rnd else "verified_edges"],
+            )
+            changed = unionfind.count_changed(labels, new, cfg)
+            labels = new
+            if changed == 0:
+                break
+
+    ids = storage.read_table(input_path, columns=["image_id"]) if input_ds is None \
+        else input_ds.select_columns(["image_id"])
+    clusters = run.run_stage(
+        "clusters", lambda: finalize_clusters(ids, labels, cfg), ["labels"]
+    )
+
+    # representatives: one row per cluster (min image_id IS the cluster_id) —
+    # semi-join the full input on cluster_id == image_id (R12 analog)
+    def reps() -> ray.data.Dataset:
+        reps_ids = clusters.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))
+        full = read_input()
+        return full.join(
+            reps_ids,
+            join_type="inner",
+            num_partitions=cfg.num_partitions,
+            on=("image_id",),
+            right_on=("cluster_id",),
+        )
+
+    representatives = run.run_stage("representatives", reps, ["clusters"])
+
+    metrics = {
+        "config_hash": cfg.config_hash(),
+        "stages_executed": run.executed,
+        "stages_resumed": run.skipped,
+        "rows": {
+            s: (storage.read_manifest(run.stage_dir(s)) or {}).get("rows")
+            for s in ("signatures", "edges", "verified_edges", "clusters", "representatives")
+        },
+    }
+    storage.write_manifest(run.run_dir, {"stage": "run", "complete": True,
+                                         "config_hash": cfg.config_hash(),
+                                         "metrics": metrics})
+    return metrics
+
+
+def reconstruct(run_dir: str, cfg: DedupConfig | None = None) -> ray.data.Dataset:
+    """Decompress analog (R17, ``compressor.c:320-339``): rebuild a full table
+    view by joining assignments (clusters) back to representative rows.
+
+    Returns a Dataset with one row per original image_id carrying its
+    cluster representative's payload columns.
+    """
+    cfg = cfg or DedupConfig()
+    clusters = storage.read_table(f"{run_dir}/clusters")
+    reps = storage.read_table(f"{run_dir}/representatives")
+    return clusters.join(
+        reps.rename_columns({"image_id": "rep_image_id"}),
+        join_type="inner",
+        num_partitions=cfg.num_partitions,
+        on=("cluster_id",),
+        right_on=("rep_image_id",),
+    )

@@ -286,7 +286,9 @@ class RenderImages:
 
 
 def generate(out_dir: str, n_rows: int, seed: int = 42, num_files: int | None = None) -> None:
-    """Materialize a fixture dataset at ``out_dir`` (plus ``truth/``).
+    """Materialize a fixture dataset: table at ``out_dir``/data, labels at
+    ``out_dir``/truth (separate dirs so a directory read of the table never
+    picks up truth files).
 
     Requires an active Ray session (caller-owned). Deterministic for a given
     (n_rows, seed) at any parallelism.
@@ -305,8 +307,9 @@ def generate(out_dir: str, n_rows: int, seed: int = 42, num_files: int | None = 
     # fixed-size pool sized >= num_cpus starves the write stage on small
     # sessions (observed: 4-actor pool on a 4-CPU session deadlocks progress).
     ds = ds.map_batches(RenderImages(), batch_size=512, batch_format="pyarrow")
-    os.makedirs(out_dir, exist_ok=True)
-    ds.write_parquet(out_dir)
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    ds.write_parquet(data_dir)
     storage.write_arrow_table(pa.Table.from_pandas(truth),
                               os.path.join(out_dir, "truth"))
     storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,

@@ -1,0 +1,323 @@
+"""LSH banding, hot-bucket skew defusal, and candidate-edge generation.
+
+Realizes SURVEY §2.2 T7-T9. The shuffle key is ``(band, bucket)`` — the
+distributed replacement for the reference's single mutable dictionary probe
+(``/root/reference/src/dictionary.c:49-59``): rows that could be duplicates
+meet in a bucket instead of scanning a shared index.
+
+Skew story (T8): one stock phrase shared by a large row population drives one
+bucket super-linear. Defusal is two-phase:
+
+1. ``bucket_stats``: count rows per (band, bucket) — a partial-aggregated
+   groupby-count, cheap because combiners run inside map_batches blocks.
+   Buckets over ``cfg.bucket_cap`` form the (tiny) hot set, broadcast via
+   ``ray.put`` — never re-shipped per batch.
+2. ``explode_bands`` re-keys hot-bucket rows to ``mix(bucket, salt)`` with
+   ``salt = hash(image_id) % n_salts`` so no reducer group exceeds ~cap rows,
+   and each row ALSO claims an ambassador flag; per salted sub-bucket the
+   min-id row is linked star-wise, and sub-bucket minima rendezvous in one
+   tiny ``(band, bucket, AMBASSADOR)`` group that re-connects the salts.
+   Connectivity of a true-duplicate bucket is preserved; no task ever
+   all-pairs a hot bucket.
+
+Edge emission (T9): per group, all-pairs when |group| small, else star+chain
+from the sorted-min anchor (deterministic; parallel-safe analog of
+first-occurrence ids, ``compressor.c:109-113``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.functions import hashing as H
+
+AMBASSADOR_SALT = -1  # rendezvous sub-bucket linking salted shards
+
+# band-id namespaces: one exploder emits every candidate family in one pass
+BAND_MINHASH = 0      # 0 .. bands-1
+BAND_PHASH = 1000     # 1000..1003: 4 x 16-bit multi-index bands (pigeonhole:
+BAND_SIMHASH = 2000   # any Hamming distance <= 3 collides in >= 1 band)
+
+
+def kind_of_band(band: int) -> str:
+    if band >= BAND_SIMHASH:
+        return "simhash"
+    if band >= BAND_PHASH:
+        return "phash"
+    return "minhash"
+
+
+def _hash16_bands(values_u64: np.ndarray, base: int) -> tuple[np.ndarray, np.ndarray]:
+    """Split 64-bit hashes into 4 x 16-bit multi-index bands.
+
+    Guarantees (pigeonhole) that pairs within Hamming distance 3 share at
+    least one band; larger distances up to the configured radius are also
+    caught probabilistically and via the sibling signature's bands.
+    """
+    n = len(values_u64)
+    band = np.tile(np.arange(4, dtype=np.int32) + base, n)
+    shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]
+    chunks = (values_u64[:, None] >> shifts) & np.uint64(0xFFFF)
+    # mix band index in so band b of hash X never collides with band c of X
+    with np.errstate(over="ignore"):
+        bucket = H.splitmix64(chunks + (np.arange(4, dtype=np.uint64) + np.uint64(base))[None, :] * np.uint64(0x9E3779B97F4A7C15))
+    return band, H.bitcast_u64_to_i64(bucket).ravel()
+
+
+class ExplodeBands:
+    """signatures -> (band:int32, bucket:int64, salt:int32, image_id) rows.
+
+    Emits every candidate family in one pass over the signature table:
+    MinHash LSH bands (caption near-dup), pHash multi-index bands and SimHash
+    multi-index bands (pixel near-dup) when those columns are present.
+    salt starts at 0; hot-bucket salting is a separate tagging pass
+    (``SplitHot`` inside ``candidate_edges``) so signatures are read once.
+    """
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+
+        sig = H.unpack_u64_rows(batch["minhash"], cfg.num_perm)
+        keys = H.lsh_band_keys(sig, cfg.bands, cfg.rows_per_band)  # (n, bands)
+        mh_band = np.tile(np.arange(cfg.bands, dtype=np.int32), n)
+        mh_bucket = H.bitcast_u64_to_i64(keys).ravel()
+
+        fam_bands = [mh_band.reshape(n, cfg.bands)]
+        fam_buckets = [mh_bucket.reshape(n, cfg.bands)]
+        for col, base in (("phash", BAND_PHASH), ("simhash", BAND_SIMHASH)):
+            if col in batch.column_names:
+                b, k = _hash16_bands(H.bitcast_i64_to_u64(batch[col].to_numpy()), base)
+                fam_bands.append(b.reshape(n, 4))
+                fam_buckets.append(k.reshape(n, 4))
+
+        band = np.concatenate(fam_bands, axis=1).ravel()
+        bucket = np.concatenate(fam_buckets, axis=1).ravel()
+        per_row = band.size // n
+        ids = batch["image_id"].to_pandas().to_numpy()
+        image_id = np.repeat(ids, per_row)
+        salt = np.zeros(n * per_row, dtype=np.int32)
+
+        return pa.table(
+            {
+                "band": band.astype(np.int32),
+                "bucket": bucket,
+                "salt": salt,
+                "image_id": image_id,
+            }
+        )
+
+
+def bucket_stats(buckets: ray.data.Dataset) -> ray.data.Dataset:
+    """(band, bucket) -> row count. groupby-count with built-in partial agg."""
+    return buckets.groupby(["band", "bucket"]).aggregate(Count(alias_name="n"))
+
+
+def hot_bucket_map(stats: ray.data.Dataset, cap: int) -> dict[tuple[int, int], int]:
+    """Tiny driver-side dict of hot buckets -> salt count (broadcast later).
+
+    Filtering happens distributed (vectorized predicate inside map_batches);
+    only the over-cap survivors — by construction a minuscule fraction —
+    reach the driver.
+    """
+    import pyarrow.compute as pc
+
+    hot = stats.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], cap)), batch_format="pyarrow"
+    )
+    out: dict[tuple[int, int], int] = {}
+    for b in hot.iter_batches(batch_format="pyarrow"):
+        for band, bucket, n in zip(
+            b["band"].to_pylist(), b["bucket"].to_pylist(), b["n"].to_pylist()
+        ):
+            out[(band, bucket)] = int(np.ceil(n / cap))
+    return out
+
+
+def _kind_column(band_arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized band-id namespace -> kind string."""
+    import pyarrow.compute as pc
+
+    b = band_arr.combine_chunks() if isinstance(band_arr, pa.ChunkedArray) else band_arr
+    return pc.if_else(
+        pc.greater_equal(b, BAND_SIMHASH),
+        pa.scalar("simhash"),
+        pc.if_else(pc.greater_equal(b, BAND_PHASH), pa.scalar("phash"), pa.scalar("minhash")),
+    )
+
+
+def _star_edges(buckets: ray.data.Dataset, group_keys: list[str], cfg: DedupConfig) -> ray.data.Dataset:
+    """Min-id star edges per group, fully vectorized: min-aggregate + join-back.
+
+    NO map_groups anywhere — per-group Python calls over millions of mostly-
+    singleton buckets would dominate wall time (and wouldn't scale).
+    """
+    from ray.data.aggregate import Min
+
+    mins = buckets.groupby(group_keys).aggregate(Min("image_id", alias_name="src"))
+    joined = buckets.join(
+        mins,
+        join_type="inner",
+        num_partitions=cfg.num_partitions,
+        on=tuple(group_keys),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.invert(pc.equal(t["image_id"], t["src"])))
+        return pa.table(
+            {"src": t["src"], "dst": t["image_id"], "kind": _kind_column(t["band"])}
+            if "band" in t.column_names
+            else {"src": t["src"], "dst": t["image_id"]}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _allpairs_edges(buckets: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    """All-pairs edges per (band, bucket) via self-join — vectorized.
+
+    Only ever called on cold buckets (size <= cap by the salting contract),
+    so per-bucket fanout is bounded by cap^2.
+    """
+    left = buckets.select_columns(["band", "bucket", "image_id"])
+    right = left.rename_columns({"image_id": "image_id_r"})
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=cfg.num_partitions,
+        on=("band", "bucket"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less(t["image_id"], t["image_id_r"]))
+        return pa.table(
+            {"src": t["image_id"], "dst": t["image_id_r"], "kind": _kind_column(t["band"])}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def candidate_edges(
+    signatures: ray.data.Dataset, cfg: DedupConfig
+) -> ray.data.Dataset:
+    """signatures -> deduplicated candidate edge Dataset (src < dst, kind).
+
+    Plan: explode bands once -> bucket counts (partial-agg groupby) -> split
+    cold/hot. Cold buckets (<= cap rows): all-pairs via self-join. Hot
+    buckets: salt to sub-buckets (no reducer sees > ~cap rows), star edges to
+    each sub-bucket min, ambassador all-pairs over the sub-minima re-link the
+    salt shards. Everything is aggregate/join vectorized — zero map_groups.
+    """
+    buckets = signatures.map_batches(
+        ExplodeBands(cfg), batch_format="pyarrow", batch_size=cfg.text_batch_size
+    ).materialize()
+    stats = bucket_stats(buckets)
+    hot = hot_bucket_map(stats, cfg.bucket_cap)
+
+    if not hot:
+        return dedupe_edges(_allpairs_edges(buckets, cfg))
+
+    hot_ref = ray.put(hot)
+
+    class SplitHot:
+        """Tags each bucket row hot/cold; assigns salts to hot rows."""
+
+        def __init__(self):
+            h = ray.get(hot_ref)
+            bands = np.array([b for b, _ in h], dtype=np.int64)
+            bks = np.array([k for _, k in h], dtype=np.int64)
+            comp = H.hash_u64_pair(bands.view(np.uint64), bks.view(np.uint64))
+            order = np.argsort(comp)
+            self.keys = comp[order]
+            self.salts = np.array(list(h.values()), dtype=np.int64)[order]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            band = t["band"].to_numpy().astype(np.int64)
+            bucket = t["bucket"].to_numpy()
+            comp = H.hash_u64_pair(band.view(np.uint64), bucket.view(np.uint64))
+            pos = np.clip(np.searchsorted(self.keys, comp), 0, len(self.keys) - 1)
+            is_hot = self.keys[pos] == comp
+            salt = np.full(t.num_rows, -1, dtype=np.int32)  # -1 = cold
+            if is_hot.any():
+                n_salts = self.salts[pos[is_hot]]
+                idh = H.hash_bytes_array(t["image_id"].filter(pa.array(is_hot)))
+                salt[is_hot] = (idh % n_salts.astype(np.uint64)).astype(np.int32)
+            return t.set_column(
+                t.column_names.index("salt"), "salt", pa.array(salt, pa.int32())
+            )
+
+    tagged = buckets.map_batches(
+        SplitHot, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()
+    import pyarrow.compute as pc_
+
+    cold = tagged.map_batches(
+        lambda t: t.filter(pc_.equal(t["salt"], -1)), batch_format="pyarrow"
+    )
+    hot_rows = tagged.map_batches(
+        lambda t: t.filter(pc_.greater_equal(t["salt"], 0)), batch_format="pyarrow"
+    )
+
+    cold_edges = _allpairs_edges(cold, cfg)
+    star = _star_edges(hot_rows, ["band", "bucket", "salt"], cfg)
+
+    from ray.data.aggregate import Min
+
+    sub_min = hot_rows.groupby(["band", "bucket", "salt"]).aggregate(
+        Min("image_id", alias_name="image_id")
+    )
+    amb = _allpairs_edges(sub_min, cfg)  # sub-minima per hot bucket: tiny
+
+    return dedupe_edges(cold_edges.union(star).union(amb))
+
+
+def dedupe_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Collapse duplicate (src, dst) across bands — keep min kind string
+    ('exact' < 'minhash' < 'phash' < 'simhash' < 'substr'). Vectorized
+    partial-aggregating groupby; no per-group Python."""
+    from ray.data.aggregate import Min
+
+    return edges.groupby(["src", "dst"]).aggregate(Min("kind", alias_name="kind"))
+
+
+def exact_edges(
+    signatures: ray.data.Dataset, cfg: DedupConfig, key: tuple = ("ck1", "ck2")
+) -> ray.data.Dataset:
+    """Exact-duplicate star edges: per content-key group, link min id to rest.
+
+    The graft's R8: the reference's first-occurrence insertion
+    (``compressor.c:109-113``) becomes min-id election per content-key group
+    (deterministic under parallelism, SURVEY §7.5.5). The 128-bit (ck1, ck2)
+    key makes payload re-verification unnecessary. Vectorized min-aggregate +
+    join-back.
+    """
+    from ray.data.aggregate import Min
+
+    lean = signatures.select_columns([*key, "image_id"])
+    mins = lean.groupby(list(key)).aggregate(Min("image_id", alias_name="src"))
+    joined = lean.join(
+        mins, join_type="inner", num_partitions=cfg.num_partitions, on=tuple(key)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.invert(pc.equal(t["image_id"], t["src"])))
+        kind = pa.nulls(t.num_rows, pa.string()).fill_null("exact")
+        return pa.table({"src": t["src"], "dst": t["image_id"], "kind": kind})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,120 @@
+"""Signature computation: ONE decode pass -> every identity signal.
+
+Generalizes the reference's dedup-encode loop (``/root/reference/src/
+compressor.c:105-114``): where the reference probes a heap dictionary per
+block, the graft computes *keys* per row — exact content keys plus three
+near-dup signatures — and lets groupby shuffles do the matching. All state
+(MinHash permutation coefficients, SimHash hyperplanes, DCT basis) is built
+once per actor in ``__init__`` from the config seed (the actor-pool analog of
+``dict_init``, ``dictionary.c:8-19``).
+
+Input batch:  image_id, bytes, w, h, fmt, caption, phash (zero-copy Arrow).
+Output batch: image_id, ck (16-byte exact content key), cap_hash (normalized-
+caption exact key), phash (recomputed, int64), phash_ok (vs input column),
+simhash (int64), minhash (fixed_size_list<int64>[P]).
+
+The ``bytes`` column dies here — signatures are ~1KB/row vs multi-KB images,
+and nothing downstream shuffles pixels (SURVEY §7.5 'wide rows').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.functions import codecs as C
+from deduplication_ray.functions import hashing as H
+
+
+def normalize_captions(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """NFKC-ish normalization: lowercase, collapse whitespace runs, strip.
+    Pure pyarrow.compute — vectorized, no Python per row."""
+    x = pc.utf8_lower(arr)
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    x = pc.utf8_trim_whitespace(x)
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    return x
+
+
+class ComputeSignatures:
+    """Actor-pool stage: decode pixels + compute all signatures in one pass."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        self.mh_a, self.mh_b = H.make_minhash_perms(cfg.num_perm, cfg.seed)
+        self.planes = H.make_simhash_planes(cfg.simhash_bits, cfg.simhash_dim, cfg.seed)
+        self.dct = C.dct_matrix(cfg.phash_size)  # warm the cache once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+
+        # ---- pixel path: decode each payload once (real per-row compute:
+        # zlib inflate), batch the math (resize matmuls + one batched DCT).
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        payloads = batch["bytes"].combine_chunks() if isinstance(batch["bytes"], pa.ChunkedArray) else batch["bytes"]
+        grays = np.empty((n, cfg.phash_size, cfg.phash_size), dtype=np.float32)
+        for i in range(n):
+            img = C.decode_image(payloads[i].as_py(), fmts[i], int(ws[i]), int(hs[i]))
+            grays[i] = C.resize_area(C.to_grayscale(img), cfg.phash_size)
+        phash = C.phash64_batch(grays, cfg.phash_size, cfg.phash_lowfreq)
+        feats = C.simhash_features(grays)
+        simhash = H.simhash_from_features(feats, self.planes)
+        phash_in = H.bitcast_i64_to_u64(batch["phash"].to_numpy())
+        phash_ok = phash == phash_in
+
+        # ---- caption path: vectorized over the Arrow string buffer.
+        cap = normalize_captions(batch["caption"])
+        cap_hash = H.hash_bytes_array(cap)
+        shingles, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
+        sig = H.minhash_signatures(shingles, offs, self.mh_a, self.mh_b)
+
+        # ---- exact content key: 128 bits = hash(bytes), hash(norm caption) as
+        # two int64 join keys. Exactness contract (the memcmp analog,
+        # dictionary.c:53): 128 bits make same-key-different-content pairs
+        # vanishingly unlikely at 10^12 rows.
+        bk = H.hash_bytes_array(batch["bytes"])
+
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "ck1": pa.array(H.bitcast_u64_to_i64(bk), pa.int64()),
+                "ck2": pa.array(H.bitcast_u64_to_i64(cap_hash), pa.int64()),
+                "cap_hash": pa.array(H.bitcast_u64_to_i64(cap_hash), pa.int64()),
+                "phash": pa.array(H.bitcast_u64_to_i64(phash), pa.int64()),
+                "phash_ok": pa.array(phash_ok),
+                "simhash": pa.array(H.bitcast_u64_to_i64(simhash), pa.int64()),
+                "minhash": H.pack_u64_rows(sig),
+            }
+        )
+
+
+class CaptionSignatures:
+    """Caption-only signature stage for text tables (documents): same MinHash
+    machinery, no pixel path. Columns parameterized so it runs over any
+    (id, text) table."""
+
+    def __init__(self, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"):
+        self.cfg = cfg
+        self.id_col = id_col
+        self.text_col = text_col
+        self.mh_a, self.mh_b = H.make_minhash_perms(cfg.num_perm, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        cap = normalize_captions(batch[self.text_col])
+        cap_hash = H.hash_bytes_array(cap)
+        shingles, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
+        sig = H.minhash_signatures(shingles, offs, self.mh_a, self.mh_b)
+        return pa.table(
+            {
+                "image_id": batch[self.id_col].cast(pa.string()),
+                "cap_hash": pa.array(H.bitcast_u64_to_i64(cap_hash), pa.int64()),
+                "minhash": H.pack_u64_rows(sig),
+            }
+        )

@@ -1,0 +1,97 @@
+"""Per-stage checkpoint/resume with lineage (T14).
+
+The reference has no recovery: any failure frees and aborts, and a crash
+restarts the whole file (``/root/reference/src/compressor.c:116-123``; §4.1).
+The graft checkpoints every stage boundary:
+
+    <run_dir>/<stage>/            part-*.parquet + _manifest.json
+
+Manifest fields: stage name, config_hash (refuses resume under a different
+config — generalizing the header re-validation at ``compressor.c:246-252``),
+upstream stage names, row count, and ``complete`` (written last, atomically,
+via write-tmp-then-rename). Union-find rounds checkpoint as ``labels_r{k}``
+— that is the mid-shuffle resume granularity: a killed job re-enters at the
+last finished propagation round.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Callable
+
+import ray.data
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.sources import storage
+
+
+class CheckpointedRun:
+    """Orchestrates stage execution with skip-if-complete semantics."""
+
+    def __init__(self, run_dir: str, cfg: DedupConfig):
+        self.run_dir = run_dir
+        self.cfg = cfg
+        os.makedirs(run_dir, exist_ok=True)
+        self.skipped: list[str] = []   # stages resumed from checkpoint
+        self.executed: list[str] = []  # stages computed this run
+
+    def stage_dir(self, stage: str) -> str:
+        return os.path.join(self.run_dir, stage)
+
+    def is_complete(self, stage: str) -> bool:
+        m = storage.read_manifest(self.stage_dir(stage))
+        return bool(m and m.get("complete") and m.get("config_hash") == self.cfg.config_hash())
+
+    def run_stage(
+        self,
+        stage: str,
+        fn: Callable[[], ray.data.Dataset],
+        upstream: list[str] | None = None,
+    ) -> ray.data.Dataset:
+        """Execute ``fn`` unless a complete, config-matching checkpoint exists.
+
+        The stage output is always persisted to Parquet and re-read, so
+        downstream stages consume the checkpoint (identical lineage whether
+        this run computed the stage or a previous one did).
+        """
+        sdir = self.stage_dir(stage)
+        if self.is_complete(stage):
+            self.skipped.append(stage)
+            return storage.read_table(sdir)
+
+        m = storage.read_manifest(sdir)
+        if m is not None and m.get("config_hash") != self.cfg.config_hash():
+            raise RuntimeError(
+                f"checkpoint {sdir} was written under config "
+                f"{m.get('config_hash')}; current config is "
+                f"{self.cfg.config_hash()} — refusing to resume (delete the "
+                "run dir or use a fresh one)"
+            )
+
+        if os.path.isdir(sdir):
+            shutil.rmtree(sdir)  # partial output from a killed run
+        os.makedirs(sdir, exist_ok=True)
+        ds = fn()
+        ds.write_parquet(sdir)
+        out = storage.read_table(sdir)
+        n = out.count()
+        storage.write_manifest(
+            sdir,
+            {
+                "stage": stage,
+                "config_hash": self.cfg.config_hash(),
+                "upstream": upstream or [],
+                "rows": n,
+                "complete": True,
+            },
+        )
+        self.executed.append(stage)
+        return out
+
+    def latest_labels_round(self) -> int:
+        """Highest k with a complete labels_r{k} checkpoint, or -1."""
+        k = -1
+        while self.is_complete(f"labels_r{k + 1}"):
+            k += 1
+        return k

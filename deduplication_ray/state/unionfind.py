@@ -1,0 +1,146 @@
+"""Distributed union-find: iterative hash-min label propagation (T12).
+
+The reference's connectivity notion is trivial — a block either equals a
+dictionary entry or it doesn't (``/root/reference/src/dictionary.c:49-59``).
+Near-dup clustering needs transitive closure over the verified edge set, as a
+*distributed* algorithm: no driver-side union-find, no shared mutable index.
+
+Algorithm (hash-min / label propagation over Datasets):
+  labels(node, label) init: label = node
+  each round:
+    msgs  = bidirectional(edges) JOIN labels ON nbr  -> (node, nbr_label)
+    new   = (msgs UNION labels).groupby(node).min(label)
+    changed = COUNT(new.label != old.label)   (hash join old vs new)
+  stop at changed == 0 (or cfg.max_rounds, asserting fixpoint).
+
+min(label) over string image_ids converges to the min image_id of each
+component — the deterministic, parallel-safe analog of the reference's
+first-occurrence representative ids (``compressor.c:109-113``). Star+chain
+candidate edges keep component diameters small, so rounds = O(log n) in
+practice (3-5 on the fixtures).
+
+Each round can checkpoint its frontier (labels Dataset) — that is the
+"resume mid-shuffle" story: a killed job restarts at round k, not row 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+from deduplication_ray.config import DedupConfig
+
+
+def init_labels(edges: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
+    """One (node, label=node) row per distinct edge endpoint.
+
+    Nodes outside any edge are singletons and never enter propagation; the
+    finalize step (pipelines) left-joins labels onto the full id column.
+    """
+    def split(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["src"].combine_chunks().cast(pa.string()),
+             t["dst"].combine_chunks().cast(pa.string())]
+        )
+        return pa.table({"node": ids})
+
+    nodes = edges.map_batches(split, batch_format="pyarrow")
+    # distinct via partial-aggregating groupby-count (vectorized; per-group
+    # Python calls via map_groups would dominate at scale)
+    from ray.data.aggregate import Count
+
+    distinct = nodes.groupby("node").aggregate(Count(alias_name="_n"))
+
+    def label_self(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["node"]})
+
+    return distinct.map_batches(label_self, batch_format="pyarrow")
+
+
+def propagate_round(
+    labels: ray.data.Dataset, edges_bidir: ray.data.Dataset, cfg: DedupConfig
+) -> ray.data.Dataset:
+    """One hash-min round: neighbor labels + own label -> min per node."""
+    msgs = edges_bidir.join(
+        labels.rename_columns({"node": "nbr_node", "label": "nbr_label"}),
+        join_type="inner",
+        num_partitions=cfg.num_partitions,
+        on=("nbr",),
+        right_on=("nbr_node",),
+    ).select_columns(["node", "nbr_label"]).rename_columns(
+        {"nbr_label": "label"}
+    )
+    allmsgs = labels.union(msgs)
+    return allmsgs.groupby("node").aggregate(Min("label", alias_name="label"))
+
+
+def count_changed(
+    old: ray.data.Dataset, new: ray.data.Dataset, cfg: DedupConfig
+) -> int:
+    j = new.join(
+        old.rename_columns({"node": "node_o", "label": "label_o"}),
+        join_type="inner",
+        num_partitions=cfg.num_partitions,
+        on=("node",),
+        right_on=("node_o",),
+    )
+
+    def diff(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        neq = pc.invert(pc.equal(t["label"], t["label_o"]))
+        c = pc.sum(neq.cast(pa.int64())).as_py() or 0
+        return pa.table({"changed": pa.array([int(c)], pa.int64())})
+
+    total = 0
+    for b in j.map_batches(diff, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += int(b["changed"][0].as_py())
+    return total
+
+
+def bidirectional(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(src,dst) -> (node, nbr) both directions, projected lean."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().cast(pa.string())
+        dst = t["dst"].combine_chunks().cast(pa.string())
+        return pa.table(
+            {
+                "node": pa.concat_arrays([src, dst]),
+                "nbr": pa.concat_arrays([dst, src]),
+            }
+        )
+
+    return edges.map_batches(expand, batch_format="pyarrow")
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    cfg: DedupConfig,
+    checkpoint_cb=None,
+) -> ray.data.Dataset:
+    """Run label propagation to fixpoint; returns labels(node, label).
+
+    ``checkpoint_cb(round_idx, labels_ds) -> labels_ds`` lets the pipeline
+    materialize/persist each frontier (and lets tests kill/resume mid-run).
+    """
+    eb = bidirectional(edges).materialize()
+    labels = init_labels(edges, cfg.num_partitions).materialize()
+    for rnd in range(cfg.max_rounds):
+        new = propagate_round(labels, eb, cfg).materialize()
+        changed = count_changed(labels, new, cfg)
+        labels = new
+        if checkpoint_cb is not None:
+            labels = checkpoint_cb(rnd, labels)
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"union-find did not converge in {cfg.max_rounds} rounds — "
+        "component diameter exceeds the round cap; raise cfg.max_rounds"
+    )
