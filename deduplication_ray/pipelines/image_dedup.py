@@ -50,10 +50,20 @@ def compute_signatures(input_ds: ray.data.Dataset, cfg: DedupConfig) -> ray.data
     )
 
 
-def build_edges(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+def build_edges(
+    signatures: ray.data.Dataset,
+    cfg: DedupConfig,
+    input_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Exact + LSH-candidate + suffix-array/winnowing substring edges."""
     ex = lsh.exact_edges(signatures, cfg)
     cand = lsh.candidate_edges(signatures, cfg)
-    return lsh.dedupe_edges(ex.union(cand))
+    edges = ex.union(cand)
+    if input_ds is not None:
+        from deduplication_ray.stages.substring import substring_edges
+
+        edges = edges.union(substring_edges(input_ds, cfg))
+    return lsh.dedupe_edges(edges)
 
 
 def verify_candidates(
@@ -108,7 +118,9 @@ def run_pipeline(
 
     sigs = run.run_stage("signatures", lambda: compute_signatures(read_input(), cfg), ["input"])
 
-    edges = run.run_stage("edges", lambda: build_edges(sigs, cfg), ["signatures"])
+    edges = run.run_stage(
+        "edges", lambda: build_edges(sigs, cfg, read_input()), ["signatures"]
+    )
 
     vedges = run.run_stage(
         "verified_edges", lambda: verify_candidates(edges, sigs, cfg), ["edges"]

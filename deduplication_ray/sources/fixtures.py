@@ -38,7 +38,10 @@ from deduplication_ray.functions.hashing import bitcast_u64_to_i64
 
 KINDS = ("unique", "exact", "reenc", "near_img", "near_cap", "substr", "hot")
 _FMTS = ("raw", "png", "qrgb")
-HOT_PHRASE_WORDS = 8
+# short enough that the stock phrase stays BELOW substring_min_len (40 chars
+# normalized) — the hot-bucket adversary must stress MinHash bucket skew, not
+# legitimately trip the exact-substring detector
+HOT_PHRASE_WORDS = 4
 
 
 def make_vocab(seed: int, size: int = 2000) -> list[str]:

@@ -40,13 +40,16 @@ from deduplication_ray.functions import hashing as H
 
 AMBASSADOR_SALT = -1  # rendezvous sub-bucket linking salted shards
 
-# band-id namespaces: one exploder emits every candidate family in one pass
+# band-id namespaces: one bucket stream carries every candidate family
 BAND_MINHASH = 0      # 0 .. bands-1
 BAND_PHASH = 1000     # 1000..1003: 4 x 16-bit multi-index bands (pigeonhole:
 BAND_SIMHASH = 2000   # any Hamming distance <= 3 collides in >= 1 band)
+BAND_SUBSTR = 3000    # winnowing fingerprint rendezvous (stages/substring.py)
 
 
 def kind_of_band(band: int) -> str:
+    if band >= BAND_SUBSTR:
+        return "substr"
     if band >= BAND_SIMHASH:
         return "simhash"
     if band >= BAND_PHASH:
@@ -72,7 +75,7 @@ def _hash16_bands(values_u64: np.ndarray, base: int) -> tuple[np.ndarray, np.nda
 
 
 class ExplodeBands:
-    """signatures -> (band:int32, bucket:int64, salt:int32, image_id) rows.
+    """signatures -> (band:int64, bucket:int64, salt:int64, image_id) rows.
 
     Emits every candidate family in one pass over the signature table:
     MinHash LSH bands (caption near-dup), pHash multi-index bands and SimHash
@@ -106,11 +109,11 @@ class ExplodeBands:
         per_row = band.size // n
         ids = batch["image_id"].to_pandas().to_numpy()
         image_id = np.repeat(ids, per_row)
-        salt = np.zeros(n * per_row, dtype=np.int32)
+        salt = np.zeros(n * per_row, dtype=np.int64)
 
         return pa.table(
             {
-                "band": band.astype(np.int32),
+                "band": band.astype(np.int64),
                 "bucket": bucket,
                 "salt": salt,
                 "image_id": image_id,
@@ -150,9 +153,13 @@ def _kind_column(band_arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 
     b = band_arr.combine_chunks() if isinstance(band_arr, pa.ChunkedArray) else band_arr
     return pc.if_else(
-        pc.greater_equal(b, BAND_SIMHASH),
-        pa.scalar("simhash"),
-        pc.if_else(pc.greater_equal(b, BAND_PHASH), pa.scalar("phash"), pa.scalar("minhash")),
+        pc.greater_equal(b, BAND_SUBSTR),
+        pa.scalar("substr"),
+        pc.if_else(
+            pc.greater_equal(b, BAND_SIMHASH),
+            pa.scalar("simhash"),
+            pc.if_else(pc.greater_equal(b, BAND_PHASH), pa.scalar("phash"), pa.scalar("minhash")),
+        ),
     )
 
 
@@ -214,17 +221,25 @@ def _allpairs_edges(buckets: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dat
 def candidate_edges(
     signatures: ray.data.Dataset, cfg: DedupConfig
 ) -> ray.data.Dataset:
-    """signatures -> deduplicated candidate edge Dataset (src < dst, kind).
-
-    Plan: explode bands once -> bucket counts (partial-agg groupby) -> split
-    cold/hot. Cold buckets (<= cap rows): all-pairs via self-join. Hot
-    buckets: salt to sub-buckets (no reducer sees > ~cap rows), star edges to
-    each sub-bucket min, ambassador all-pairs over the sub-minima re-link the
-    salt shards. Everything is aggregate/join vectorized — zero map_groups.
-    """
+    """signatures -> deduplicated candidate edge Dataset (src < dst, kind)."""
     buckets = signatures.map_batches(
         ExplodeBands(cfg), batch_format="pyarrow", batch_size=cfg.text_batch_size
-    ).materialize()
+    )
+    return edges_from_buckets(buckets, cfg)
+
+
+def edges_from_buckets(
+    buckets: ray.data.Dataset, cfg: DedupConfig
+) -> ray.data.Dataset:
+    """(band, bucket, salt, image_id) rows -> deduplicated edges (src<dst, kind).
+
+    Plan: bucket counts (partial-agg groupby) -> split cold/hot. Cold buckets
+    (<= cap rows): all-pairs via self-join. Hot buckets: salt to sub-buckets
+    (no reducer sees > ~cap rows), star edges to each sub-bucket min,
+    ambassador all-pairs over the sub-minima re-link the salt shards.
+    Everything is aggregate/join vectorized — zero map_groups.
+    """
+    buckets = buckets.materialize()
     stats = bucket_stats(buckets)
     hot = hot_bucket_map(stats, cfg.bucket_cap)
 
@@ -251,13 +266,13 @@ def candidate_edges(
             comp = H.hash_u64_pair(band.view(np.uint64), bucket.view(np.uint64))
             pos = np.clip(np.searchsorted(self.keys, comp), 0, len(self.keys) - 1)
             is_hot = self.keys[pos] == comp
-            salt = np.full(t.num_rows, -1, dtype=np.int32)  # -1 = cold
+            salt = np.full(t.num_rows, -1, dtype=np.int64)  # -1 = cold
             if is_hot.any():
                 n_salts = self.salts[pos[is_hot]]
                 idh = H.hash_bytes_array(t["image_id"].filter(pa.array(is_hot)))
-                salt[is_hot] = (idh % n_salts.astype(np.uint64)).astype(np.int32)
+                salt[is_hot] = (idh % n_salts.astype(np.uint64)).astype(np.int64)
             return t.set_column(
-                t.column_names.index("salt"), "salt", pa.array(salt, pa.int32())
+                t.column_names.index("salt"), "salt", pa.array(salt, pa.int64())
             )
 
     tagged = buckets.map_batches(
@@ -285,13 +300,34 @@ def candidate_edges(
     return dedupe_edges(cold_edges.union(star).union(amb))
 
 
+# trust order for duplicate (src,dst) edges found by several detectors:
+# trusted-by-construction kinds first, so verification never downgrades a
+# pair that an exact detector already proved.
+KIND_PRIORITY = ["exact", "substr", "phash", "simhash", "minhash"]
+
+
 def dedupe_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Collapse duplicate (src, dst) across bands — keep min kind string
-    ('exact' < 'minhash' < 'phash' < 'simhash' < 'substr'). Vectorized
-    partial-aggregating groupby; no per-group Python."""
+    """Collapse duplicate (src, dst) across bands — keep the most-trusted
+    kind per KIND_PRIORITY. Vectorized partial-aggregating groupby; no
+    per-group Python."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    return edges.groupby(["src", "dst"]).aggregate(Min("kind", alias_name="kind"))
+    kindset = pa.array(KIND_PRIORITY)
+
+    def to_prio(t: pa.Table) -> pa.Table:
+        prio = pc.index_in(t["kind"], value_set=kindset).cast(pa.int64())
+        return pa.table({"src": t["src"], "dst": t["dst"], "prio": prio})
+
+    agg = edges.map_batches(to_prio, batch_format="pyarrow").groupby(
+        ["src", "dst"]
+    ).aggregate(Min("prio", alias_name="prio"))
+
+    def back(t: pa.Table) -> pa.Table:
+        kind = pc.take(kindset, t["prio"].combine_chunks().cast(pa.int32()))
+        return pa.table({"src": t["src"], "dst": t["dst"], "kind": kind})
+
+    return agg.map_batches(back, batch_format="pyarrow")
 
 
 def exact_edges(

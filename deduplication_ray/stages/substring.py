@@ -1,0 +1,258 @@
+"""Exact shared-substring detection: per-partition suffix array + winnowing
+boundary merge (T11).
+
+Catches pairs whose normalized captions share a verbatim substring of at
+least ``cfg.substring_min_len`` chars (the FIXTURES 'caption A embedded in
+caption B' population) — pairs MinHash can miss because a short shared
+substring of a long caption yields low Jaccard.
+
+Two complementary passes, both emitting trusted ``kind='substr'`` edges:
+
+1. **Per-partition suffix array** (``SuffixArrayEdges``, a map_batches stage
+   with a large batch size): concatenate the partition's normalized captions
+   with NUL separators, build the suffix array by prefix doubling (numpy
+   lexsort, O(n log^2 n), no Python char loops), mark adjacent suffixes whose
+   LCP >= Lmin (vectorized Lmin-step comparison that treats NUL as
+   never-equal so matches cannot span documents), and link the distinct
+   documents of each >=Lmin-prefix run. Exact within the partition.
+
+2. **Winnowing rendezvous** (boundary merge): every caption emits the
+   minimizer hashes of its Lmin-gram rolling hashes over windows of
+   ``cfg.winnow_window`` grams (standard winnowing guarantee: two strings
+   sharing a substring of length >= Lmin + w - 1 share a minimizer). The
+   fingerprints feed the SAME bucket->edge machinery as LSH bands (band
+   namespace 3000), so hot-substring skew is salted identically. This is the
+   cross-partition merge: it needs no partition alignment at all.
+
+A u64 fingerprint equality stands in for substring equality (collision odds
+~n^2/2^64; at true 10^12 scale swap to 128-bit fingerprints). The reference
+analog is block-identity via memcmp (``/root/reference/src/dictionary.c:53``)
+— here the 'block' is a variable-position caption window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.functions import hashing as H
+from deduplication_ray.stages import lsh
+from deduplication_ray.stages.signatures import normalize_captions
+
+BAND_SUBSTR = lsh.BAND_SUBSTR
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8 sequence by prefix doubling (numpy lexsort)."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = s.astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            key2[:-k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r = np.empty(n, dtype=np.int64)
+        ro, ko = rank[order], key2[order]
+        newgrp = np.empty(n, dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (ro[1:] != ro[:-1]) | (ko[1:] != ko[:-1])
+        r[order] = np.cumsum(newgrp) - 1
+        rank = r
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+
+
+def _lcp_at_least(buf: np.ndarray, a: np.ndarray, b: np.ndarray, L: int) -> np.ndarray:
+    """For suffix starts a[i], b[i]: does LCP(buf[a:], buf[b:]) >= L, with the
+    NUL separator treated as never matching (no cross-document spans)?
+    Vectorized: L passes over the (shrinking) candidate set."""
+    n = len(buf)
+    ok = np.ones(len(a), dtype=bool)
+    idx = np.arange(len(a))
+    for d in range(L):
+        ai, bi = a[idx] + d, b[idx] + d
+        valid = (ai < n) & (bi < n)
+        eq = np.zeros(len(idx), dtype=bool)
+        vv = np.nonzero(valid)[0]
+        if len(vv):
+            ca, cb = buf[ai[vv]], buf[bi[vv]]
+            eq[vv] = (ca == cb) & (ca != 0)
+        ok[idx[~eq]] = False
+        idx = idx[eq]
+        if not len(idx):
+            break
+    return ok
+
+
+class SuffixArrayEdges:
+    """map_batches stage: one partition's captions -> substr edges.
+
+    Batch size should be large (whole-block) — the pass is exact *within* the
+    batch; cross-batch pairs are covered by the winnowing rendezvous.
+    """
+
+    def __init__(self, cfg: DedupConfig, id_col: str = "image_id", text_col: str = "caption"):
+        self.cfg = cfg
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        L = self.cfg.substring_min_len
+        cap = normalize_captions(batch[self.text_col])
+        ids = batch[self.id_col].cast(pa.string()).to_pandas().to_numpy()
+        bufs, offs = H._arrow_flat_buffer(cap)
+        bufs = bufs[offs[0]: offs[-1]]
+        offs = offs - offs[0]
+        n_docs = len(offs) - 1
+        # interleave NUL separators: doc i occupies [offs[i]+i, offs[i+1]+i)
+        total = int(offs[-1]) + n_docs
+        buf = np.zeros(total, dtype=np.uint8)
+        pos = np.arange(int(offs[-1]), dtype=np.int64)
+        doc_of_byte = np.searchsorted(offs, pos, side="right") - 1
+        buf[pos + doc_of_byte] = bufs
+        doc_starts = offs + np.arange(n_docs + 1)
+
+        sa = suffix_array(buf)
+        if len(sa) < 2:
+            return _empty_edges()
+        ok = _lcp_at_least(buf, sa[:-1], sa[1:], L)
+        if not ok.any():
+            return _empty_edges()
+
+        # runs of adjacent suffixes sharing an >=L prefix
+        run_id = np.concatenate([[0], np.cumsum(~ok)])  # len == len(sa)
+        keep = np.zeros(len(sa), dtype=bool)
+        keep[:-1] |= ok
+        keep[1:] |= ok
+        sa_k, run_k = sa[keep], run_id[keep]
+        doc_k = np.searchsorted(doc_starts, sa_k, side="right") - 1
+        df = pd.DataFrame({"run": run_k, "doc": doc_k}).drop_duplicates()
+        # star edges per run over distinct docs
+        df["doc_id"] = ids[df["doc"].to_numpy()]
+        agg = df.groupby("run")["doc_id"].agg(["min", "nunique"])
+        multi = agg[agg["nunique"] >= 2]
+        if multi.empty:
+            return _empty_edges()
+        dfm = df[df["run"].isin(multi.index)]
+        dfm = dfm.merge(multi["min"].rename("src"), left_on="run", right_index=True)
+        dfm = dfm[dfm["doc_id"] != dfm["src"]]
+        out = dfm[["src", "doc_id"]].drop_duplicates()
+        return pa.table(
+            {
+                "src": pa.array(out["src"].to_numpy(), pa.string()),
+                "dst": pa.array(out["doc_id"].to_numpy(), pa.string()),
+                "kind": pa.array(["substr"] * len(out), pa.string()),
+            }
+        )
+
+
+def _empty_edges() -> pa.Table:
+    return pa.table(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
+         "kind": pa.array([], pa.string())}
+    )
+
+
+class WinnowFingerprints:
+    """map_batches stage: captions -> (band=3000, bucket=minimizer, salt=0, id).
+
+    Winnowing (Schleimer et al., public algorithm): per document, hash every
+    Lmin-gram; slide a w-gram window; keep each window's min hash. Guarantee:
+    any shared substring of length >= Lmin + w - 1 yields a shared minimizer.
+    """
+
+    def __init__(self, cfg: DedupConfig, id_col: str = "image_id", text_col: str = "caption"):
+        self.cfg = cfg
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        L, w = cfg.substring_min_len, cfg.winnow_window
+        cap = normalize_captions(batch[self.text_col])
+        ids = batch[self.id_col].cast(pa.string()).to_pandas().to_numpy()
+        grams, offs = H.shingle_window_hashes(cap, L)
+        n_docs = len(offs) - 1
+        counts = offs[1:] - offs[:-1]
+
+        # sliding-window min over each doc's gram hashes, vectorized via a
+        # strided (m-w+1, w) view per flat array with per-doc masking
+        out_fp: list[np.ndarray] = []
+        out_doc: list[np.ndarray] = []
+        # windows fully inside one doc: start s in [offs[i], offs[i+1]-w]
+        win_counts = np.maximum(counts - w + 1, 0)
+        # docs shorter than w grams: single minimizer over all its grams
+        short = (counts < w) & (counts > 0)
+        if len(grams):
+            sw = np.lib.stride_tricks.sliding_window_view(grams, min(w, len(grams)))
+            if sw.shape[1] == w:
+                mins_all = sw.min(axis=1)
+                long_docs = np.nonzero(win_counts > 0)[0]
+                if len(long_docs):
+                    reps = win_counts[long_docs]
+                    src = np.repeat(offs[long_docs], reps) + H._ranges(reps)
+                    out_fp.append(mins_all[src])
+                    out_doc.append(np.repeat(long_docs, reps))
+        sd = np.nonzero(short)[0]
+        if len(sd):
+            # per-doc min over that doc's own gram range: reduceat over the
+            # starts of ALL non-empty docs (consecutive starts delimit each
+            # doc), then select the short ones. reduceat over offs[sd] alone
+            # would span every doc between two short ones.
+            nonempty = counts > 0
+            per_doc_min = np.minimum.reduceat(grams, offs[:-1][nonempty])
+            dm = np.zeros(n_docs, dtype=grams.dtype)
+            dm[nonempty] = per_doc_min
+            out_fp.append(dm[sd])
+            out_doc.append(sd)
+
+        if not out_fp:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "salt": pa.array([], pa.int64()),
+                             "image_id": pa.array([], pa.string())})
+        fp = np.concatenate(out_fp)
+        doc = np.concatenate(out_doc)
+        # dedupe (doc, fp)
+        key = H.hash_u64_pair(fp, doc.astype(np.uint64))
+        _, first = np.unique(key, return_index=True)
+        fp, doc = fp[first], doc[first]
+        return pa.table(
+            {
+                "band": pa.array(np.full(len(fp), BAND_SUBSTR, np.int64)),
+                "bucket": pa.array(H.bitcast_u64_to_i64(fp), pa.int64()),
+                "salt": pa.array(np.zeros(len(fp), np.int64)),
+                "image_id": pa.array(ids[doc], pa.string()),
+            }
+        )
+
+
+def substring_edges(
+    input_ds: ray.data.Dataset,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> ray.data.Dataset:
+    """Full T11: per-partition suffix-array edges UNION winnowing-rendezvous
+    edges (boundary merge), deduplicated."""
+    lean = input_ds.select_columns([id_col, text_col])
+    sa_edges = lean.map_batches(
+        SuffixArrayEdges(cfg, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=cfg.text_batch_size,
+    )
+    fps = lean.map_batches(
+        WinnowFingerprints(cfg, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=cfg.text_batch_size,
+    )
+    win_edges = lsh.edges_from_buckets(fps, cfg)
+    return lsh.dedupe_edges(sa_edges.union(win_edges))
