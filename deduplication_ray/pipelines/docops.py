@@ -1,0 +1,198 @@
+"""Document-table operators: text analysis + dedup detectors over the
+``documents`` testdata table. SQL-mirrored where DuckDB can express the
+semantics; rows-only otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.functions import hashing as H
+from deduplication_ray.functions import text as T
+from deduplication_ray.sources import storage
+
+
+def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return storage.read_table(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- stats (SQL-mirrored)
+
+def q_doc_stats(sf_dir: str):
+    """Per-doc integer text features, exactly mirroring the DuckDB SQL."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        f = T.quality_features(t["text"])
+        return pa.table({"doc_id": t["doc_id"], **f})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+Q_DOC_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+       length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- char-set jaccard (SQL-mirrored)
+
+def q_charset_jaccard_pairs(sf_dir: str, threshold: float = 0.95):
+    """Same-source doc pairs with char-set Jaccard >= threshold, mirroring
+    DuckDB's ``jaccard`` (distinct-character sets, case-sensitive).
+
+    Ray plan: per-doc 256-bit char membership packed into a 32-byte blob ->
+    hash-partitioned self-join on source -> vectorized popcount Jaccard.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        arr = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        buf, offs = H._arrow_flat_buffer(arr)
+        buf = buf[offs[0]: offs[-1]]
+        offs = offs - offs[0]
+        n = t.num_rows
+        memb = np.zeros((n, 256), dtype=bool)
+        row = np.repeat(np.arange(n), offs[1:] - offs[:-1])
+        memb[row, buf] = True
+        limbs = np.packbits(memb, axis=1, bitorder="little").view(np.uint64)  # (n, 4)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "cs": H.pack_u64_rows(limbs),
+        })
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow").materialize()
+    right = sigs.rename_columns({"doc_id": "b_id", "cs": "cs_b"})
+    j = sigs.join(right, join_type="inner", num_partitions=8, on=("source",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
+        a = t["doc_id"].to_numpy()
+        b = t["b_id"].to_numpy()
+        la = H.unpack_u64_rows(t["cs"], 4)
+        lb = H.unpack_u64_rows(t["cs_b"], 4)
+        inter = H.popcount64(la & lb).sum(axis=1)
+        union = H.popcount64(la | lb).sum(axis=1)
+        jac = inter / np.maximum(union, 1)
+        keep = (a < b) & (jac >= threshold)
+        return pa.table({"a_id": pa.array(a[keep], pa.int64()),
+                         "b_id": pa.array(b[keep], pa.int64())})
+
+    return j.map_batches(pairs, batch_format="pyarrow")
+
+
+Q_CHARSET_JACCARD_SQL = """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE jaccard(a.text, b.text) >= 0.95
+"""
+
+
+# ---------------------------------------------------------------- rows-only detectors
+
+def q_doc_langid(sf_dir: str):
+    """Heuristic stopword language ID per doc (rows-only check)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def lid(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": T.language_id(t["text"])})
+
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+def q_doc_quality(sf_dir: str):
+    """Composite quality score in [0,1] (rows-only)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def q(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "quality": pa.array(T.quality_score(t["text"]), pa.float64()),
+        })
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def q_doc_simhash_pairs(sf_dir: str, hamming_t: int = 8):
+    """Text SimHash near-dup pairs via the shared bucket machinery."""
+    from deduplication_ray.stages import lsh
+
+    cfg = DedupConfig(num_partitions=8)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        sh = T.simhash_text(t["text"])
+        return pa.table({
+            "image_id": t["doc_id"].cast(pa.string()),
+            "simhash": pa.array(H.bitcast_u64_to_i64(sh), pa.int64()),
+        })
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow").materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh = H.bitcast_i64_to_u64(t["simhash"].to_numpy())
+        band, bucket = lsh._hash16_bands(sh, lsh.BAND_SIMHASH)
+        n = t.num_rows
+        return pa.table({
+            "band": band.astype(np.int64),
+            "bucket": bucket,
+            "salt": np.zeros(n * 4, dtype=np.int64),
+            "image_id": pa.array(np.repeat(t["image_id"].to_pandas().to_numpy(), 4)),
+        })
+
+    buckets = sigs.map_batches(explode, batch_format="pyarrow")
+    edges = lsh.edges_from_buckets(buckets, cfg)
+
+    from deduplication_ray.stages import verify as V
+
+    attached = V.attach_signatures(edges, sigs, cfg, cols=["simhash"])
+
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        hd = H.hamming_distance_u64(
+            H.bitcast_i64_to_u64(t["simhash_src"].to_numpy()),
+            H.bitcast_i64_to_u64(t["simhash_dst"].to_numpy()),
+        )
+        t = t.filter(pa.array(hd <= hamming_t))
+        return pa.table({"src": t["src"], "dst": t["dst"]})
+
+    return attached.map_batches(check, batch_format="pyarrow")
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Winnowed fingerprint count per doc (rows-only)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        arr = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        fps = T.winnow_fingerprint(arr)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_doc_lsh_dedup(sf_dir: str):
+    """Full text near-dup engine over documents -> clusters (rows-only)."""
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text_dedup_clusters(ds, DedupConfig(num_partitions=8))

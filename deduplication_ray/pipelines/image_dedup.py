@@ -134,6 +134,7 @@ def run_pipeline(
         eb = unionfind.bidirectional(vedges).materialize()
         if start_round >= 0:
             labels = storage.read_table(run.stage_dir(f"labels_r{start_round}"))
+            run.skipped.extend(f"labels_r{k}" for k in range(start_round + 1))
         else:
             labels = unionfind.init_labels(vedges, cfg.num_partitions).materialize()
         rnd = start_round

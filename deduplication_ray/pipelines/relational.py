@@ -1,0 +1,332 @@
+"""Relational query operators over the driver testdata (TPC-H-ish tables).
+
+Each function takes ``sf_dir`` and returns a Dataset / pandas DataFrame whose
+column NAMES and values match the DuckDB oracle SQL registered in
+``__ray_entry__.oracle_sql()`` (the driver compares row-count + schema +
+order-insensitive value hash). These exercise the engine's relational
+sub-operators: groupby-aggregate with partial combine, broadcast joins,
+hash-partitioned joins, filter/projection pushdown, sort/top-k, distinct,
+tumbling windows, semi-join.
+
+Reference parity notes: the broadcast join is the R17 gather generalized
+(``/root/reference/src/compressor.c:320-339`` — dictionary as small side);
+groupby-min rep election is R8 (``compressor.c:105-114``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from deduplication_ray.sources import storage
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return storage.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- groupby-agg
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered groupby-aggregate with partial combine.
+    Column pruning at the read; revenue computed vectorized per batch."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import datetime
+
+        cutoff = pa.scalar(datetime.datetime(1998, 9, 2), type=t.schema.field("l_shipdate").type)
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        # money in integer cents / 1e-4 units: float sums are order-dependent
+        # across partitions, integer sums are exact + associative, so the
+        # DuckDB oracle hash-compares bit-identically at any parallelism
+        qty = pc.round(t["l_quantity"]).cast(pa.int64())
+        base_c = pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))).cast(pa.int64())
+        disc = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0),
+        )
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty,
+            "base_cents": base_c,
+            "disc_e4": pc.round(disc).cast(pa.int64()),
+        })
+
+    out = ds.map_batches(prep, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("base_cents", alias_name="sum_base_price_cents"),
+        Sum("disc_e4", alias_name="sum_disc_price_e4"),
+        Count(alias_name="count_order"),
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- broadcast join
+
+def q_broadcast_join(sf_dir: str):
+    """orders x customer via BROADCAST of the small dimension side:
+    ray.put once, numpy searchsorted lookup per batch — no shuffle
+    (the idiomatic R17 small-side gather)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = np.sort(cust["c_custkey"].to_numpy())
+    order_idx = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
+    segs = cust["c_mktsegment"].to_numpy()[order_idx]
+    ref = ray.put((keys, segs))
+
+    class Attach:
+        def __init__(self):
+            self.keys, self.segs = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy()
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            ok = self.keys[pos] == ck
+            seg = np.where(ok, self.segs[pos], None)
+            cents = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))).cast(pa.int64())
+            return pa.table({
+                "c_mktsegment": pa.array(seg.tolist(), pa.string()),
+                "price_cents": cents,
+            })
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = orders.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 4)) \
+        .groupby("c_mktsegment").aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="total_price_cents"),
+        )
+    return out
+
+
+Q_BROADCAST_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------- hash join + top-k
+
+def q_top_revenue_orders(sf_dir: str):
+    """Hash-partitioned join lineitem x orders + groupby + global top-k."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0))).cast(pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_part": r})
+
+    li_rev = li.map_batches(rev, batch_format="pyarrow").groupby("l_orderkey").aggregate(
+        Sum("revenue_part", alias_name="revenue_e4")
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = li_rev.join(orders, join_type="inner", num_partitions=16,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+    top = j.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(10)
+    return top.select_columns(["l_orderkey", "revenue_e4", "o_orderpriority"])
+
+
+Q_TOP_REVENUE_ORDERS_SQL = """
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+       o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- sort / limit
+
+def q_sort_limit(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+Q_SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- filter + agg
+
+def q_filter_agg(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_quantity"], 45))
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "price_cents": pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))).cast(pa.int64()),
+            "l_quantity": t["l_quantity"],
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow").map_batches(
+        cents, batch_format="pyarrow"
+    ).groupby("l_returnflag").aggregate(
+        Count(alias_name="n"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Max("l_quantity", alias_name="max_qty"),
+    )
+
+
+Q_FILTER_AGG_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       max(l_quantity) AS max_qty
+FROM lineitem WHERE l_quantity > 45 GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------- distinct
+
+def q_distinct_pairs(sf_dir: str):
+    """Distinct (lang, source) — groupby-count then project keys (the
+    scalable distinct; Dataset.unique is single-column only)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    g = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="_n"))
+    return g.select_columns(["lang", "source"])
+
+
+Q_DISTINCT_PAIRS_SQL = "SELECT DISTINCT lang, source FROM documents"
+
+
+# ---------------------------------------------------------------- top-k groups
+
+def q_topk_sources(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source"])
+    g = ds.groupby("source").aggregate(Count(alias_name="n_docs"))
+    return g.sort(["n_docs", "source"], descending=[True, False]).limit(5)
+
+
+Q_TOPK_SOURCES_SQL = """
+SELECT source, count(*) AS n_docs FROM documents
+GROUP BY source ORDER BY n_docs DESC, source LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------- windows
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-day window per event_type: streaming-shaped groupby."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d")
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": day,
+            "value_cents": pc.round(pc.multiply(t["value"], pa.scalar(100.0))).cast(pa.int64()),
+        })
+
+    return ds.map_batches(window, batch_format="pyarrow").groupby(
+        ["event_type", "day"]
+    ).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_cents", alias_name="sum_value_cents"),
+    )
+
+
+Q_EVENTS_WINDOW_SQL = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------- semi join
+
+def q_semi_join(sf_dir: str):
+    """Customers with at least one high-value order: broadcast key-set
+    semi-join (Bloom-filter pattern, exact set at this scale)."""
+    hot = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], 300000.0))
+
+    keys = set()
+    for b in hot.map_batches(f, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    ref = ray.put(np.sort(np.array(list(keys) or [0], dtype=np.int64)))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["c_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, ck), 0, len(self.keys) - 1)
+            return t.filter(pa.array(self.keys[pos] == ck))
+
+    out = cust.map_batches(Semi, batch_format="pyarrow", concurrency=(1, 4))
+    return out.groupby("c_nationkey").aggregate(Count(alias_name="n_customers"))
+
+
+Q_SEMI_JOIN_SQL = """
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------- exact dedup (documents)
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup by content: min-id representative + group size per text.
+    The reference's R8 in relational form (first-occurrence -> min id)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="rep_id"),
+        Count(alias_name="n_copies"),
+    )
+
+
+Q_EXACT_DEDUP_DOCS_SQL = """
+SELECT text, min(doc_id) AS rep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_keep_first(sf_dir: str):
+    """The deduplicated id set: rows whose doc_id is its text-group min."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    mins = ds.groupby("text").aggregate(Min("doc_id", alias_name="rep_id"))
+    return mins.select_columns(["rep_id"]).rename_columns({"rep_id": "doc_id"})
+
+
+Q_DEDUP_KEEP_FIRST_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""

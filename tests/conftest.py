@@ -1,0 +1,67 @@
+"""Session-scoped Ray fixture (ONE init per pytest session) + shared fixtures."""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TINY_ROWS = 800
+FIXTURE_DIR = "/tmp/dedup_ray_test_fixture"
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=8,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def tiny_fixture(ray_session):
+    """Deterministic 800-row image+caption fixture (generated once)."""
+    from deduplication_ray.sources import fixtures, storage
+
+    manifest = storage.read_manifest(FIXTURE_DIR)
+    if not (manifest and manifest.get("n_rows") == TINY_ROWS):
+        shutil.rmtree(FIXTURE_DIR, ignore_errors=True)
+        fixtures.generate(FIXTURE_DIR, TINY_ROWS, seed=42)
+    return FIXTURE_DIR
+
+
+@pytest.fixture(scope="session")
+def tiny_run(ray_session, tiny_fixture):
+    """Full pipeline run over the tiny fixture (executed once per session)."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines import image_dedup
+
+    run_dir = "/tmp/dedup_ray_test_run"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    cfg = DedupConfig(num_partitions=4, sig_concurrency=2)
+    metrics = image_dedup.run_pipeline(f"{tiny_fixture}/data", run_dir, cfg)
+    return run_dir, cfg, metrics
+
+
+def load_parquet_dir(d: str):
+    import pyarrow.dataset as pads
+
+    files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+    return pads.dataset(files).to_table().to_pandas()

@@ -1,0 +1,80 @@
+"""Fixture generator: determinism, planted-structure integrity, metamorphic
+properties (permutation invariance of clustering)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from deduplication_ray.sources import fixtures as F
+from tests.conftest import load_parquet_dir
+
+
+def test_plan_deterministic():
+    s1, t1 = F.plan_rows(500, 42)
+    s2, t2 = F.plan_rows(500, 42)
+    pd.testing.assert_frame_equal(s1, s2)
+    pd.testing.assert_frame_equal(t1, t2)
+    s3, _ = F.plan_rows(500, 43)
+    assert not s1.equals(s3)
+
+
+def test_plan_populations():
+    spec, truth = F.plan_rows(2000, 42)
+    counts = spec["kind"].value_counts()
+    assert counts["exact"] == 300
+    assert abs(counts["near_img"] - 160) <= 2
+    assert counts["hot"] == 40
+    # hot rows form ONE truth cluster
+    hot_ids = spec[spec.kind == "hot"]["image_id"]
+    hot_clusters = truth[truth.image_id.isin(hot_ids)]["cluster_id"].nunique()
+    assert hot_clusters == 1
+    # cluster id is the min image_id of the cluster
+    g = truth.groupby("cluster_id")["image_id"].min()
+    assert (g.index == g.values).all()
+
+
+def test_render_deterministic_and_valid():
+    spec, _ = F.plan_rows(64, 42)
+    t = pa.Table.from_pandas(spec)
+    r1 = F.RenderImages()(t)
+    r2 = F.RenderImages()(t)
+    assert r1.equals(r2)
+    # rendering a SHUFFLED spec yields identical per-row outputs
+    perm = np.random.default_rng(0).permutation(len(spec))
+    r3 = F.RenderImages()(pa.Table.from_pandas(spec.iloc[perm].reset_index(drop=True)))
+    d1 = r1.to_pandas().set_index("image_id").sort_index()
+    d3 = r3.to_pandas().set_index("image_id").sort_index()
+    assert (d1["phash"] == d3["phash"]).all()
+    assert (d1["bytes"] == d3["bytes"]).all()
+
+
+def test_permutation_metamorphic_clusters(ray_session, tiny_fixture, tmp_path):
+    """Shuffling input row order must not change cluster partitions."""
+    import ray.data
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import (
+        build_edges,
+        compute_signatures,
+        finalize_clusters,
+        verify_candidates,
+    )
+    from deduplication_ray.state import unionfind
+
+    cfg = DedupConfig(num_partitions=4, sig_concurrency=2)
+    base = load_parquet_dir(f"{tiny_fixture}/data").head(300)
+    shuffled = base.sample(frac=1.0, random_state=7).reset_index(drop=True)
+
+    def clusters_of(df: pd.DataFrame) -> pd.Series:
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+        sigs = compute_signatures(ds, cfg).materialize()
+        edges = build_edges(sigs, cfg, ds).materialize()
+        ve = verify_candidates(edges, sigs, cfg).materialize()
+        labels = unionfind.connected_components(ve, cfg)
+        out = finalize_clusters(ds.select_columns(["image_id"]), labels, cfg).to_pandas()
+        return out.sort_values("image_id").set_index("image_id")["cluster_id"]
+
+    c1 = clusters_of(base)
+    c2 = clusters_of(shuffled)
+    assert (c1 == c2).all()

@@ -1,0 +1,90 @@
+"""Unit tests: vectorized hashing kernels (no Ray needed)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deduplication_ray.functions import hashing as H
+
+
+def test_splitmix64_deterministic_and_mixing():
+    x = np.arange(1000, dtype=np.uint64)
+    h1, h2 = H.splitmix64(x), H.splitmix64(x)
+    assert (h1 == h2).all()
+    assert len(np.unique(h1)) == 1000
+    # avalanche-ish: adjacent inputs differ in ~half the bits
+    d = H.popcount64(h1[:-1] ^ h1[1:])
+    assert 20 < d.mean() < 44
+
+
+def test_popcount64():
+    vals = np.array([0, 1, 3, 0xFF, 2**63, 2**64 - 1], dtype=np.uint64)
+    assert H.popcount64(vals).tolist() == [0, 1, 2, 8, 1, 64]
+
+
+def test_hash_bytes_array_identity_and_slices():
+    texts = ["alpha", "alpha", "alphb", "", "x"]
+    arr = pa.array(texts)
+    h = H.hash_bytes_array(arr)
+    assert h[0] == h[1] and h[0] != h[2]
+    assert (H.hash_bytes_array(arr.slice(1, 3)) == h[1:4]).all()
+    # order sensitivity
+    assert H.hash_bytes_array(pa.array(["ab"]))[0] != H.hash_bytes_array(pa.array(["ba"]))[0]
+
+
+def test_shingles_and_minhash():
+    arr = pa.array(["hello world", "hello world", "hello worldX", "hi", ""])
+    sh, offs = H.shingle_window_hashes(arr, 5)
+    assert (np.diff(offs) == [7, 7, 8, 1, 1]).all()
+    assert (sh[offs[0]:offs[1]] == sh[offs[1]:offs[2]]).all()
+    a, b = H.make_minhash_perms(64, 7)
+    sig = H.minhash_signatures(sh, offs, a, b)
+    assert sig.shape == (5, 64)
+    assert (sig[0] == sig[1]).all()
+    est = H.jaccard_estimate(sig[0:1], sig[2:3])[0]
+    assert 0.5 < est < 1.0  # true jaccard 7/8
+
+
+def test_minhash_jaccard_estimate_converges():
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 2**63, 200).astype(np.uint64)
+    variant = base.copy()
+    variant[:100] = rng.integers(0, 2**63, 100).astype(np.uint64)  # J = 1/3
+    flat = np.concatenate([base, variant])
+    offs = np.array([0, 200, 400])
+    a, b = H.make_minhash_perms(256, 42)
+    sig = H.minhash_signatures(flat, offs, a, b)
+    est = H.jaccard_estimate(sig[0:1], sig[1:2])[0]
+    assert abs(est - 1 / 3) < 0.12
+
+
+def test_lsh_band_keys_match_iff_band_equal():
+    rng = np.random.default_rng(1)
+    sig = rng.integers(0, 2**63, (2, 128)).astype(np.uint64)
+    sig[1, :4] = sig[0, :4]  # identical first band (r=4)
+    keys = H.lsh_band_keys(sig, 32, 4)
+    assert keys[0, 0] == keys[1, 0]
+    assert (keys[0, 1:] != keys[1, 1:]).all()
+
+
+def test_pack_unpack_u64_roundtrip():
+    rng = np.random.default_rng(2)
+    m = rng.integers(0, 2**63, (17, 128)).astype(np.uint64)
+    col = H.pack_u64_rows(m)
+    back = H.unpack_u64_rows(col, 128)
+    assert (m == back).all()
+    # survives slicing (non-zero offset)
+    assert (H.unpack_u64_rows(col.slice(3, 5), 128) == m[3:8]).all()
+
+
+def test_simhash_angular():
+    planes = H.make_simhash_planes(64, 32, 42)
+    rng = np.random.default_rng(3)
+    f = rng.standard_normal((8, 32)).astype(np.float32)
+    near = f + rng.standard_normal((8, 32)).astype(np.float32) * 0.01
+    far = rng.standard_normal((8, 32)).astype(np.float32)
+    d_near = H.hamming_distance_u64(
+        H.simhash_from_features(f, planes), H.simhash_from_features(near, planes))
+    d_far = H.hamming_distance_u64(
+        H.simhash_from_features(f, planes), H.simhash_from_features(far, planes))
+    assert d_near.mean() < 5 and d_far.mean() > 20

@@ -1,0 +1,193 @@
+"""End-to-end pipeline tests: truth parity, oracle parity, invariants,
+resume, determinism (Ray session-scoped)."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+from tests.conftest import load_parquet_dir
+
+
+def _truth(tiny_fixture):
+    return load_parquet_dir(f"{tiny_fixture}/truth")
+
+
+def test_recall_and_precision_vs_truth(tiny_run, tiny_fixture):
+    from deduplication_ray.pipelines.evaluate import pair_metrics
+
+    run_dir, cfg, metrics = tiny_run
+    pred = load_parquet_dir(f"{run_dir}/clusters")
+    m = pair_metrics(pred, _truth(tiny_fixture))
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.99, m
+
+
+def test_oracle_parity(tiny_run, tiny_fixture):
+    """Distributed clusters == serial O(n^2) oracle clusters (same config)."""
+    from oracle.serial import serial_clusters
+
+    run_dir, cfg, _ = tiny_run
+    table = pads.dataset(
+        [f"{tiny_fixture}/data/{f}" for f in os.listdir(f"{tiny_fixture}/data")
+         if f.endswith(".parquet")]
+    ).to_table()
+    oracle = serial_clusters(table, cfg).sort_values("image_id").reset_index(drop=True)
+    pred = load_parquet_dir(f"{run_dir}/clusters").sort_values("image_id").reset_index(drop=True)
+    merged = oracle.merge(pred, on="image_id", suffixes=("_o", "_p"))
+    mismatch = (merged["cluster_id_o"] != merged["cluster_id_p"]).sum()
+    assert mismatch == 0, f"{mismatch} rows assigned differently than serial oracle"
+
+
+def test_phash_column_verified(tiny_run):
+    run_dir, _, _ = tiny_run
+    sigs = load_parquet_dir(f"{run_dir}/signatures")
+    assert sigs["phash_ok"].all()
+
+
+def test_representatives_are_cluster_min_ids(tiny_run):
+    run_dir, _, _ = tiny_run
+    clusters = load_parquet_dir(f"{run_dir}/clusters")
+    mins = clusters.groupby("cluster_id")["image_id"].min()
+    assert (mins.index == mins.values).all()
+    reps = load_parquet_dir(f"{run_dir}/representatives")
+    assert set(reps["image_id"]) == set(clusters["cluster_id"].unique())
+    assert (reps["cluster_size"] >= 1).all()
+
+
+def test_per_row_invariants(tiny_run, tiny_fixture):
+    """Surviving (representative) rows: decoded pixels identical to input
+    decode; PSNR bound holds for lossy fmt; captions exactly equal."""
+    from deduplication_ray.functions import codecs as C
+
+    run_dir, _, _ = tiny_run
+    reps = load_parquet_dir(f"{run_dir}/representatives")
+    inp = load_parquet_dir(f"{tiny_fixture}/data").set_index("image_id")
+    sample = reps.head(100)
+    for _, r in sample.iterrows():
+        orig = inp.loc[r["image_id"]]
+        assert r["caption"] == orig["caption"]
+        dec_out = C.decode_image(r["bytes"], r["fmt"], r["w"], r["h"])
+        dec_in = C.decode_image(orig["bytes"], orig["fmt"], orig["w"], orig["h"])
+        assert (dec_out == dec_in).all()
+        if r["fmt"] == "qrgb":
+            # lossy bound vs its own re-encode (idempotence of the codec)
+            again = C.decode_qrgb(C.encode_qrgb(dec_out))
+            assert C.psnr_db(dec_out, again) >= 40.0
+
+
+def test_reconstruct_covers_all_rows(tiny_run, ray_session):
+    from deduplication_ray.pipelines.image_dedup import reconstruct
+
+    run_dir, cfg, _ = tiny_run
+    rec = reconstruct(run_dir, cfg)
+    df = rec.to_pandas()
+    clusters = load_parquet_dir(f"{run_dir}/clusters")
+    assert len(df) == len(clusters)
+    assert set(df["image_id"]) == set(clusters["image_id"])
+    # every row carries its representative's payload
+    assert df["bytes"].notna().all() and df["caption"].notna().all()
+
+
+def test_resume_skips_completed_stages(tiny_run, tiny_fixture, ray_session):
+    """Second run over the same dir must resume, not recompute, and produce
+    byte-identical clusters."""
+    from deduplication_ray.pipelines import image_dedup
+
+    run_dir, cfg, _ = tiny_run
+    before = load_parquet_dir(f"{run_dir}/clusters").sort_values("image_id")
+    m2 = image_dedup.run_pipeline(f"{tiny_fixture}/data", run_dir, cfg)
+    assert "signatures" in m2["stages_resumed"]
+    assert "edges" in m2["stages_resumed"]
+    assert "clusters" in m2["stages_resumed"]
+    after = load_parquet_dir(f"{run_dir}/clusters").sort_values("image_id")
+    pd.testing.assert_frame_equal(before.reset_index(drop=True),
+                                  after.reset_index(drop=True))
+
+
+def test_resume_mid_unionfind(tiny_run, tiny_fixture, ray_session):
+    """Kill after the first union-find round: resume completes from the
+    round checkpoint and matches the full run exactly (the 'mid-shuffle'
+    resume contract)."""
+    from deduplication_ray.pipelines import image_dedup
+    from deduplication_ray.sources import storage
+
+    run_dir, cfg, _ = tiny_run
+    full = load_parquet_dir(f"{run_dir}/clusters").sort_values("image_id")
+
+    partial_dir = "/tmp/dedup_ray_test_resume"
+    shutil.rmtree(partial_dir, ignore_errors=True)
+    os.makedirs(partial_dir)
+    # simulate the killed job: copy stage checkpoints up to labels_r0 only
+    for stage in ("signatures", "edges", "verified_edges", "labels_r0"):
+        shutil.copytree(f"{run_dir}/{stage}", f"{partial_dir}/{stage}")
+    m = image_dedup.run_pipeline(f"{tiny_fixture}/data", partial_dir, cfg)
+    assert "signatures" in m["stages_resumed"]
+    assert "labels_r0" in m["stages_resumed"]
+    resumed = load_parquet_dir(f"{partial_dir}/clusters").sort_values("image_id")
+    pd.testing.assert_frame_equal(full.reset_index(drop=True),
+                                  resumed.reset_index(drop=True))
+
+
+def test_config_mismatch_refuses_resume(tiny_run, tiny_fixture, ray_session):
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines import image_dedup
+
+    run_dir, cfg, _ = tiny_run
+    other = DedupConfig(num_partitions=4, sig_concurrency=2, jaccard_tau=0.77)
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        image_dedup.run_pipeline(f"{tiny_fixture}/data", run_dir, other)
+
+
+def test_adversary_cluster_intact(tiny_run):
+    """The hot-bucket adversary cluster must survive as ONE cluster."""
+    run_dir, cfg, _ = tiny_run
+    clusters = load_parquet_dir(f"{run_dir}/clusters")
+    sizes = clusters.groupby("cluster_id").size()
+    assert sizes.max() >= 10  # the adversary cluster survived intact
+
+
+def test_salting_path_on_oversized_bucket(ray_session):
+    """A caption shared by 4x bucket_cap rows must (a) trigger hot-bucket
+    detection + salting and (b) still come out as ONE cluster (ambassador
+    re-linking preserves connectivity)."""
+    import pandas as pd
+    import ray.data
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+    from deduplication_ray.stages import lsh
+    from deduplication_ray.pipelines.text_dedup import text_signatures
+
+    cfg = DedupConfig(num_partitions=4, sig_concurrency=2, bucket_cap=16)
+    n_hot, n_bg = 80, 40
+    import numpy as np
+
+    from deduplication_ray.sources.fixtures import make_vocab
+
+    vocab = make_vocab(7, 500)
+    rng = np.random.default_rng(7)
+    bg = [" ".join(vocab[i] for i in rng.integers(0, 500, 20)) for _ in range(n_bg)]
+    rows = pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(n_hot + n_bg)],
+        "text": ["completely identical duplicated caption text"] * n_hot + bg,
+    })
+    ds = ray.data.from_pandas(rows).repartition(4)
+
+    # (a) the hot map must fire for the duplicated caption's buckets
+    sigs = text_signatures(ds, cfg).materialize()
+    buckets = sigs.map_batches(lsh.ExplodeBands(cfg), batch_format="pyarrow")
+    hot = lsh.hot_bucket_map(lsh.bucket_stats(buckets), cfg.bucket_cap)
+    assert len(hot) > 0
+    assert max(hot.values()) >= n_hot // cfg.bucket_cap
+
+    # (b) end-to-end: one cluster for the hot rows, singletons for background
+    clusters = text_dedup_clusters(ds, cfg, with_substring=False).to_pandas()
+    hot_ids = set(rows["doc_id"][:n_hot])
+    hot_clusters = clusters[clusters["doc_id"].isin(hot_ids)]["cluster_id"].unique()
+    assert len(hot_clusters) == 1
+    bg = clusters[~clusters["doc_id"].isin(hot_ids)]
+    assert bg["cluster_id"].nunique() == n_bg

@@ -1,0 +1,84 @@
+"""Driver-contract conformance: queries() vs oracle_sql() via DuckDB at
+sf0.001 (small + fast; the driver itself runs sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as E
+
+    return E
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * "
+                  f"FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+
+
+SQL_CHECKED = [
+    "q1_pricing_summary", "broadcast_join", "top_revenue_orders", "sort_limit",
+    "filter_agg", "distinct_pairs", "topk_sources", "events_window",
+    "semi_join", "exact_dedup_docs", "dedup_keep_first", "doc_stats",
+    "charset_jaccard_pairs", "ann_topk",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, entry_mod, con):
+    qs, oq = entry_mod.queries(), entry_mod.oracle_sql()
+    mine = _canon(_to_pandas(qs[name](SF_DIR)))
+    oracle = _canon(con.execute(oq[name]).fetchdf())
+    assert list(mine.columns) == list(oracle.columns)
+    assert len(mine) == len(oracle)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_rows_only_queries_execute(entry_mod):
+    qs, oq = entry_mod.queries(), entry_mod.oracle_sql()
+    rows_only = [n for n in qs if n not in oq]
+    assert rows_only  # there are non-SQL-expressible ops
+    # image_dedup_clusters (full image pipeline, covered by test_pipeline) and
+    # doc_lsh_dedup (same engine as entry(), covered below) excluded for time
+    for name in ("doc_simhash_pairs", "doc_langid", "doc_quality",
+                 "doc_fingerprints", "embedding_dup_pairs"):
+        df = _to_pandas(qs[name](SF_DIR))
+        # embedding_dup_pairs legitimately finds 0 pairs in the random corpus
+        assert len(df.columns) >= 1 or len(df) == 0
+
+
+def test_entry_runs(entry_mod):
+    r = entry_mod.entry()
+    df = _to_pandas(r)
+    assert len(df) == 500
+    assert set(df.columns) == {"doc_id", "cluster_id"}

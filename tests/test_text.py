@@ -1,0 +1,93 @@
+"""Text-analysis kernels vs DuckDB semantics + SimHash properties (no Ray)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from deduplication_ray.functions import text as T
+from deduplication_ray.functions.hashing import hamming_distance_u64
+
+DOCS = [
+    "the quick brown fox",
+    "  padded   whitespace\ttabs  ",
+    "digits 123 and UPPER case",
+    "x",
+    "une phrase en francais avec le la et les mots",
+]
+
+
+def test_token_count_matches_duckdb():
+    arr = pa.array(DOCS)
+    mine = T.token_count(arr).to_pylist()
+    con = duckdb.connect()
+    theirs = [
+        con.execute(
+            r"SELECT length(string_split_regex(trim(?), '\s+'))", [d]
+        ).fetchone()[0]
+        for d in DOCS
+    ]
+    assert mine == theirs
+
+
+def test_quality_features_match_duckdb():
+    arr = pa.array(DOCS)
+    f = T.quality_features(arr)
+    con = duckdb.connect()
+    for i, d in enumerate(DOCS):
+        n_alpha, n_digit, n_space, n_chars = con.execute(
+            "SELECT length(regexp_replace(?, '[^a-zA-Z]', '', 'g')),"
+            " length(regexp_replace(?, '[^0-9]', '', 'g')),"
+            " length(regexp_replace(?, '[^ ]', '', 'g')),"
+            " length(?)",
+            [d, d, d, d],
+        ).fetchone()
+        assert f["n_alpha"][i].as_py() == n_alpha
+        assert f["n_digit"][i].as_py() == n_digit
+        assert f["n_space"][i].as_py() == n_space
+        assert f["n_chars"][i].as_py() == n_chars
+
+
+def test_charset_jaccard_matches_duckdb():
+    con = duckdb.connect()
+    pairs = [("abc", "abd"), ("hello", "world"), ("same", "same"), ("ABC", "abc")]
+    for a, b in pairs:
+        theirs = con.execute("SELECT jaccard(?, ?)", [a, b]).fetchone()[0]
+        mine = T.char_set_jaccard_matrix([a], [b])[0, 0]
+        assert abs(mine - theirs) < 1e-12, (a, b, mine, theirs)
+
+
+def test_language_id_heuristic():
+    arr = pa.array([
+        "the cat and the dog sat with the hat for fun",
+        "le chat et le chien dans la maison avec les amis",
+        "zzz qqq www",  # no profile hits
+    ])
+    out = T.language_id(arr).to_pylist()
+    assert out[0] == "en"
+    assert out[1] == "fr"
+    assert out[2] == "und"
+
+
+def test_simhash_text_near_vs_far():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    far = "one two three four five six seven eight nine ten"
+    sig = T.simhash_text(pa.array([base, near, far]))
+    d_near = hamming_distance_u64(sig[0:1], sig[1:2])[0]
+    d_far = hamming_distance_u64(sig[0:1], sig[2:3])[0]
+    assert d_near < d_far
+    assert d_near <= 16
+
+
+def test_winnow_fingerprint_containment():
+    big = "prefix words here " + "a shared segment of text" * 2 + " suffix"
+    small = "a shared segment of text" * 2
+    fps = T.winnow_fingerprint(pa.array([big, small, "unrelated content zzz"]))
+    assert set(fps[1]) & set(fps[0])
+    assert not (set(fps[2]) & set(fps[0]))
+
+
+def test_quality_score_ranges():
+    arr = pa.array(DOCS + [""])
+    q = T.quality_score(arr)
+    assert ((q >= 0) & (q <= 1)).all()
