@@ -1,0 +1,152 @@
+"""Benchmark harness: headline dedup pipelines at sf0.1 + scaling mode.
+
+Plain run:     python bench.py            -> ONE JSON line (driver contract)
+Scaling run:   python bench.py --scaling  -> same pipeline at num_cpus=8 and
+               32 in fresh subprocesses; prints throughputs + efficiency.
+
+Protocol follows the reference's bench scripts (sweep + elapsed-time scrape,
+``/root/reference/scripts/encode_bench.sh:67-83``) adapted to the graft: the
+headline metric is end-to-end images/sec of the near-dup pipeline on the
+deterministic synthetic image+caption fixture, plus per-query seconds over
+the sf0.1 testdata tables.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+BENCH_IMG_ROWS (default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+IMG_ROWS = int(os.environ.get("BENCH_IMG_ROWS", "20000"))
+SEED = 42
+
+
+def _img_fixture_dir() -> str:
+    return f"/tmp/dedup_ray_benchfix_{SEED}_{IMG_ROWS}"
+
+
+def ensure_fixture() -> str:
+    """Generate (once, cached) the bench image fixture. NOT timed."""
+    from deduplication_ray.sources import fixtures, storage
+
+    d = _img_fixture_dir()
+    m = storage.read_manifest(d)
+    if not (m and m.get("n_rows") == IMG_ROWS):
+        shutil.rmtree(d, ignore_errors=True)
+        fixtures.generate(d, IMG_ROWS, seed=SEED, num_files=64)
+    return d
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines import image_dedup, relational
+    from deduplication_ray.pipelines.docops import q_doc_lsh_dedup
+    from deduplication_ray.pipelines.ann import brute_force_topk
+
+    queries: dict[str, float] = {}
+
+    fix = ensure_fixture()
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    from deduplication_ray.sources import storage
+
+    storage.read_table(f"{fix}/data").count()
+
+    run_dir = f"/tmp/dedup_ray_benchrun_{NUM_CPUS}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    cfg = DedupConfig(
+        num_partitions=max(8, NUM_CPUS),
+        sig_concurrency=(1, max(2, NUM_CPUS - 2)),
+    )
+    t0 = time.time()
+    image_dedup.run_pipeline(f"{fix}/data", run_dir, cfg)
+    img_sec = time.time() - t0
+    queries["image_dedup"] = round(img_sec, 2)
+
+    for name, fn in [
+        ("q1_pricing_summary", relational.q1_pricing_summary),
+        ("broadcast_join", relational.q_broadcast_join),
+        ("top_revenue_orders", relational.q_top_revenue_orders),
+        ("doc_lsh_dedup", q_doc_lsh_dedup),
+        ("ann_topk", brute_force_topk),
+    ]:
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        queries[name] = round(time.time() - t0, 2)
+
+    total = round(sum(queries.values()), 2)
+    out = {
+        "metric": "end-to-end dedup pipeline + headline queries wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "img_rows": IMG_ROWS,
+        "images_per_sec": round(IMG_ROWS / img_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job at num_cpus=8 and num_cpus=32 in FRESH processes (sandbox
+    stand-in for N vs 4N nodes); efficiency = (T_8 / T_32) / 4."""
+    # pre-generate the fixture once so both timed runs see a warm cache
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    ensure_fixture()
+    ray.shutdown()
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo = r_lo["queries"]["image_dedup"]
+    t_hi = r_hi["queries"]["image_dedup"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (image dedup pipeline, 8 vs 32 cpus)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "images_per_sec_8": r_lo["images_per_sec"],
+        "images_per_sec_32": r_hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "img_rows": IMG_ROWS,
+        "total_sec_8": r_lo["value"],
+        "total_sec_32": r_hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

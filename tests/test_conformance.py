@@ -1,0 +1,94 @@
+"""Direct conformance vs the ACTUAL reference binary (FIXTURES.md §1).
+
+Copies the C sources out of the read-only reference tree, builds them with
+make, runs ``dedup_bin c/d`` over the sample corpus, and asserts our Ray
+implementation reproduces the .ddp container BYTE-FOR-BYTE (header, dict
+payload in id order, id stream) and the decode round trip.
+"""
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REF = "/root/reference"
+SAMPLES = [
+    ("T_raw.bin", 2),
+    ("lux_raw.bin", 2),
+    ("P_raw.bin", 4),
+]
+BLOCK_SIZES = [2, 8, 32]
+
+
+@pytest.fixture(scope="module")
+def ref_bin(tmp_path_factory):
+    build = tmp_path_factory.mktemp("refbuild")
+    for item in ("Makefile", "main.c", "include", "src"):
+        src = os.path.join(REF, item)
+        dst = os.path.join(build, item)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    subprocess.run(["make"], cwd=build, check=True, capture_output=True)
+    exe = next(
+        (os.path.join(build, f) for f in os.listdir(build)
+         if os.access(os.path.join(build, f), os.X_OK)
+         and not os.path.isdir(os.path.join(build, f))
+         and not f.endswith((".c", ".h", "Makefile"))),
+        None,
+    )
+    assert exe, f"no executable produced in {os.listdir(build)}"
+    return exe
+
+
+@pytest.mark.parametrize("sample,width", SAMPLES)
+@pytest.mark.parametrize("block", BLOCK_SIZES)
+def test_encode_bitwise_parity(ref_bin, tmp_path, ray_session, sample, width, block):
+    from deduplication_ray.sources import ddp1
+
+    src = os.path.join(REF, "samples", sample)
+    ref_out = tmp_path / f"{sample}.{block}.ref.ddp"
+    subprocess.run([ref_bin, "c", str(width), str(block), src, str(ref_out)],
+                   check=True, capture_output=True)
+    ours, summary = ddp1.compress_bytes(open(src, "rb").read(), width, block)
+    theirs = open(ref_out, "rb").read()
+    assert ours == theirs, (
+        f"DDP1 mismatch for {sample} w={width} b={block}: "
+        f"len {len(ours)} vs {len(theirs)}; "
+        f"first diff at {next((i for i, (a, c) in enumerate(zip(ours, theirs)) if a != c), None)}"
+    )
+
+
+@pytest.mark.parametrize("sample,width", SAMPLES[:1])
+def test_decode_roundtrip_parity(ref_bin, tmp_path, ray_session, sample, width):
+    from deduplication_ray.sources import ddp1
+
+    block = 8
+    src = os.path.join(REF, "samples", sample)
+    ref_ddp = tmp_path / "ref.ddp"
+    ref_dec = tmp_path / "ref.out"
+    subprocess.run([ref_bin, "c", str(width), str(block), src, str(ref_ddp)],
+                   check=True, capture_output=True)
+    subprocess.run([ref_bin, "d", str(ref_ddp), str(ref_dec)],
+                   check=True, capture_output=True)
+    ours = ddp1.decompress_bytes(open(ref_ddp, "rb").read())
+    assert ours == open(ref_dec, "rb").read()
+    # round-trip contract: first used_samples*width bytes of the input
+    data = open(src, "rb").read()
+    used = (len(data) // width // block) * block * width
+    assert ours == data[:used]
+
+
+def test_tail_truncation_and_validation(ray_session):
+    from deduplication_ray.sources import ddp1
+
+    data = bytes(range(16)) * 4  # 64 bytes
+    ddp, s = ddp1.compress_bytes(data, 2, 5)  # 32 samples -> 6 blocks of 5, tail 2
+    assert s["num_blocks"] == 6 and s["used_samples"] == 30
+    assert ddp1.decompress_bytes(ddp) == data[:60]
+    with pytest.raises(ValueError):
+        ddp1.compress_bytes(data, 3, 5)  # invalid width
+    with pytest.raises(ValueError):
+        ddp1.decompress_bytes(b"NOPE" + ddp[4:])
