@@ -54,6 +54,9 @@ class DedupConfig:
     text_batch_size: int = 4096   # rows per batch for caption-only stages
     sig_concurrency: int | tuple = field(default=4)   # actor pool size for signature stages
     num_partitions: int = 32      # hash-join / groupby partition count
+    broadcast_limit: int = 1_000_000  # lookup rows <= this -> broadcast join
+                                      # (ray.put + per-batch merge); above ->
+                                      # hash-partitioned Dataset.join
 
     def config_hash(self) -> str:
         """Stable hash over every field — stamped into checkpoint manifests."""

@@ -167,7 +167,7 @@ def embedding_dup_pairs(
         })
 
     buckets = sigs.map_batches(explode, batch_format="pyarrow")
-    edges = lsh.edges_from_buckets(buckets, cfg)
+    edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, cfg))
 
     def check(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

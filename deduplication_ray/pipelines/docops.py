@@ -72,9 +72,12 @@ def q_charset_jaccard_pairs(sf_dir: str, threshold: float = 0.95):
             "cs": H.pack_u64_rows(limbs),
         })
 
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
     sigs = ds.map_batches(sig, batch_format="pyarrow").materialize()
     right = sigs.rename_columns({"doc_id": "b_id", "cs": "cs_b"})
-    j = sigs.join(right, join_type="inner", num_partitions=8, on=("source",))
+    j = lookup_join(sigs, right, on=["source"], cfg=cfg)
 
     def pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -155,7 +158,7 @@ def q_doc_simhash_pairs(sf_dir: str, hamming_t: int = 8):
         })
 
     buckets = sigs.map_batches(explode, batch_format="pyarrow")
-    edges = lsh.edges_from_buckets(buckets, cfg)
+    edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, cfg))
 
     from deduplication_ray.stages import verify as V
 

@@ -55,14 +55,24 @@ def build_edges(
     cfg: DedupConfig,
     input_ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
-    """Exact + LSH-candidate + suffix-array/winnowing substring edges."""
-    ex = lsh.exact_edges(signatures, cfg)
-    cand = lsh.candidate_edges(signatures, cfg)
-    edges = ex.union(cand)
-    if input_ds is not None:
-        from deduplication_ray.stages.substring import substring_edges
+    """Exact + LSH-candidate + suffix-array/winnowing substring edges.
 
-        edges = edges.union(substring_edges(input_ds, cfg))
+    One bucket stream carries every banded family (MinHash bands, pHash /
+    SimHash multi-index bands, winnowing fingerprints) so bucket stats, hot
+    detection and salting run exactly once."""
+    buckets = signatures.map_batches(
+        lsh.ExplodeBands(cfg), batch_format="pyarrow", batch_size=cfg.text_batch_size
+    )
+    extra = []
+    if input_ds is not None:
+        from deduplication_ray.stages.substring import suffix_array_edges, winnow_buckets
+
+        buckets = buckets.union(winnow_buckets(input_ds, cfg))
+        extra.append(suffix_array_edges(input_ds, cfg))
+
+    edges = lsh.edges_from_buckets(buckets, cfg).union(lsh.exact_edges(signatures, cfg))
+    for e in extra:
+        edges = edges.union(e)
     return lsh.dedupe_edges(edges)
 
 
@@ -80,18 +90,21 @@ def finalize_clusters(
 
     Left join realized as: ids LEFT JOIN labels ON image_id == node.
     """
-    j = input_ids.join(
-        labels,
-        join_type="left_outer",
-        num_partitions=cfg.num_partitions,
-        on=("image_id",),
-        right_on=("node",),
+    from deduplication_ray.stages.join import lookup_join
+
+    j = lookup_join(
+        input_ids,
+        labels.rename_columns({"node": "image_id"}),
+        on=["image_id"],
+        cfg=cfg,
+        how="left",
     )
 
     def fill(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        lab = pc.coalesce(t["label"], t["image_id"])
+        # all-null batches come back null-typed from the pandas merge
+        lab = pc.coalesce(t["label"].cast(pa.string()), t["image_id"])
         return pa.table({"image_id": t["image_id"], "cluster_id": lab})
 
     return j.map_batches(fill, batch_format="pyarrow")
@@ -109,6 +122,9 @@ def run_pipeline(
     clusters/ representatives/ assignments/ each with a lineage manifest.
     """
     cfg = cfg or DedupConfig()
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    apply_context_tuning()
     run = CheckpointedRun(run_dir, cfg)
 
     def read_input() -> ray.data.Dataset:
@@ -161,15 +177,13 @@ def run_pipeline(
     # representatives: one row per cluster (min image_id IS the cluster_id) —
     # semi-join the full input on cluster_id == image_id (R12 analog)
     def reps() -> ray.data.Dataset:
-        reps_ids = clusters.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))
+        from deduplication_ray.stages.join import lookup_join
+
+        reps_ids = clusters.groupby("cluster_id").aggregate(
+            Count(alias_name="cluster_size")
+        ).rename_columns({"cluster_id": "image_id"})
         full = read_input()
-        return full.join(
-            reps_ids,
-            join_type="inner",
-            num_partitions=cfg.num_partitions,
-            on=("image_id",),
-            right_on=("cluster_id",),
-        )
+        return lookup_join(full, reps_ids, on=["image_id"], cfg=cfg)
 
     representatives = run.run_stage("representatives", reps, ["clusters"])
 
@@ -195,13 +209,14 @@ def reconstruct(run_dir: str, cfg: DedupConfig | None = None) -> ray.data.Datase
     Returns a Dataset with one row per original image_id carrying its
     cluster representative's payload columns.
     """
+    from deduplication_ray.stages.join import lookup_join
+
     cfg = cfg or DedupConfig()
     clusters = storage.read_table(f"{run_dir}/clusters")
     reps = storage.read_table(f"{run_dir}/representatives")
-    return clusters.join(
-        reps.rename_columns({"image_id": "rep_image_id"}),
-        join_type="inner",
-        num_partitions=cfg.num_partitions,
-        on=("cluster_id",),
-        right_on=("rep_image_id",),
+    return lookup_join(
+        clusters,
+        reps.rename_columns({"image_id": "cluster_id"}),
+        on=["cluster_id"],
+        cfg=cfg,
     )

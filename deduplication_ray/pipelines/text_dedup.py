@@ -42,12 +42,27 @@ def text_dedup_clusters(
 ) -> ray.data.Dataset:
     """(id, text) table -> clusters(doc_id, cluster_id) via the full engine."""
     cfg = cfg or DedupConfig()
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    apply_context_tuning()
     sigs = text_signatures(ds, cfg, id_col, text_col).materialize()
-    ex = lsh.exact_edges(sigs, cfg, key=("cap_hash",))
-    cand = lsh.candidate_edges(sigs, cfg)
-    edges = ex.union(cand)
+    buckets = sigs.map_batches(
+        lsh.ExplodeBands(cfg), batch_format="pyarrow", batch_size=cfg.text_batch_size
+    )
+    extra = []
     if with_substring:
-        edges = edges.union(substring_edges(ds, cfg, id_col, text_col))
+        from deduplication_ray.stages.substring import (
+            suffix_array_edges,
+            winnow_buckets,
+        )
+
+        buckets = buckets.union(winnow_buckets(ds, cfg, id_col, text_col))
+        extra.append(suffix_array_edges(ds, cfg, id_col, text_col))
+    edges = lsh.edges_from_buckets(buckets, cfg).union(
+        lsh.exact_edges(sigs, cfg, key=("cap_hash",))
+    )
+    for e in extra:
+        edges = edges.union(e)
     edges = lsh.dedupe_edges(edges).materialize()
 
     attached = verify.attach_signatures(edges, sigs, cfg, cols=["minhash"])
@@ -59,18 +74,21 @@ def text_dedup_clusters(
         lambda t: pa.table({"image_id": t[id_col].cast(pa.string())}),
         batch_format="pyarrow",
     )
-    j = ids.join(
-        labels,
-        join_type="left_outer",
-        num_partitions=cfg.num_partitions,
-        on=("image_id",),
-        right_on=("node",),
+    from deduplication_ray.stages.join import lookup_join
+
+    j = lookup_join(
+        ids,
+        labels.rename_columns({"node": "image_id"}),
+        on=["image_id"],
+        cfg=cfg,
+        how="left",
     )
 
     def fill(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        lab = pc.coalesce(t["label"], t["image_id"])
+        # all-null batches come back null-typed from the pandas merge
+        lab = pc.coalesce(t["label"].cast(pa.string()), t["image_id"])
         return pa.table({"doc_id": t["image_id"], "cluster_id": lab})
 
     return j.map_batches(fill, batch_format="pyarrow")

@@ -1,0 +1,87 @@
+"""Size-dispatched joins: broadcast map-side merge vs hash-partitioned join.
+
+Every metadata join in this engine (edge <- signature attach, star-edge
+min-id attach, label propagation, cluster finalize) has a 'lookup' side that
+is usually far smaller than a worker's heap: broadcast it once with
+``ray.put`` and pandas-merge per batch — no shuffle, no aggregator actors.
+Above ``cfg.broadcast_limit`` rows the same call transparently falls back to
+``Dataset.join`` (hash-partitioned) — that is the 10^12-row path.
+
+Why this exists (measured, single node, 32 CPUs, 8k-row metadata): a DAG
+unioning several ``Dataset.join`` operators spawns num_partitions aggregator
+actors PER JOIN (102 observed), which time-slice the machine and turn a
+~40s stage into 10+ minutes. Broadcast merges collapse all of that for the
+small side while keeping the shuffle join available when it's genuinely
+needed. This mirrors the reference's decode gather (R17,
+``/root/reference/src/compressor.c:320-339``): the dictionary is the small
+side, broadcast everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from deduplication_ray.config import DedupConfig
+
+
+def lookup_join(
+    ds: ray.data.Dataset,
+    lookup: ray.data.Dataset | pd.DataFrame,
+    on: list[str],
+    cfg: DedupConfig,
+    how: str = "inner",
+    lookup_rows: int | None = None,
+) -> ray.data.Dataset:
+    """ds JOIN lookup ON on — broadcast when lookup is small, else shuffle.
+
+    ``how``: 'inner' or 'left'. Output columns: ds columns + lookup's
+    non-key columns (caller guarantees no name collisions).
+    """
+    MAX_BROADCAST_BYTES = 512 * 1024 * 1024
+    if isinstance(lookup, pd.DataFrame):
+        small = lookup
+        n = len(small)
+    else:
+        lookup = lookup.materialize()
+        n = lookup_rows if lookup_rows is not None else lookup.count()
+        nbytes = lookup.size_bytes() or 0
+        if n <= cfg.broadcast_limit and nbytes <= MAX_BROADCAST_BYTES:
+            # collect via Arrow — Dataset.to_pandas() on an EMPTY dataset
+            # returns a column-less DataFrame (schema lost), breaking merge
+            tbls = list(lookup.iter_batches(batch_format="pyarrow"))
+            if tbls:
+                small = pa.concat_tables(tbls, promote_options="default").to_pandas()
+            else:
+                schema = lookup.schema()
+                arrow_schema = getattr(schema, "base_schema", None)
+                if arrow_schema is None:
+                    arrow_schema = pa.schema(
+                        [pa.field(nm, tp) for nm, tp in zip(schema.names, schema.types)]
+                    )
+                small = arrow_schema.empty_table().to_pandas()
+        else:
+            join_type = "inner" if how == "inner" else "left_outer"
+            return ds.join(
+                lookup,
+                join_type=join_type,
+                num_partitions=cfg.num_partitions,
+                on=tuple(on),
+            )
+
+    ref = ray.put(small)
+
+    class Merge:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            out = df.merge(self.lookup, on=on, how=how)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(Merge, batch_format="pyarrow", concurrency=(1, 4))

@@ -163,49 +163,72 @@ def _kind_column(band_arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     )
 
 
-def _star_edges(buckets: ray.data.Dataset, group_keys: list[str], cfg: DedupConfig) -> ray.data.Dataset:
-    """Min-id star edges per group, fully vectorized: min-aggregate + join-back.
+def multi_bucket_map(stats: ray.data.Dataset) -> dict[tuple[int, int], int]:
+    """{(band, bucket): n} for buckets with >= 2 members. Singleton buckets —
+    the overwhelming majority — never leave the cluster; only duplicate
+    *candidates* reach the driver, a small fraction by construction."""
+    import pyarrow.compute as pc
 
-    NO map_groups anywhere — per-group Python calls over millions of mostly-
-    singleton buckets would dominate wall time (and wouldn't scale).
-    """
-    from ray.data.aggregate import Min
-
-    mins = buckets.groupby(group_keys).aggregate(Min("image_id", alias_name="src"))
-    joined = buckets.join(
-        mins,
-        join_type="inner",
-        num_partitions=cfg.num_partitions,
-        on=tuple(group_keys),
+    multi = stats.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], 2)), batch_format="pyarrow"
     )
+    out: dict[tuple[int, int], int] = {}
+    for b in multi.iter_batches(batch_format="pyarrow"):
+        for band, bucket, n in zip(
+            b["band"].to_pylist(), b["bucket"].to_pylist(), b["n"].to_pylist()
+        ):
+            out[(band, bucket)] = int(n)
+    return out
 
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
 
-        t = t.filter(pc.invert(pc.equal(t["image_id"], t["src"])))
-        return pa.table(
-            {"src": t["src"], "dst": t["image_id"], "kind": _kind_column(t["band"])}
-            if "band" in t.column_names
-            else {"src": t["src"], "dst": t["image_id"]}
+class _KeyTagger:
+    """Vectorized (band, bucket) membership + salt assignment from a
+    broadcast {key: count} map (ray.get once per actor, searchsorted per
+    batch). Rows in no multi bucket are DROPPED; rows in hot buckets
+    (count > cap) get salt = hash(image_id) %% ceil(count/cap); cold
+    multi rows get salt = -1."""
+
+    def __init__(self, multi_ref, cap: int):
+        m = ray.get(multi_ref)
+        bands = np.array([b for b, _ in m], dtype=np.int64)
+        bks = np.array([k for _, k in m], dtype=np.int64)
+        counts = np.array(list(m.values()), dtype=np.int64)
+        comp = H.hash_u64_pair(bands.view(np.uint64), bks.view(np.uint64))
+        order = np.argsort(comp)
+        self.keys = comp[order]
+        self.n_salts = np.where(counts > cap, -(-counts // cap), 0)[order]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy()
+        bucket = t["bucket"].to_numpy()
+        comp = H.hash_u64_pair(band.view(np.uint64), bucket.view(np.uint64))
+        pos = np.clip(np.searchsorted(self.keys, comp), 0, max(len(self.keys) - 1, 0))
+        keep = len(self.keys) > 0 and (self.keys[pos] == comp)
+        if not np.any(keep):
+            return t.slice(0, 0)
+        t = t.filter(pa.array(keep))
+        n_salts = self.n_salts[pos[keep]]
+        salt = np.full(t.num_rows, -1, dtype=np.int64)
+        hot = n_salts > 0
+        if hot.any():
+            idh = H.hash_bytes_array(t["image_id"].combine_chunks().filter(pa.array(hot)))
+            salt[hot] = (idh % n_salts[hot].astype(np.uint64)).astype(np.int64)
+        return t.set_column(
+            t.column_names.index("salt"), "salt", pa.array(salt, pa.int64())
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
 
+def _self_pairs(tbl: ray.data.Dataset, on: list[str], cfg: DedupConfig) -> ray.data.Dataset:
+    """All (src<dst) pairs per key group via broadcast self-merge.
 
-def _allpairs_edges(buckets: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
-    """All-pairs edges per (band, bucket) via self-join — vectorized.
+    The table has already been filtered to multi-member buckets, so it is
+    small; per-bucket fanout is bounded by cap^2 (salting contract)."""
+    from deduplication_ray.stages.join import lookup_join
 
-    Only ever called on cold buckets (size <= cap by the salting contract),
-    so per-bucket fanout is bounded by cap^2.
-    """
-    left = buckets.select_columns(["band", "bucket", "image_id"])
-    right = left.rename_columns({"image_id": "image_id_r"})
-    joined = left.join(
-        right,
-        join_type="inner",
-        num_partitions=cfg.num_partitions,
-        on=("band", "bucket"),
-    )
+    right = tbl.select_columns([*on, "image_id"]).rename_columns(
+        {"image_id": "image_id_r"}
+    ).materialize()
+    joined = lookup_join(tbl, right, on=on, cfg=cfg)
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -218,6 +241,29 @@ def _allpairs_edges(buckets: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dat
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _star_edges(buckets: ray.data.Dataset, group_keys: list[str], cfg: DedupConfig) -> ray.data.Dataset:
+    """Min-id star edges per group: min-aggregate + broadcast join-back.
+
+    NO map_groups anywhere — per-group Python calls over millions of mostly-
+    singleton buckets would dominate wall time (and wouldn't scale)."""
+    from ray.data.aggregate import Min
+
+    from deduplication_ray.stages.join import lookup_join
+
+    mins = buckets.groupby(group_keys).aggregate(Min("image_id", alias_name="src"))
+    joined = lookup_join(buckets, mins, on=group_keys, cfg=cfg)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.invert(pc.equal(t["image_id"], t["src"])))
+        return pa.table(
+            {"src": t["src"], "dst": t["image_id"], "kind": _kind_column(t["band"])}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def candidate_edges(
     signatures: ray.data.Dataset, cfg: DedupConfig
 ) -> ray.data.Dataset:
@@ -225,7 +271,7 @@ def candidate_edges(
     buckets = signatures.map_batches(
         ExplodeBands(cfg), batch_format="pyarrow", batch_size=cfg.text_batch_size
     )
-    return edges_from_buckets(buckets, cfg)
+    return dedupe_edges(edges_from_buckets(buckets, cfg))
 
 
 def edges_from_buckets(
@@ -233,71 +279,62 @@ def edges_from_buckets(
 ) -> ray.data.Dataset:
     """(band, bucket, salt, image_id) rows -> deduplicated edges (src<dst, kind).
 
-    Plan: bucket counts (partial-agg groupby) -> split cold/hot. Cold buckets
-    (<= cap rows): all-pairs via self-join. Hot buckets: salt to sub-buckets
-    (no reducer sees > ~cap rows), star edges to each sub-bucket min,
-    ambassador all-pairs over the sub-minima re-link the salt shards.
-    Everything is aggregate/join vectorized — zero map_groups.
+    Plan: bucket counts (partial-agg groupby, the one unavoidable shuffle over
+    the full bucket stream) -> multi-member bucket map broadcast -> one
+    tagging pass DROPS singleton-bucket rows (the vast majority) and salts
+    hot buckets so no group exceeds ~cap rows. What survives is tiny:
+    cold multi buckets all-pair via broadcast self-merge; hot sub-buckets get
+    star edges to their min plus an ambassador all-pairs over sub-minima that
+    re-links the salt shards. Zero map_groups; zero Dataset.join below the
+    broadcast limit (above it, lookup_join falls back to hash joins).
     """
-    buckets = buckets.materialize()
+    from deduplication_ray.stages.tuning import apply_context_tuning, ensure_blocks
+
+    apply_context_tuning()
+    buckets = ensure_blocks(buckets, cfg.num_partitions).materialize()
     stats = bucket_stats(buckets)
-    hot = hot_bucket_map(stats, cfg.bucket_cap)
+    multi = multi_bucket_map(stats)
+    if not multi:
+        return _empty_edge_ds()
 
-    if not hot:
-        return dedupe_edges(_allpairs_edges(buckets, cfg))
-
-    hot_ref = ray.put(hot)
-
-    class SplitHot:
-        """Tags each bucket row hot/cold; assigns salts to hot rows."""
-
-        def __init__(self):
-            h = ray.get(hot_ref)
-            bands = np.array([b for b, _ in h], dtype=np.int64)
-            bks = np.array([k for _, k in h], dtype=np.int64)
-            comp = H.hash_u64_pair(bands.view(np.uint64), bks.view(np.uint64))
-            order = np.argsort(comp)
-            self.keys = comp[order]
-            self.salts = np.array(list(h.values()), dtype=np.int64)[order]
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            band = t["band"].to_numpy().astype(np.int64)
-            bucket = t["bucket"].to_numpy()
-            comp = H.hash_u64_pair(band.view(np.uint64), bucket.view(np.uint64))
-            pos = np.clip(np.searchsorted(self.keys, comp), 0, len(self.keys) - 1)
-            is_hot = self.keys[pos] == comp
-            salt = np.full(t.num_rows, -1, dtype=np.int64)  # -1 = cold
-            if is_hot.any():
-                n_salts = self.salts[pos[is_hot]]
-                idh = H.hash_bytes_array(t["image_id"].filter(pa.array(is_hot)))
-                salt[is_hot] = (idh % n_salts.astype(np.uint64)).astype(np.int64)
-            return t.set_column(
-                t.column_names.index("salt"), "salt", pa.array(salt, pa.int64())
-            )
-
+    multi_ref = ray.put(multi)
     tagged = buckets.map_batches(
-        SplitHot, batch_format="pyarrow", concurrency=(1, 8)
+        _KeyTagger,
+        fn_constructor_kwargs={"multi_ref": multi_ref, "cap": cfg.bucket_cap},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
     ).materialize()
     import pyarrow.compute as pc_
 
     cold = tagged.map_batches(
         lambda t: t.filter(pc_.equal(t["salt"], -1)), batch_format="pyarrow"
+    ).materialize()
+    edges = _self_pairs(cold, ["band", "bucket"], cfg)
+
+    if any(n > cfg.bucket_cap for n in multi.values()):
+        hot_rows = tagged.map_batches(
+            lambda t: t.filter(pc_.greater_equal(t["salt"], 0)), batch_format="pyarrow"
+        ).materialize()
+        star = _star_edges(hot_rows, ["band", "bucket", "salt"], cfg)
+
+        from ray.data.aggregate import Min
+
+        sub_min = hot_rows.groupby(["band", "bucket", "salt"]).aggregate(
+            Min("image_id", alias_name="image_id")
+        )
+        amb = _self_pairs(sub_min.materialize(), ["band", "bucket"], cfg)
+        edges = edges.union(star).union(amb)
+
+    # NOT deduped here: callers union edge families first, then dedupe once
+    return edges
+
+
+def _empty_edge_ds() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.string()),
+                  "dst": pa.array([], pa.string()),
+                  "kind": pa.array([], pa.string())})
     )
-    hot_rows = tagged.map_batches(
-        lambda t: t.filter(pc_.greater_equal(t["salt"], 0)), batch_format="pyarrow"
-    )
-
-    cold_edges = _allpairs_edges(cold, cfg)
-    star = _star_edges(hot_rows, ["band", "bucket", "salt"], cfg)
-
-    from ray.data.aggregate import Min
-
-    sub_min = hot_rows.groupby(["band", "bucket", "salt"]).aggregate(
-        Min("image_id", alias_name="image_id")
-    )
-    amb = _allpairs_edges(sub_min, cfg)  # sub-minima per hot bucket: tiny
-
-    return dedupe_edges(cold_edges.union(star).union(amb))
 
 
 # trust order for duplicate (src,dst) edges found by several detectors:
@@ -341,13 +378,25 @@ def exact_edges(
     key makes payload re-verification unnecessary. Vectorized min-aggregate +
     join-back.
     """
-    from ray.data.aggregate import Min
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Count, Min
 
-    lean = signatures.select_columns([*key, "image_id"])
-    mins = lean.groupby(list(key)).aggregate(Min("image_id", alias_name="src"))
-    joined = lean.join(
-        mins, join_type="inner", num_partitions=cfg.num_partitions, on=tuple(key)
+    from deduplication_ray.stages.join import lookup_join
+    from deduplication_ray.stages.tuning import apply_context_tuning, ensure_blocks
+
+    apply_context_tuning()
+    lean = ensure_blocks(
+        signatures.select_columns([*key, "image_id"]), cfg.num_partitions
+    ).materialize()
+    groups = lean.groupby(list(key)).aggregate(
+        Min("image_id", alias_name="src"), Count(alias_name="_n")
     )
+    # only duplicated keys matter — the lookup side shrinks to actual dups
+    mins = groups.map_batches(
+        lambda t: t.filter(pc_.greater_equal(t["_n"], 2)).select([*key, "src"]),
+        batch_format="pyarrow",
+    )
+    joined = lookup_join(lean, mins, on=list(key), cfg=cfg)
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -235,24 +235,47 @@ class WinnowFingerprints:
         )
 
 
+def suffix_array_edges(
+    input_ds: ray.data.Dataset,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> ray.data.Dataset:
+    """Per-partition suffix-array pass -> (src, dst, kind='substr') edges."""
+    lean = input_ds.select_columns([id_col, text_col])
+    return lean.map_batches(
+        SuffixArrayEdges(cfg, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=cfg.text_batch_size,
+    )
+
+
+def winnow_buckets(
+    input_ds: ray.data.Dataset,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> ray.data.Dataset:
+    """Winnowing fingerprints as (band=3000, bucket, salt, image_id) rows —
+    UNIONED into the main LSH bucket stream so stats/salting/edge emission
+    run ONCE for every candidate family (boundary merge for free)."""
+    lean = input_ds.select_columns([id_col, text_col])
+    return lean.map_batches(
+        WinnowFingerprints(cfg, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=cfg.text_batch_size,
+    )
+
+
 def substring_edges(
     input_ds: ray.data.Dataset,
     cfg: DedupConfig,
     id_col: str = "image_id",
     text_col: str = "caption",
 ) -> ray.data.Dataset:
-    """Full T11: per-partition suffix-array edges UNION winnowing-rendezvous
-    edges (boundary merge), deduplicated."""
-    lean = input_ds.select_columns([id_col, text_col])
-    sa_edges = lean.map_batches(
-        SuffixArrayEdges(cfg, id_col, text_col),
-        batch_format="pyarrow",
-        batch_size=cfg.text_batch_size,
-    )
-    fps = lean.map_batches(
-        WinnowFingerprints(cfg, id_col, text_col),
-        batch_format="pyarrow",
-        batch_size=cfg.text_batch_size,
-    )
-    win_edges = lsh.edges_from_buckets(fps, cfg)
-    return lsh.dedupe_edges(sa_edges.union(win_edges))
+    """Standalone T11 (per-partition suffix array + winnow rendezvous).
+    The pipelines instead union ``winnow_buckets`` into the main bucket
+    stream; this composition exists for direct use/tests."""
+    sa = suffix_array_edges(input_ds, cfg, id_col, text_col)
+    win = lsh.edges_from_buckets(winnow_buckets(input_ds, cfg, id_col, text_col), cfg)
+    return lsh.dedupe_edges(sa.union(win))  # standalone: dedupe locally

@@ -37,23 +37,19 @@ def attach_signatures(
     signature table is too large to broadcast at 10^12 rows, so this is the
     genuinely-shuffling path (R17's gather generalized to a distributed join).
     """
+    from deduplication_ray.stages.join import lookup_join
+
     cols = cols or ["phash", "simhash", "minhash"]
-    sig = signatures.select_columns(["image_id", *cols])
-    np_ = cfg.num_partitions
-    e = edges.join(
-        sig.rename_columns({c: f"{c}_src" for c in cols}),
-        join_type="inner",
-        num_partitions=np_,
-        on=("src",),
-        right_on=("image_id",),
+    sig = signatures.select_columns(["image_id", *cols]).materialize()
+    n_sig = sig.count()
+    src_side = sig.rename_columns({c: f"{c}_src" for c in cols}).rename_columns(
+        {"image_id": "src"}
     )
-    e = e.join(
-        sig.rename_columns({c: f"{c}_dst" for c in cols}),
-        join_type="inner",
-        num_partitions=np_,
-        on=("dst",),
-        right_on=("image_id",),
+    dst_side = sig.rename_columns({c: f"{c}_dst" for c in cols}).rename_columns(
+        {"image_id": "dst"}
     )
+    e = lookup_join(edges, src_side, on=["src"], cfg=cfg, lookup_rows=n_sig)
+    e = lookup_join(e, dst_side, on=["dst"], cfg=cfg, lookup_rows=n_sig)
     return e
 
 

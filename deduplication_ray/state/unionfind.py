@@ -48,7 +48,10 @@ def init_labels(edges: ray.data.Dataset, num_partitions: int) -> ray.data.Datase
         )
         return pa.table({"node": ids})
 
-    nodes = edges.map_batches(split, batch_format="pyarrow")
+    from deduplication_ray.stages.tuning import ensure_blocks
+
+    nodes = ensure_blocks(edges.map_batches(split, batch_format="pyarrow"),
+                          num_partitions)
     # distinct via partial-aggregating groupby-count (vectorized; per-group
     # Python calls via map_groups would dominate at scale)
     from ray.data.aggregate import Count
@@ -64,16 +67,18 @@ def init_labels(edges: ray.data.Dataset, num_partitions: int) -> ray.data.Datase
 def propagate_round(
     labels: ray.data.Dataset, edges_bidir: ray.data.Dataset, cfg: DedupConfig
 ) -> ray.data.Dataset:
-    """One hash-min round: neighbor labels + own label -> min per node."""
-    msgs = edges_bidir.join(
-        labels.rename_columns({"node": "nbr_node", "label": "nbr_label"}),
-        join_type="inner",
-        num_partitions=cfg.num_partitions,
-        on=("nbr",),
-        right_on=("nbr_node",),
-    ).select_columns(["node", "nbr_label"]).rename_columns(
-        {"nbr_label": "label"}
-    )
+    """One hash-min round: neighbor labels + own label -> min per node.
+
+    The labels table only covers edge endpoints, so it broadcasts below
+    cfg.broadcast_limit (lookup_join falls back to a hash join above)."""
+    from deduplication_ray.stages.join import lookup_join
+
+    msgs = lookup_join(
+        edges_bidir,
+        labels.rename_columns({"node": "nbr", "label": "nbr_label"}),
+        on=["nbr"],
+        cfg=cfg,
+    ).select_columns(["node", "nbr_label"]).rename_columns({"nbr_label": "label"})
     allmsgs = labels.union(msgs)
     return allmsgs.groupby("node").aggregate(Min("label", alias_name="label"))
 
@@ -81,12 +86,13 @@ def propagate_round(
 def count_changed(
     old: ray.data.Dataset, new: ray.data.Dataset, cfg: DedupConfig
 ) -> int:
-    j = new.join(
-        old.rename_columns({"node": "node_o", "label": "label_o"}),
-        join_type="inner",
-        num_partitions=cfg.num_partitions,
-        on=("node",),
-        right_on=("node_o",),
+    from deduplication_ray.stages.join import lookup_join
+
+    j = lookup_join(
+        new,
+        old.rename_columns({"label": "label_o"}),
+        on=["node"],
+        cfg=cfg,
     )
 
     def diff(t: pa.Table) -> pa.Table:
@@ -130,7 +136,10 @@ def connected_components(
     ``checkpoint_cb(round_idx, labels_ds) -> labels_ds`` lets the pipeline
     materialize/persist each frontier (and lets tests kill/resume mid-run).
     """
-    eb = bidirectional(edges).materialize()
+    from deduplication_ray.stages.tuning import apply_context_tuning, ensure_blocks
+
+    apply_context_tuning()
+    eb = ensure_blocks(bidirectional(edges), cfg.num_partitions).materialize()
     labels = init_labels(edges, cfg.num_partitions).materialize()
     for rnd in range(cfg.max_rounds):
         new = propagate_round(labels, eb, cfg).materialize()
