@@ -153,6 +153,7 @@ def run_pipeline(
             run.skipped.extend(f"labels_r{k}" for k in range(start_round + 1))
         else:
             labels = unionfind.init_labels(vedges, cfg.num_partitions).materialize()
+        prev_hash = unionfind.label_state_hash(labels)
         rnd = start_round
         while True:
             rnd += 1
@@ -163,10 +164,11 @@ def run_pipeline(
                 lambda: unionfind.propagate_round(labels, eb, cfg),
                 [f"labels_r{rnd - 1}" if rnd else "verified_edges"],
             )
-            changed = unionfind.count_changed(labels, new, cfg)
+            new_hash = unionfind.label_state_hash(new)
             labels = new
-            if changed == 0:
+            if new_hash == prev_hash:
                 break
+            prev_hash = new_hash
 
     ids = storage.read_table(input_path, columns=["image_id"]) if input_ds is None \
         else input_ds.select_columns(["image_id"])

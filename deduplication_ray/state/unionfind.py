@@ -83,6 +83,34 @@ def propagate_round(
     return allmsgs.groupby("node").aggregate(Min("label", alias_name="label"))
 
 
+def label_state_hash(labels: ray.data.Dataset) -> int:
+    """Order-independent fingerprint of the (node, label) assignment: sum of
+    mixed per-row hashes (u64 wraparound). One tiny aggregate per round —
+    replaces a per-round join for convergence detection; collision odds are
+    ~rounds/2^64."""
+    import numpy as np
+
+    from deduplication_ray.functions import hashing as H
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([0], pa.int64())})
+        hn = H.hash_bytes_array(t["node"].combine_chunks().cast(pa.string()))
+        hl = H.hash_bytes_array(t["label"].combine_chunks().cast(pa.string()))
+        with np.errstate(over="ignore"):
+            s = H.hash_u64_pair(hn, hl).sum(dtype=np.uint64)
+        return pa.table({"h": pa.array([np.int64(s.astype(np.int64))], pa.int64())})
+
+    total = np.uint64(0)
+    for b in labels.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # iter_batches may coalesce several partials into one batch — sum ALL
+        with np.errstate(over="ignore"):
+            total += b["h"].to_numpy().view(np.uint64).sum(dtype=np.uint64)
+    return int(total)
+
+
 def count_changed(
     old: ray.data.Dataset, new: ray.data.Dataset, cfg: DedupConfig
 ) -> int:
@@ -106,7 +134,7 @@ def count_changed(
     for b in j.map_batches(diff, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
-        total += int(b["changed"][0].as_py())
+        total += int(b["changed"].to_numpy().sum())  # batches may coalesce
     return total
 
 
@@ -141,14 +169,16 @@ def connected_components(
     apply_context_tuning()
     eb = ensure_blocks(bidirectional(edges), cfg.num_partitions).materialize()
     labels = init_labels(edges, cfg.num_partitions).materialize()
+    prev_hash = label_state_hash(labels)
     for rnd in range(cfg.max_rounds):
         new = propagate_round(labels, eb, cfg).materialize()
-        changed = count_changed(labels, new, cfg)
+        new_hash = label_state_hash(new)
         labels = new
         if checkpoint_cb is not None:
             labels = checkpoint_cb(rnd, labels)
-        if changed == 0:
+        if new_hash == prev_hash:
             return labels
+        prev_hash = new_hash
     raise RuntimeError(
         f"union-find did not converge in {cfg.max_rounds} rounds — "
         "component diameter exceeds the round cap; raise cfg.max_rounds"
