@@ -25,7 +25,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-IMG_ROWS = int(os.environ.get("BENCH_IMG_ROWS", "20000"))
+IMG_ROWS = int(os.environ.get("BENCH_IMG_ROWS", "60000"))
 SEED = 42
 
 

@@ -1,0 +1,142 @@
+"""Command-line entry points (R19 analog, ``/root/reference/main.c:19-65``).
+
+The reference exposes ``dedup_bin c|d``; the graft exposes:
+
+  python -m deduplication_ray.cli run        --input DIR --out RUN_DIR [opts]
+  python -m deduplication_ray.cli resume     --input DIR --out RUN_DIR
+  python -m deduplication_ray.cli reconstruct --out RUN_DIR --dest DIR
+  python -m deduplication_ray.cli compress   WIDTH BLOCK IN.bin OUT.ddp
+  python -m deduplication_ray.cli decompress IN.ddp OUT.bin
+  python -m deduplication_ray.cli fixture    --out DIR --rows N [--seed S]
+
+``run`` and ``resume`` are the same code path — resume is what ``run`` does
+when the run dir already holds complete, config-matching checkpoints (the
+separate verb exists for operator clarity). All commands own their Ray
+session (``ray job submit``-compatible: they also run under an existing
+cluster address if RAY_ADDRESS is set to one).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(num_cpus: int | None):
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _cfg_from_args(args) -> "DedupConfig":
+    from deduplication_ray.config import DedupConfig
+
+    overrides = {}
+    for field in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
+                  "bucket_cap", "substring_min_len", "num_partitions"):
+        v = getattr(args, field, None)
+        if v is not None:
+            overrides[field] = v
+    return DedupConfig(**overrides)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="deduplication_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for verb in ("run", "resume"):
+        s = sub.add_parser(verb, help="execute (or resume) the dedup DAG")
+        s.add_argument("--input", required=True, help="parquet table dir/file")
+        s.add_argument("--out", required=True, help="run (checkpoint) dir")
+        s.add_argument("--num-cpus", type=int, default=None)
+        for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
+                  "bucket_cap", "substring_min_len", "num_partitions"):
+            s.add_argument(f"--{f.replace('_', '-')}", type=int, default=None,
+                           dest=f)
+
+    s = sub.add_parser("reconstruct", help="rebuild full table from a run dir")
+    s.add_argument("--out", required=True, help="run dir of a completed run")
+    s.add_argument("--dest", required=True, help="directory for the rebuilt table")
+    s.add_argument("--num-cpus", type=int, default=None)
+
+    s = sub.add_parser("compress", help="reference-conformant DDP1 encode")
+    s.add_argument("width", type=int)
+    s.add_argument("block", type=int)
+    s.add_argument("infile")
+    s.add_argument("outfile")
+
+    s = sub.add_parser("decompress", help="DDP1 decode")
+    s.add_argument("infile")
+    s.add_argument("outfile")
+
+    s = sub.add_parser("fixture", help="generate the synthetic image+caption table")
+    s.add_argument("--out", required=True)
+    s.add_argument("--rows", type=int, required=True)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd in ("run", "resume"):
+        ray = _session(args.num_cpus)
+        from deduplication_ray.pipelines.image_dedup import run_pipeline
+
+        metrics = run_pipeline(args.input, args.out, _cfg_from_args(args))
+        print(json.dumps(metrics))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "reconstruct":
+        ray = _session(args.num_cpus)
+        from deduplication_ray.pipelines.image_dedup import reconstruct
+
+        ds = reconstruct(args.out)
+        ds.write_parquet(args.dest)
+        print(json.dumps({"rows": ds.count(), "dest": args.dest}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "compress":
+        ray = _session(None)
+        from deduplication_ray.sources.ddp1 import compress_file
+
+        summary = compress_file(args.infile, args.outfile, args.width, args.block)
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "decompress":
+        ray = _session(None)
+        from deduplication_ray.sources.ddp1 import decompress_file
+
+        decompress_file(args.infile, args.outfile)
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "fixture":
+        ray = _session(args.num_cpus)
+        from deduplication_ray.sources.fixtures import generate
+
+        generate(args.out, args.rows, seed=args.seed)
+        print(json.dumps({"out": args.out, "rows": args.rows, "seed": args.seed}))
+        ray.shutdown()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -164,39 +164,48 @@ def _kind_column(band_arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def multi_bucket_map(stats: ray.data.Dataset) -> dict[tuple[int, int], int]:
-    """{(band, bucket): n} for buckets with >= 2 members. Singleton buckets —
-    the overwhelming majority — never leave the cluster; only duplicate
-    *candidates* reach the driver, a small fraction by construction."""
+    """{(band, bucket): n} for buckets with >= 2 members (small callers/tests)."""
+    keys, bands, bks, counts = multi_bucket_arrays(stats)
+    return {(int(b), int(k)): int(n) for b, k, n in zip(bands, bks, counts)}
+
+
+def multi_bucket_arrays(stats: ray.data.Dataset):
+    """Vectorized driver-side collection of multi-member buckets:
+    (sorted composite u64 keys, band, bucket, count) numpy arrays.
+    Singleton buckets — the overwhelming majority — never leave the cluster;
+    only duplicate *candidates* reach the driver."""
     import pyarrow.compute as pc
 
     multi = stats.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n"], 2)), batch_format="pyarrow"
     )
-    out: dict[tuple[int, int], int] = {}
+    bands_l, bks_l, ns_l = [], [], []
     for b in multi.iter_batches(batch_format="pyarrow"):
-        for band, bucket, n in zip(
-            b["band"].to_pylist(), b["bucket"].to_pylist(), b["n"].to_pylist()
-        ):
-            out[(band, bucket)] = int(n)
-    return out
+        bands_l.append(b["band"].to_numpy())
+        bks_l.append(b["bucket"].to_numpy())
+        ns_l.append(b["n"].to_numpy())
+    if not bands_l:
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), e, e, e
+    bands = np.concatenate(bands_l)
+    bks = np.concatenate(bks_l)
+    ns = np.concatenate(ns_l).astype(np.int64)
+    comp = H.hash_u64_pair(bands.view(np.uint64), bks.view(np.uint64))
+    order = np.argsort(comp)
+    return comp[order], bands[order], bks[order], ns[order]
 
 
 class _KeyTagger:
-    """Vectorized (band, bucket) membership + salt assignment from a
-    broadcast {key: count} map (ray.get once per actor, searchsorted per
-    batch). Rows in no multi bucket are DROPPED; rows in hot buckets
-    (count > cap) get salt = hash(image_id) %% ceil(count/cap); cold
+    """Vectorized (band, bucket) membership + salt assignment from broadcast
+    (sorted composite keys, counts) arrays (ray.get once per actor,
+    searchsorted per batch). Rows in no multi bucket are DROPPED; rows in hot
+    buckets (count > cap) get salt = hash(image_id) %% ceil(count/cap); cold
     multi rows get salt = -1."""
 
     def __init__(self, multi_ref, cap: int):
-        m = ray.get(multi_ref)
-        bands = np.array([b for b, _ in m], dtype=np.int64)
-        bks = np.array([k for _, k in m], dtype=np.int64)
-        counts = np.array(list(m.values()), dtype=np.int64)
-        comp = H.hash_u64_pair(bands.view(np.uint64), bks.view(np.uint64))
-        order = np.argsort(comp)
-        self.keys = comp[order]
-        self.n_salts = np.where(counts > cap, -(-counts // cap), 0)[order]
+        keys, counts = ray.get(multi_ref)
+        self.keys = keys
+        self.n_salts = np.where(counts > cap, -(-counts // cap), 0)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         band = t["band"].to_numpy()
@@ -293,11 +302,11 @@ def edges_from_buckets(
     apply_context_tuning()
     buckets = ensure_blocks(buckets, cfg.num_partitions).materialize()
     stats = bucket_stats(buckets)
-    multi = multi_bucket_map(stats)
-    if not multi:
+    keys, _bands, _bks, counts = multi_bucket_arrays(stats)
+    if len(keys) == 0:
         return _empty_edge_ds()
 
-    multi_ref = ray.put(multi)
+    multi_ref = ray.put((keys, counts))
     tagged = buckets.map_batches(
         _KeyTagger,
         fn_constructor_kwargs={"multi_ref": multi_ref, "cap": cfg.bucket_cap},
@@ -311,7 +320,7 @@ def edges_from_buckets(
     ).materialize()
     edges = _self_pairs(cold, ["band", "bucket"], cfg)
 
-    if any(n > cfg.bucket_cap for n in multi.values()):
+    if bool((counts > cfg.bucket_cap).any()):
         hot_rows = tagged.map_batches(
             lambda t: t.filter(pc_.greater_equal(t["salt"], 0)), batch_format="pyarrow"
         ).materialize()

@@ -73,8 +73,16 @@ class CheckpointedRun:
             shutil.rmtree(sdir)  # partial output from a killed run
         os.makedirs(sdir, exist_ok=True)
         ds = fn()
-        ds.write_parquet(sdir)
-        out = storage.read_table(sdir)
+        # materialize once, write the checkpoint from the materialized copy,
+        # and hand the SAME in-memory dataset downstream: one execution per
+        # stage instead of execute -> write -> re-read (the re-read cost was
+        # pure overhead; resume still reads the parquet)
+        out = ds.materialize()
+        if out.num_blocks() > 2 * self.cfg.num_partitions:
+            # shuffle outputs fragment into hundreds of tiny blocks; feeding
+            # those into the next shuffle multiplies its fixed costs
+            out = out.repartition(self.cfg.num_partitions).materialize()
+        out.write_parquet(sdir)
         n = out.count()
         storage.write_manifest(
             sdir,
