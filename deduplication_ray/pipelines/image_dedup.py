@@ -193,6 +193,7 @@ def run_pipeline(
         "config_hash": cfg.config_hash(),
         "stages_executed": run.executed,
         "stages_resumed": run.skipped,
+        "stage_seconds": run.timings,
         "rows": {
             s: (storage.read_manifest(run.stage_dir(s)) or {}).get("rows")
             for s in ("signatures", "edges", "verified_edges", "clusters", "representatives")

@@ -92,15 +92,24 @@ def _block_hashes(blocks: np.ndarray) -> np.ndarray:
     return H.splitmix64(seg)
 
 
+LOCAL_ENCODE_MAX_BLOCKS = 4_000_000
+
+
 def dedup_encode(
     blocks: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Distributed first-occurrence dedup -> (dict_order_block_idx, block_ids).
+    """First-occurrence dedup -> (dict_order_block_idx, block_ids).
 
-    Returns the block index of each dictionary entry (in id order) and the
-    per-block id stream. Ray plan: groupby(key) -> min(block_idx) ->
-    sort(first_idx) -> rank = id -> join ids back to blocks.
+    Size-dispatched like every lookup in this engine: inputs small enough for
+    one worker (<= LOCAL_ENCODE_MAX_BLOCKS) run a vectorized local path —
+    np.unique + first-occurrence ranking, O(n log n), which beats the
+    reference's O(n * dict_size) memcmp scan (``dictionary.c:49-59``) by
+    orders of magnitude on its own corpus. Larger inputs run the distributed
+    plan: groupby(key) -> min(block_idx) -> first-occurrence rank -> broadcast
+    ids back.
     """
+    if len(blocks) <= LOCAL_ENCODE_MAX_BLOCKS:
+        return _dedup_encode_local(blocks)
     ds = blocks_to_dataset(blocks)
     firsts = ds.groupby(["key1", "key2"]).aggregate(
         Min("block_idx", alias_name="first_idx")
@@ -141,6 +150,18 @@ def dedup_encode(
     block_ids = assigned["id"].to_numpy()
     dict_block_idx = fdf["first_idx"].to_numpy()
     return dict_block_idx, block_ids
+
+
+def _dedup_encode_local(blocks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized single-node first-occurrence dedup over raw block content
+    (exact — no hashing): np.unique on a void view of the rows."""
+    n, bb = blocks.shape
+    void = np.ascontiguousarray(blocks).view([("v", f"V{bb}")]).ravel()
+    _, first_idx, inverse = np.unique(void, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty(len(first_idx), dtype=np.int64)
+    rank[order] = np.arange(len(first_idx), dtype=np.int64)
+    return first_idx[order], rank[inverse]
 
 
 def compress_bytes(data: bytes, width: int, block_size: int) -> tuple[bytes, dict]:

@@ -35,6 +35,7 @@ class CheckpointedRun:
         os.makedirs(run_dir, exist_ok=True)
         self.skipped: list[str] = []   # stages resumed from checkpoint
         self.executed: list[str] = []  # stages computed this run
+        self.timings: dict[str, float] = {}  # stage -> wall seconds (this run)
 
     def stage_dir(self, stage: str) -> str:
         return os.path.join(self.run_dir, stage)
@@ -72,6 +73,9 @@ class CheckpointedRun:
         if os.path.isdir(sdir):
             shutil.rmtree(sdir)  # partial output from a killed run
         os.makedirs(sdir, exist_ok=True)
+        import time as _time
+
+        t0 = _time.time()
         ds = fn()
         # materialize once, write the checkpoint from the materialized copy,
         # and hand the SAME in-memory dataset downstream: one execution per
@@ -95,6 +99,7 @@ class CheckpointedRun:
             },
         )
         self.executed.append(stage)
+        self.timings[stage] = round(_time.time() - t0, 2)
         return out
 
     def latest_labels_round(self) -> int:
