@@ -40,6 +40,10 @@ from deduplication_ray.state.checkpoint import CheckpointedRun
 
 
 def compute_signatures(input_ds: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    if cfg.sig_concurrency is None:  # task mode: state ships in the closure
+        return input_ds.map_batches(
+            ComputeSignatures(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+        )
     return input_ds.map_batches(
         ComputeSignatures,
         fn_constructor_kwargs={"cfg": cfg},

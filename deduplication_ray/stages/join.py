@@ -76,12 +76,18 @@ def lookup_join(
     ref = ray.put(small)
 
     class Merge:
+        """Task-mode broadcast merge: the lookup lives in the object store
+        (ray.put once); each task ray.gets it — plasma-local after the first
+        fetch on a node, so no per-batch re-ship and no actor-pool ramp."""
+
         def __init__(self):
-            self.lookup = ray.get(ref)
+            self.lookup = None
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if self.lookup is None:
+                self.lookup = ray.get(ref)
             df = t.to_pandas()
             out = df.merge(self.lookup, on=on, how=how)
             return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.map_batches(Merge, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(Merge(), batch_format="pyarrow")

@@ -1,0 +1,59 @@
+"""Similarity search: brute-force top-k sanity + LSH-bucketed dup pairs on
+planted near-identical embeddings."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_dir(ray_session, tmp_path_factory):
+    """Synthetic embeddings table with planted near-duplicate pairs."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n, d = 600, 64
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    # plant 40 near-identical pairs: rows 2i+1 = tiny perturbation of 2i
+    for i in range(40):
+        base[2 * i + 1] = base[2 * i] + rng.standard_normal(d).astype(np.float32) * 0.01
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in base],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, dtype=np.int32)),
+    })
+    d_out = tmp_path_factory.mktemp("emb")
+    pq.write_table(t, str(d_out / "embeddings.parquet"))
+    return str(d_out), base
+
+
+def test_brute_force_topk_matches_numpy(emb_dir):
+    from deduplication_ray.pipelines.ann import brute_force_topk
+
+    d, base = emb_dir
+    out = brute_force_topk(d, n_queries=3, k=4).to_pandas()
+    m = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = m @ m[:3].T
+    for q in range(3):
+        s = sims[:, q].copy()
+        s[q] = -np.inf
+        expect = np.argsort(-s, kind="stable")[:4]
+        got = out[out.q_id == q].sort_values("rank")["n_id"].to_numpy()
+        assert set(got) == set(expect), (q, got, expect)
+
+
+def test_embedding_dup_pairs_finds_planted(emb_dir):
+    from deduplication_ray.pipelines.ann import embedding_dup_pairs
+
+    d, base = emb_dir
+    pairs = embedding_dup_pairs(d, cos_min=0.98).to_pandas()
+    found = {tuple(sorted((int(a), int(b)))) for a, b in zip(pairs.src.astype(int), pairs.dst.astype(int))}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, (recall, len(found))
+    # no false positives: every found pair really has cosine >= 0.98
+    m = base / np.linalg.norm(base, axis=1, keepdims=True)
+    for a, b in found:
+        assert float(m[a] @ m[b]) >= 0.975
