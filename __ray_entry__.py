@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": R.q_broadcast_join,
         "top_revenue_orders": R.q_top_revenue_orders,
         "sort_limit": R.q_sort_limit,
+        "sessionize": R.q_sessionize,
         "filter_agg": R.q_filter_agg,
         "distinct_pairs": R.q_distinct_pairs,
         "topk_sources": R.q_topk_sources,
@@ -75,8 +76,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_jaccard_pairs": docops.q_charset_jaccard_pairs,
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf),
+        "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
         # rows-only (non-SQL-expressible) detectors
         "doc_lsh_dedup": docops.q_doc_lsh_dedup,
+        "ngram_jaccard_pairs": docops.q_ngram_jaccard_pairs,
         "doc_simhash_pairs": docops.q_doc_simhash_pairs,
         "doc_langid": docops.q_doc_langid,
         "doc_quality": docops.q_doc_quality,
@@ -94,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join": R.Q_BROADCAST_JOIN_SQL,
         "top_revenue_orders": R.Q_TOP_REVENUE_ORDERS_SQL,
         "sort_limit": R.Q_SORT_LIMIT_SQL,
+        "sessionize": R.Q_SESSIONIZE_SQL,
         "filter_agg": R.Q_FILTER_AGG_SQL,
         "distinct_pairs": R.Q_DISTINCT_PAIRS_SQL,
         "topk_sources": R.Q_TOPK_SOURCES_SQL,

@@ -117,6 +117,69 @@ QUALIFY rank <= {k}
 """
 
 
+def lsh_topk(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> "pa.Table":
+    """LSH-bucketed approximate top-k — the scale path (SURVEY T-inventory
+    'IVF/LSH-bucketed variant'): score ONLY corpus rows that share a SimHash
+    multi-index band with the query, instead of the full matmul. Recall vs
+    ``brute_force_topk`` is measured in tests; sub-linear candidate volume.
+    """
+    from deduplication_ray.stages.lsh import _hash16_bands
+
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
+    qt = ds.sort(id_col).limit(n_queries).to_pandas()
+    q_ids = qt[id_col].to_numpy()
+    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"]]))
+    planes = H.make_simhash_planes(64, qm.shape[1], seed)
+    q_sh = H.simhash_from_features(qm.astype(np.float32), planes)
+    _, q_buckets = _hash16_bands(q_sh, 2000)
+    q_bucket_set = np.unique(q_buckets)
+    ref = ray.put((q_ids, qm, planes, np.sort(q_bucket_set)))
+
+    class BucketTopK:
+        def __init__(self):
+            self.state = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.state is None:
+                self.state = ray.get(ref)
+            q_ids, qm, planes, qb = self.state
+            m64 = _normalize(_emb_matrix(t).astype(np.float64))
+            sh = H.simhash_from_features(m64.astype(np.float32), planes)
+            _, buckets = _hash16_bands(sh, 2000)
+            hit = np.isin(buckets.reshape(-1, 4), qb).any(axis=1)
+            if not hit.any():
+                return pa.table({"q_id": pa.array([], pa.int64()),
+                                 "n_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            cand = m64[hit]
+            ids = t[id_col].to_numpy()[hit]
+            sims = cand @ qm.T
+            qq, nn = np.meshgrid(np.arange(len(q_ids)), np.arange(len(ids)))
+            return pa.table({
+                "q_id": q_ids[qq.ravel()],
+                "n_id": np.repeat(ids, len(q_ids)),
+                "sim": sims.ravel(),
+            })
+
+    partials = ds.map_batches(BucketTopK(), batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
+    partials = partials[partials["q_id"] != partials["n_id"]]
+    partials = partials.sort_values(["q_id", "sim", "n_id"],
+                                    ascending=[True, False, True])
+    top = partials.groupby("q_id").head(k).copy()
+    top["rank"] = top.groupby("q_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        top[["q_id", "n_id", "rank"]].reset_index(drop=True), preserve_index=False
+    )
+
+
 def embedding_dup_pairs(
     sf_dir: str,
     cos_min: float = 0.98,

@@ -193,6 +193,72 @@ def q_doc_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6):
+    """EXACT char n-gram Jaccard near-dup pairs (not the MinHash estimate):
+    LSH-banded candidates verified by true shingle-set intersection.
+
+    Candidates come from the shared MinHash-band machinery (sub-linear);
+    verification attaches each doc's sorted unique gram-hash set as a binary
+    blob and intersects per pair. Rows-only (set semantics aren't ANSI SQL).
+    """
+    from deduplication_ray.stages import lsh
+    from deduplication_ray.stages.join import lookup_join
+    from deduplication_ray.stages.signatures import normalize_captions
+
+    cfg = DedupConfig(num_partitions=8)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    mh_a, mh_b = H.make_minhash_perms(cfg.num_perm, cfg.seed)
+
+    def sig(t: pa.Table) -> pa.Table:
+        cap = normalize_captions(t["text"])
+        grams, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
+        mh = H.minhash_signatures(grams, offs, mh_a, mh_b)
+        # per-row sorted unique gram sets as variable-length binary blobs
+        blobs = []
+        for i in range(t.num_rows):
+            u = np.unique(grams[offs[i]: offs[i + 1]])
+            blobs.append(u.tobytes())
+        return pa.table({
+            "image_id": t["doc_id"].cast(pa.string()),
+            "minhash": H.pack_u64_rows(mh),
+            "grams": pa.array(blobs, pa.binary()),
+        })
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow",
+                          batch_size=cfg.text_batch_size).materialize()
+    buckets = sigs.map_batches(lsh.ExplodeBands(cfg), batch_format="pyarrow")
+    edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, cfg))
+
+    lean = sigs.select_columns(["image_id", "grams"])
+    e = lookup_join(edges, lean.rename_columns({"image_id": "src", "grams": "g_src"}),
+                    on=["src"], cfg=cfg)
+    e = lookup_join(e, lean.rename_columns({"image_id": "dst", "grams": "g_dst"}),
+                    on=["dst"], cfg=cfg)
+
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string()),
+                             "jaccard_milli": pa.array([], pa.int64())})
+        gs = t["g_src"].to_pylist()
+        gd = t["g_dst"].to_pylist()
+        jac = np.empty(t.num_rows, dtype=np.float64)
+        for i in range(t.num_rows):  # per-PAIR set intersection (candidates
+            a = np.frombuffer(gs[i], dtype=np.uint64)   # only — sub-linear)
+            b = np.frombuffer(gd[i], dtype=np.uint64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            jac[i] = inter / max(len(a) + len(b) - inter, 1)
+        keep = jac >= tau
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "jaccard_milli": pa.array((jac[keep] * 1000).astype(np.int64)),
+        })
+
+    return e.map_batches(check, batch_format="pyarrow")
+
+
 def q_doc_lsh_dedup(sf_dir: str):
     """Full text near-dup engine over documents -> clusters (rows-only)."""
     from deduplication_ray.pipelines.text_dedup import text_dedup_clusters

@@ -320,6 +320,44 @@ FROM documents GROUP BY text
 """
 
 
+# ---------------------------------------------------------------- session windows
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows over the events stream: per user, a new session starts
+    after a > gap_minutes silence. Streaming-shaped groupby: partition by
+    key, order by ts inside the group, cumulative gap counting (SURVEY guide
+    'streaming-shaped workloads' pattern). Keys (users) are bounded, so
+    map_groups' per-group call count is small by construction.
+
+    Returns (user_id, session_id, n_events) matching the DuckDB window SQL.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        g["session_id"] = gap.cumsum().astype("int64")
+        out = g.groupby("session_id").size().rename("n_events").reset_index()
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+Q_SESSIONIZE_SQL = """
+SELECT user_id, session_id, count(*) AS n_events FROM (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+    FROM events))
+GROUP BY user_id, session_id
+"""
+
+
 def q_dedup_keep_first(sf_dir: str):
     """The deduplicated id set: rows whose doc_id is its text-group min."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -57,3 +57,19 @@ def test_embedding_dup_pairs_finds_planted(emb_dir):
     m = base / np.linalg.norm(base, axis=1, keepdims=True)
     for a, b in found:
         assert float(m[a] @ m[b]) >= 0.975
+
+
+def test_lsh_topk_recall_vs_brute_force(emb_dir):
+    """The LSH-bucketed scale path must recover most of the exact top-k for
+    near-duplicate-heavy queries (planted pairs bucket together)."""
+    from deduplication_ray.pipelines.ann import brute_force_topk, lsh_topk
+
+    d, base = emb_dir
+    exact = brute_force_topk(d, n_queries=5, k=3).to_pandas()
+    approx = lsh_topk(d, n_queries=5, k=3).to_pandas()
+    # rank-1 neighbors of the planted-query rows must be found
+    for q in exact.q_id.unique():
+        top1 = exact[(exact.q_id == q) & (exact['rank'] == 1)].n_id.iloc[0]
+        got = set(approx[approx.q_id == q].n_id)
+        if int(q) % 2 == 0 and int(q) < 80:  # planted near-identical partner
+            assert top1 in got, (q, top1, got)

@@ -48,9 +48,9 @@ def _to_pandas(res):
 
 SQL_CHECKED = [
     "q1_pricing_summary", "broadcast_join", "top_revenue_orders", "sort_limit",
-    "filter_agg", "distinct_pairs", "topk_sources", "events_window",
-    "semi_join", "exact_dedup_docs", "dedup_keep_first", "doc_stats",
-    "charset_jaccard_pairs", "ann_topk",
+    "sessionize", "filter_agg", "distinct_pairs", "topk_sources",
+    "events_window", "semi_join", "exact_dedup_docs", "dedup_keep_first",
+    "doc_stats", "charset_jaccard_pairs", "ann_topk",
 ]
 
 
