@@ -241,7 +241,8 @@ def phash64_batch(stack: np.ndarray, size: int = 32, lowfreq: int = 8) -> np.nda
     """pHash for a (n, S, S) stack of ALREADY-RESIZED grayscale images —
     the batched hot path: one tensordot pair for the whole batch."""
     d = dct_matrix(size)
-    coefs = np.einsum("ij,njk,lk->nil", d, stack.astype(np.float32), d)
+    # batched matmul (einsum without optimize picks a naive O(n*S^4) loop)
+    coefs = np.matmul(np.matmul(d, stack.astype(np.float32)), d.T)
     block = coefs[:, :lowfreq, :lowfreq].reshape(len(stack), -1)
     med = np.median(block[:, 1:], axis=1, keepdims=True)
     bits = (block > med).astype(np.uint64)
