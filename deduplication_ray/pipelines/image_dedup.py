@@ -25,6 +25,8 @@ per-row invariants instead of byte equality.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -136,7 +138,21 @@ def run_pipeline(
             return input_ds
         return storage.read_table(input_path)
 
-    sigs = run.run_stage("signatures", lambda: compute_signatures(read_input(), cfg), ["input"])
+    if input_ds is None and os.path.isdir(input_path):
+        # partition-level lineage: signatures computed per input-shard group,
+        # each group committed atomically — a killed run resumes at the first
+        # unfinished shard group (T14)
+        files = storage.dataset_files(input_path)
+        sigs = run.run_stage_sharded(
+            "signatures",
+            files,
+            lambda fs: compute_signatures(storage.read_table(fs), cfg),
+            upstream=["input"],
+        )
+    else:
+        sigs = run.run_stage(
+            "signatures", lambda: compute_signatures(read_input(), cfg), ["input"]
+        )
 
     edges = run.run_stage(
         "edges", lambda: build_edges(sigs, cfg, read_input()), ["signatures"]

@@ -102,6 +102,76 @@ class CheckpointedRun:
         self.timings[stage] = round(_time.time() - t0, 2)
         return out
 
+    def run_stage_sharded(
+        self,
+        stage: str,
+        input_files: list[str],
+        fn,
+        group_size: int = 8,
+        upstream: list[str] | None = None,
+    ) -> ray.data.Dataset:
+        """Partition-level lineage: process ``input_files`` in groups, each
+        group written atomically (tmp dir -> rename) to <stage>/group_k/ and
+        recorded in the manifest. A killed run resumes at the first
+        unfinished group — finished input shards are never recomputed.
+
+        ``fn(files) -> Dataset`` computes the stage output for a file subset.
+        """
+        sdir = self.stage_dir(stage)
+        os.makedirs(sdir, exist_ok=True)
+        m = storage.read_manifest(sdir) or {}
+        if m and m.get("config_hash") not in (None, self.cfg.config_hash()):
+            raise RuntimeError(
+                f"checkpoint {sdir} was written under config "
+                f"{m.get('config_hash')}; refusing to resume"
+            )
+        done: list[str] = list(m.get("shards_done", []))
+        groups = [
+            input_files[i : i + group_size]
+            for i in range(0, len(input_files), group_size)
+        ]
+        resumed_any = bool(done)
+        for k, group in enumerate(groups):
+            if all(f in done for f in group):
+                continue
+            gdir = os.path.join(sdir, f"group_{k}")
+            tmp = gdir + ".tmp"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            if os.path.isdir(gdir):  # partial rename-complete but manifest stale
+                shutil.rmtree(gdir)
+            os.makedirs(tmp)
+            fn(group).write_parquet(tmp)
+            os.replace(tmp, gdir)  # atomic group commit
+            done.extend(group)
+            storage.write_manifest(
+                sdir,
+                {
+                    "stage": stage,
+                    "config_hash": self.cfg.config_hash(),
+                    "upstream": upstream or [],
+                    "shards_done": done,
+                    "complete": len(done) == len(input_files),
+                },
+            )
+        (self.skipped if resumed_any else self.executed).append(stage)
+        import glob
+
+        part_files = sorted(glob.glob(os.path.join(sdir, "group_*", "*.parquet")))
+        out = storage.read_table(part_files).materialize()
+        storage.write_manifest(
+            sdir,
+            {
+                "stage": stage,
+                "config_hash": self.cfg.config_hash(),
+                "upstream": upstream or [],
+                "shards_done": done,
+                "rows": out.count(),
+                "complete": True,
+            },
+        )
+        return out
+
     def latest_labels_round(self) -> int:
         """Highest k with a complete labels_r{k} checkpoint, or -1."""
         k = -1

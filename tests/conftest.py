@@ -61,7 +61,9 @@ def tiny_run(ray_session, tiny_fixture):
 
 
 def load_parquet_dir(d: str):
+    import glob
+
     import pyarrow.dataset as pads
 
-    files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+    files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
     return pads.dataset(files).to_table().to_pandas()

@@ -132,6 +132,40 @@ def test_resume_mid_unionfind(tiny_run, tiny_fixture, ray_session):
                                   resumed.reset_index(drop=True))
 
 
+def test_resume_mid_signatures_shards(tiny_run, tiny_fixture, ray_session):
+    """Kill mid-signature-stage: only the unfinished input-shard groups are
+    recomputed; final clusters byte-match the full run (partition lineage)."""
+    import json
+
+    from deduplication_ray.pipelines import image_dedup
+    from deduplication_ray.sources import storage
+
+    run_dir, cfg, _ = tiny_run
+    full = load_parquet_dir(f"{run_dir}/clusters").sort_values("image_id")
+
+    partial_dir = "/tmp/dedup_ray_test_resume_sig"
+    shutil.rmtree(partial_dir, ignore_errors=True)
+    os.makedirs(f"{partial_dir}/signatures")
+    # simulate a crash after the FIRST shard group committed
+    src_groups = sorted(
+        d for d in os.listdir(f"{run_dir}/signatures") if d.startswith("group_")
+    )
+    assert len(src_groups) >= 1
+    shutil.copytree(f"{run_dir}/signatures/{src_groups[0]}",
+                    f"{partial_dir}/signatures/{src_groups[0]}")
+    files = storage.dataset_files(f"{tiny_fixture}/data")
+    done = files[:8]  # group_size=8: first group's files
+    storage.write_manifest(f"{partial_dir}/signatures", {
+        "stage": "signatures", "config_hash": cfg.config_hash(),
+        "upstream": ["input"], "shards_done": done, "complete": False,
+    })
+    m = image_dedup.run_pipeline(f"{tiny_fixture}/data", partial_dir, cfg)
+    assert "signatures" in m["stages_resumed"]
+    resumed = load_parquet_dir(f"{partial_dir}/clusters").sort_values("image_id")
+    pd.testing.assert_frame_equal(full.reset_index(drop=True),
+                                  resumed.reset_index(drop=True))
+
+
 def test_config_mismatch_refuses_resume(tiny_run, tiny_fixture, ray_session):
     from deduplication_ray.config import DedupConfig
     from deduplication_ray.pipelines import image_dedup
