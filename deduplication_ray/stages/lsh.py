@@ -366,6 +366,13 @@ def edges_from_buckets(
     tagged = buckets.map_batches(
         _KeyTagger(multi_ref, cfg.bucket_cap), batch_format="pyarrow"
     ).materialize()
+
+    # size dispatch: a small tagged set (dup candidates only) pairs faster in
+    # one local pandas pass than through ~8 distributed barriers; above the
+    # limit the distributed path below runs (broadcast merges / hash joins)
+    if tagged.count() <= cfg.broadcast_limit:
+        return _edges_from_tagged_local(tagged, cfg)
+
     import pyarrow.compute as pc_
 
     cold = tagged.map_batches(
@@ -389,6 +396,58 @@ def edges_from_buckets(
 
     # NOT deduped here: callers union edge families first, then dedupe once
     return edges
+
+
+def _edges_from_tagged_local(tagged: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    """Local pairing over the (small) tagged multi-bucket rows: identical
+    semantics to the distributed path — cold all-pairs, hot sub-bucket stars
+    + ambassador all-pairs — in one vectorized pandas/numpy pass."""
+    df = pa.concat_tables(
+        list(tagged.iter_batches(batch_format="pyarrow")), promote_options="default"
+    ).to_pandas() if tagged.count() else None
+    if df is None or df.empty:
+        return _empty_edge_ds()
+
+    out_src, out_dst, out_kind = [], [], []
+
+    def emit(src, dst, bands):
+        out_src.append(src)
+        out_dst.append(dst)
+        out_kind.append(bands)
+
+    cold = df[df["salt"] == -1]
+    if len(cold):
+        m = cold.merge(
+            cold[["band", "bucket", "image_id"]].rename(columns={"image_id": "image_id_r"}),
+            on=["band", "bucket"],
+        )
+        m = m[m["image_id"] < m["image_id_r"]]
+        emit(m["image_id"].to_numpy(), m["image_id_r"].to_numpy(), m["band"].to_numpy())
+
+    hot = df[df["salt"] >= 0]
+    if len(hot):
+        mins = hot.groupby(["band", "bucket", "salt"], as_index=False)["image_id"].min() \
+            .rename(columns={"image_id": "src"})
+        st = hot.merge(mins, on=["band", "bucket", "salt"])
+        st = st[st["image_id"] != st["src"]]
+        emit(st["src"].to_numpy(), st["image_id"].to_numpy(), st["band"].to_numpy())
+        amb = mins.merge(
+            mins.rename(columns={"src": "src_r"}), on=["band", "bucket"]
+        )
+        amb = amb[amb["src"] < amb["src_r"]]
+        emit(amb["src"].to_numpy(), amb["src_r"].to_numpy(), amb["band"].to_numpy())
+
+    if not out_src:
+        return _empty_edge_ds()
+    src = np.concatenate(out_src)
+    dst = np.concatenate(out_dst)
+    bands = np.concatenate(out_kind).astype(np.int64)
+    kind = _kind_column(pa.array(bands))
+    return ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.string()),
+                  "dst": pa.array(dst, pa.string()),
+                  "kind": kind})
+    )
 
 
 def _empty_edge_ds() -> ray.data.Dataset:
