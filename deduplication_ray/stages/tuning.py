@@ -21,6 +21,7 @@ import ray.data
 
 
 def apply_context_tuning() -> None:
+    _stub_fsspec_http()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -32,6 +33,34 @@ def apply_context_tuning() -> None:
     # fraction of a CPU each and let finalize oversubscribe briefly.
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
+
+
+def _stub_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable even without aiohttp.
+
+    Ray's path resolution lazily does ``from fsspec.implementations.http
+    import HTTPFileSystem`` guarded by ``except ModuleNotFoundError`` — but
+    when several THREADS trigger that import concurrently (parallel shard
+    groups), losers observe the partially-initialized module and get a bare
+    ``ImportError`` that escapes Ray's guard. Installing a stub module with a
+    never-matching HTTPFileSystem class removes the race (this sandbox has no
+    aiohttp and no network; HTTP filesystems are unreachable anyway).
+    """
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:  # isinstance() against this never matches
+            pass
+
+        mod.HTTPFileSystem = _NoHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+    except Exception:
+        pass
 
 
 def ensure_blocks(ds: ray.data.Dataset, min_blocks: int) -> ray.data.Dataset:

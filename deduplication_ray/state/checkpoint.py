@@ -117,6 +117,11 @@ class CheckpointedRun:
 
         ``fn(files) -> Dataset`` computes the stage output for a file subset.
         """
+        import threading
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = _time.time()
         sdir = self.stage_dir(stage)
         os.makedirs(sdir, exist_ok=True)
         m = storage.read_manifest(sdir) or {}
@@ -125,36 +130,57 @@ class CheckpointedRun:
                 f"checkpoint {sdir} was written under config "
                 f"{m.get('config_hash')}; refusing to resume"
             )
-        done: list[str] = list(m.get("shards_done", []))
         groups = [
             input_files[i : i + group_size]
             for i in range(0, len(input_files), group_size)
         ]
-        resumed_any = bool(done)
-        for k, group in enumerate(groups):
-            if all(f in done for f in group):
-                continue
+        # the atomic rename IS the commit: a group is done iff its dir exists
+        # (manifest shards_done is informational; grouping is deterministic
+        # from the sorted file list, so indices are stable across resumes)
+        done_groups = {
+            k for k in range(len(groups))
+            if os.path.isdir(os.path.join(sdir, f"group_{k}"))
+        }
+        missing = [k for k in range(len(groups)) if k not in done_groups]
+        resumed_any = bool(done_groups)
+        lock = threading.Lock()
+        done_files: list[str] = [f for k in done_groups for f in groups[k]]
+
+        def run_group(k: int) -> None:
+            group = groups[k]
             gdir = os.path.join(sdir, f"group_{k}")
             tmp = gdir + ".tmp"
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp)
-            if os.path.isdir(gdir):  # partial rename-complete but manifest stale
-                shutil.rmtree(gdir)
+            for d in (tmp, gdir):
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
             os.makedirs(tmp)
             fn(group).write_parquet(tmp)
             os.replace(tmp, gdir)  # atomic group commit
-            done.extend(group)
-            storage.write_manifest(
-                sdir,
-                {
-                    "stage": stage,
-                    "config_hash": self.cfg.config_hash(),
-                    "upstream": upstream or [],
-                    "shards_done": done,
-                    "complete": len(done) == len(input_files),
-                },
-            )
+            with lock:
+                done_files.extend(group)
+                storage.write_manifest(
+                    sdir,
+                    {
+                        "stage": stage,
+                        "config_hash": self.cfg.config_hash(),
+                        "upstream": upstream or [],
+                        "shards_done": sorted(done_files),
+                        "complete": len(done_files) == len(input_files),
+                    },
+                )
+
+        if missing:
+            try:  # pre-warm lazy imports that race under concurrent readers
+                import fsspec.implementations.http  # noqa: F401
+            except ImportError:
+                pass
+            # groups run CONCURRENTLY (threads just await Ray executions; the
+            # streaming executor interleaves them) — group-atomic commits keep
+            # resume granularity without serializing the stage
+            with ThreadPoolExecutor(max_workers=min(4, len(missing))) as pool:
+                list(pool.map(run_group, missing))
         (self.skipped if resumed_any else self.executed).append(stage)
+        self.timings[stage] = round(_time.time() - t0, 2)
         import glob
 
         part_files = sorted(glob.glob(os.path.join(sdir, "group_*", "*.parquet")))
@@ -165,7 +191,7 @@ class CheckpointedRun:
                 "stage": stage,
                 "config_hash": self.cfg.config_hash(),
                 "upstream": upstream or [],
-                "shards_done": done,
+                "shards_done": sorted(done_files),
                 "rows": out.count(),
                 "complete": True,
             },
