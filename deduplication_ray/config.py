@@ -62,6 +62,9 @@ class DedupConfig:
     broadcast_limit: int = 1_000_000  # lookup rows <= this -> broadcast join
                                       # (ray.put + per-batch merge); above ->
                                       # hash-partitioned Dataset.join
+    local_pairs_limit: int = 8_000_000  # tagged multi-bucket rows <= this ->
+                                        # single-pass local pairing; above ->
+                                        # distributed pairing path
 
     def config_hash(self) -> str:
         """Stable hash over every field — stamped into checkpoint manifests."""

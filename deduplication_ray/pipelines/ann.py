@@ -196,7 +196,9 @@ def embedding_dup_pairs(
     """
     from deduplication_ray.stages import lsh, verify as _v  # shared machinery
 
-    cfg = cfg or DedupConfig(num_partitions=8)
+    # generous early-filter radius: cos >= 0.98 pairs can sit at simhash
+    # Hamming ~8-12; exact cosine check below is the real gate
+    cfg = cfg or DedupConfig(num_partitions=8, simhash_hamming_t=20)
     ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
 
     class EmbSig:
@@ -227,6 +229,8 @@ def embedding_dup_pairs(
             "bucket": bucket,
             "salt": np.zeros(n * 4, dtype=np.int64),
             "image_id": pa.array(np.repeat(t["image_id"].to_pandas().to_numpy(), 4)),
+            "ph": np.zeros(n * 4, dtype=np.int64),
+            "sh": np.repeat(t["simhash"].to_numpy(), 4),
         })
 
     buckets = sigs.map_batches(explode, batch_format="pyarrow")

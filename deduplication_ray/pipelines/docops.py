@@ -134,7 +134,7 @@ def q_doc_simhash_pairs(sf_dir: str, hamming_t: int = 8):
     """Text SimHash near-dup pairs via the shared bucket machinery."""
     from deduplication_ray.stages import lsh
 
-    cfg = DedupConfig(num_partitions=8)
+    cfg = DedupConfig(num_partitions=8, simhash_hamming_t=hamming_t)
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def sig(t: pa.Table) -> pa.Table:
@@ -155,6 +155,8 @@ def q_doc_simhash_pairs(sf_dir: str, hamming_t: int = 8):
             "bucket": bucket,
             "salt": np.zeros(n * 4, dtype=np.int64),
             "image_id": pa.array(np.repeat(t["image_id"].to_pandas().to_numpy(), 4)),
+            "ph": np.zeros(n * 4, dtype=np.int64),
+            "sh": np.repeat(t["simhash"].to_numpy(), 4),
         })
 
     buckets = sigs.map_batches(explode, batch_format="pyarrow")

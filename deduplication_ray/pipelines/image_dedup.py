@@ -154,8 +154,15 @@ def run_pipeline(
             "signatures", lambda: compute_signatures(read_input(), cfg), ["input"]
         )
 
+    def read_captions() -> ray.data.Dataset:
+        # substring passes need ONLY (image_id, caption): prune at the read
+        # so the edges stage never re-scans the image payload bytes
+        if input_ds is not None:
+            return input_ds.select_columns(["image_id", "caption"])
+        return storage.read_table(input_path, columns=["image_id", "caption"])
+
     edges = run.run_stage(
-        "edges", lambda: build_edges(sigs, cfg, read_input()), ["signatures"]
+        "edges", lambda: build_edges(sigs, cfg, read_captions()), ["signatures"]
     )
 
     vedges = run.run_stage(

@@ -111,12 +111,23 @@ class ExplodeBands:
         image_id = np.repeat(ids, per_row)
         salt = np.zeros(n * per_row, dtype=np.int64)
 
+        # carry the pixel hashes themselves so pixel-band pairs can be
+        # Hamming-verified AT EMISSION: 16-bit bands saturate with n (65k
+        # buckets), and without early verification random collisions produce
+        # O(n^2/65k) junk candidate edges (observed 2.5M at 150k rows)
+        ph = (np.repeat(batch["phash"].to_numpy(), per_row)
+              if "phash" in batch.column_names else np.zeros(n * per_row, np.int64))
+        sh = (np.repeat(batch["simhash"].to_numpy(), per_row)
+              if "simhash" in batch.column_names else np.zeros(n * per_row, np.int64))
+
         return pa.table(
             {
                 "band": band.astype(np.int64),
                 "bucket": bucket,
                 "salt": salt,
                 "image_id": image_id,
+                "ph": ph,
+                "sh": sh,
             }
         )
 
@@ -145,6 +156,24 @@ def hot_bucket_map(stats: ray.data.Dataset, cap: int) -> dict[tuple[int, int], i
         ):
             out[(band, bucket)] = int(np.ceil(n / cap))
     return out
+
+
+def _pixel_pair_keep(band: np.ndarray, ph_a, ph_b, sh_a, sh_b, cfg: DedupConfig) -> np.ndarray:
+    """Early Hamming verification for pixel-band pairs (16-bit bands saturate
+    with n; junk collisions must die at emission, not in a 2.5M-edge dedupe).
+    Non-pixel bands pass through untouched."""
+    is_ph = (band >= BAND_PHASH) & (band < BAND_SIMHASH)
+    is_sh = (band >= BAND_SIMHASH) & (band < BAND_SUBSTR)
+    keep = ~(is_ph | is_sh)
+    if is_ph.any():
+        hd = H.popcount64(np.asarray(ph_a, np.int64).view(np.uint64)
+                          ^ np.asarray(ph_b, np.int64).view(np.uint64))
+        keep |= is_ph & (hd <= cfg.phash_hamming_t)
+    if is_sh.any():
+        hd = H.popcount64(np.asarray(sh_a, np.int64).view(np.uint64)
+                          ^ np.asarray(sh_b, np.int64).view(np.uint64))
+        keep |= is_sh & (hd <= cfg.simhash_hamming_t)
+    return keep
 
 
 def _kind_column(band_arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -225,8 +254,8 @@ def multi_bucket_arrays_fast(buckets: ray.data.Dataset, cfg: DedupConfig):
         comps_l.append(b["comp"].to_numpy())
         ns_l.append(b["n"].to_numpy())
         total += len(comps_l[-1])
-        if total > 8 * cfg.broadcast_limit:
-            return None  # too large for driver merge — caller falls back
+        if total > 50_000_000:  # ~800MB of partials: beyond this, merge
+            return None         # distributed (caller falls back)
     if not comps_l:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     comp = np.concatenate(comps_l).view(np.uint64)
@@ -287,8 +316,11 @@ def _self_pairs(tbl: ray.data.Dataset, on: list[str], cfg: DedupConfig) -> ray.d
     small; per-bucket fanout is bounded by cap^2 (salting contract)."""
     from deduplication_ray.stages.join import lookup_join
 
-    right = tbl.select_columns([*on, "image_id"]).rename_columns(
-        {"image_id": "image_id_r"}
+    has_px = "ph" in tbl.schema().names
+    right_cols = [*on, "image_id"] + (["ph", "sh"] if has_px else [])
+    ren = {"image_id": "image_id_r", "ph": "ph_r", "sh": "sh_r"}
+    right = tbl.select_columns(right_cols).rename_columns(
+        {k: v for k, v in ren.items() if k in right_cols}
     ).materialize()
     joined = lookup_join(tbl, right, on=on, cfg=cfg)
 
@@ -296,6 +328,11 @@ def _self_pairs(tbl: ray.data.Dataset, on: list[str], cfg: DedupConfig) -> ray.d
         import pyarrow.compute as pc
 
         t = t.filter(pc.less(t["image_id"], t["image_id_r"]))
+        if t.num_rows and "ph_r" in t.column_names:
+            keep = _pixel_pair_keep(
+                t["band"].to_numpy(), t["ph"].to_numpy(), t["ph_r"].to_numpy(),
+                t["sh"].to_numpy(), t["sh_r"].to_numpy(), cfg)
+            t = t.filter(pa.array(keep))
         return pa.table(
             {"src": t["image_id"], "dst": t["image_id_r"], "kind": _kind_column(t["band"])}
         )
@@ -370,7 +407,7 @@ def edges_from_buckets(
     # size dispatch: a small tagged set (dup candidates only) pairs faster in
     # one local pandas pass than through ~8 distributed barriers; above the
     # limit the distributed path below runs (broadcast merges / hash joins)
-    if tagged.count() <= cfg.broadcast_limit:
+    if tagged.count() <= cfg.local_pairs_limit:
         return _edges_from_tagged_local(tagged, cfg)
 
     import pyarrow.compute as pc_
@@ -399,53 +436,122 @@ def edges_from_buckets(
 
 
 def _edges_from_tagged_local(tagged: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
-    """Local pairing over the (small) tagged multi-bucket rows: identical
-    semantics to the distributed path — cold all-pairs, hot sub-bucket stars
-    + ambassador all-pairs — in one vectorized pandas/numpy pass."""
-    df = pa.concat_tables(
-        list(tagged.iter_batches(batch_format="pyarrow")), promote_options="default"
-    ).to_pandas() if tagged.count() else None
-    if df is None or df.empty:
+    """Local pairing over the tagged multi-bucket rows: identical semantics
+    to the distributed path — cold all-pairs (with emission-time pixel
+    Hamming filtering), hot sub-bucket stars + ambassador all-pairs — in
+    pure numpy. No pandas merge: at 16-bit pixel-band saturation the raw
+    pair product is O(n^2/65k) (~90M at 150k rows); generating pair INDEX
+    arrays per bucket-size class and filtering immediately keeps memory at
+    a few pair-chunks instead of a materialized 90M-row join product."""
+    tbl = (pa.concat_tables(list(tagged.iter_batches(batch_format="pyarrow")),
+                            promote_options="default")
+           if tagged.count() else None)
+    if tbl is None or tbl.num_rows == 0:
         return _empty_edge_ds()
 
-    out_src, out_dst, out_kind = [], [], []
+    band = tbl["band"].to_numpy()
+    bucket = tbl["bucket"].to_numpy()
+    salt = tbl["salt"].to_numpy()
+    ids = tbl["image_id"].to_pandas().to_numpy()
+    has_px = "ph" in tbl.column_names
+    ph = tbl["ph"].to_numpy() if has_px else np.zeros(len(band), np.int64)
+    sh = tbl["sh"].to_numpy() if has_px else np.zeros(len(band), np.int64)
 
-    def emit(src, dst, bands):
-        out_src.append(src)
-        out_dst.append(dst)
-        out_kind.append(bands)
+    out_src, out_dst, out_band = [], [], []
 
-    cold = df[df["salt"] == -1]
-    if len(cold):
-        m = cold.merge(
-            cold[["band", "bucket", "image_id"]].rename(columns={"image_id": "image_id_r"}),
-            on=["band", "bucket"],
-        )
-        m = m[m["image_id"] < m["image_id_r"]]
-        emit(m["image_id"].to_numpy(), m["image_id_r"].to_numpy(), m["band"].to_numpy())
+    def pair_groups(sel: np.ndarray, group_key: np.ndarray, mode: str) -> None:
+        """Vectorized per-group pairing over rows[sel], grouped by the sorted
+        composite group_key. mode='allpairs' emits i<j pairs (hamming-
+        filtered for pixel bands); mode='star' links each row to its group's
+        min-id row."""
+        if not sel.any():
+            return
+        idx = np.nonzero(sel)[0]
+        order = np.argsort(group_key[idx], kind="stable")
+        idx = idx[order]
+        gk = group_key[idx]
+        starts = np.nonzero(np.concatenate([[True], gk[1:] != gk[:-1]]))[0]
+        sizes = np.diff(np.concatenate([starts, [len(idx)]]))
+        if mode == "star":
+            # per group: min-id row linked to every other row
+            import pandas as pd_
 
-    hot = df[df["salt"] >= 0]
-    if len(hot):
-        mins = hot.groupby(["band", "bucket", "salt"], as_index=False)["image_id"].min() \
-            .rename(columns={"image_id": "src"})
-        st = hot.merge(mins, on=["band", "bucket", "salt"])
-        st = st[st["image_id"] != st["src"]]
-        emit(st["src"].to_numpy(), st["image_id"].to_numpy(), st["band"].to_numpy())
-        amb = mins.merge(
-            mins.rename(columns={"src": "src_r"}), on=["band", "bucket"]
-        )
-        amb = amb[amb["src"] < amb["src_r"]]
-        emit(amb["src"].to_numpy(), amb["src_r"].to_numpy(), amb["band"].to_numpy())
+            grp = np.repeat(np.arange(len(starts)), sizes)
+            s = pd_.Series(ids[idx])
+            gmin = s.groupby(grp).transform("min").to_numpy()
+            mask = ids[idx] != gmin
+            out_src.append(gmin[mask])
+            out_dst.append(ids[idx][mask])
+            out_band.append(band[idx][mask])
+            return
+        # all-pairs, batched by bucket SIZE class so triu templates vectorize
+        for s_val in np.unique(sizes):
+            if s_val < 2:
+                continue
+            gsel = sizes == s_val
+            gstarts = starts[gsel]
+            iu, ju = np.triu_indices(int(s_val), k=1)
+            a = (gstarts[:, None] + iu[None, :]).ravel()
+            b = (gstarts[:, None] + ju[None, :]).ravel()
+            ra, rb = idx[a], idx[b]
+            keep = np.ones(len(ra), dtype=bool)
+            if has_px:
+                keep = _pixel_pair_keep(band[ra], ph[ra], ph[rb], sh[ra], sh[rb], cfg)
+            lo = np.where(ids[ra][keep] < ids[rb][keep], ids[ra][keep], ids[rb][keep])
+            hi = np.where(ids[ra][keep] < ids[rb][keep], ids[rb][keep], ids[ra][keep])
+            out_src.append(lo)
+            out_dst.append(hi)
+            out_band.append(band[ra][keep])
+
+    comp = H.hash_u64_pair(band.view(np.uint64), bucket.view(np.uint64))
+    with np.errstate(over="ignore"):
+        comp_salt = H.hash_u64_pair(comp, salt.view(np.uint64))
+
+    cold = salt == -1
+    pair_groups(cold, comp, "allpairs")
+
+    hot = salt >= 0
+    if hot.any():
+        pair_groups(hot, comp_salt, "star")  # per salted sub-bucket
+        # ambassadors: per sub-bucket min, all-pairs per (band,bucket)
+        import pandas as pd_
+
+        hidx = np.nonzero(hot)[0]
+        dfm = pd_.DataFrame({"k": comp_salt[hidx], "comp": comp[hidx],
+                             "id": ids[hidx], "row": hidx})
+        mins = dfm.loc[dfm.groupby("k")["id"].idxmin()]
+        midx = mins["row"].to_numpy()
+        sel = np.zeros(len(band), dtype=bool)
+        sel[midx] = True
+        pair_groups(sel, comp, "allpairs")
 
     if not out_src:
         return _empty_edge_ds()
     src = np.concatenate(out_src)
     dst = np.concatenate(out_dst)
-    bands = np.concatenate(out_kind).astype(np.int64)
-    kind = _kind_column(pa.array(bands))
+    bands = np.concatenate(out_band).astype(np.int64)
+
+    # local (src,dst) dedupe before anything distributed sees the edges: a
+    # true pair collides in MANY bands (up to 40+), so the raw pair stream is
+    # ~20-40x the distinct edge set — sort by (pair hash, kind priority) and
+    # keep the most-trusted instance per pair
+    prio_of_band = np.select(
+        [bands >= BAND_SUBSTR, bands >= BAND_SIMHASH, bands >= BAND_PHASH],
+        [KIND_PRIORITY.index("substr"), KIND_PRIORITY.index("simhash"),
+         KIND_PRIORITY.index("phash")],
+        default=KIND_PRIORITY.index("minhash"),
+    )
+    hs = H.hash_bytes_array(pa.array(src, pa.string()))
+    hd_ = H.hash_bytes_array(pa.array(dst, pa.string()))
+    pair_h = H.hash_u64_pair(hs, hd_)
+    order = np.lexsort((prio_of_band, pair_h))
+    ph_sorted = pair_h[order]
+    first = np.concatenate([[True], ph_sorted[1:] != ph_sorted[:-1]])
+    keep = order[first]
+    kind = _kind_column(pa.array(bands[keep]))
     return ray.data.from_arrow(
-        pa.table({"src": pa.array(src, pa.string()),
-                  "dst": pa.array(dst, pa.string()),
+        pa.table({"src": pa.array(src[keep], pa.string()),
+                  "dst": pa.array(dst[keep], pa.string()),
                   "kind": kind})
     )
 
@@ -466,8 +572,10 @@ KIND_PRIORITY = ["exact", "substr", "phash", "simhash", "minhash"]
 
 def dedupe_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Collapse duplicate (src, dst) across bands — keep the most-trusted
-    kind per KIND_PRIORITY. Vectorized partial-aggregating groupby; no
-    per-group Python."""
+    kind per KIND_PRIORITY. Vectorized partial-aggregating groupby on a
+    128-bit NUMERIC pair key (string-pair sort keys made the shuffle ~10x
+    slower); src/dst recovered via Min within the group (constant per group
+    — a 128-bit pair-hash collision is out of reach)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
@@ -475,11 +583,23 @@ def dedupe_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
 
     def to_prio(t: pa.Table) -> pa.Table:
         prio = pc.index_in(t["kind"], value_set=kindset).cast(pa.int64())
-        return pa.table({"src": t["src"], "dst": t["dst"], "prio": prio})
+        hs = H.hash_bytes_array(t["src"].combine_chunks().cast(pa.string()))
+        hd = H.hash_bytes_array(t["dst"].combine_chunks().cast(pa.string()))
+        h1 = H.hash_u64_pair(hs, hd)
+        h2 = H.hash_u64_pair(hd ^ H._MIX2, hs)
+        return pa.table({
+            "h1": pa.array(H.bitcast_u64_to_i64(h1), pa.int64()),
+            "h2": pa.array(H.bitcast_u64_to_i64(h2), pa.int64()),
+            "src": t["src"], "dst": t["dst"], "prio": prio,
+        })
 
     agg = edges.map_batches(to_prio, batch_format="pyarrow").groupby(
-        ["src", "dst"]
-    ).aggregate(Min("prio", alias_name="prio"))
+        ["h1", "h2"]
+    ).aggregate(
+        Min("prio", alias_name="prio"),
+        Min("src", alias_name="src"),
+        Min("dst", alias_name="dst"),
+    )
 
     def back(t: pa.Table) -> pa.Table:
         kind = pc.take(kindset, t["prio"].combine_chunks().cast(pa.int32()))

@@ -218,7 +218,9 @@ class WinnowFingerprints:
             return pa.table({"band": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64()),
                              "salt": pa.array([], pa.int64()),
-                             "image_id": pa.array([], pa.string())})
+                             "image_id": pa.array([], pa.string()),
+                             "ph": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64())})
         fp = np.concatenate(out_fp)
         doc = np.concatenate(out_doc)
         # dedupe (doc, fp)
@@ -231,6 +233,8 @@ class WinnowFingerprints:
                 "bucket": pa.array(H.bitcast_u64_to_i64(fp), pa.int64()),
                 "salt": pa.array(np.zeros(len(fp), np.int64)),
                 "image_id": pa.array(ids[doc], pa.string()),
+                "ph": pa.array(np.zeros(len(fp), np.int64)),
+                "sh": pa.array(np.zeros(len(fp), np.int64)),
             }
         )
 
