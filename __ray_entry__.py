@@ -45,11 +45,13 @@ def _img_fixture_query(sf_dir: str):
     from deduplication_ray.sources import fixtures, storage
 
     n = TINY_FIXTURE_ROWS
+    cfg = DedupConfig(num_partitions=8)
     fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
-    run_dir = f"/tmp/dedup_ray_imgrun_{FIXTURE_SEED}_{n}"
+    # run dir keyed by config hash: a DedupConfig change gets a fresh cache
+    # dir instead of colliding with checkpoints from an older config
+    run_dir = f"/tmp/dedup_ray_imgrun_{FIXTURE_SEED}_{n}_{cfg.config_hash()}"
     if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
         fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
-    cfg = DedupConfig(num_partitions=8)
     run_pipeline(f"{fix_dir}/data", run_dir, cfg)
     return storage.read_table(f"{run_dir}/clusters")
 

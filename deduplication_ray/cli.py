@@ -94,7 +94,8 @@ def main(argv: list[str] | None = None) -> int:
         ray = _session(args.num_cpus)
         from deduplication_ray.pipelines.image_dedup import run_pipeline
 
-        metrics = run_pipeline(args.input, args.out, _cfg_from_args(args))
+        metrics = run_pipeline(args.input, args.out, _cfg_from_args(args),
+                               strict_resume=(args.cmd == "resume"))
         print(json.dumps(metrics))
         ray.shutdown()
         return 0

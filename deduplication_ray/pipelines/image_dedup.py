@@ -121,17 +121,20 @@ def run_pipeline(
     run_dir: str,
     cfg: DedupConfig | None = None,
     input_ds: ray.data.Dataset | None = None,
+    strict_resume: bool = False,
 ) -> dict:
     """Execute (or resume) the full dedup DAG; returns stage metrics.
 
     Outputs under run_dir: signatures/ edges/ verified_edges/ labels_r{k}/
     clusters/ representatives/ assignments/ each with a lineage manifest.
+    ``strict_resume`` (the CLI ``resume`` verb) refuses stale-config
+    checkpoints; the default recomputes them.
     """
     cfg = cfg or DedupConfig()
     from deduplication_ray.stages.tuning import apply_context_tuning
 
     apply_context_tuning()
-    run = CheckpointedRun(run_dir, cfg)
+    run = CheckpointedRun(run_dir, cfg, strict_resume=strict_resume)
 
     def read_input() -> ray.data.Dataset:
         if input_ds is not None:

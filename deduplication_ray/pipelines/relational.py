@@ -75,9 +75,9 @@ def q1_pricing_summary(sf_dir: str):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= '1998-09-02'
@@ -124,7 +124,7 @@ def q_broadcast_join(sf_dir: str):
 
 Q_BROADCAST_JOIN_SQL = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_price_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -154,7 +154,7 @@ def q_top_revenue_orders(sf_dir: str):
 
 Q_TOP_REVENUE_ORDERS_SQL = """
 SELECT l_orderkey,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
        o_orderpriority
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_orderkey, o_orderpriority
@@ -201,7 +201,7 @@ def q_filter_agg(sf_dir: str):
 
 Q_FILTER_AGG_SQL = """
 SELECT l_returnflag, count(*) AS n,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
        max(l_quantity) AS max_qty
 FROM lineitem WHERE l_quantity > 45 GROUP BY l_returnflag
 """
@@ -259,7 +259,7 @@ def q_events_window(sf_dir: str):
 Q_EVENTS_WINDOW_SQL = """
 SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type, day
 """
 
@@ -347,8 +347,8 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
 Q_SESSIONIZE_SQL = """
 SELECT user_id, session_id, count(*) AS n_events FROM (
   SELECT user_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM (
     SELECT user_id, ts,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)

@@ -29,9 +29,14 @@ from deduplication_ray.sources import storage
 class CheckpointedRun:
     """Orchestrates stage execution with skip-if-complete semantics."""
 
-    def __init__(self, run_dir: str, cfg: DedupConfig):
+    def __init__(self, run_dir: str, cfg: DedupConfig, strict_resume: bool = False):
         self.run_dir = run_dir
         self.cfg = cfg
+        # strict_resume=True (the explicit CLI ``resume`` verb) refuses to
+        # touch checkpoints written under a different config — the R15 header
+        # re-validation analog. Default (fresh ``run``): a stale-config
+        # checkpoint is just a cache miss — wipe and recompute.
+        self.strict_resume = strict_resume
         os.makedirs(run_dir, exist_ok=True)
         self.skipped: list[str] = []   # stages resumed from checkpoint
         self.executed: list[str] = []  # stages computed this run
@@ -63,12 +68,14 @@ class CheckpointedRun:
 
         m = storage.read_manifest(sdir)
         if m is not None and m.get("config_hash") != self.cfg.config_hash():
-            raise RuntimeError(
-                f"checkpoint {sdir} was written under config "
-                f"{m.get('config_hash')}; current config is "
-                f"{self.cfg.config_hash()} — refusing to resume (delete the "
-                "run dir or use a fresh one)"
-            )
+            if self.strict_resume:
+                raise RuntimeError(
+                    f"checkpoint {sdir} was written under config "
+                    f"{m.get('config_hash')}; current config is "
+                    f"{self.cfg.config_hash()} — refusing to resume (delete "
+                    "the run dir or use a fresh one)"
+                )
+            # fresh-run semantics: stale-config checkpoint == cache miss
 
         if os.path.isdir(sdir):
             shutil.rmtree(sdir)  # partial output from a killed run
@@ -126,10 +133,15 @@ class CheckpointedRun:
         os.makedirs(sdir, exist_ok=True)
         m = storage.read_manifest(sdir) or {}
         if m and m.get("config_hash") not in (None, self.cfg.config_hash()):
-            raise RuntimeError(
-                f"checkpoint {sdir} was written under config "
-                f"{m.get('config_hash')}; refusing to resume"
-            )
+            if self.strict_resume:
+                raise RuntimeError(
+                    f"checkpoint {sdir} was written under config "
+                    f"{m.get('config_hash')}; refusing to resume"
+                )
+            # fresh-run semantics: every group was written under the old
+            # config — wipe the whole stage and recompute
+            shutil.rmtree(sdir)
+            os.makedirs(sdir, exist_ok=True)
         groups = [
             input_files[i : i + group_size]
             for i in range(0, len(input_files), group_size)

@@ -166,14 +166,29 @@ def test_resume_mid_signatures_shards(tiny_run, tiny_fixture, ray_session):
                                   resumed.reset_index(drop=True))
 
 
-def test_config_mismatch_refuses_resume(tiny_run, tiny_fixture, ray_session):
+def test_stale_config_strict_refuses_default_recomputes(tiny_run, tiny_fixture, ray_session):
+    """Explicit ``resume`` refuses checkpoints from a different config (the
+    R15 header re-validation analog); a default ``run`` treats them as a
+    cache miss and recomputes (round-1 driver regression: a DedupConfig
+    change must never wedge a cached /tmp run dir)."""
     from deduplication_ray.config import DedupConfig
     from deduplication_ray.pipelines import image_dedup
+    from tests.conftest import TINY_ROWS
 
     run_dir, cfg, _ = tiny_run
+    copy_dir = "/tmp/dedup_ray_test_staleconf"
+    shutil.rmtree(copy_dir, ignore_errors=True)
+    shutil.copytree(run_dir, copy_dir)
     other = DedupConfig(num_partitions=4, sig_concurrency=2, jaccard_tau=0.77)
     with pytest.raises(RuntimeError, match="refusing to resume"):
-        image_dedup.run_pipeline(f"{tiny_fixture}/data", run_dir, other)
+        image_dedup.run_pipeline(f"{tiny_fixture}/data", copy_dir, other,
+                                 strict_resume=True)
+    m = image_dedup.run_pipeline(f"{tiny_fixture}/data", copy_dir, other)
+    assert "signatures" in m["stages_executed"]
+    assert "clusters" in m["stages_executed"]
+    clusters = load_parquet_dir(f"{copy_dir}/clusters")
+    assert len(clusters) == TINY_ROWS
+    shutil.rmtree(copy_dir, ignore_errors=True)
 
 
 def test_adversary_cluster_intact(tiny_run):

@@ -68,23 +68,19 @@ def main() -> int:
         ok_rows = len(mine) == len(oracle)
         ok_cols = list(mine.columns) == list(oracle.columns)
         ok_vals = False
+        dtype_mismatch = []
         if ok_rows and ok_cols:
-            try:
-                om = oracle.copy()
-                for c in om.columns:  # align dtypes (int32 vs int64 etc.)
-                    if om[c].dtype != mine[c].dtype:
-                        try:
-                            om[c] = om[c].astype(mine[c].dtype)
-                        except (TypeError, ValueError):
-                            pass
-                ok_vals = mine.equals(om)
-                if not ok_vals:
-                    # tolerate float repr noise via hash of rounded values
-                    ok_vals = mine.round(9).equals(om.round(9)) if all(
-                        mine.dtypes == om.dtypes) else False
-            except Exception:
-                ok_vals = False
+            # DTYPE-STRICT, like the driver: its value hash distinguishes
+            # int64 from float64 (round-1 lesson: DuckDB sum()->HUGEINT->
+            # float64 via fetchdf failed 6 otherwise-identical queries).
+            dtype_mismatch = [
+                f"{c}: mine={mine[c].dtype} oracle={oracle[c].dtype}"
+                for c in mine.columns if mine[c].dtype != oracle[c].dtype
+            ]
+            ok_vals = not dtype_mismatch and mine.equals(oracle)
         status = "OK  " if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if dtype_mismatch:
+            print(f"  dtype mismatch: {dtype_mismatch}")
         if status == "FAIL":
             failures += 1
         print(f"{status} {name}: mine={len(mine)} oracle={len(oracle)} "
