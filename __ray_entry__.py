@@ -56,6 +56,17 @@ def _img_fixture_query(sf_dir: str):
     return storage.read_table(f"{run_dir}/clusters")
 
 
+def _nonempty_or_typed_table(ds):
+    """Dataset.to_pandas() on an EMPTY dataset yields a column-less frame,
+    which would fail the driver's schema compare; hand back a typed empty
+    Arrow table instead (the schema is known even at zero rows)."""
+    import pyarrow as pa
+
+    if ds.count() > 0:
+        return ds
+    return pa.Table.from_pylist([], schema=ds.schema().base_schema)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from deduplication_ray.pipelines import ann, docops, relational as R
 
@@ -86,7 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": docops.q_doc_langid,
         "doc_quality": docops.q_doc_quality,
         "doc_fingerprints": docops.q_doc_fingerprints,
-        "embedding_dup_pairs": lambda sf: ann.embedding_dup_pairs(sf),
+        "embedding_dup_pairs": lambda sf: _nonempty_or_typed_table(
+            ann.embedding_dup_pairs(sf)),
         "image_dedup_clusters": _img_fixture_query,
     }
 
@@ -110,8 +122,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": docops.Q_DOC_STATS_SQL,
         "charset_jaccard_pairs": docops.Q_CHARSET_JACCARD_SQL,
         "ann_topk": ann.ann_topk_sql(),
+        # exact cosine IS SQL-expressible: the semantic-dedup detector gets a
+        # full value-hash check (the LSH candidates + exact-cosine gate must
+        # reproduce the O(n^2) join exactly)
+        "embedding_dup_pairs": ann.EMBEDDING_DUP_PAIRS_SQL,
         # doc_lsh_dedup / doc_simhash_pairs / doc_langid / doc_quality /
-        # doc_fingerprints / embedding_dup_pairs / image_dedup_clusters:
+        # doc_fingerprints / image_dedup_clusters:
         # intentionally omitted — not ANSI-SQL-expressible (iterative
         # union-find, LSH banding, heuristic scoring); driver records the
         # weaker rows-only check for these.

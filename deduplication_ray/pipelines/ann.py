@@ -54,8 +54,8 @@ def brute_force_topk(
     the oracle hash compare is float-free.
 
     Broadcast-small-side pattern: queries via ray.put once; per batch ONE
-    (B x d) @ (d x Q) matmul; per-batch top-k partials unioned and reduced
-    on the driver (Q*k*num_blocks rows — tiny).
+    (B x d) @ (d x Q) matmul; per-batch top-k partials reduced by a
+    distributed groupby(q_id) — no driver-side materialization.
     """
     ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
 
@@ -88,15 +88,22 @@ def brute_force_topk(
             })
 
     partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
-                              batch_size=4096, concurrency=(1, 4)).to_pandas()
-    partials = partials[partials["q_id"] != partials["n_id"]]
-    partials = partials.sort_values(["q_id", "sim", "n_id"],
-                                    ascending=[True, False, True])
-    top = partials.groupby("q_id").head(k).copy()
-    top["rank"] = top.groupby("q_id").cumcount() + 1
-    return pa.Table.from_pandas(
-        top[["q_id", "n_id", "rank"]].reset_index(drop=True), preserve_index=False
-    )
+                              batch_size=4096, concurrency=(1, 4))
+    return _distributed_topk(partials, k)
+
+
+def _distributed_topk(partials: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Final top-k reduce IN the cluster: shuffle partials by q_id (bounded
+    at Q*k*num_blocks rows — tiny vs the corpus) and rank per group. No
+    driver-side pandas materialization."""
+
+    def final_topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g[g["q_id"] != g["n_id"]]
+        g = g.sort_values(["sim", "n_id"], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["q_id", "n_id", "rank"]]
+
+    return partials.groupby("q_id").map_groups(final_topk, batch_format="pandas")
 
 
 def ann_topk_sql(n_queries: int = 5, k: int = 5) -> str:
@@ -124,6 +131,7 @@ def lsh_topk(
     table: str = "embeddings",
     id_col: str = "vec_id",
     seed: int = 42,
+    with_recall: bool = True,
 ) -> "pa.Table":
     """LSH-bucketed approximate top-k — the scale path (SURVEY T-inventory
     'IVF/LSH-bucketed variant'): score ONLY corpus rows that share a SimHash
@@ -160,24 +168,37 @@ def lsh_topk(
                                  "sim": pa.array([], pa.float64())})
             cand = m64[hit]
             ids = t[id_col].to_numpy()[hit]
-            sims = cand @ qm.T
-            qq, nn = np.meshgrid(np.arange(len(q_ids)), np.arange(len(ids)))
+            sims = cand @ qm.T  # (C, Q)
+            # per-batch PARTIAL top-k: never ship more than (k+1) candidates
+            # per query out of a batch — bounds the shuffle at Q*(k+1) rows
+            # per block even when a bucket is adversarially hot
+            out_q, out_n, out_s = [], [], []
+            kk = min(k + 1, len(ids))
+            for qi in range(sims.shape[1]):
+                s = sims[:, qi]
+                part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+                out_q.append(np.full(len(part), q_ids[qi], dtype=np.int64))
+                out_n.append(ids[part])
+                out_s.append(s[part])
             return pa.table({
-                "q_id": q_ids[qq.ravel()],
-                "n_id": np.repeat(ids, len(q_ids)),
-                "sim": sims.ravel(),
+                "q_id": np.concatenate(out_q),
+                "n_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s).astype(np.float64),
             })
 
     partials = ds.map_batches(BucketTopK(), batch_format="pyarrow",
-                              batch_size=4096).to_pandas()
-    partials = partials[partials["q_id"] != partials["n_id"]]
-    partials = partials.sort_values(["q_id", "sim", "n_id"],
-                                    ascending=[True, False, True])
-    top = partials.groupby("q_id").head(k).copy()
-    top["rank"] = top.groupby("q_id").cumcount() + 1
-    return pa.Table.from_pandas(
-        top[["q_id", "n_id", "rank"]].reset_index(drop=True), preserve_index=False
-    )
+                              batch_size=4096)
+    out = _distributed_topk(partials, k)
+    if not with_recall:
+        return out
+    # recall vs the exact path, emitted as a column (constant per run): the
+    # approximate operator reports its own quality alongside its results
+    mine = out.to_pandas()  # Q*k rows — tiny final result
+    brute = brute_force_topk(sf_dir, n_queries, k, table, id_col).to_pandas()
+    bset = set(zip(brute["q_id"], brute["n_id"]))
+    hits = len(set(zip(mine["q_id"], mine["n_id"])) & bset)
+    mine["recall_vs_brute"] = round(hits / max(len(bset), 1), 4)
+    return pa.Table.from_pandas(mine.reset_index(drop=True), preserve_index=False)
 
 
 def embedding_dup_pairs(
@@ -238,17 +259,29 @@ def embedding_dup_pairs(
 
     def check(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"src": pa.array([], pa.string()),
-                             "dst": pa.array([], pa.string())})
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
         va = _unpack_f32(t["vec_src"])
         vb = _unpack_f32(t["vec_dst"])
         cos = (va * vb).sum(axis=1)
         keep = cos >= cos_min
         t = t.filter(pa.array(keep))
-        return pa.table({"src": t["src"], "dst": t["dst"]})
+        # integer (src,dst) with src < dst NUMERICALLY — the edge machinery
+        # ordered the string ids lexicographically, which differs for
+        # variable-width numerals, and the SQL oracle compares on ints
+        a = t["src"].cast(pa.int64()).to_numpy()
+        b = t["dst"].cast(pa.int64()).to_numpy()
+        return pa.table({"src": np.minimum(a, b), "dst": np.maximum(a, b)})
 
     attached = _v.attach_signatures(edges, sigs, cfg, cols=["vec"])
     return attached.map_batches(check, batch_format="pyarrow")
+
+
+EMBEDDING_DUP_PAIRS_SQL = """
+SELECT a.vec_id AS src, b.vec_id AS dst
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+"""
 
 
 def _unpack_f32(col) -> np.ndarray:
