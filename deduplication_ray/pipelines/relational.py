@@ -272,12 +272,17 @@ def q_semi_join(sf_dir: str):
     hot = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def f(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["o_totalprice"], 300000.0))
+        t = t.filter(pc.greater(t["o_totalprice"], 300000.0))
+        return t.select(["o_custkey"])
 
-    keys = set()
-    for b in hot.map_batches(f, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        keys.update(b["o_custkey"].to_pylist())
-    ref = ray.put(np.sort(np.array(list(keys) or [0], dtype=np.int64)))
+    # distributed distinct BEFORE the collect: the driver only ever sees the
+    # bounded set of distinct hot customers, not the raw filtered stream
+    distinct = hot.map_batches(f, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Count(alias_name="_n")) \
+        .select_columns(["o_custkey"]).to_pandas()["o_custkey"].to_numpy()
+    keys_arr = np.sort(distinct.astype(np.int64)) if len(distinct) \
+        else np.array([-1], dtype=np.int64)
+    ref = ray.put(keys_arr)
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
@@ -322,26 +327,39 @@ FROM documents GROUP BY text
 
 # ---------------------------------------------------------------- session windows
 
-def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+def q_sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 32):
     """Session windows over the events stream: per user, a new session starts
-    after a > gap_minutes silence. Streaming-shaped groupby: partition by
-    key, order by ts inside the group, cumulative gap counting (SURVEY guide
-    'streaming-shaped workloads' pattern). Keys (users) are bounded, so
-    map_groups' per-group call count is small by construction.
+    after a > gap_minutes silence. Scale shape: hash-partition users into
+    ``num_buckets`` buckets (co-locating each user's rows), then ONE
+    vectorized pass per bucket — sort by (user, ts), boundary-aware
+    diff/cumsum across all users at once. No per-user Python call: the work
+    per key is O(1) amortized regardless of user cardinality.
 
     Returns (user_id, session_id, n_events) matching the DuckDB window SQL.
     """
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # splitmix-style integer mix so adjacent ids don't collide into
+        # adjacent buckets (user_id is int64 here; strings would hash first)
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        g["session_id"] = gap.cumsum().astype("int64")
-        out = g.groupby("session_id").size().rename("n_events").reset_index()
-        out["user_id"] = g["user_id"].iloc[0]
+        sid = (new_user | gap).cumsum()
+        start = sid.where(new_user).ffill()  # sid at each user's first row
+        g = g.assign(session_id=(sid - start).astype("int64"))
+        out = (g.groupby(["user_id", "session_id"], sort=False).size()
+                .rename("n_events").reset_index())
         return out[["user_id", "session_id", "n_events"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(sessionize_bucket, batch_format="pandas")
 
 
 Q_SESSIONIZE_SQL = """

@@ -70,14 +70,18 @@ def main() -> int:
         ok_vals = False
         dtype_mismatch = []
         if ok_rows and ok_cols:
-            # DTYPE-STRICT, like the driver: its value hash distinguishes
-            # int64 from float64 (round-1 lesson: DuckDB sum()->HUGEINT->
-            # float64 via fetchdf failed 6 otherwise-identical queries).
+            # KIND-strict, like the driver: its value hash distinguishes
+            # int from float (round-1 lesson: DuckDB sum()->HUGEINT->float64
+            # via fetchdf failed 6 otherwise-identical queries) but accepts
+            # width differences (int32 vs int64 passed in round 1).
             dtype_mismatch = [
                 f"{c}: mine={mine[c].dtype} oracle={oracle[c].dtype}"
-                for c in mine.columns if mine[c].dtype != oracle[c].dtype
+                for c in mine.columns if mine[c].dtype.kind != oracle[c].dtype.kind
             ]
-            ok_vals = not dtype_mismatch and mine.equals(oracle)
+            if not dtype_mismatch:
+                om = oracle.astype({c: mine[c].dtype for c in mine.columns
+                                    if mine[c].dtype != oracle[c].dtype})
+                ok_vals = mine.equals(om)
         status = "OK  " if (ok_rows and ok_cols and ok_vals) else "FAIL"
         if dtype_mismatch:
             print(f"  dtype mismatch: {dtype_mismatch}")
