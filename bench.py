@@ -33,6 +33,54 @@ def _img_fixture_dir() -> str:
     return f"/tmp/dedup_ray_benchfix_{SEED}_{IMG_ROWS}"
 
 
+class PeakRssSampler:
+    """Samples the summed RSS of this driver + every local Ray worker
+    (``ray::`` processes in /proc) — the single-node analog of the reference
+    protocol's ``/usr/bin/time -v`` max_rss_kb scrape
+    (``/root/reference/scripts/encode_bench.sh:67-80``)."""
+
+    def __init__(self, interval: float = 0.5):
+        import threading
+
+        self.peak_kb = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, args=(interval,), daemon=True)
+
+    def _total_kb(self) -> int:
+        total = 0
+        me = str(os.getpid())
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+                if pid != me and b"ray::" not in cmd and b"raylet" not in cmd:
+                    continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            total += int(line.split()[1])
+                            break
+            except OSError:
+                continue
+        return total
+
+    def _run(self, interval: float) -> None:
+        while not self._stop.is_set():
+            self.peak_kb = max(self.peak_kb, self._total_kb())
+            self._stop.wait(interval)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+        return False
+
+
 def ensure_fixture() -> str:
     """Generate (once, cached) the bench image fixture. NOT timed."""
     from deduplication_ray.sources import fixtures, storage
@@ -76,10 +124,12 @@ def run_bench() -> dict:
         num_partitions=max(8, NUM_CPUS),
         sig_concurrency=(1, max(2, NUM_CPUS - 2)),
     )
-    t0 = time.time()
-    image_dedup.run_pipeline(f"{fix}/data", run_dir, cfg)
-    img_sec = time.time() - t0
+    with PeakRssSampler() as rss:
+        t0 = time.time()
+        image_dedup.run_pipeline(f"{fix}/data", run_dir, cfg)
+        img_sec = time.time() - t0
     queries["image_dedup"] = round(img_sec, 2)
+    peak_rss_mb = round(rss.peak_kb / 1024, 1)
 
     for name, fn in [
         ("q1_pricing_summary", relational.q1_pricing_summary),
@@ -104,6 +154,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "img_rows": IMG_ROWS,
         "images_per_sec": round(IMG_ROWS / img_sec, 1),
+        "peak_rss_mb": peak_rss_mb,
     }
     ray.shutdown()
     return out
@@ -142,6 +193,8 @@ def run_scaling() -> dict:
         "img_rows": IMG_ROWS,
         "total_sec_8": r_lo["value"],
         "total_sec_32": r_hi["value"],
+        "peak_rss_mb_8": r_lo.get("peak_rss_mb"),
+        "peak_rss_mb_32": r_hi.get("peak_rss_mb"),
     }
 
 

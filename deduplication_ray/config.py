@@ -62,7 +62,7 @@ class DedupConfig:
     broadcast_limit: int = 1_000_000  # lookup rows <= this -> broadcast join
                                       # (ray.put + per-batch merge); above ->
                                       # hash-partitioned Dataset.join
-    local_pairs_limit: int = 8_000_000  # tagged multi-bucket rows <= this ->
+    local_pairs_limit: int = 200_000  # tagged multi-bucket rows <= this ->
                                         # single-pass local pairing; above ->
                                         # distributed pairing path
 

@@ -79,7 +79,14 @@ def build_edges(
     edges = lsh.edges_from_buckets(buckets, cfg).union(lsh.exact_edges(signatures, cfg))
     for e in extra:
         edges = edges.union(e)
-    return lsh.dedupe_edges(edges)
+    deduped = lsh.dedupe_edges(edges)
+    if input_ds is not None:
+        from deduplication_ray.stages.substring import split_and_verify_substring
+
+        # winnow minimizers prove only a k-char overlap; verify candidates
+        # by exact L-gram intersection before they count as 'substr'
+        deduped = split_and_verify_substring(deduped, input_ds, cfg)
+    return deduped
 
 
 def verify_candidates(
@@ -164,12 +171,14 @@ def run_pipeline(
             return input_ds.select_columns(["image_id", "caption"])
         return storage.read_table(input_path, columns=["image_id", "caption"])
 
-    edges = run.run_stage(
-        "edges", lambda: build_edges(sigs, cfg, read_captions()), ["signatures"]
-    )
-
+    # edges are built AND verified inside one checkpoint stage: the raw
+    # candidate stream is transient (only verified survivors are worth a
+    # checkpoint write), which drops one full materialize+write+re-read
+    # barrier from every run
     vedges = run.run_stage(
-        "verified_edges", lambda: verify_candidates(edges, sigs, cfg), ["edges"]
+        "verified_edges",
+        lambda: verify_candidates(build_edges(sigs, cfg, read_captions()), sigs, cfg),
+        ["signatures"],
     )
 
     # --- union-find with per-round checkpoints (mid-shuffle resume) ---
@@ -209,10 +218,24 @@ def run_pipeline(
     # representatives: one row per cluster (min image_id IS the cluster_id) —
     # semi-join the full input on cluster_id == image_id (R12 analog)
     def reps() -> ray.data.Dataset:
+        from deduplication_ray.functions import hashing as H
+        from deduplication_ray.stages.groupred import hash_grouped_reduce
         from deduplication_ray.stages.join import lookup_join
 
-        reps_ids = clusters.groupby("cluster_id").aggregate(
-            Count(alias_name="cluster_size")
+        def red(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            out = df.groupby("cluster_id", sort=False).size() \
+                .rename("cluster_size").reset_index()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        # group-per-row cardinality (mostly singleton clusters): hash-
+        # partitioned vectorized reduce, not Ray aggregate
+        reps_ids = hash_grouped_reduce(
+            clusters.select_columns(["cluster_id"]),
+            lambda t: H.hash_bytes_array(
+                t["cluster_id"].combine_chunks().cast(pa.string())),
+            red,
+            cfg.num_partitions,
         ).rename_columns({"cluster_id": "image_id"})
         full = read_input()
         return lookup_join(full, reps_ids, on=["image_id"], cfg=cfg)
@@ -226,7 +249,7 @@ def run_pipeline(
         "stage_seconds": run.timings,
         "rows": {
             s: (storage.read_manifest(run.stage_dir(s)) or {}).get("rows")
-            for s in ("signatures", "edges", "verified_edges", "clusters", "representatives")
+            for s in ("signatures", "verified_edges", "clusters", "representatives")
         },
     }
     storage.write_manifest(run.run_dir, {"stage": "run", "complete": True,

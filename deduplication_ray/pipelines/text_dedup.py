@@ -69,7 +69,14 @@ def text_dedup_clusters(
     )
     for e in extra:
         edges = edges.union(e)
-    edges = lsh.dedupe_edges(edges).materialize()
+    edges = lsh.dedupe_edges(edges)
+    if with_substring:
+        from deduplication_ray.stages.substring import split_and_verify_substring
+
+        # winnow minimizers prove only a k-char overlap; verify candidates
+        # by exact L-gram intersection before they count as 'substr'
+        edges = split_and_verify_substring(edges, ds, cfg, id_col, text_col)
+    edges = edges.materialize()
 
     attached = verify.attach_signatures(edges, sigs, cfg, cols=["minhash"])
     vedges = verify.verify_edges(attached, cfg, has_pixels=False).materialize()

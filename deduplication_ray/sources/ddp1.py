@@ -144,10 +144,16 @@ def dedup_encode(
                 "id": self.ids[pos],
             })
 
+    # DISTRIBUTED sort by stream position, then stream the id sequence out
+    # in order — the driver never materializes the assignment table, it only
+    # concatenates already-sorted id batches (4 bytes/block) for the
+    # sequential container write
     assigned = ds.map_batches(AttachIds, batch_format="pyarrow",
-                              concurrency=(1, 4)).to_pandas()
-    assigned = assigned.sort_values("block_idx")
-    block_ids = assigned["id"].to_numpy()
+                              concurrency=(1, 4)).sort("block_idx")
+    parts = [b["id"].to_numpy()
+             for b in assigned.iter_batches(batch_format="pyarrow")]
+    block_ids = (np.concatenate(parts) if parts
+                 else np.empty(0, dtype=np.int64))
     dict_block_idx = fdf["first_idx"].to_numpy()
     return dict_block_idx, block_ids
 

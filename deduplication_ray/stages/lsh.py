@@ -183,7 +183,7 @@ def _kind_column(band_arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     b = band_arr.combine_chunks() if isinstance(band_arr, pa.ChunkedArray) else band_arr
     return pc.if_else(
         pc.greater_equal(b, BAND_SUBSTR),
-        pa.scalar("substr"),
+        pa.scalar("substr_cand"),
         pc.if_else(
             pc.greater_equal(b, BAND_SIMHASH),
             pa.scalar("simhash"),
@@ -225,16 +225,17 @@ def multi_bucket_arrays(stats: ray.data.Dataset):
 
 
 def multi_bucket_arrays_fast(buckets: ray.data.Dataset, cfg: DedupConfig):
-    """(sorted composite u64 keys, counts) of multi-member buckets via
-    per-block partial counting (np.unique inside map_batches) + driver merge.
+    """(sorted composite u64 keys, counts) of multi-member buckets.
 
-    The partial stream size is bounded by the number of DISTINCT buckets per
-    block — each key crosses the wire once per block, pre-counted. This is
-    the sketch-style 'pre-aggregate inside map_batches, merge small partials'
-    pattern; measured 24s -> ~3s vs the sort-shuffle groupby at 3.7M bucket
-    rows. Falls back to the distributed groupby path when the merged partial
-    stream would exceed the broadcast limit.
+    Plan: per-block partial counting (np.unique inside map_batches — each
+    distinct key crosses the wire once per block, pre-counted) -> distributed
+    hash-partitioned merge (``hash_grouped_reduce``: sort + reduceat once per
+    partition; Ray's own aggregate costs ~10us per distinct group, 26s at
+    2.8M groups) -> ``n >= 2`` filter INSIDE the merge. The driver only ever
+    collects the multi-member keys — bounded by the true duplicate-candidate
+    bucket count, a minuscule fraction of the bucket stream.
     """
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
 
     def partial(t: pa.Table) -> pa.Table:
         comp = H.hash_u64_pair(
@@ -246,27 +247,35 @@ def multi_bucket_arrays_fast(buckets: ray.data.Dataset, cfg: DedupConfig):
             "n": pa.array(cnt.astype(np.int64)),
         })
 
+    def merge(t: pa.Table) -> pa.Table:
+        comp = t["comp"].to_numpy().view(np.uint64)
+        ns = t["n"].to_numpy()
+        order = np.argsort(comp, kind="stable")
+        comp, ns = comp[order], ns[order]
+        starts = np.nonzero(np.concatenate([[True], comp[1:] != comp[:-1]]))[0]
+        totals = np.add.reduceat(ns, starts)
+        keep = totals >= 2
+        return pa.table({
+            "comp": pa.array(H.bitcast_u64_to_i64(comp[starts][keep]), pa.int64()),
+            "n": pa.array(totals[keep].astype(np.int64)),
+        })
+
+    partials = buckets.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None, zero_copy_batch=True)
+    multi = hash_grouped_reduce(
+        partials, lambda t: t["comp"].to_numpy().view(np.uint64), merge,
+        cfg.num_partitions * 2,
+    )
     comps_l, ns_l = [], []
-    total = 0
-    for b in buckets.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for b in multi.iter_batches(batch_format="pyarrow", batch_size=None):
         comps_l.append(b["comp"].to_numpy())
         ns_l.append(b["n"].to_numpy())
-        total += len(comps_l[-1])
-        if total > 50_000_000:  # ~800MB of partials: beyond this, merge
-            return None         # distributed (caller falls back)
     if not comps_l:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     comp = np.concatenate(comps_l).view(np.uint64)
-    ns = np.concatenate(ns_l)
+    ns = np.concatenate(ns_l).astype(np.int64)
     order = np.argsort(comp, kind="stable")
-    comp, ns = comp[order], ns[order]
-    starts = np.nonzero(np.concatenate([[True], comp[1:] != comp[:-1]]))[0]
-    totals = np.add.reduceat(ns, starts)
-    keys = comp[starts]
-    multi = totals >= 2
-    return keys[multi], totals[multi].astype(np.int64)
+    return comp[order], ns[order]
 
 
 class _KeyTagger:
@@ -309,60 +318,6 @@ class _KeyTagger:
         )
 
 
-def _self_pairs(tbl: ray.data.Dataset, on: list[str], cfg: DedupConfig) -> ray.data.Dataset:
-    """All (src<dst) pairs per key group via broadcast self-merge.
-
-    The table has already been filtered to multi-member buckets, so it is
-    small; per-bucket fanout is bounded by cap^2 (salting contract)."""
-    from deduplication_ray.stages.join import lookup_join
-
-    has_px = "ph" in tbl.schema().names
-    right_cols = [*on, "image_id"] + (["ph", "sh"] if has_px else [])
-    ren = {"image_id": "image_id_r", "ph": "ph_r", "sh": "sh_r"}
-    right = tbl.select_columns(right_cols).rename_columns(
-        {k: v for k, v in ren.items() if k in right_cols}
-    ).materialize()
-    joined = lookup_join(tbl, right, on=on, cfg=cfg)
-
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = t.filter(pc.less(t["image_id"], t["image_id_r"]))
-        if t.num_rows and "ph_r" in t.column_names:
-            keep = _pixel_pair_keep(
-                t["band"].to_numpy(), t["ph"].to_numpy(), t["ph_r"].to_numpy(),
-                t["sh"].to_numpy(), t["sh_r"].to_numpy(), cfg)
-            t = t.filter(pa.array(keep))
-        return pa.table(
-            {"src": t["image_id"], "dst": t["image_id_r"], "kind": _kind_column(t["band"])}
-        )
-
-    return joined.map_batches(finish, batch_format="pyarrow")
-
-
-def _star_edges(buckets: ray.data.Dataset, group_keys: list[str], cfg: DedupConfig) -> ray.data.Dataset:
-    """Min-id star edges per group: min-aggregate + broadcast join-back.
-
-    NO map_groups anywhere — per-group Python calls over millions of mostly-
-    singleton buckets would dominate wall time (and wouldn't scale)."""
-    from ray.data.aggregate import Min
-
-    from deduplication_ray.stages.join import lookup_join
-
-    mins = buckets.groupby(group_keys).aggregate(Min("image_id", alias_name="src"))
-    joined = lookup_join(buckets, mins, on=group_keys, cfg=cfg)
-
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = t.filter(pc.invert(pc.equal(t["image_id"], t["src"])))
-        return pa.table(
-            {"src": t["src"], "dst": t["image_id"], "kind": _kind_column(t["band"])}
-        )
-
-    return joined.map_batches(finish, batch_format="pyarrow")
-
-
 def candidate_edges(
     signatures: ray.data.Dataset, cfg: DedupConfig
 ) -> ray.data.Dataset:
@@ -381,21 +336,17 @@ def edges_from_buckets(
     Plan: bucket counts (partial-agg groupby, the one unavoidable shuffle over
     the full bucket stream) -> multi-member bucket map broadcast -> one
     tagging pass DROPS singleton-bucket rows (the vast majority) and salts
-    hot buckets so no group exceeds ~cap rows. What survives is tiny:
-    cold multi buckets all-pair via broadcast self-merge; hot sub-buckets get
-    star edges to their min plus an ambassador all-pairs over sub-minima that
-    re-links the salt shards. Zero map_groups; zero Dataset.join below the
-    broadcast limit (above it, lookup_join falls back to hash joins).
+    hot buckets so no group exceeds ~cap rows. What survives is tiny: the
+    vectorized pairing kernel (cold all-pairs, hot sub-bucket stars +
+    ambassador re-link) runs driver-local when small, else sharded by
+    bucket hash across the cluster. Zero per-group map_groups calls over
+    singleton buckets; the only full-stream shuffle is the stats groupby.
     """
     from deduplication_ray.stages.tuning import apply_context_tuning, ensure_blocks
 
     apply_context_tuning()
     buckets = ensure_blocks(buckets, cfg.num_partitions).materialize()
-    fast = multi_bucket_arrays_fast(buckets, cfg)
-    if fast is not None:
-        keys, counts = fast
-    else:  # partial stream too large for the driver: distributed groupby
-        keys, _bands, _bks, counts = multi_bucket_arrays(bucket_stats(buckets))
+    keys, counts = multi_bucket_arrays_fast(buckets, cfg)
     if len(keys) == 0:
         return _empty_edge_ds()
 
@@ -405,50 +356,68 @@ def edges_from_buckets(
     ).materialize()
 
     # size dispatch: a small tagged set (dup candidates only) pairs faster in
-    # one local pandas pass than through ~8 distributed barriers; above the
-    # limit the distributed path below runs (broadcast merges / hash joins)
+    # one driver-local numpy pass than through distributed barriers; above
+    # the limit, the SAME kernel runs sharded by bucket hash across the
+    # cluster (no driver serial section — the scale path)
+    # NOT deduped here: callers union edge families first, then dedupe once
     if tagged.count() <= cfg.local_pairs_limit:
         return _edges_from_tagged_local(tagged, cfg)
-
-    import pyarrow.compute as pc_
-
-    cold = tagged.map_batches(
-        lambda t: t.filter(pc_.equal(t["salt"], -1)), batch_format="pyarrow"
-    ).materialize()
-    edges = _self_pairs(cold, ["band", "bucket"], cfg)
-
-    if bool((counts > cfg.bucket_cap).any()):
-        hot_rows = tagged.map_batches(
-            lambda t: t.filter(pc_.greater_equal(t["salt"], 0)), batch_format="pyarrow"
-        ).materialize()
-        star = _star_edges(hot_rows, ["band", "bucket", "salt"], cfg)
-
-        from ray.data.aggregate import Min
-
-        sub_min = hot_rows.groupby(["band", "bucket", "salt"]).aggregate(
-            Min("image_id", alias_name="image_id")
-        )
-        amb = _self_pairs(sub_min.materialize(), ["band", "bucket"], cfg)
-        edges = edges.union(star).union(amb)
-
-    # NOT deduped here: callers union edge families first, then dedupe once
-    return edges
+    return _edges_from_tagged_partitioned(tagged, cfg)
 
 
 def _edges_from_tagged_local(tagged: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
-    """Local pairing over the tagged multi-bucket rows: identical semantics
-    to the distributed path — cold all-pairs (with emission-time pixel
-    Hamming filtering), hot sub-bucket stars + ambassador all-pairs — in
-    pure numpy. No pandas merge: at 16-bit pixel-band saturation the raw
-    pair product is O(n^2/65k) (~90M at 150k rows); generating pair INDEX
-    arrays per bucket-size class and filtering immediately keeps memory at
-    a few pair-chunks instead of a materialized 90M-row join product."""
+    """Driver-local pairing for SMALL tagged sets (below
+    ``cfg.local_pairs_limit``): one numpy pass beats distributed-barrier
+    latency when the candidate set is tiny. Large sets go through
+    ``_edges_from_tagged_partitioned`` — same kernel, sharded by bucket."""
     tbl = (pa.concat_tables(list(tagged.iter_batches(batch_format="pyarrow")),
                             promote_options="default")
            if tagged.count() else None)
     if tbl is None or tbl.num_rows == 0:
         return _empty_edge_ds()
+    return ray.data.from_arrow(_pair_tagged_table(tbl, cfg))
 
+
+def _edges_from_tagged_partitioned(
+    tagged: ray.data.Dataset, cfg: DedupConfig
+) -> ray.data.Dataset:
+    """Distributed pairing: hash-partition tagged rows by their (band,
+    bucket) composite so every bucket (and its salted sub-buckets +
+    ambassadors) lands wholly in one partition, then run the vectorized
+    numpy pairing kernel once per partition via groupby().map_groups —
+    P vectorized calls total, no driver-side serial section. This is the
+    scale path: work per partition is bounded by |tagged|/P with per-bucket
+    fanout capped by the salting contract (~cap^2)."""
+    n_parts = max(cfg.num_partitions * 4, 8)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        comp = H.hash_u64_pair(
+            t["band"].to_numpy().view(np.uint64),
+            t["bucket"].to_numpy().view(np.uint64),
+        )
+        return t.append_column(
+            "part", pa.array((comp % np.uint64(n_parts)).astype(np.int64)))
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        return _pair_tagged_table(t, cfg)
+
+    return tagged.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(pair_part, batch_format="pyarrow")
+
+
+def _pair_tagged_table(tbl: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """Vectorized pairing kernel over tagged multi-bucket rows — identical
+    semantics to the reference DAG: cold-bucket all-pairs (with
+    emission-time pixel Hamming filtering), hot sub-bucket stars +
+    ambassador all-pairs re-linking the salt shards. Pure numpy. No pandas
+    merge: at 16-bit pixel-band saturation the raw pair product is
+    O(n^2/65k) (~90M at 150k rows); generating pair INDEX arrays per
+    bucket-size class and filtering immediately keeps memory at a few
+    pair-chunks instead of a materialized 90M-row join product."""
+    if tbl.num_rows == 0:
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "kind": pa.array([], pa.string())})
     band = tbl["band"].to_numpy()
     bucket = tbl["bucket"].to_numpy()
     salt = tbl["salt"].to_numpy()
@@ -526,7 +495,9 @@ def _edges_from_tagged_local(tagged: ray.data.Dataset, cfg: DedupConfig) -> ray.
         pair_groups(sel, comp, "allpairs")
 
     if not out_src:
-        return _empty_edge_ds()
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "kind": pa.array([], pa.string())})
     src = np.concatenate(out_src)
     dst = np.concatenate(out_dst)
     bands = np.concatenate(out_band).astype(np.int64)
@@ -543,17 +514,20 @@ def _edges_from_tagged_local(tagged: ray.data.Dataset, cfg: DedupConfig) -> ray.
     )
     hs = H.hash_bytes_array(pa.array(src, pa.string()))
     hd_ = H.hash_bytes_array(pa.array(dst, pa.string()))
+    # 128-bit pair key (two independent 64-bit mixes), matching dedupe_edges:
+    # a single 64-bit key has ~0.2 expected collisions at the 90M-pair scale
+    # this path sees, and a collision silently drops a distinct edge
     pair_h = H.hash_u64_pair(hs, hd_)
-    order = np.lexsort((prio_of_band, pair_h))
-    ph_sorted = pair_h[order]
-    first = np.concatenate([[True], ph_sorted[1:] != ph_sorted[:-1]])
+    pair_h2 = H.hash_u64_pair(hd_ ^ H._MIX2, hs)
+    order = np.lexsort((prio_of_band, pair_h2, pair_h))
+    h1s, h2s = pair_h[order], pair_h2[order]
+    first = np.concatenate(
+        [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
     keep = order[first]
     kind = _kind_column(pa.array(bands[keep]))
-    return ray.data.from_arrow(
-        pa.table({"src": pa.array(src[keep], pa.string()),
-                  "dst": pa.array(dst[keep], pa.string()),
-                  "kind": kind})
-    )
+    return pa.table({"src": pa.array(src[keep], pa.string()),
+                     "dst": pa.array(dst[keep], pa.string()),
+                     "kind": kind})
 
 
 def _empty_edge_ds() -> ray.data.Dataset:
@@ -566,18 +540,23 @@ def _empty_edge_ds() -> ray.data.Dataset:
 
 # trust order for duplicate (src,dst) edges found by several detectors:
 # trusted-by-construction kinds first, so verification never downgrades a
-# pair that an exact detector already proved.
-KIND_PRIORITY = ["exact", "substr", "phash", "simhash", "minhash"]
+# pair that an exact detector already proved. 'substr_cand' (winnowing
+# minimizer rendezvous, proves only a k-char overlap) ranks LAST so any
+# other detection of the same pair wins; pure candidates get an exact
+# L-gram verification pass before they can become 'substr'.
+KIND_PRIORITY = ["exact", "substr", "phash", "simhash", "minhash", "substr_cand"]
 
 
-def dedupe_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+def dedupe_edges(edges: ray.data.Dataset, num_parts: int = 64) -> ray.data.Dataset:
     """Collapse duplicate (src, dst) across bands — keep the most-trusted
-    kind per KIND_PRIORITY. Vectorized partial-aggregating groupby on a
-    128-bit NUMERIC pair key (string-pair sort keys made the shuffle ~10x
-    slower); src/dst recovered via Min within the group (constant per group
-    — a 128-bit pair-hash collision is out of reach)."""
+    kind per KIND_PRIORITY. Hash-partitioned on a 128-bit NUMERIC pair key
+    (string-pair sort keys made the shuffle ~10x slower; a 64-bit key
+    silently drops edges on collision), reduced by ONE vectorized
+    lexsort-unique per partition (``hash_grouped_reduce`` — Ray's aggregate
+    pays per-distinct-group costs that dominate at group-per-row keys)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
+
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
 
     kindset = pa.array(KIND_PRIORITY)
 
@@ -593,19 +572,22 @@ def dedupe_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
             "src": t["src"], "dst": t["dst"], "prio": prio,
         })
 
-    agg = edges.map_batches(to_prio, batch_format="pyarrow").groupby(
-        ["h1", "h2"]
-    ).aggregate(
-        Min("prio", alias_name="prio"),
-        Min("src", alias_name="src"),
-        Min("dst", alias_name="dst"),
-    )
+    def red(t: pa.Table) -> pa.Table:
+        h1 = t["h1"].to_numpy()
+        h2 = t["h2"].to_numpy()
+        prio = t["prio"].to_numpy()
+        order = np.lexsort((prio, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.concatenate(
+            [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
+        keep = order[first]
+        out = t.take(pa.array(keep))
+        kind = pc.take(kindset, out["prio"].combine_chunks().cast(pa.int32()))
+        return pa.table({"src": out["src"], "dst": out["dst"], "kind": kind})
 
-    def back(t: pa.Table) -> pa.Table:
-        kind = pc.take(kindset, t["prio"].combine_chunks().cast(pa.int32()))
-        return pa.table({"src": t["src"], "dst": t["dst"], "kind": kind})
-
-    return agg.map_batches(back, batch_format="pyarrow")
+    keyed = edges.map_batches(to_prio, batch_format="pyarrow", batch_size=None)
+    return hash_grouped_reduce(
+        keyed, lambda t: t["h1"].to_numpy().view(np.uint64), red, num_parts)
 
 
 def exact_edges(
@@ -619,9 +601,7 @@ def exact_edges(
     key makes payload re-verification unnecessary. Vectorized min-aggregate +
     join-back.
     """
-    import pyarrow.compute as pc_
-    from ray.data.aggregate import Count, Min
-
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
     from deduplication_ray.stages.join import lookup_join
     from deduplication_ray.stages.tuning import apply_context_tuning, ensure_blocks
 
@@ -629,14 +609,24 @@ def exact_edges(
     lean = ensure_blocks(
         signatures.select_columns([*key, "image_id"]), cfg.num_partitions
     ).materialize()
-    groups = lean.groupby(list(key)).aggregate(
-        Min("image_id", alias_name="src"), Count(alias_name="_n")
-    )
-    # only duplicated keys matter — the lookup side shrinks to actual dups
-    mins = groups.map_batches(
-        lambda t: t.filter(pc_.greater_equal(t["_n"], 2)).select([*key, "src"]),
-        batch_format="pyarrow",
-    )
+
+    # group-per-row key cardinality: hash-partitioned vectorized reduce, not
+    # Ray aggregate (per-distinct-group cost). Only duplicated keys survive —
+    # the lookup side shrinks to actual dups.
+    def red(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(list(key), sort=False)["image_id"] \
+            .agg(src="min", _n="size").reset_index()
+        g = g[g["_n"] >= 2]
+        return pa.Table.from_pandas(g[[*key, "src"]], preserve_index=False)
+
+    def key_hash(t: pa.Table) -> np.ndarray:
+        h = t[key[0]].to_numpy().view(np.uint64)
+        for k in key[1:]:
+            h = H.hash_u64_pair(h, t[k].to_numpy().view(np.uint64))
+        return h
+
+    mins = hash_grouped_reduce(lean, key_hash, red, cfg.num_partitions)
     joined = lookup_join(lean, mins, on=list(key), cfg=cfg)
 
     def finish(t: pa.Table) -> pa.Table:

@@ -177,9 +177,17 @@ class WinnowFingerprints:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         L, w = cfg.substring_min_len, cfg.winnow_window
+        # gram length k = L - w + 1 so the winnowing guarantee (shared
+        # substring >= k + w - 1 yields a shared minimizer) covers EXACTLY
+        # >= L — with k = L the guarantee was only >= L + w - 1, silently
+        # missing shared substrings of L..L+w-2 chars spanning partitions.
+        # A shared k-gram minimizer proves only a k-char overlap, so these
+        # edges are emitted as kind='substr_cand' and verified exactly
+        # (L-gram intersection) in verify_substring_candidates.
+        k = max(L - w + 1, 1)
         cap = normalize_captions(batch[self.text_col])
         ids = batch[self.id_col].cast(pa.string()).to_pandas().to_numpy()
-        grams, offs = H.shingle_window_hashes(cap, L)
+        grams, offs = H.shingle_window_hashes(cap, k)
         n_docs = len(offs) - 1
         counts = offs[1:] - offs[:-1]
 
@@ -271,6 +279,78 @@ def winnow_buckets(
     )
 
 
+def verify_substring_candidates(
+    cand_edges: ray.data.Dataset,
+    captions_ds: ray.data.Dataset,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> ray.data.Dataset:
+    """'substr_cand' edges -> exactly-verified (kind='substr') edges.
+
+    Sharing a substring of >= L chars is EQUIVALENT to sharing at least one
+    L-gram, so the check attaches both captions (size-dispatched joins) and
+    intersects the pairs' L-gram rolling-hash sets — one global vectorized
+    np.intersect1d over (pair_idx, gram) composite keys per batch, no
+    per-pair Python loop. u64 hash equality stands in for string equality
+    (same collision standard as the rest of the engine)."""
+    from deduplication_ray.stages.join import lookup_join
+
+    L = cfg.substring_min_len
+    lean = captions_ds.select_columns([id_col, text_col])
+
+    def proj(key: str, cap: str):
+        # map_batches(pyarrow) also coerces pandas-block datasets to Arrow
+        return lambda t: pa.table({key: t[id_col].cast(pa.string()),
+                                   cap: t[text_col]})
+
+    src_side = lean.map_batches(proj("src", "cap_src"), batch_format="pyarrow")
+    dst_side = lean.map_batches(proj("dst", "cap_dst"), batch_format="pyarrow")
+    e = lookup_join(cand_edges, src_side, on=["src"], cfg=cfg)
+    e = lookup_join(e, dst_side, on=["dst"], cfg=cfg)
+
+    def check(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty_edges()
+        gs, offs_s = H.shingle_window_hashes(normalize_captions(t["cap_src"]), L)
+        gd, offs_d = H.shingle_window_hashes(normalize_captions(t["cap_dst"]), L)
+        cnt_s = (offs_s[1:] - offs_s[:-1]).astype(np.int64)
+        cnt_d = (offs_d[1:] - offs_d[:-1]).astype(np.int64)
+        idx = np.arange(n, dtype=np.uint64)
+        ka = H.hash_u64_pair(np.repeat(idx, cnt_s), gs)
+        kb = H.hash_u64_pair(np.repeat(idx, cnt_d), gd)
+        common = np.intersect1d(ka, kb)
+        hit_pairs = np.unique(np.repeat(idx, cnt_s)[np.isin(ka, common)])
+        keep = np.zeros(n, dtype=bool)
+        keep[hit_pairs.astype(np.int64)] = True
+        out = t.select(["src", "dst"]).filter(pa.array(keep))
+        return out.append_column(
+            "kind", pa.array(["substr"] * out.num_rows, pa.string()))
+
+    return e.map_batches(check, batch_format="pyarrow")
+
+
+def split_and_verify_substring(
+    edges: ray.data.Dataset,
+    captions_ds: ray.data.Dataset,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> ray.data.Dataset:
+    """Route 'substr_cand' edges through exact verification; pass the rest."""
+    import pyarrow.compute as pc
+
+    cand = edges.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "substr_cand")),
+        batch_format="pyarrow")
+    rest = edges.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["kind"], "substr_cand"))),
+        batch_format="pyarrow")
+    ver = verify_substring_candidates(cand, captions_ds, cfg, id_col, text_col)
+    return rest.union(ver)
+
+
 def substring_edges(
     input_ds: ray.data.Dataset,
     cfg: DedupConfig,
@@ -282,4 +362,5 @@ def substring_edges(
     stream; this composition exists for direct use/tests."""
     sa = suffix_array_edges(input_ds, cfg, id_col, text_col)
     win = lsh.edges_from_buckets(winnow_buckets(input_ds, cfg, id_col, text_col), cfg)
-    return lsh.dedupe_edges(sa.union(win))  # standalone: dedupe locally
+    deduped = lsh.dedupe_edges(sa.union(win))  # standalone: dedupe locally
+    return split_and_verify_substring(deduped, input_ds, cfg, id_col, text_col)

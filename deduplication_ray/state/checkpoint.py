@@ -189,7 +189,7 @@ class CheckpointedRun:
             # groups run CONCURRENTLY (threads just await Ray executions; the
             # streaming executor interleaves them) — group-atomic commits keep
             # resume granularity without serializing the stage
-            with ThreadPoolExecutor(max_workers=min(4, len(missing))) as pool:
+            with ThreadPoolExecutor(max_workers=min(8, len(missing))) as pool:
                 list(pool.map(run_group, missing))
         (self.skipped if resumed_any else self.executed).append(stage)
         self.timings[stage] = round(_time.time() - t0, 2)

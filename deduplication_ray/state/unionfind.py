@@ -30,7 +30,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min
 
 from deduplication_ray.config import DedupConfig
 
@@ -48,20 +47,28 @@ def init_labels(edges: ray.data.Dataset, num_partitions: int) -> ray.data.Datase
         )
         return pa.table({"node": ids})
 
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
     from deduplication_ray.stages.tuning import ensure_blocks
 
     nodes = ensure_blocks(edges.map_batches(split, batch_format="pyarrow"),
                           num_partitions)
-    # distinct via partial-aggregating groupby-count (vectorized; per-group
-    # Python calls via map_groups would dominate at scale)
-    from ray.data.aggregate import Count
 
-    distinct = nodes.groupby("node").aggregate(Count(alias_name="_n"))
+    # distinct at group-per-row cardinality: hash-partition by node, ONE
+    # vectorized pc.unique per partition (Ray's aggregate pays a per-
+    # distinct-group cost that dominates in this regime)
+    def red(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def label_self(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"], "label": t["node"]})
+        uniq = pc.unique(t["node"].combine_chunks())
+        return pa.table({"node": uniq, "label": uniq})
 
-    return distinct.map_batches(label_self, batch_format="pyarrow")
+    return hash_grouped_reduce(
+        nodes,
+        lambda t: H.hash_bytes_array(t["node"].combine_chunks().cast(pa.string())),
+        red,
+        num_partitions,
+    )
 
 
 def propagate_round(
@@ -70,7 +77,11 @@ def propagate_round(
     """One hash-min round: neighbor labels + own label -> min per node.
 
     The labels table only covers edge endpoints, so it broadcasts below
-    cfg.broadcast_limit (lookup_join falls back to a hash join above)."""
+    cfg.broadcast_limit (lookup_join falls back to a hash join above). The
+    min-reduce is hash-partitioned by node with one vectorized pandas
+    groupby-min per partition (group-per-row cardinality)."""
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
     from deduplication_ray.stages.join import lookup_join
 
     msgs = lookup_join(
@@ -80,7 +91,18 @@ def propagate_round(
         cfg=cfg,
     ).select_columns(["node", "nbr_label"]).rename_columns({"nbr_label": "label"})
     allmsgs = labels.union(msgs)
-    return allmsgs.groupby("node").aggregate(Min("label", alias_name="label"))
+
+    def red(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby("node", sort=False)["label"].min().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return hash_grouped_reduce(
+        allmsgs,
+        lambda t: H.hash_bytes_array(t["node"].combine_chunks().cast(pa.string())),
+        red,
+        cfg.num_partitions,
+    )
 
 
 def label_state_hash(labels: ray.data.Dataset) -> int:

@@ -17,6 +17,8 @@ SAMPLES = [
     ("T_raw.bin", 2),
     ("lux_raw.bin", 2),
     ("P_raw.bin", 4),
+    ("seven_day_T.bin", 2),   # the two largest captures (296,554 samples
+    ("seven_day_RH.bin", 2),  # each) close out the reference corpus
 ]
 BLOCK_SIZES = [2, 8, 32]
 
@@ -92,3 +94,21 @@ def test_tail_truncation_and_validation(ray_session):
         ddp1.compress_bytes(data, 3, 5)  # invalid width
     with pytest.raises(ValueError):
         ddp1.decompress_bytes(b"NOPE" + ddp[4:])
+
+
+def test_encode_distributed_path_parity(ref_bin, tmp_path, ray_session, monkeypatch):
+    """Force the distributed encode plan (groupby-min election + distributed
+    sort by block_idx + streamed id collection) and assert bitwise parity
+    with the reference binary — proves the scale path computes the identical
+    container, not just the local np.unique fast path."""
+    from deduplication_ray.sources import ddp1
+
+    monkeypatch.setattr(ddp1, "LOCAL_ENCODE_MAX_BLOCKS", 0)
+    width, block = 2, 8
+    src = os.path.join(REF, "samples", "T_raw.bin")
+    ref_out = tmp_path / "dist.ref.ddp"
+    subprocess.run([ref_bin, "c", str(width), str(block), src, str(ref_out)],
+                   check=True, capture_output=True)
+    ours, summary = ddp1.compress_bytes(open(src, "rb").read(), width, block)
+    assert ours == open(ref_out, "rb").read()
+    assert summary["num_blocks"] * block == summary["used_samples"]

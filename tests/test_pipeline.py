@@ -101,7 +101,7 @@ def test_resume_skips_completed_stages(tiny_run, tiny_fixture, ray_session):
     before = load_parquet_dir(f"{run_dir}/clusters").sort_values("image_id")
     m2 = image_dedup.run_pipeline(f"{tiny_fixture}/data", run_dir, cfg)
     assert "signatures" in m2["stages_resumed"]
-    assert "edges" in m2["stages_resumed"]
+    assert "verified_edges" in m2["stages_resumed"]
     assert "clusters" in m2["stages_resumed"]
     after = load_parquet_dir(f"{run_dir}/clusters").sort_values("image_id")
     pd.testing.assert_frame_equal(before.reset_index(drop=True),
@@ -122,7 +122,7 @@ def test_resume_mid_unionfind(tiny_run, tiny_fixture, ray_session):
     shutil.rmtree(partial_dir, ignore_errors=True)
     os.makedirs(partial_dir)
     # simulate the killed job: copy stage checkpoints up to labels_r0 only
-    for stage in ("signatures", "edges", "verified_edges", "labels_r0"):
+    for stage in ("signatures", "verified_edges", "labels_r0"):
         shutil.copytree(f"{run_dir}/{stage}", f"{partial_dir}/{stage}")
     m = image_dedup.run_pipeline(f"{tiny_fixture}/data", partial_dir, cfg)
     assert "signatures" in m["stages_resumed"]
@@ -189,6 +189,27 @@ def test_stale_config_strict_refuses_default_recomputes(tiny_run, tiny_fixture, 
     clusters = load_parquet_dir(f"{copy_dir}/clusters")
     assert len(clusters) == TINY_ROWS
     shutil.rmtree(copy_dir, ignore_errors=True)
+
+
+def test_partitioned_pairing_matches_local(tiny_run, ray_session):
+    """The distributed (bucket-sharded) pairing kernel must emit exactly the
+    edge set of the driver-local kernel on the same signatures."""
+    import dataclasses
+
+    from deduplication_ray.sources import storage
+    from deduplication_ray.stages import lsh
+
+    run_dir, cfg, _ = tiny_run
+    sigs = storage.read_table(f"{run_dir}/signatures")
+    e_local = lsh.candidate_edges(sigs, cfg).to_pandas()
+    cfg_part = dataclasses.replace(cfg, local_pairs_limit=0)
+    e_part = lsh.candidate_edges(sigs, cfg_part).to_pandas()
+
+    def key(df):
+        return set(zip(df["src"], df["dst"], df["kind"]))
+
+    assert len(e_local) > 0
+    assert key(e_local) == key(e_part)
 
 
 def test_adversary_cluster_intact(tiny_run):

@@ -77,3 +77,33 @@ def test_winnow_short_doc_min_is_own(monkeypatch):
     assert len(fps[fps.image_id == "A"]) == 1
     assert len(fps[fps.image_id == "B"]) == 1
     assert set(fps[fps.image_id == "A"].bucket) != set(fps[fps.image_id == "B"].bucket)
+
+
+def test_cross_batch_substring_at_lmin_window_gap(ray_session):
+    """Regression (round-1 advisory): a shared substring in the
+    [Lmin, Lmin+w-2] length gap, with the two docs in DIFFERENT suffix-array
+    batches, must still link. With Lmin-char winnow grams the guarantee only
+    covered >= Lmin + w - 1; k = Lmin - w + 1 grams + exact L-gram
+    verification covers >= Lmin."""
+    import pandas as pd
+
+    import ray.data
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.stages.substring import substring_edges
+
+    cfg = DedupConfig(num_partitions=2, text_batch_size=4)
+    s = "shared secret segment of exactly fortyfive"  # 42 normalized chars
+    assert cfg.substring_min_len <= len(s) < cfg.substring_min_len + cfg.winnow_window - 1
+    fillers = [f"completely unrelated filler text number {i} padding words xyz{i}"
+               for i in range(6)]
+    rows = pd.DataFrame({
+        "image_id": [f"d{i}" for i in range(8)],
+        "caption": (["prefix one " + s + " tail alpha"] + fillers[:3]
+                    + ["prefix two " + s + " tail beta"] + fillers[3:]),
+    })
+    ds = ray.data.from_pandas(rows)
+    edges = substring_edges(ds, cfg).to_pandas()
+    pairs = set(zip(edges["src"], edges["dst"]))
+    assert ("d0", "d4") in pairs, pairs
+    assert all(k == "substr" for k in edges["kind"])
