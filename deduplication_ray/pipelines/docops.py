@@ -180,16 +180,37 @@ def q_doc_simhash_pairs(sf_dir: str, hamming_t: int = 8):
     return attached.map_batches(check, batch_format="pyarrow")
 
 
-def q_doc_fingerprints(sf_dir: str):
-    """Winnowed fingerprint count per doc (rows-only)."""
+def q_doc_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
+    """Winnowed fingerprint count per doc (rows-only). Fully vectorized:
+    one global sliding-window min over the flat gram array + a composite
+    (doc, minimizer) unique/bincount — no per-row Python loop (the
+    row-looped functions.text.winnow_fingerprint stays for single-doc use).
+    """
+    from deduplication_ray.functions import hashing as H
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
         arr = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
-        fps = T.winnow_fingerprint(arr)
+        grams, offs = H.shingle_window_hashes(arr, k)
+        counts = (offs[1:] - offs[:-1]).astype(np.int64)
+        n_docs = len(counts)
+        nfp = np.zeros(n_docs, dtype=np.int64)
+        win_counts = np.maximum(counts - w + 1, 0)
+        if len(grams) >= w:
+            mins_all = np.lib.stride_tricks.sliding_window_view(grams, w).min(axis=1)
+            long_docs = np.nonzero(win_counts > 0)[0]
+            if len(long_docs):
+                reps = win_counts[long_docs]
+                src = np.repeat(offs[long_docs], reps) + H._ranges(reps)
+                doc_of_win = np.repeat(long_docs, reps)
+                key = H.hash_u64_pair(doc_of_win.astype(np.uint64), mins_all[src])
+                _, uidx = np.unique(key, return_index=True)
+                nfp += np.bincount(doc_of_win[uidx], minlength=n_docs)
+        nfp[(counts > 0) & (counts < w)] = 1  # short docs: single minimizer
         return pa.table({
             "doc_id": t["doc_id"],
-            "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+            "n_fingerprints": pa.array(nfp, pa.int64()),
         })
 
     return ds.map_batches(fp, batch_format="pyarrow")

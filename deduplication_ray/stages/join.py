@@ -44,8 +44,8 @@ def lookup_join(
     """
     MAX_BROADCAST_BYTES = 512 * 1024 * 1024
     if isinstance(lookup, pd.DataFrame):
-        small = lookup
-        n = len(small)
+        small = pa.Table.from_pandas(lookup, preserve_index=False)
+        n = len(lookup)
     else:
         lookup = lookup.materialize()
         n = lookup_rows if lookup_rows is not None else lookup.count()
@@ -53,9 +53,10 @@ def lookup_join(
         if n <= cfg.broadcast_limit and nbytes <= MAX_BROADCAST_BYTES:
             # collect via Arrow — Dataset.to_pandas() on an EMPTY dataset
             # returns a column-less DataFrame (schema lost), breaking merge
-            tbls = list(lookup.iter_batches(batch_format="pyarrow"))
+            tbls = list(lookup.iter_batches(batch_format="pyarrow",
+                                            batch_size=None))
             if tbls:
-                small = pa.concat_tables(tbls, promote_options="default").to_pandas()
+                small = pa.concat_tables(tbls, promote_options="default")
             else:
                 schema = lookup.schema()
                 arrow_schema = getattr(schema, "base_schema", None)
@@ -63,7 +64,7 @@ def lookup_join(
                     arrow_schema = pa.schema(
                         [pa.field(nm, tp) for nm, tp in zip(schema.names, schema.types)]
                     )
-                small = arrow_schema.empty_table().to_pandas()
+                small = arrow_schema.empty_table()
         else:
             join_type = "inner" if how == "inner" else "left_outer"
             return ds.join(
@@ -73,12 +74,16 @@ def lookup_join(
                 on=tuple(on),
             )
 
+    small = small.combine_chunks()
     ref = ray.put(small)
+    pa_join_type = "inner" if how == "inner" else "left outer"
 
     class Merge:
         """Task-mode broadcast merge: the lookup lives in the object store
         (ray.put once); each task ray.gets it — plasma-local after the first
-        fetch on a node, so no per-batch re-ship and no actor-pool ramp."""
+        fetch on a node, so no per-batch re-ship and no actor-pool ramp.
+        The per-batch join is Arrow-native (pa.Table.join, C++ hash join) —
+        no pandas round trip inside otherwise Arrow-only stages."""
 
         def __init__(self):
             self.lookup = None
@@ -86,8 +91,14 @@ def lookup_join(
         def __call__(self, t: pa.Table) -> pa.Table:
             if self.lookup is None:
                 self.lookup = ray.get(ref)
-            df = t.to_pandas()
-            out = df.merge(self.lookup, on=on, how=how)
-            return pa.Table.from_pandas(out, preserve_index=False)
+            right = self.lookup
+            # align join-key types (e.g. string vs large_string) so the
+            # Arrow join kernel doesn't reject the batch
+            for k in on:
+                lt = t.schema.field(k).type
+                if right.schema.field(k).type != lt:
+                    idx = right.column_names.index(k)
+                    right = right.set_column(idx, k, right[k].cast(lt))
+            return t.join(right, keys=on, join_type=pa_join_type)
 
     return ds.map_batches(Merge(), batch_format="pyarrow")

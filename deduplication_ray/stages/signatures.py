@@ -58,9 +58,13 @@ class ComputeSignatures:
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
         payloads = batch["bytes"].combine_chunks() if isinstance(batch["bytes"], pa.ChunkedArray) else batch["bytes"]
+        # zero-copy slices into the Arrow value buffer (as_py() copied every
+        # payload); decode itself (zlib inflate) is inherently per-row
+        pbuf, poffs = H._arrow_flat_buffer(payloads)
         grays = np.empty((n, cfg.phash_size, cfg.phash_size), dtype=np.float32)
         for i in range(n):
-            img = C.decode_image(payloads[i].as_py(), fmts[i], int(ws[i]), int(hs[i]))
+            img = C.decode_image(pbuf[poffs[i]:poffs[i + 1]],
+                                 fmts[i], int(ws[i]), int(hs[i]))
             grays[i] = C.resize_area(C.to_grayscale(img), cfg.phash_size)
         phash = C.phash64_batch(grays, cfg.phash_size, cfg.phash_lowfreq)
         feats = C.simhash_features(grays)
