@@ -222,11 +222,15 @@ def run_pipeline(
         from deduplication_ray.stages.groupred import hash_grouped_reduce
         from deduplication_ray.stages.join import lookup_join
 
+        schema = pa.schema([("cluster_id", pa.string()),
+                            ("cluster_size", pa.int64())])
+
         def red(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
             out = df.groupby("cluster_id", sort=False).size() \
                 .rename("cluster_size").reset_index()
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # explicit schema: empty frames round-trip to Arrow null type
+            return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
         # group-per-row cardinality (mostly singleton clusters): hash-
         # partitioned vectorized reduce, not Ray aggregate

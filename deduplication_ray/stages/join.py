@@ -92,8 +92,27 @@ def lookup_join(
             if self.lookup is None:
                 self.lookup = ray.get(ref)
             right = self.lookup
-            # align join-key types (e.g. string vs large_string) so the
-            # Arrow join kernel doesn't reject the batch
+            if t.num_rows == 0:
+                # empty batches carry null-typed columns, which the Arrow
+                # join kernel rejects — emit the joined schema directly
+                cols: dict = {}
+                for f in t.schema:
+                    typ = f.type
+                    if pa.types.is_null(typ):
+                        typ = (right.schema.field(f.name).type
+                               if f.name in right.column_names else pa.string())
+                    cols[f.name] = pa.array([], typ)
+                for f in right.schema:
+                    if f.name not in cols:
+                        cols[f.name] = pa.array([], f.type)
+                return pa.table(cols)
+            # align types (string vs large_string, residual null-typed
+            # columns from earlier outer joins) for the Arrow join kernel
+            for i, f in enumerate(t.schema):
+                if pa.types.is_null(f.type) and f.name in right.column_names:
+                    t = t.set_column(
+                        i, f.name,
+                        t[f.name].cast(right.schema.field(f.name).type))
             for k in on:
                 lt = t.schema.field(k).type
                 if right.schema.field(k).type != lt:

@@ -614,11 +614,16 @@ def exact_edges(
     # Ray aggregate (per-distinct-group cost). Only duplicated keys survive —
     # the lookup side shrinks to actual dups.
     def red(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(k, t.schema.field(k).type) for k in key]
+                           + [("src", pa.string())])
         df = t.to_pandas()
         g = df.groupby(list(key), sort=False)["image_id"] \
             .agg(src="min", _n="size").reset_index()
         g = g[g["_n"] >= 2]
-        return pa.Table.from_pandas(g[[*key, "src"]], preserve_index=False)
+        # explicit schema: an empty pandas frame would round-trip object
+        # columns to Arrow null type, which join kernels reject
+        return pa.Table.from_pandas(
+            g[[*key, "src"]], preserve_index=False).cast(schema)
 
     def key_hash(t: pa.Table) -> np.ndarray:
         h = t[key[0]].to_numpy().view(np.uint64)

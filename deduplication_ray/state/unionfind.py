@@ -92,10 +92,13 @@ def propagate_round(
     ).select_columns(["node", "nbr_label"]).rename_columns({"nbr_label": "label"})
     allmsgs = labels.union(msgs)
 
+    schema = pa.schema([("node", pa.string()), ("label", pa.string())])
+
     def red(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         out = df.groupby("node", sort=False)["label"].min().reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # explicit schema: empty frames round-trip to Arrow null type
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
     return hash_grouped_reduce(
         allmsgs,
