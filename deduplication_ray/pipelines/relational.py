@@ -132,8 +132,19 @@ GROUP BY c_mktsegment
 
 # ---------------------------------------------------------------- hash join + top-k
 
-def q_top_revenue_orders(sf_dir: str):
-    """Hash-partitioned join lineitem x orders + groupby + global top-k."""
+def q_top_revenue_orders(sf_dir: str, k: int = 10):
+    """lineitem revenue per order + top-k, enriched with orders attributes.
+
+    Scale plan (no all-to-all join, no global sort): (1) per-order revenue
+    via hash_grouped_reduce — orderkey cardinality is O(rows), the regime
+    where Ray's aggregate pays per-group costs; (2) per-block partial top-K
+    then one tiny final reduce (K*num_blocks rows); (3) o_orderpriority for
+    the <= 5K candidate keys via a broadcast-keyset filter pass over orders
+    (columns pruned) — the only driver materializations are O(K) rows.
+    """
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
@@ -142,14 +153,72 @@ def q_top_revenue_orders(sf_dir: str):
             pa.scalar(10000.0))).cast(pa.int64())
         return pa.table({"l_orderkey": t["l_orderkey"], "revenue_part": r})
 
-    li_rev = li.map_batches(rev, batch_format="pyarrow").groupby("l_orderkey").aggregate(
-        Sum("revenue_part", alias_name="revenue_e4")
+    def sum_by_key(t: pa.Table) -> pa.Table:
+        ks = t["l_orderkey"].to_numpy()
+        vs = t["revenue_part"].to_numpy()
+        order = np.argsort(ks, kind="stable")
+        ks, vs = ks[order], vs[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        return pa.table({
+            "l_orderkey": ks[starts],
+            "revenue_e4": np.add.reduceat(vs, starts).astype(np.int64),
+        })
+
+    li_rev = hash_grouped_reduce(
+        li.map_batches(rev, batch_format="pyarrow"),
+        key_hash=lambda t: H.splitmix64(
+            t["l_orderkey"].to_numpy().astype(np.uint64)),
+        reduce_fn=sum_by_key,
+        num_parts=32,
     )
+
+    # candidate margin 5K: correct as long as fewer than 4K of the global
+    # top-5K revenue keys lack an orders row (with referential integrity,
+    # zero do — the margin guards the inner-join semantics regardless)
+    kcand = max(k * 5, 50)
+
+    def ptop(t: pa.Table) -> pa.Table:
+        if t.num_rows <= kcand:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("revenue_e4", "descending"),
+                                            ("l_orderkey", "ascending")])
+        return t.take(idx[:kcand])
+
+    cand_tbls = list(
+        li_rev.map_batches(ptop, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(ptop, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    cand = pa.concat_tables(cand_tbls) if cand_tbls else pa.table(
+        {"l_orderkey": pa.array([], pa.int64()),
+         "revenue_e4": pa.array([], pa.int64())})
+
+    keyset_ref = ray.put(np.sort(cand["l_orderkey"].to_numpy()))
+
+    class FilterKeys:
+        def __init__(self):
+            self.keys = ray.get(keyset_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ks = t["o_orderkey"].to_numpy()
+            pos = np.searchsorted(self.keys, ks)
+            pos[pos >= len(self.keys)] = 0
+            hit = (self.keys[pos] == ks) if len(self.keys) else np.zeros(len(ks), bool)
+            return t.filter(pa.array(hit))
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    j = li_rev.join(orders, join_type="inner", num_partitions=16,
-                    on=("l_orderkey",), right_on=("o_orderkey",))
-    top = j.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(10)
-    return top.select_columns(["l_orderkey", "revenue_e4", "o_orderpriority"])
+    matched = pa.concat_tables(
+        list(orders.map_batches(FilterKeys, batch_format="pyarrow",
+                                concurrency=(1, 4))
+             .iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default") if len(cand) else cand
+
+    out = cand.join(matched.rename_columns(["l_orderkey", "o_orderpriority"]),
+                    keys=["l_orderkey"], join_type="inner")
+    idx = pc.sort_indices(out, sort_keys=[("revenue_e4", "descending"),
+                                          ("l_orderkey", "ascending")])
+    return out.take(idx[:k]).select(
+        ["l_orderkey", "revenue_e4", "o_orderpriority"])
 
 
 Q_TOP_REVENUE_ORDERS_SQL = """
