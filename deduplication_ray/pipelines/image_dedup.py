@@ -83,6 +83,12 @@ def build_edges(
     if input_ds is not None:
         from deduplication_ray.stages.substring import split_and_verify_substring
 
+        # materialize the deduped edge set before the substr_cand/rest split:
+        # Ray Data has no common-subexpression reuse, so two lazy consumers
+        # of the same Dataset would re-execute the whole edge DAG (suffix
+        # arrays, pairing, dedupe) twice. The edge set is lean (~1.4 rows per
+        # input row) — object-store residency is cheap, re-execution is not.
+        deduped = deduped.materialize()
         # winnow minimizers prove only a k-char overlap; verify candidates
         # by exact L-gram intersection before they count as 'substr'
         deduped = split_and_verify_substring(deduped, input_ds, cfg)

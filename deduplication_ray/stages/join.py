@@ -29,6 +29,98 @@ import ray.data
 from deduplication_ray.config import DedupConfig
 
 
+def _key_hashes(t: pa.Table, on: list[str]) -> np.ndarray:
+    """One u64 hash per row over the join key columns (order-sensitive mix).
+    Purely an index accelerator — matches are always confirmed against the
+    actual key values, so collisions cannot produce wrong joins."""
+    from deduplication_ray.functions import hashing as H
+
+    h: np.ndarray | None = None
+    for k in on:
+        col = t[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        typ = col.type
+        if pa.types.is_null(typ):
+            hk = np.zeros(len(col), np.uint64)
+        elif pa.types.is_integer(typ):
+            arr = col.fill_null(0).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            hk = H.splitmix64(arr.astype(np.int64).view(np.uint64))
+        else:
+            hk = H.hash_bytes_array(col.fill_null("").cast(pa.string()))
+        h = hk if h is None else H.hash_u64_pair(h, hk)
+    return h if h is not None else np.zeros(t.num_rows, np.uint64)
+
+
+class _GatherMerge:
+    """Broadcast unique-key lookup realized as a vectorized gather: probe by
+    searchsorted over presorted key hashes (built ONCE on the driver), take
+    matched lookup rows, confirm key equality exactly. No per-batch hash
+    table build."""
+
+    def __init__(self, ref, on: list[str], how: str):
+        self.ref = ref
+        self.on = on
+        self.how = how
+        self._state = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if self._state is None:
+            self._state = ray.get(self.ref)
+        small, sorted_h, order = self._state
+        non_key = [c for c in small.column_names if c not in self.on]
+
+        if t.num_rows == 0:
+            cols: dict = {}
+            for f in t.schema:
+                typ = f.type
+                if pa.types.is_null(typ):
+                    typ = (small.schema.field(f.name).type
+                           if f.name in small.column_names else pa.string())
+                cols[f.name] = pa.array([], typ)
+            for c in non_key:
+                if c not in cols:
+                    cols[c] = pa.array([], small.schema.field(c).type)
+            return pa.table(cols)
+
+        for i, f in enumerate(t.schema):
+            if pa.types.is_null(f.type) and f.name in small.column_names:
+                t = t.set_column(
+                    i, f.name, t[f.name].cast(small.schema.field(f.name).type))
+
+        ph = _key_hashes(t, self.on)
+        if len(sorted_h):
+            pos = np.minimum(np.searchsorted(sorted_h, ph),
+                             len(sorted_h) - 1)
+            cand = order[pos]
+            matched = sorted_h[pos] == ph
+        else:
+            cand = np.zeros(len(ph), np.int64)
+            matched = np.zeros(len(ph), bool)
+
+        if matched.any():
+            idx = pa.array(cand, pa.int64())
+            for k in self.on:
+                right_k = small[k].take(idx)
+                lt_type = t.schema.field(k).type
+                if right_k.type != lt_type:
+                    right_k = right_k.cast(lt_type)
+                eq = pc.fill_null(pc.equal(t[k], right_k), False)
+                matched &= eq.to_numpy(zero_copy_only=False).astype(bool)
+
+        if self.how == "inner":
+            t_out = t.filter(pa.array(matched))
+            gidx = pa.array(cand[matched], pa.int64())
+        else:
+            t_out = t
+            gidx = pa.array(cand, mask=~matched, type=pa.int64())
+        for c in non_key:
+            t_out = t_out.append_column(c, small[c].take(gidx))
+        return t_out
+
+
 def lookup_join(
     ds: ray.data.Dataset,
     lookup: ray.data.Dataset | pd.DataFrame,
@@ -75,6 +167,26 @@ def lookup_join(
             )
 
     small = small.combine_chunks()
+
+    # Unique-key fast path: when every lookup key is distinct (signature
+    # attach, label/cluster/rep lookups — the common case here), the join is
+    # a GATHER, not a join: presort the key hashes ONCE on the driver and
+    # ship (sorted_hashes, permutation, table); each batch does a
+    # searchsorted probe + take. pa.Table.join would rebuild a hash table
+    # over the whole lookup for EVERY batch (measured: 2/3 of the signature
+    # attach cost at 60k rows x 64 blocks). Hash equality is confirmed
+    # against the actual key values, so a 64-bit collision can only cause a
+    # fallback-free exact mismatch -> row treated as unmatched, never a
+    # wrong match.
+    kh = _key_hashes(small, on)
+    order = np.argsort(kh, kind="stable")
+    sorted_h = kh[order]
+    unique_keys = bool(len(sorted_h) == 0 or (sorted_h[1:] != sorted_h[:-1]).all())
+    if unique_keys:
+        ref = ray.put((small, sorted_h, order.astype(np.int64)))
+        return ds.map_batches(
+            _GatherMerge(ref, list(on), how), batch_format="pyarrow")
+
     ref = ray.put(small)
     pa_join_type = "inner" if how == "inner" else "left outer"
 
