@@ -120,10 +120,12 @@ def run_bench() -> dict:
 
     run_dir = f"/tmp/dedup_ray_benchrun_{NUM_CPUS}"
     shutil.rmtree(run_dir, ignore_errors=True)
-    cfg = DedupConfig(
-        num_partitions=max(8, NUM_CPUS),
-        sig_concurrency=(1, max(2, NUM_CPUS - 2)),
-    )
+    # task-mode signatures (sig_concurrency=None): the sharded signature
+    # stage runs up to 8 shard groups CONCURRENTLY, and an actor pool per
+    # group (min 1 actor x 1 CPU each) can hold every CPU of a small session
+    # while the groups' read/write tasks starve -> deadlock at num_cpus=8.
+    # Tasks share the session's prestarted workers and can't starve anyone.
+    cfg = DedupConfig(num_partitions=max(8, NUM_CPUS))
     with PeakRssSampler() as rss:
         t0 = time.time()
         image_dedup.run_pipeline(f"{fix}/data", run_dir, cfg)

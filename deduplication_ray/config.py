@@ -65,6 +65,9 @@ class DedupConfig:
     local_pairs_limit: int = 200_000  # tagged multi-bucket rows <= this ->
                                         # single-pass local pairing; above ->
                                         # distributed pairing path
+    local_uf_limit: int = 2_000_000   # verified edges <= this -> one-pass
+                                        # local union-find; above -> the
+                                        # distributed hash-min rounds
 
     def config_hash(self) -> str:
         """Stable hash over every field — stamped into checkpoint manifests."""

@@ -129,6 +129,12 @@ def finalize_clusters(
     return j.map_batches(fill, batch_format="pyarrow")
 
 
+def _edge_rows(run: CheckpointedRun, vedges: ray.data.Dataset) -> int:
+    m = storage.read_manifest(run.stage_dir("verified_edges")) or {}
+    n = m.get("rows")
+    return int(n) if n is not None else vedges.count()
+
+
 def run_pipeline(
     input_path: str,
     run_dir: str,
@@ -191,6 +197,14 @@ def run_pipeline(
     start_round = run.latest_labels_round()
     if run.is_complete("clusters"):
         labels = None  # not needed
+    elif start_round < 0 and _edge_rows(run, vedges) <= cfg.local_uf_limit:
+        # size dispatch: small edge sets converge in ONE local vectorized
+        # pass (still checkpointed as labels_r0 for resume); the distributed
+        # hash-min rounds below are the 10^12-row path
+        labels = run.run_stage(
+            "labels_r0", lambda: unionfind.local_components(vedges),
+            ["verified_edges"],
+        )
     else:
         eb = unionfind.bidirectional(vedges).materialize()
         if start_round >= 0:

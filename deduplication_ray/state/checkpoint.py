@@ -123,6 +123,13 @@ class CheckpointedRun:
         unfinished group — finished input shards are never recomputed.
 
         ``fn(files) -> Dataset`` computes the stage output for a file subset.
+
+        CAUTION: groups execute concurrently (up to 8 threads). If ``fn``
+        builds an ACTOR-POOL map_batches stage, each concurrent group pins
+        >= min_pool actors x 1 CPU; on a small session the pools can hold
+        every CPU while the groups' read/write TASKS starve — a livelock.
+        Prefer stateless task-mode stages inside sharded fns (see
+        DedupConfig.sig_concurrency).
         """
         import threading
         import time as _time

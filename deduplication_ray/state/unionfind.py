@@ -163,6 +163,50 @@ def count_changed(
     return total
 
 
+def local_components(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Size-dispatched LOCAL fast path for small edge sets: one vectorized
+    min-label propagation with pointer doubling over numpy index arrays.
+
+    The distributed rounds pay ~4 dataset executions (broadcast join,
+    partitioned reduce, state hash, checkpoint) per round — tens of seconds
+    of barrier latency for an edge set that fits in one worker's heap. Below
+    ``cfg.local_uf_limit`` edges this computes identical labels (min
+    image_id per component, same as hash-min fixpoint) in one pass.
+    Callers keep the distributed path above the limit — that is the
+    10^12-row story; this is the everything-converged-already story.
+    """
+    tbls = list(edges.select_columns(["src", "dst"])
+                .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tbls:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.string()),
+             "label": pa.array([], pa.string())}))
+    t = pa.concat_tables(tbls, promote_options="default")
+    src = t["src"].to_pandas().to_numpy()
+    dst = t["dst"].to_pandas().to_numpy()
+    ids = np.concatenate([src, dst])
+    uniq, inv = np.unique(ids, return_inverse=True)
+    m = len(src)
+    es, ed = inv[:m], inv[m:]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    # uniq is lexicographically sorted, so min INDEX per component == min
+    # image_id per component — exactly the distributed hash-min fixpoint
+    for _ in range(64):
+        l2 = lab.copy()
+        np.minimum.at(l2, es, lab[ed])
+        np.minimum.at(l2, ed, lab[es])
+        l2 = l2[l2]
+        l2 = l2[l2]
+        if np.array_equal(l2, lab):
+            break
+        lab = l2
+    else:  # pragma: no cover - 2^64-diameter component cannot exist
+        raise RuntimeError("local union-find did not converge")
+    uniq_pa = pa.array(uniq, pa.string())
+    return ray.data.from_arrow(pa.table(
+        {"node": uniq_pa, "label": uniq_pa.take(pa.array(lab, pa.int64()))}))
+
+
 def bidirectional(edges: ray.data.Dataset) -> ray.data.Dataset:
     """(src,dst) -> (node, nbr) both directions, projected lean."""
 
@@ -192,6 +236,12 @@ def connected_components(
     from deduplication_ray.stages.tuning import apply_context_tuning, ensure_blocks
 
     apply_context_tuning()
+    edges = edges.materialize()
+    if edges.count() <= cfg.local_uf_limit:
+        labels = local_components(edges)
+        if checkpoint_cb is not None:
+            labels = checkpoint_cb(0, labels)
+        return labels
     eb = ensure_blocks(bidirectional(edges), cfg.num_partitions).materialize()
     labels = init_labels(edges, cfg.num_partitions).materialize()
     prev_hash = label_state_hash(labels)

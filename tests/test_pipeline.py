@@ -212,6 +212,25 @@ def test_partitioned_pairing_matches_local(tiny_run, ray_session):
     assert key(e_local) == key(e_part)
 
 
+def test_local_unionfind_matches_distributed(tiny_run, ray_session):
+    """The local vectorized union-find must produce byte-identical labels to
+    the distributed hash-min rounds on the same verified edge set."""
+    import dataclasses
+
+    from deduplication_ray.sources import storage
+    from deduplication_ray.state import unionfind
+
+    run_dir, cfg, _ = tiny_run
+    vedges = storage.read_table(f"{run_dir}/verified_edges")
+    loc = unionfind.local_components(vedges).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    cfg_dist = dataclasses.replace(cfg, local_uf_limit=0)
+    dist = unionfind.connected_components(vedges, cfg_dist).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert len(loc) > 0
+    pd.testing.assert_frame_equal(loc, dist)
+
+
 def test_adversary_cluster_intact(tiny_run):
     """The hot-bucket adversary cluster must survive as ONE cluster."""
     run_dir, cfg, _ = tiny_run
