@@ -97,8 +97,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": docops.q_doc_langid,
         "doc_quality": docops.q_doc_quality,
         "doc_fingerprints": docops.q_doc_fingerprints,
+        # cos_min=0.45 on the synthetic tables: low enough that real pairs
+        # exist at every sf (max pairwise sim ~0.5), so the oracle check is
+        # non-trivial; the exact broadcast-matmul path reproduces the SQL
+        # exactly at any threshold
         "embedding_dup_pairs": lambda sf: _nonempty_or_typed_table(
-            ann.embedding_dup_pairs(sf)),
+            ann.embedding_dup_pairs(sf, cos_min=0.45)),
         "image_dedup_clusters": _img_fixture_query,
     }
 
@@ -125,7 +129,7 @@ def oracle_sql() -> dict[str, str]:
         # exact cosine IS SQL-expressible: the semantic-dedup detector gets a
         # full value-hash check (the LSH candidates + exact-cosine gate must
         # reproduce the O(n^2) join exactly)
-        "embedding_dup_pairs": ann.EMBEDDING_DUP_PAIRS_SQL,
+        "embedding_dup_pairs": ann.embedding_dup_pairs_sql(0.45),
         # doc_lsh_dedup / doc_simhash_pairs / doc_langid / doc_quality /
         # doc_fingerprints / image_dedup_clusters:
         # intentionally omitted — not ANSI-SQL-expressible (iterative

@@ -201,19 +201,56 @@ def lsh_topk(
     return pa.Table.from_pandas(mine.reset_index(drop=True), preserve_index=False)
 
 
+def _embedding_dup_pairs_exact(
+    ds: ray.data.Dataset, id_col: str, cos_min: float
+) -> ray.data.Dataset:
+    """EXACT all-pairs cosine for corpora whose embedding matrix fits a
+    worker heap: broadcast the normalized matrix once (ray.put), each batch
+    does one f64 matmul against it and emits (src < dst) pairs above the
+    threshold. Oracle-identical at any cos_min (same double arithmetic as
+    DuckDB's list_cosine_similarity), fully distributed over batches."""
+    tbls = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = pa.concat_tables(tbls, promote_options="default")
+    ids_all = t[id_col].to_numpy().astype(np.int64)
+    M = _normalize(_emb_matrix(t).astype(np.float64))
+    ref = ray.put((ids_all, M))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.M = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids_b = b[id_col].to_numpy().astype(np.int64)
+            Mb = _normalize(_emb_matrix(b).astype(np.float64))
+            sims = Mb @ self.M.T
+            keep = (sims >= cos_min) & (ids_b[:, None] < self.ids[None, :])
+            r, c = np.nonzero(keep)
+            return pa.table({"src": ids_b[r], "dst": self.ids[c]})
+
+    return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=2048,
+                          concurrency=(1, 4))
+
+
+EXACT_PAIRS_LIMIT = 200_000  # vectors; above this the LSH path takes over
+
+
 def embedding_dup_pairs(
     sf_dir: str,
     cos_min: float = 0.98,
     table: str = "embeddings",
     id_col: str = "vec_id",
     cfg: DedupConfig | None = None,
+    exact_limit: int = EXACT_PAIRS_LIMIT,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs by embedding cosine >= cos_min.
 
-    Scale path: SimHash (sign-random-projection) multi-index bucketing over
-    the normalized embeddings feeds the shared bucket->edge machinery (cold
-    all-pairs, hot salting); candidate pairs then verified by exact cosine
-    via a signature join carrying the normalized vector as a binary blob.
+    Size-dispatched like every lookup in this engine: corpora up to
+    ``exact_limit`` vectors run the exact broadcast-matmul all-pairs path
+    (oracle-identical at any threshold); above it, SimHash
+    (sign-random-projection) multi-index bucketing over the normalized
+    embeddings feeds the shared bucket->edge machinery (cold all-pairs, hot
+    salting), with candidates verified by exact cosine via a signature join
+    carrying the normalized vector as a binary blob.
     """
     from deduplication_ray.stages import lsh, verify as _v  # shared machinery
 
@@ -221,6 +258,8 @@ def embedding_dup_pairs(
     # Hamming ~8-12; exact cosine check below is the real gate
     cfg = cfg or DedupConfig(num_partitions=8, simhash_hamming_t=20)
     ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
+    if ds.count() <= exact_limit:
+        return _embedding_dup_pairs_exact(ds, id_col, cos_min)
 
     class EmbSig:
         def __init__(self):
@@ -277,11 +316,15 @@ def embedding_dup_pairs(
     return attached.map_batches(check, batch_format="pyarrow")
 
 
-EMBEDDING_DUP_PAIRS_SQL = """
+def embedding_dup_pairs_sql(cos_min: float = 0.98) -> str:
+    return f"""
 SELECT a.vec_id AS src, b.vec_id AS dst
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {cos_min}
 """
+
+
+EMBEDDING_DUP_PAIRS_SQL = embedding_dup_pairs_sql()
 
 
 def _unpack_f32(col) -> np.ndarray:

@@ -48,15 +48,20 @@ def test_embedding_dup_pairs_finds_planted(emb_dir):
     from deduplication_ray.pipelines.ann import embedding_dup_pairs
 
     d, base = emb_dir
-    pairs = embedding_dup_pairs(d, cos_min=0.98).to_pandas()
-    found = {tuple(sorted((int(a), int(b)))) for a, b in zip(pairs.src.astype(int), pairs.dst.astype(int))}
-    planted = {(2 * i, 2 * i + 1) for i in range(40)}
-    recall = len(found & planted) / len(planted)
-    assert recall >= 0.95, (recall, len(found))
-    # no false positives: every found pair really has cosine >= 0.98
     m = base / np.linalg.norm(base, axis=1, keepdims=True)
-    for a, b in found:
-        assert float(m[a] @ m[b]) >= 0.975
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    # exact path (default dispatch) AND the LSH scale path (forced via
+    # exact_limit=0) must both recover the planted pairs
+    for exact_limit in (None, 0):
+        kw = {} if exact_limit is None else {"exact_limit": exact_limit}
+        pairs = embedding_dup_pairs(d, cos_min=0.98, **kw).to_pandas()
+        found = {tuple(sorted((int(a), int(b))))
+                 for a, b in zip(pairs.src.astype(int), pairs.dst.astype(int))}
+        recall = len(found & planted) / len(planted)
+        assert recall >= 0.95, (exact_limit, recall, len(found))
+        # no false positives: every found pair really has cosine >= 0.98
+        for a, b in found:
+            assert float(m[a] @ m[b]) >= 0.975
 
 
 def test_lsh_topk_recall_vs_brute_force(emb_dir):
