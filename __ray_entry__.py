@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_first": R.q_dedup_keep_first,
         "doc_stats": docops.q_doc_stats,
         "charset_jaccard_pairs": docops.q_charset_jaccard_pairs,
+        "events_asof_orders": R.q_events_asof_orders,
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_sources": R.Q_TOPK_SOURCES_SQL,
         "events_window": R.Q_EVENTS_WINDOW_SQL,
         "semi_join": R.Q_SEMI_JOIN_SQL,
+        "events_asof_orders": R.Q_EVENTS_ASOF_ORDERS_SQL,
         "exact_dedup_docs": R.Q_EXACT_DEDUP_DOCS_SQL,
         "dedup_keep_first": R.Q_DEDUP_KEEP_FIRST_SQL,
         "doc_stats": docops.Q_DOC_STATS_SQL,

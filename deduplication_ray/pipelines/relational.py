@@ -455,3 +455,39 @@ def q_dedup_keep_first(sf_dir: str):
 Q_DEDUP_KEEP_FIRST_SQL = """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 """
+
+
+# ---------------------------------------------------------------- as-of join
+
+def q_events_asof_orders(sf_dir: str):
+    """As-of join: each event gets its user's most recent order at event
+    time (ties on o_orderdate broken by max o_orderkey — deterministic) and
+    the count of orders placed so far. Realized by the distributed asof_join
+    operator (one key-hash shuffle + one vectorized merge per partition)."""
+    from deduplication_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    j = asof_join(
+        ev, orders,
+        key=("user_id", "o_custkey"),
+        ts=("ts", "o_orderdate"),
+        tiebreak="o_orderkey",
+        right_payload=["o_orderkey"],
+    )
+    return j.rename_columns({"o_orderkey_asof": "last_orderkey",
+                             "n_right_asof": "orders_before"})
+
+
+Q_EVENTS_ASOF_ORDERS_SQL = """
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey AS last_orderkey,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders oo
+        WHERE oo.o_custkey = e.user_id AND oo.o_orderdate <= e.ts) AS orders_before
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey FROM orders o
+  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+) o ON true
+"""
