@@ -123,6 +123,9 @@ def oracle_sql() -> dict[str, str]:
         "events_window": R.Q_EVENTS_WINDOW_SQL,
         "semi_join": R.Q_SEMI_JOIN_SQL,
         "events_asof_orders": R.Q_EVENTS_ASOF_ORDERS_SQL,
+        # exact path (<=1500 docs) reproduces the gram-set SQL exactly
+        "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
+        "doc_quality": docops.Q_DOC_QUALITY_SQL,
         "exact_dedup_docs": R.Q_EXACT_DEDUP_DOCS_SQL,
         "dedup_keep_first": R.Q_DEDUP_KEEP_FIRST_SQL,
         "doc_stats": docops.Q_DOC_STATS_SQL,

@@ -118,16 +118,37 @@ def q_doc_langid(sf_dir: str):
 
 
 def q_doc_quality(sf_dir: str):
-    """Composite quality score in [0,1] (rows-only)."""
+    """Composite quality score, milli-scaled to BIGINT so the DuckDB oracle
+    hash-compares exactly (same IEEE double chain on both sides, floored at
+    1e-3 granularity)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def q(t: pa.Table) -> pa.Table:
+        score = T.quality_score(t["text"])
         return pa.table({
             "doc_id": t["doc_id"],
-            "quality": pa.array(T.quality_score(t["text"]), pa.float64()),
+            "quality_milli": pa.array(
+                np.floor(score * 1000.0).astype(np.int64)),
         })
 
     return ds.map_batches(q, batch_format="pyarrow")
+
+
+Q_DOC_QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(floor((
+         0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1))
+       + 0.3 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+       + 0.3 * exp(-0.5 * (((CAST(length(text) AS DOUBLE)
+                             / greatest(length(string_split_regex(trim(text), '\s+')), 1)
+                            ) - 5.5) / 3.0)
+                         * (((CAST(length(text) AS DOUBLE)
+                             / greatest(length(string_split_regex(trim(text), '\s+')), 1)
+                            ) - 5.5) / 3.0))
+       ) * 1000.0) AS BIGINT) AS quality_milli
+FROM documents
+"""
 
 
 def q_doc_simhash_pairs(sf_dir: str, hamming_t: int = 8):
@@ -216,13 +237,16 @@ def q_doc_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
-def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6):
-    """EXACT char n-gram Jaccard near-dup pairs (not the MinHash estimate):
-    LSH-banded candidates verified by true shingle-set intersection.
+def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
+                          exact_limit: int = 1500):
+    """EXACT char n-gram Jaccard near-dup pairs (not the MinHash estimate).
 
-    Candidates come from the shared MinHash-band machinery (sub-linear);
-    verification attaches each doc's sorted unique gram-hash set as a binary
-    blob and intersects per pair. Rows-only (set semantics aren't ANSI SQL).
+    Size-dispatched: corpora up to ``exact_limit`` docs verify ALL (i<j)
+    pairs — oracle-identical to the DuckDB gram-set SQL at any tau; above
+    it, candidates come from the shared MinHash-band machinery (sub-linear)
+    and only candidates are verified (recall < 1 possible by design — the
+    scale path). Verification attaches each doc's sorted unique gram-hash
+    set as a binary blob and intersects per pair.
     """
     from deduplication_ray.stages import lsh
     from deduplication_ray.stages.join import lookup_join
@@ -250,8 +274,21 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6):
 
     sigs = ds.map_batches(sig, batch_format="pyarrow",
                           batch_size=cfg.text_batch_size).materialize()
-    buckets = sigs.map_batches(lsh.ExplodeBands(cfg), batch_format="pyarrow")
-    edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, cfg))
+    if sigs.count() <= exact_limit:
+        # exact path: ALL (i<j) pairs, fanned out over the cluster; the
+        # per-pair blob intersection below is identical either way
+        ids = pa.concat_tables(
+            list(sigs.select_columns(["image_id"])
+                 .iter_batches(batch_format="pyarrow", batch_size=None)),
+            promote_options="default")["image_id"].to_pandas().to_numpy()
+        si, di = np.triu_indices(len(ids), k=1)
+        edges = ray.data.from_arrow(pa.table(
+            {"src": pa.array(ids[si], pa.string()),
+             "dst": pa.array(ids[di], pa.string())})).repartition(
+                 cfg.num_partitions * 4)
+    else:
+        buckets = sigs.map_batches(lsh.ExplodeBands(cfg), batch_format="pyarrow")
+        edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, cfg))
 
     lean = sigs.select_columns(["image_id", "grams"])
     e = lookup_join(edges, lean.rename_columns({"image_id": "src", "grams": "g_src"}),
@@ -261,25 +298,60 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6):
 
     def check(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"src": pa.array([], pa.string()),
-                             "dst": pa.array([], pa.string()),
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
                              "jaccard_milli": pa.array([], pa.int64())})
         gs = t["g_src"].to_pylist()
         gd = t["g_dst"].to_pylist()
         jac = np.empty(t.num_rows, dtype=np.float64)
-        for i in range(t.num_rows):  # per-PAIR set intersection (candidates
-            a = np.frombuffer(gs[i], dtype=np.uint64)   # only — sub-linear)
+        for i in range(t.num_rows):  # per-PAIR set intersection
+            a = np.frombuffer(gs[i], dtype=np.uint64)
             b = np.frombuffer(gd[i], dtype=np.uint64)
             inter = len(np.intersect1d(a, b, assume_unique=True))
             jac[i] = inter / max(len(a) + len(b) - inter, 1)
         keep = jac >= tau
         t = t.filter(pa.array(keep))
+        # integer ids, src < dst NUMERICALLY (the oracle compares BIGINTs)
+        a = t["src"].cast(pa.int64()).to_numpy()
+        b = t["dst"].cast(pa.int64()).to_numpy()
         return pa.table({
-            "src": t["src"], "dst": t["dst"],
+            "src": np.minimum(a, b), "dst": np.maximum(a, b),
             "jaccard_milli": pa.array((jac[keep] * 1000).astype(np.int64)),
         })
 
     return e.map_batches(check, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs_sql(tau: float = 0.6, k: int = 5) -> str:
+    """DuckDB oracle for the EXACT path: distinct char k-gram sets over the
+    same normalization (lower, collapse whitespace, trim), pair intersection
+    via a gram self-join. Docs shorter than k contribute one whole-string
+    gram, mirroring shingle_window_hashes' short-row rule."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), {k}) AS g
+  FROM norm, UNNEST(generate_series(1, length(s) - {k} + 1)) AS t(i)
+  WHERE length(s) >= {k}
+  UNION
+  SELECT doc_id, s AS g FROM norm WHERE length(s) < {k}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.src, i.dst,
+       CAST(floor(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) * 1000.0) AS BIGINT)
+           AS jaccard_milli
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.src
+JOIN sizes sb ON sb.doc_id = i.dst
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= {tau}
+"""
 
 
 def q_doc_lsh_dedup(sf_dir: str):

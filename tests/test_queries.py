@@ -51,7 +51,8 @@ SQL_CHECKED = [
     "sessionize", "filter_agg", "distinct_pairs", "topk_sources",
     "events_window", "semi_join", "exact_dedup_docs", "dedup_keep_first",
     "doc_stats", "charset_jaccard_pairs", "ann_topk",
-    "embedding_dup_pairs", "events_asof_orders",
+    "embedding_dup_pairs", "events_asof_orders", "ngram_jaccard_pairs",
+    "doc_quality",
 ]
 
 
