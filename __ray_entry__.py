@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
+        "ann_topk_ivf": lambda sf: ann.ivf_topk(sf),
         # rows-only (non-SQL-expressible) detectors
         "doc_lsh_dedup": docops.q_doc_lsh_dedup,
         "ngram_jaccard_pairs": docops.q_ngram_jaccard_pairs,

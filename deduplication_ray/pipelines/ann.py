@@ -201,6 +201,104 @@ def lsh_topk(
     return pa.Table.from_pandas(mine.reset_index(drop=True), preserve_index=False)
 
 
+def _kmeans_cosine(x: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd) on a normalized sample:
+    evenly-strided init, argmax-cosine assignment, renormalized means.
+    Pure numpy on a bounded sample — the centroid model is tiny and
+    broadcast; the full corpus is never collected."""
+    k = min(k, len(x))
+    c = x[:: max(len(x) // k, 1)][:k].copy()
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(k):
+            sel = x[assign == j]
+            if len(sel):
+                m = sel.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    c[j] = m / n
+    return c
+
+
+def ivf_topk(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    with_recall: bool = True,
+) -> "pa.Table":
+    """IVF approximate top-k — the inverted-file scale path alongside
+    ``lsh_topk``: a spherical k-means centroid model (trained on a bounded
+    sample, broadcast once) partitions the corpus into cells; each query
+    probes only its ``nprobe`` nearest cells, so a batch scores only rows
+    whose cell is probed by some query. Candidate volume ~ nprobe/n_centroids
+    of the corpus. Recall vs ``brute_force_topk`` emitted as a column.
+    """
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
+
+    # centroid model from a bounded, deterministic sample (first 4096 rows
+    # in id order — no corpus-wide collect)
+    st = ds.sort(id_col).limit(4096).to_pandas()
+    sample = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in st["embedding"]]))
+    cents = _kmeans_cosine(sample, n_centroids)
+
+    qt = st.head(n_queries)
+    q_ids = qt[id_col].to_numpy()
+    qm = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qt["embedding"]]))
+    npb = min(nprobe, len(cents))
+    q_cells = np.argsort(-(qm @ cents.T), axis=1)[:, :npb]
+    probed = np.unique(q_cells)
+    ref = ray.put((q_ids, qm, cents, np.sort(probed)))
+
+    class CellTopK:
+        def __init__(self):
+            self.state = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.state is None:
+                self.state = ray.get(ref)
+            q_ids, qm, cents, probed = self.state
+            m = _normalize(_emb_matrix(t).astype(np.float64))
+            cell = (m @ cents.T).argmax(axis=1)
+            hit = np.isin(cell, probed)
+            if not hit.any():
+                return pa.table({"q_id": pa.array([], pa.int64()),
+                                 "n_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            cand, ids = m[hit], t[id_col].to_numpy()[hit]
+            sims = cand @ qm.T
+            out_q, out_n, out_s = [], [], []
+            kk = min(k + 1, len(ids))
+            for qi in range(sims.shape[1]):
+                s = sims[:, qi]
+                part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+                out_q.append(np.full(len(part), q_ids[qi], dtype=np.int64))
+                out_n.append(ids[part])
+                out_s.append(s[part])
+            return pa.table({
+                "q_id": np.concatenate(out_q),
+                "n_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s).astype(np.float64),
+            })
+
+    partials = ds.map_batches(CellTopK(), batch_format="pyarrow",
+                              batch_size=4096)
+    out = _distributed_topk(partials, k)
+    if not with_recall:
+        return out
+    mine = out.to_pandas()  # Q*k rows — tiny final result
+    brute = brute_force_topk(sf_dir, n_queries, k, table, id_col).to_pandas()
+    bset = set(zip(brute["q_id"], brute["n_id"]))
+    hits = len(set(zip(mine["q_id"], mine["n_id"])) & bset)
+    mine["recall_vs_brute"] = round(hits / max(len(bset), 1), 4)
+    return pa.Table.from_pandas(mine.reset_index(drop=True), preserve_index=False)
+
+
 def _embedding_dup_pairs_exact(
     ds: ray.data.Dataset, id_col: str, cos_min: float
 ) -> ray.data.Dataset:

@@ -78,3 +78,18 @@ def test_lsh_topk_recall_vs_brute_force(emb_dir):
         got = set(approx[approx.q_id == q].n_id)
         if int(q) % 2 == 0 and int(q) < 80:  # planted near-identical partner
             assert top1 in got, (q, top1, got)
+
+
+def test_ivf_topk_recall_on_planted(emb_dir):
+    """IVF must put near-identical planted partners in the same cell: the
+    rank-1 neighbor of every planted-query row must be recovered."""
+    from deduplication_ray.pipelines.ann import brute_force_topk, ivf_topk
+
+    d, base = emb_dir
+    exact = brute_force_topk(d, n_queries=5, k=3).to_pandas()
+    approx = ivf_topk(d, n_queries=5, k=3, with_recall=False).to_pandas()
+    for q in exact.q_id.unique():
+        top1 = exact[(exact.q_id == q) & (exact['rank'] == 1)].n_id.iloc[0]
+        got = set(approx[approx.q_id == q].n_id)
+        if int(q) % 2 == 0 and int(q) < 80:  # planted near-identical partner
+            assert top1 in got, (q, top1, got)
