@@ -127,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_quality": docops.Q_DOC_QUALITY_SQL,
+        "doc_langid": docops.doc_langid_sql(),
         "exact_dedup_docs": R.Q_EXACT_DEDUP_DOCS_SQL,
         "dedup_keep_first": R.Q_DEDUP_KEEP_FIRST_SQL,
         "doc_stats": docops.Q_DOC_STATS_SQL,

@@ -108,13 +108,41 @@ WHERE jaccard(a.text, b.text) >= 0.95
 # ---------------------------------------------------------------- rows-only detectors
 
 def q_doc_langid(sf_dir: str):
-    """Heuristic stopword language ID per doc (rows-only check)."""
+    """Heuristic stopword language ID per doc, mirrored in SQL (same RE2
+    word-boundary counts, same first-max-wins tie-break)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def lid(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"], "lang_pred": T.language_id(t["text"])})
 
     return ds.map_batches(lid, batch_format="pyarrow")
+
+
+def doc_langid_sql() -> str:
+    """DuckDB oracle generated from the SAME LANG_PROFILES dict: per-profile
+    regexp match counts (RE2 on both sides), argmax with numpy's
+    first-max-wins tie order reproduced as an ordered CASE chain."""
+    langs = list(T.LANG_PROFILES.items())
+    counts = ",\n    ".join(
+        f"length(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b')) AS {lang}"
+        for lang, ws in langs)
+    names = [lang for lang, _ in langs]
+    cases = []
+    for i, lang in enumerate(names[:-1]):
+        conds = " AND ".join(f"{lang} >= {o}" for o in names[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_chain = "\n         ".join(cases)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    {counts}
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest({', '.join(names)}) = 0 THEN 'und'
+         {case_chain}
+       ELSE '{names[-1]}' END AS lang_pred
+FROM c
+"""
 
 
 def q_doc_quality(sf_dir: str):

@@ -52,7 +52,7 @@ SQL_CHECKED = [
     "events_window", "semi_join", "exact_dedup_docs", "dedup_keep_first",
     "doc_stats", "charset_jaccard_pairs", "ann_topk",
     "embedding_dup_pairs", "events_asof_orders", "ngram_jaccard_pairs",
-    "doc_quality",
+    "doc_quality", "doc_langid",
 ]
 
 
@@ -72,7 +72,7 @@ def test_rows_only_queries_execute(entry_mod):
     assert rows_only  # there are non-SQL-expressible ops
     # image_dedup_clusters (full image pipeline, covered by test_pipeline) and
     # doc_lsh_dedup (same engine as entry(), covered below) excluded for time
-    for name in ("doc_simhash_pairs", "doc_langid", "doc_quality",
+    for name in ("doc_simhash_pairs", "doc_langid", "doc_quality", "doc_langid",
                  "doc_fingerprints", "embedding_dup_pairs"):
         df = _to_pandas(qs[name](SF_DIR))
         # embedding_dup_pairs legitimately finds 0 pairs in the random corpus
