@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": docops.q_doc_stats,
         "charset_jaccard_pairs": docops.q_charset_jaccard_pairs,
         "events_asof_orders": R.q_events_asof_orders,
+        "events_sliding_window": R.q_events_sliding_window,
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": R.Q_EVENTS_WINDOW_SQL,
         "semi_join": R.Q_SEMI_JOIN_SQL,
         "events_asof_orders": R.Q_EVENTS_ASOF_ORDERS_SQL,
+        "events_sliding_window": R.Q_EVENTS_SLIDING_WINDOW_SQL,
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_quality": docops.Q_DOC_QUALITY_SQL,

@@ -491,3 +491,47 @@ LEFT JOIN LATERAL (
   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
 ) o ON true
 """
+
+
+# ---------------------------------------------------------------- sliding window
+
+def q_events_sliding_window(sf_dir: str, size_min: int = 60, hop_min: int = 15):
+    """HOPPING (sliding) window aggregate: 1h windows every 15min — each
+    event lands in size/hop = 4 overlapping windows. Realized as a per-batch
+    row replication (vectorized np.repeat into the window-start column)
+    feeding one low-cardinality groupby with partial combine — the
+    streaming-shaped custom window operator Ray Data lacks natively."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    hop_us = hop_min * 60 * 1_000_000
+    n_win = size_min // hop_min
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .view("i8").astype(np.int64)
+        bucket = (ts // hop_us) * hop_us
+        # windows [w, w+size) containing ts: w = bucket - j*hop, j=0..n_win-1
+        starts = (np.repeat(bucket, n_win)
+                  - np.tile(np.arange(n_win, dtype=np.int64) * hop_us, len(ts)))
+        cents = pc.round(pc.multiply(t["value"], pa.scalar(100.0))) \
+            .cast(pa.int64()).to_numpy()
+        return pa.table({
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "value_cents": np.repeat(cents, n_win),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow").groupby(
+        "window_start"
+    ).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_cents", alias_name="sum_value_cents"),
+    )
+
+
+Q_EVENTS_SLIDING_WINDOW_SQL = """
+SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                      - j * 900000000) AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events, UNNEST(generate_series(0, 3)) AS t(j)
+GROUP BY window_start
+"""

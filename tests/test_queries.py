@@ -52,6 +52,7 @@ SQL_CHECKED = [
     "events_window", "semi_join", "exact_dedup_docs", "dedup_keep_first",
     "doc_stats", "charset_jaccard_pairs", "ann_topk",
     "embedding_dup_pairs", "events_asof_orders", "ngram_jaccard_pairs",
+    "events_sliding_window",
     "doc_quality", "doc_langid",
 ]
 
