@@ -42,6 +42,11 @@ class DedupConfig:
     # --- substring pass (T11) ---
     substring_min_len: int = 40   # Lmin: min shared-substring chars to link
     winnow_window: int = 16       # winnowing window for cross-partition rendezvous
+    sa_batch_size: int = 1024     # docs per suffix-array batch: the SA build
+                                  # is O(n log^2 n) serial per batch, so small
+                                  # batches = more parallel tasks; cross-batch
+                                  # pairs are caught (and exactly verified) by
+                                  # the winnowing rendezvous regardless
 
     # --- union-find (T12) ---
     max_rounds: int = 12          # hash-min propagation round cap (O(log n) expected)

@@ -69,14 +69,16 @@ def text_dedup_clusters(
     )
     for e in extra:
         edges = edges.union(e)
-    edges = lsh.dedupe_edges(edges)
+    # materialize before the substr_cand/rest split: two lazy consumers of
+    # the same Dataset re-execute the whole edge DAG (no common-subexpression
+    # reuse in Ray Data) — same fix as image_dedup.build_edges
+    edges = lsh.dedupe_edges(edges).materialize()
     if with_substring:
         from deduplication_ray.stages.substring import split_and_verify_substring
 
         # winnow minimizers prove only a k-char overlap; verify candidates
         # by exact L-gram intersection before they count as 'substr'
-        edges = split_and_verify_substring(edges, ds, cfg, id_col, text_col)
-    edges = edges.materialize()
+        edges = split_and_verify_substring(edges, ds, cfg, id_col, text_col).materialize()
 
     attached = verify.attach_signatures(edges, sigs, cfg, cols=["minhash"])
     vedges = verify.verify_edges(attached, cfg, has_pixels=False).materialize()

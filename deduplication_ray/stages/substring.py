@@ -258,7 +258,7 @@ def suffix_array_edges(
     return lean.map_batches(
         SuffixArrayEdges(cfg, id_col, text_col),
         batch_format="pyarrow",
-        batch_size=cfg.text_batch_size,
+        batch_size=cfg.sa_batch_size,
     )
 
 
