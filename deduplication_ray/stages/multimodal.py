@@ -2,12 +2,11 @@
 
 The engine treats image/audio/video as ``binary`` columns with metadata
 columns (fmt, w, h / sample_rate / fps), processed by actor-pool
-``map_batches`` stages. The *plumbing* — schemas, batch sizes, actor
-signatures, output layout — is real and tested; decoders for codecs whose
-libraries aren't in this container (JPEG, MP3, H.264) are STUBBED behind an
-import-try + ``NotImplementedError`` or a clearly-marked deterministic fake.
-The self-contained codecs (raw / png / qrgb, functions/codecs.py) are fully
-real.
+``map_batches`` stages. Self-contained decoders are REAL: raw / png / qrgb
+images (functions/codecs.py) and RIFF/WAVE PCM audio (``decode_wav`` below,
+pure numpy+struct). Only codecs that genuinely require absent libraries
+(JPEG, MP3/AAC, H.264) are stubbed behind an import-try +
+``NotImplementedError`` — clearly marked stub boundaries.
 """
 
 from __future__ import annotations
@@ -70,43 +69,106 @@ class DecodeImages:
                          "thumb_size": pa.array(np.full(n, self.thumb, np.int32))})
 
 
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF/WAVE PCM decoder (pure numpy + struct — no codec library):
+    parses the chunk list, supports PCM (format 1) at 8/16/32 bits, any
+    channel count (downmixed to mono float32 in [-1, 1]). Compressed
+    formats (MP3/AAC inside WAV, IEEE float, etc.) raise NotImplementedError
+    — that is the stub boundary now, not the container format itself."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(data)
+    fmt_code = channels = rate = bits = None
+    pcm = None
+    while pos + 8 <= n:
+        cid, size = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_code is None or pcm is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    if fmt_code != 1:
+        raise NotImplementedError(
+            f"WAVE format {fmt_code} needs a codec library not present here "
+            "(PCM is self-contained)")
+    if bits == 16:
+        x = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif bits == 32:
+        x = np.frombuffer(pcm[: len(pcm) // 4 * 4], dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported")
+    if channels and channels > 1:
+        x = x[: len(x) // channels * channels].reshape(-1, channels).mean(axis=1)
+    return x, int(rate)
+
+
 class AudioFrameFeatures:
-    """STUB audio stage: binary waveform column -> per-window RMS features.
+    """Audio stage: WAV binary column -> per-window spectral features.
 
-    No audio codec library exists in this container, so the 'decode' is a
-    deterministic fake — payload bytes reinterpreted as int16 PCM — which
-    keeps the Ray-side plumbing (schema, windowing, actor pool) real and
-    testable. Swap ``_decode_pcm`` for a real decoder when available.
-    """
+    The WAV/PCM decode is REAL (``decode_wav``); per window of ``window``
+    samples it emits RMS, zero-crossing rate, and spectral centroid (Hz,
+    via one batched rfft per file). Payloads that are not RIFF/WAVE fall
+    back to raw little-endian int16 PCM at ``fallback_rate`` — the
+    documented contract for headerless streams. Per-file work (header parse
+    + rfft) is inherent; the per-window math is vectorized."""
 
-    def __init__(self, window: int = 1024):
+    def __init__(self, window: int = 1024, fallback_rate: int = 16000):
         self.window = window
+        self.fallback_rate = fallback_rate
+        # Hann window (built once per actor): without it, spectral leakage
+        # from the rectangular window drags a pure tone's centroid far off
+        # its frequency
+        self.hann = np.hanning(window)
 
-    def _decode_pcm(self, data: bytes) -> np.ndarray:
+    def _decode(self, data: bytes) -> tuple[np.ndarray, int]:
+        if data[:4] == b"RIFF":
+            return decode_wav(data)
         usable = (len(data) // 2) * 2
-        return np.frombuffer(data[:usable], dtype=np.int16).astype(np.float32)
+        return (np.frombuffer(data[:usable], dtype="<i2").astype(np.float32)
+                / 32768.0, self.fallback_rate)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payload = t["bytes"].combine_chunks() if isinstance(t["bytes"], pa.ChunkedArray) else t["bytes"]
-        ids, rms_all, widx = [], [], []
+        ids, widx, rms_all, zcr_all, cent_all, rates = [], [], [], [], [], []
         for i in range(t.num_rows):
-            pcm = self._decode_pcm(payload[i].as_py())
+            pcm, rate = self._decode(payload[i].as_py())
             nw = len(pcm) // self.window
             if nw == 0:
                 continue
-            w = pcm[: nw * self.window].reshape(nw, self.window)
-            rms = np.sqrt((w.astype(np.float64) ** 2).mean(axis=1))
+            w = pcm[: nw * self.window].reshape(nw, self.window).astype(np.float64)
+            rms = np.sqrt((w ** 2).mean(axis=1))
+            zcr = (np.diff(np.signbit(w), axis=1) != 0).mean(axis=1)
+            spec = np.abs(np.fft.rfft(w * self.hann, axis=1))
+            freqs = np.fft.rfftfreq(self.window, d=1.0 / rate)
+            cent = (spec * freqs).sum(axis=1) / np.maximum(spec.sum(axis=1), 1e-12)
             ids.append(np.repeat(t["audio_id"][i].as_py(), nw))
             widx.append(np.arange(nw, dtype=np.int64))
             rms_all.append(rms)
+            zcr_all.append(zcr)
+            cent_all.append(cent)
+            rates.append(np.full(nw, rate, dtype=np.int64))
         if not ids:
             return pa.table({"audio_id": pa.array([], pa.string()),
                              "window": pa.array([], pa.int64()),
-                             "rms": pa.array([], pa.float64())})
+                             "rms": pa.array([], pa.float64()),
+                             "zcr": pa.array([], pa.float64()),
+                             "centroid_hz": pa.array([], pa.float64()),
+                             "sample_rate": pa.array([], pa.int64())})
         return pa.table({
             "audio_id": pa.array(np.concatenate(ids), pa.string()),
             "window": pa.array(np.concatenate(widx)),
             "rms": pa.array(np.concatenate(rms_all)),
+            "zcr": pa.array(np.concatenate(zcr_all)),
+            "centroid_hz": pa.array(np.concatenate(cent_all)),
+            "sample_rate": pa.array(np.concatenate(rates)),
         })
 
 

@@ -58,3 +58,63 @@ def test_video_frame_sample_stub():
     out = VideoFrameSample(every_k=3, frame_bytes=4096)(t)
     assert out["frame"].to_pylist() == [0, 3, 6, 9]
     assert all(len(f) == 4096 for f in out["frame_bytes"].to_pylist())
+
+
+def _make_wav(freq_hz=440.0, rate=16000, seconds=1.0, bits=16, channels=1,
+              amp=0.5):
+    import struct
+
+    n = int(rate * seconds)
+    x = amp * np.sin(2 * np.pi * freq_hz * np.arange(n) / rate)
+    if channels > 1:
+        x = np.repeat(x, channels)
+    if bits == 16:
+        pcm = (x * 32767).astype("<i2").tobytes()
+        block = 2 * channels
+    elif bits == 8:
+        pcm = (x * 127 + 128).astype(np.uint8).tobytes()
+        block = channels
+    else:
+        raise ValueError(bits)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_real_pcm():
+    from deduplication_ray.stages.multimodal import decode_wav
+
+    for bits, channels in [(16, 1), (16, 2), (8, 1)]:
+        x, rate = decode_wav(_make_wav(bits=bits, channels=channels))
+        assert rate == 16000
+        assert len(x) == 16000
+        # 0.5-amplitude sine: RMS = 0.5/sqrt(2)
+        assert abs(np.sqrt((x.astype(np.float64) ** 2).mean()) - 0.3536) < 0.01
+
+
+def test_audio_features_spectral_centroid_tracks_tone():
+    wav_lo = _make_wav(freq_hz=440.0)
+    wav_hi = _make_wav(freq_hz=3000.0)
+    t = pa.table({"audio_id": ["lo", "hi"], "bytes": [wav_lo, wav_hi]})
+    out = AudioFrameFeatures(window=1024)(t).to_pandas()
+    lo = out[out.audio_id == "lo"]
+    hi = out[out.audio_id == "hi"]
+    # centroid of a pure tone sits at the tone frequency (+- bin width)
+    assert abs(lo.centroid_hz.mean() - 440) < 40
+    assert abs(hi.centroid_hz.mean() - 3000) < 40
+    # ZCR of a sine = 2f/rate
+    assert abs(lo.zcr.mean() - 2 * 440 / 16000) < 0.01
+    assert (lo.sample_rate == 16000).all()
+
+
+def test_audio_wav_compressed_format_raises():
+    import struct
+
+    from deduplication_ray.stages.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 16000, 32000, 2, 16)  # 85 = MP3
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
