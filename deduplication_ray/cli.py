@@ -8,6 +8,7 @@ The reference exposes ``dedup_bin c|d``; the graft exposes:
   python -m deduplication_ray.cli compress   WIDTH BLOCK IN.bin OUT.ddp
   python -m deduplication_ray.cli decompress IN.ddp OUT.bin
   python -m deduplication_ray.cli fixture    --out DIR --rows N [--seed S]
+  python -m deduplication_ray.cli query      [NAME] [--sf-dir DIR] [--dest DIR]
 
 ``run`` and ``resume`` are the same code path — resume is what ``run`` does
 when the run dir already holds complete, config-matching checkpoints (the
@@ -88,7 +89,49 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--num-cpus", type=int, default=None)
 
+    s = sub.add_parser("query", help="run a registered pipeline over a table dir")
+    s.add_argument("name", nargs="?", default=None,
+                   help="query name (omit to list all)")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="directory holding the parquet tables")
+    s.add_argument("--dest", default=None,
+                   help="write result parquet here instead of printing a preview")
+    s.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query":
+        import os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))  # repo root: __ray_entry__ lives there
+        ray = _session(args.num_cpus)
+        import __ray_entry__ as entry
+
+        qs = entry.queries()
+        if args.name is None:
+            checked = set(entry.oracle_sql())
+            for name in sorted(qs):
+                tag = "sql-checked" if name in checked else "rows-only"
+                print(f"{name}  [{tag}]")
+            ray.shutdown()
+            return 0
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; run with no name to list",
+                  file=sys.stderr)
+            ray.shutdown()
+            return 2
+        res = qs[args.name](args.sf_dir)
+        if args.dest is not None and hasattr(res, "write_parquet"):
+            res.write_parquet(args.dest)
+            print(json.dumps({"query": args.name, "rows": res.count(),
+                              "dest": args.dest}))
+        else:
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            print(df.head(20).to_string())
+            print(json.dumps({"query": args.name, "rows": len(df)}))
+        ray.shutdown()
+        return 0
 
     if args.cmd in ("run", "resume"):
         ray = _session(args.num_cpus)
