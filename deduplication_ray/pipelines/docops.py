@@ -289,15 +289,25 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
         cap = normalize_captions(t["text"])
         grams, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
         mh = H.minhash_signatures(grams, offs, mh_a, mh_b)
-        # per-row sorted unique gram sets as variable-length binary blobs
-        blobs = []
-        for i in range(t.num_rows):
-            u = np.unique(grams[offs[i]: offs[i + 1]])
-            blobs.append(u.tobytes())
+        # per-row sorted unique gram sets as variable-length binary blobs —
+        # one vectorized lexsort over the whole batch (no per-doc loop)
+        n_docs = len(offs) - 1
+        counts = offs[1:] - offs[:-1]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((grams, doc_idx))
+        gs, ds_ = grams[order], doc_idx[order]
+        keep = np.concatenate([[True], (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])]) \
+            if len(gs) else np.zeros(0, bool)
+        gu, du = gs[keep], ds_[keep]
+        per_doc = np.bincount(du, minlength=n_docs)
+        boffs = np.concatenate([[0], np.cumsum(per_doc * 8)]).astype(np.int32)
+        blob = pa.BinaryArray.from_buffers(
+            pa.binary(), n_docs,
+            [None, pa.array(boffs).buffers()[1], pa.py_buffer(gu.tobytes())])
         return pa.table({
             "image_id": t["doc_id"].cast(pa.string()),
             "minhash": H.pack_u64_rows(mh),
-            "grams": pa.array(blobs, pa.binary()),
+            "grams": blob,
         })
 
     sigs = ds.map_batches(sig, batch_format="pyarrow",

@@ -54,9 +54,13 @@ class DecodeImages:
         fmts = t["fmt"].to_pylist()
         ws, hs = t["w"].to_numpy(), t["h"].to_numpy()
         payload = t["bytes"].combine_chunks() if isinstance(t["bytes"], pa.ChunkedArray) else t["bytes"]
+        # zero-copy slices into the Arrow value buffer (as_py() copied every
+        # payload); decode itself is inherently per-row
+        pbuf, poffs = H._arrow_flat_buffer(payload)
         out = np.empty((n, self.thumb * self.thumb), dtype=np.uint8)
         for i in range(n):
-            img = self.decode_one(payload[i].as_py(), fmts[i], int(ws[i]), int(hs[i]))
+            img = self.decode_one(pbuf[poffs[i]:poffs[i + 1]],
+                                  fmts[i], int(ws[i]), int(hs[i]))
             g = C.resize_area(C.to_grayscale(img), self.thumb)
             out[i] = np.clip(g, 0, 255).astype(np.uint8).ravel()
         blob = pa.BinaryArray.from_buffers(
