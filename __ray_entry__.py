@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_jaccard_pairs": docops.q_charset_jaccard_pairs,
         "events_asof_orders": R.q_events_asof_orders,
         "events_sliding_window": R.q_events_sliding_window,
+        "distinct_orderkeys_hll": R.q_distinct_orderkeys_hll,
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),

@@ -535,3 +535,35 @@ SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
 FROM events, UNNEST(generate_series(0, 3)) AS t(j)
 GROUP BY window_start
 """
+
+
+# ---------------------------------------------------------------- HLL sketch
+
+def q_distinct_orderkeys_hll(sf_dir: str, p: int = 14):
+    """Distinct l_orderkey count via a HyperLogLog sketch — the mergeable-
+    sketch path for COUNT(DISTINCT) at 10^12 rows: per-block 2^p-register
+    partials (one np.maximum.at each), elementwise-max merge in ONE final
+    task. No shuffle of keys, ~16KB per block on the wire regardless of
+    cardinality. Approximate (~0.8% @ p=14) -> rows-only driver check; the
+    error bound is asserted against exact distinct in tests."""
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.functions import sketch as SK
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = SK.hll_init(p)
+        SK.hll_update(regs, H.splitmix64(
+            t["l_orderkey"].to_numpy().astype(np.int64).view(np.uint64)))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def final(t: pa.Table) -> pa.Table:
+        regs = SK.hll_init(p)
+        for b in t["regs"].to_pylist():
+            regs = SK.hll_merge(regs, np.frombuffer(b, np.uint8))
+        return pa.table({"distinct_est": pa.array(
+            [int(round(SK.hll_estimate(regs)))], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .repartition(1).map_batches(final, batch_format="pyarrow",
+                                    batch_size=None)

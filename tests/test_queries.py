@@ -85,3 +85,28 @@ def test_entry_runs(entry_mod):
     df = _to_pandas(r)
     assert len(df) == 500
     assert set(df.columns) == {"doc_id", "cluster_id"}
+
+
+def test_hll_distinct_within_error_bound(entry_mod, con):
+    from deduplication_ray.pipelines.relational import q_distinct_orderkeys_hll
+
+    est = q_distinct_orderkeys_hll(SF_DIR).to_pandas()["distinct_est"].iloc[0]
+    exact = con.execute("SELECT count(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
+    assert abs(est - exact) / exact < 0.03, (est, exact)
+
+
+def test_hll_merge_order_invariant():
+    import numpy as np
+
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.functions import sketch as SK
+
+    h = H.splitmix64(np.arange(100_000, dtype=np.uint64))
+    whole = SK.hll_update(SK.hll_init(), h.copy())
+    parts = [SK.hll_update(SK.hll_init(), c.copy()) for c in np.array_split(h, 7)]
+    merged = parts[0]
+    for q in parts[1:][::-1]:
+        merged = SK.hll_merge(merged, q)
+    assert (merged == whole).all()
+    est = SK.hll_estimate(whole)
+    assert abs(est - 100_000) / 100_000 < 0.02, est
