@@ -42,11 +42,13 @@ class DedupConfig:
     # --- substring pass (T11) ---
     substring_min_len: int = 40   # Lmin: min shared-substring chars to link
     winnow_window: int = 16       # winnowing window for cross-partition rendezvous
-    sa_batch_size: int = 1024     # docs per suffix-array batch: the SA build
-                                  # is O(n log^2 n) serial per batch, so small
-                                  # batches = more parallel tasks; cross-batch
-                                  # pairs are caught (and exactly verified) by
-                                  # the winnowing rendezvous regardless
+    sa_batch_size: int = 4096     # docs per suffix-array batch: the SA build
+                                  # is O(n log^2 n) serial per batch — size to
+                                  # ~0.5MB of TEXT per batch (long documents
+                                  # want 1024, short captions 4096). Smaller
+                                  # batches shift cross-batch pairs onto the
+                                  # winnowing rendezvous, whose candidates are
+                                  # exactly verified but cost a join pass.
 
     # --- union-find (T12) ---
     max_rounds: int = 12          # hash-min propagation round cap (O(log n) expected)

@@ -397,4 +397,8 @@ def q_doc_lsh_dedup(sf_dir: str):
     from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return text_dedup_clusters(ds, DedupConfig(num_partitions=8))
+    # documents are ~500 chars: 1024-doc SA batches keep the O(n log^2 n)
+    # build parallel (~0.5MB text/batch); short-caption tables use the
+    # 4096 default
+    return text_dedup_clusters(ds, DedupConfig(num_partitions=8,
+                                               sa_batch_size=1024))
