@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": R.q_events_asof_orders,
         "events_sliding_window": R.q_events_sliding_window,
         "distinct_orderkeys_hll": R.q_distinct_orderkeys_hll,
+        "grouped_topn": R.q_grouped_topn,
+        "anti_join": R.q_anti_join,
+        "grouped_quantiles": R.q_grouped_quantiles,
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
@@ -127,6 +130,9 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": R.Q_SEMI_JOIN_SQL,
         "events_asof_orders": R.Q_EVENTS_ASOF_ORDERS_SQL,
         "events_sliding_window": R.Q_EVENTS_SLIDING_WINDOW_SQL,
+        "grouped_topn": R.Q_GROUPED_TOPN_SQL,
+        "anti_join": R.Q_ANTI_JOIN_SQL,
+        "grouped_quantiles": R.Q_GROUPED_QUANTILES_SQL,
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_quality": docops.Q_DOC_QUALITY_SQL,

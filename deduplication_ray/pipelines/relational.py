@@ -567,3 +567,143 @@ def q_distinct_orderkeys_hll(sf_dir: str, p: int = 14):
     return ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .repartition(1).map_batches(final, batch_format="pyarrow",
                                     batch_size=None)
+
+
+# ---------------------------------------------------------------- grouped top-n
+
+def q_grouped_topn(sf_dir: str, n: int = 2):
+    """Top-n orders per customer by total price (SQL row_number <= n).
+
+    Scale plan: a per-batch partial top-n per key (vectorized
+    rank-within-group over a lexsort) caps what enters the shuffle at
+    <= n rows per key per input block, then ``hash_grouped_reduce`` applies
+    the same kernel once per key-partition — never a per-group Python call,
+    never a global sort. Ties broken on o_orderkey ascending to match the
+    deterministic SQL window order."""
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topn(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy()
+        order = np.lexsort((t["o_orderkey"].to_numpy(),
+                            -t["o_totalprice"].to_numpy(), ck))
+        cks = ck[order]
+        idx = np.arange(len(cks))
+        new = np.concatenate([[True], cks[1:] != cks[:-1]]) if len(cks) \
+            else np.zeros(0, bool)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        return t.take(pa.array(order[(idx - start) < n]))
+
+    partials = ds.map_batches(topn, batch_format="pyarrow")
+    return hash_grouped_reduce(
+        partials,
+        key_hash=lambda t: H.splitmix64(
+            t["o_custkey"].to_numpy().astype(np.uint64)),
+        reduce_fn=topn,
+        num_parts=32,
+    )
+
+
+Q_GROUPED_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+"""
+
+
+# ---------------------------------------------------------------- anti join
+
+def q_anti_join(sf_dir: str):
+    """Customers with NO urgent order (NOT IN): the broadcast complement of
+    the semi-join. Distributed distinct of the probe keys first (the driver
+    only collects the bounded distinct keyset, never the raw stream), then a
+    vectorized sorted-keyset NOT-IN filter per batch. At 100 TB the keyset
+    collect is replaced by the same Bloom-prefilter + exact-set pattern; the
+    filter pass is unchanged."""
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return t.select(["o_custkey"])
+
+    distinct = urgent.map_batches(f, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Count(alias_name="_n")) \
+        .select_columns(["o_custkey"]).to_pandas()["o_custkey"].to_numpy()
+    keys_arr = np.sort(distinct.astype(np.int64)) if len(distinct) \
+        else np.array([-1], dtype=np.int64)
+    ref = ray.put(keys_arr)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["c_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, ck), 0, len(self.keys) - 1)
+            return t.filter(pa.array(self.keys[pos] != ck))
+
+    return cust.map_batches(Anti, batch_format="pyarrow", concurrency=(1, 4))
+
+
+Q_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------- exact grouped quantiles
+
+def q_grouped_quantiles(sf_dir: str):
+    """Exact grouped quantiles via a distributed CDF — no sort, no data
+    shuffle. Per-batch (flag, quantity) value-count partials (Arrow hash
+    aggregate), a tiny groupby-sum whose shuffle carries at most
+    |flags| x |distinct values| rows per block (150 here, independent of row
+    count), then one CDF walk over the collected counts. Exact whenever the
+    value domain is bounded; DuckDB ``quantile_disc`` picks
+    ``sorted_v[floor(q*(n-1))]``, reproduced from cumulative counts."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_quantity": g["l_quantity"],
+            "cnt": g["l_quantity_count"].cast(pa.int64()),
+        })
+
+    agg = ds.map_batches(counts, batch_format="pyarrow", batch_size=None) \
+        .groupby(["l_returnflag", "l_quantity"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+
+    rows = []
+    for flag, g in agg.groupby("l_returnflag"):
+        g = g.sort_values("l_quantity")
+        v = g["l_quantity"].to_numpy()
+        cum = np.cumsum(g["cnt"].to_numpy())
+        n = int(cum[-1])
+
+        def pick(q):
+            i = int(np.floor(q * (n - 1)))
+            return float(v[np.searchsorted(cum, i, side="right")])
+
+        rows.append({"l_returnflag": flag, "q25": pick(0.25),
+                     "q50": pick(0.50), "q75": pick(0.75), "n_rows": n})
+    return pd.DataFrame(rows)
+
+
+Q_GROUPED_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.50) AS q50,
+       quantile_disc(l_quantity, 0.75) AS q75,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""

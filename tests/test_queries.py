@@ -54,6 +54,7 @@ SQL_CHECKED = [
     "embedding_dup_pairs", "events_asof_orders", "ngram_jaccard_pairs",
     "events_sliding_window",
     "doc_quality", "doc_langid",
+    "grouped_topn", "anti_join", "grouped_quantiles",
 ]
 
 
