@@ -47,24 +47,44 @@ BAND_SUBSTR = lsh.BAND_SUBSTR
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of a uint8 sequence by prefix doubling (numpy lexsort)."""
+    """Suffix array of a uint8 sequence by prefix doubling.
+
+    Initial ranks come from the first EIGHT bytes of each suffix packed into
+    one u64 (the buffer always ends with a NUL separator, so zero-padding
+    past the end orders end-of-buffer suffixes correctly), skipping the
+    k=1/2/4 doubling rounds; each remaining round sorts ONE composite int64
+    key ``rank*(n+1) + rank[i+k]+1`` instead of a two-key lexsort (~2x per
+    round). O(n log n) numpy, no Python char loops."""
     n = len(s)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    rank = s.astype(np.int64)
-    k = 1
+    assert n < (1 << 31), "per-batch suffix buffer limited to 2^31 bytes"
+    pad = np.zeros(n + 8, dtype=np.uint8)
+    pad[:n] = s
+    key0 = np.zeros(n, dtype=np.uint64)
+    for j in range(8):
+        key0 = (key0 << np.uint64(8)) | pad[j:j + n].astype(np.uint64)
+    order = np.argsort(key0)
+    ko = key0[order]
+    newgrp = np.empty(n, dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = ko[1:] != ko[:-1]
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.cumsum(newgrp) - 1
+    if rank[order[-1]] == n - 1:
+        return order
+    k = 8
+    stride = np.int64(n + 1)
     while True:
-        key2 = np.full(n, -1, dtype=np.int64)
+        comb = rank * stride
         if k < n:
-            key2[:-k] = rank[k:]
-        order = np.lexsort((key2, rank))
-        r = np.empty(n, dtype=np.int64)
-        ro, ko = rank[order], key2[order]
-        newgrp = np.empty(n, dtype=bool)
+            comb[:-k] += rank[k:] + 1
+        order = np.argsort(comb)
+        co = comb[order]
         newgrp[0] = True
-        newgrp[1:] = (ro[1:] != ro[:-1]) | (ko[1:] != ko[:-1])
-        r[order] = np.cumsum(newgrp) - 1
-        rank = r
+        newgrp[1:] = co[1:] != co[:-1]
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.cumsum(newgrp) - 1
         if rank[order[-1]] == n - 1:
             return order
         k *= 2
@@ -134,22 +154,30 @@ class SuffixArrayEdges:
         keep[1:] |= ok
         sa_k, run_k = sa[keep], run_id[keep]
         doc_k = np.searchsorted(doc_starts, sa_k, side="right") - 1
-        df = pd.DataFrame({"run": run_k, "doc": doc_k}).drop_duplicates()
-        # star edges per run over distinct docs
-        df["doc_id"] = ids[df["doc"].to_numpy()]
-        agg = df.groupby("run")["doc_id"].agg(["min", "nunique"])
-        multi = agg[agg["nunique"] >= 2]
-        if multi.empty:
+        # star edges per run over distinct docs, src = lexicographically
+        # smallest doc_id — all vectorized on integer doc indices (a pandas
+        # string-groupby here was 2/3 of the whole stage's CPU)
+        stride = np.int64(n_docs + 1)
+        uk = np.unique(run_k.astype(np.int64) * stride + doc_k)
+        run_u, doc_u = uk // stride, uk % stride
+        str_rank = np.empty(n_docs, dtype=np.int64)
+        str_rank[np.argsort(ids)] = np.arange(n_docs)
+        order2 = np.lexsort((str_rank[doc_u], run_u))
+        ru, du = run_u[order2], doc_u[order2]
+        new = np.concatenate([[True], ru[1:] != ru[:-1]])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(ru)))
+        run_slot = np.cumsum(new) - 1
+        src_doc = du[starts][run_slot]          # min-id doc of each row's run
+        keep2 = (counts >= 2)[run_slot] & (du != src_doc)
+        if not keep2.any():
             return _empty_edges()
-        dfm = df[df["run"].isin(multi.index)]
-        dfm = dfm.merge(multi["min"].rename("src"), left_on="run", right_index=True)
-        dfm = dfm[dfm["doc_id"] != dfm["src"]]
-        out = dfm[["src", "doc_id"]].drop_duplicates()
+        upk = np.unique(src_doc[keep2].astype(np.int64) * stride + du[keep2])
         return pa.table(
             {
-                "src": pa.array(out["src"].to_numpy(), pa.string()),
-                "dst": pa.array(out["doc_id"].to_numpy(), pa.string()),
-                "kind": pa.array(["substr"] * len(out), pa.string()),
+                "src": pa.array(ids[upk // stride], pa.string()),
+                "dst": pa.array(ids[upk % stride], pa.string()),
+                "kind": pa.array(["substr"] * len(upk), pa.string()),
             }
         )
 
@@ -253,8 +281,16 @@ def suffix_array_edges(
     id_col: str = "image_id",
     text_col: str = "caption",
 ) -> ray.data.Dataset:
-    """Per-partition suffix-array pass -> (src, dst, kind='substr') edges."""
-    lean = input_ds.select_columns([id_col, text_col])
+    """Per-partition suffix-array pass -> (src, dst, kind='substr') edges.
+
+    Repartitioned to one ``sa_batch_size`` block per task: map_batches
+    parallelism is per-BLOCK, and parquet reads of a small caption column
+    can arrive in a handful of blocks, serializing the most expensive
+    kernel in the edges stage (measured: effective parallelism ~4 of 32
+    at 60k rows before; every CPU busy after). The moved bytes are only
+    (id, caption) — the payload column never enters this exchange."""
+    lean = input_ds.select_columns([id_col, text_col]) \
+        .repartition(target_num_rows_per_block=cfg.sa_batch_size)
     return lean.map_batches(
         SuffixArrayEdges(cfg, id_col, text_col),
         batch_format="pyarrow",
