@@ -258,3 +258,58 @@ def simhash_features(gray_small: np.ndarray, tiles: int = 8) -> np.ndarray:
     means = gray_small.reshape(n, tiles, t, tiles, t).mean(axis=(2, 4))
     flat = means.reshape(n, tiles * tiles)
     return flat - flat.mean(axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------- VSQ1 video container
+
+VSQ1_MAGIC = b"VSQ1"
+_VSQ1_FMTS = ("raw", "png", "qrgb")
+
+
+def encode_vseq(frames, fps: int, fmt: str = "qrgb") -> bytes:
+    """Self-contained video container: magic 'VSQ1', u32 n_frames, u16 w,
+    u16 h, u8 fps, u8 fmt_code, then per frame u32 length + an encoded image
+    payload (raw/png/qrgb — the real image codecs above). Same container
+    discipline as the reference's DDP1 header+payload layout
+    (``/root/reference/src/compressor.c:30-39``), applied to a frame
+    sequence; no external codec library involved."""
+    if fmt not in _VSQ1_FMTS:
+        raise ValueError(f"unknown vseq fmt {fmt!r}")
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w, _ = frames[0].shape
+    parts = [VSQ1_MAGIC,
+             struct.pack("<IHHBB", len(frames), w, h, fps, _VSQ1_FMTS.index(fmt))]
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share one (h, w, 3) shape")
+        payload = encode_image(f, fmt)
+        parts.append(struct.pack("<I", len(payload)))
+        parts.append(payload)
+    return b"".join(parts)
+
+
+def vseq_header(data: bytes) -> tuple[int, int, int, int, str]:
+    """-> (n_frames, w, h, fps, fmt); validates magic."""
+    if bytes(data[:4]) != VSQ1_MAGIC:
+        raise ValueError("not VSQ1")
+    n, w, h, fps, code = struct.unpack_from("<IHHBB", data, 4)
+    if code >= len(_VSQ1_FMTS):
+        raise ValueError(f"bad vseq fmt code {code}")
+    return n, w, h, fps, _VSQ1_FMTS[code]
+
+
+def decode_vseq_frames(data: bytes, every_k: int = 1):
+    """Yield (frame_index, pixels) for every k-th frame WITHOUT decoding the
+    skipped ones — frame lengths are read from the per-frame headers, so
+    sampling seeks in O(n_frames) header reads, the scale contract for a
+    frame-sample stage (decode cost ∝ sampled frames, not stored frames)."""
+    data = bytes(data)
+    n, w, h, fps, fmt = vseq_header(data)
+    off = 14
+    for i in range(n):
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if i % every_k == 0:
+            yield i, decode_image(data[off:off + ln], fmt, w, h)
+        off += ln

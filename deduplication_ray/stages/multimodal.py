@@ -177,29 +177,46 @@ class AudioFrameFeatures:
 
 
 class VideoFrameSample:
-    """STUB video stage: emits every k-th 'frame' as an opaque binary slice.
+    """Video stage: VSQ1 binary column -> sampled decoded frames + features.
 
-    Real video decode needs ffmpeg/PyAV (absent). The fake treats the payload
-    as fixed-size frame records (frame_bytes param) — the sampling logic,
-    schema, and actor signature are the real scale-path plumbing.
+    The VSQ1 container decode is REAL (``codecs.encode_vseq`` /
+    ``decode_vseq_frames`` — raw/png/qrgb frames, pure numpy+zlib): every
+    k-th frame is decoded to pixels (skipped frames are seeked over via
+    per-frame length headers, so cost ∝ sampled frames) and emits a 64-bit
+    pHash + mean luma per sampled frame — the inputs a video near-dup pass
+    buckets on. External containers (MP4/H.264) would need ffmpeg/PyAV
+    (absent): non-VSQ1 payloads raise NotImplementedError — that is the
+    single remaining stub boundary, clearly marked.
     """
 
-    def __init__(self, every_k: int = 30, frame_bytes: int = 4096):
+    def __init__(self, every_k: int = 30):
         self.k = every_k
-        self.frame_bytes = frame_bytes
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payload = t["bytes"].combine_chunks() if isinstance(t["bytes"], pa.ChunkedArray) else t["bytes"]
-        vids, fidx, frames = [], [], []
+        pbuf, poffs = H._arrow_flat_buffer(payload)
+        vids, fidx, gray = [], [], []
         for i in range(t.num_rows):
-            data = payload[i].as_py()
-            n_frames = len(data) // self.frame_bytes
-            for f in range(0, n_frames, self.k):
-                vids.append(t["video_id"][i].as_py())
+            data = pbuf[poffs[i]:poffs[i + 1]].tobytes()
+            if data[:4] != C.VSQ1_MAGIC:
+                raise NotImplementedError(
+                    "video decode for non-VSQ1 containers requires "
+                    "ffmpeg/PyAV, not present in this environment")
+            vid = t["video_id"][i].as_py()
+            for f, px in C.decode_vseq_frames(data, self.k):
+                vids.append(vid)
                 fidx.append(f)
-                frames.append(data[f * self.frame_bytes: (f + 1) * self.frame_bytes])
+                gray.append(C.resize_area(C.to_grayscale(px), 32))
+        if not vids:
+            return pa.table({"video_id": pa.array([], pa.string()),
+                             "frame": pa.array([], pa.int64()),
+                             "phash": pa.array([], pa.int64()),
+                             "mean_luma": pa.array([], pa.float64())})
+        g = np.stack(gray)
+        ph = C.phash64_batch(g)
         return pa.table({
             "video_id": pa.array(vids, pa.string()),
             "frame": pa.array(fidx, pa.int64()),
-            "frame_bytes": pa.array(frames, pa.binary()),
+            "phash": pa.array(H.bitcast_u64_to_i64(ph), pa.int64()),
+            "mean_luma": pa.array(g.reshape(len(g), -1).mean(axis=1)),
         })

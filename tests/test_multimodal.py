@@ -52,12 +52,56 @@ def test_audio_frame_features_stub():
     assert (np.array(out["rms"]) > 0).all()
 
 
-def test_video_frame_sample_stub():
-    payload = bytes(range(256)) * 160  # 40960 bytes = 10 frames of 4096
+def _make_frames(n=10, w=48, h=32, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    # slowly-varying sequence: frame i = base rolled i px (realistic motion)
+    return [np.roll(base, i, axis=1) for i in range(n)]
+
+
+def test_vseq_roundtrip_lossless_and_lossy():
+    from deduplication_ray.functions import codecs as C
+
+    frames = _make_frames()
+    for fmt in ("raw", "png"):
+        data = C.encode_vseq(frames, fps=30, fmt=fmt)
+        n, w, h, fps, f = C.vseq_header(data)
+        assert (n, w, h, fps, f) == (10, 48, 32, 30, fmt)
+        out = dict(C.decode_vseq_frames(data, 1))
+        assert len(out) == 10
+        for i, fr in enumerate(frames):
+            assert np.array_equal(out[i], fr)
+    lossy = C.encode_vseq(frames, fps=30, fmt="qrgb")
+    for i, px in C.decode_vseq_frames(lossy, 1):
+        assert C.psnr_db(px, frames[i]) >= 30.0
+
+
+def test_video_frame_sample_real_decode():
+    from deduplication_ray.functions import codecs as C
+
+    frames = _make_frames(n=10)
+    payload = C.encode_vseq(frames, fps=30, fmt="png")
     t = pa.table({"video_id": ["v"], "bytes": [payload]})
-    out = VideoFrameSample(every_k=3, frame_bytes=4096)(t)
+    out = VideoFrameSample(every_k=3)(t)
     assert out["frame"].to_pylist() == [0, 3, 6, 9]
-    assert all(len(f) == 4096 for f in out["frame_bytes"].to_pylist())
+    # pHash of a sampled frame matches hashing the decoded frame directly
+    import numpy as _np
+    ph0 = int(C.phash64(frames[0]))
+    got0 = int(_np.uint64(out["phash"][0].as_py()))
+    assert got0 == ph0
+    # identical videos -> identical per-frame hashes; a different video differs
+    other = C.encode_vseq(_make_frames(seed=99), fps=30, fmt="png")
+    t2 = pa.table({"video_id": ["v", "w"], "bytes": [payload, other]})
+    out2 = VideoFrameSample(every_k=3)(t2)
+    d = {(r["video_id"], r["frame"]): r["phash"] for r in out2.to_pylist()}
+    assert d[("v", 0)] == out["phash"][0].as_py()
+    assert d[("w", 0)] != d[("v", 0)]
+
+
+def test_video_non_vseq_raises():
+    t = pa.table({"video_id": ["v"], "bytes": [b"\x00\x00\x00\x20ftypmp42" * 4]})
+    with pytest.raises(NotImplementedError, match="VSQ1"):
+        VideoFrameSample()(t)
 
 
 def _make_wav(freq_hz=440.0, rate=16000, seconds=1.0, bits=16, channels=1,
