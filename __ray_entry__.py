@@ -56,6 +56,25 @@ def _img_fixture_query(sf_dir: str):
     return storage.read_table(f"{run_dir}/clusters")
 
 
+def _video_fixture_query(sf_dir: str):
+    """Video near-dup pipeline (frame-sampled pHash -> LSH -> union-find) on
+    the deterministic VSQ1 clip fixture. Rows-only check (iterative
+    union-find is not SQL-expressible); recall/precision vs planted truth is
+    asserted in tests/test_video_dedup.py."""
+    import os
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.video_dedup import video_dedup_clusters
+    from deduplication_ray.sources import fixtures, storage
+
+    n, seed = 400, FIXTURE_SEED
+    fix_dir = f"/tmp/dedup_ray_vidfix_{seed}_{n}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate_videos(fix_dir, n, seed=seed)
+    ds = storage.read_table(f"{fix_dir}/data")
+    return video_dedup_clusters(ds, DedupConfig(num_partitions=8))
+
+
 def _nonempty_or_typed_table(ds):
     """Dataset.to_pandas() on an EMPTY dataset yields a column-less frame,
     which would fail the driver's schema compare; hand back a typed empty
@@ -111,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": lambda sf: _nonempty_or_typed_table(
             ann.embedding_dup_pairs(sf, cos_min=0.45)),
         "image_dedup_clusters": _img_fixture_query,
+        "video_dedup_clusters": _video_fixture_query,
     }
 
 

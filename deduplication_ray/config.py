@@ -50,6 +50,21 @@ class DedupConfig:
                                   # winnowing rendezvous, whose candidates are
                                   # exactly verified but cost a join pass.
 
+    # --- video near-dup (frame-sampled pHash; pipelines/video_dedup.py) ---
+    video_every_k: int = 1          # decode every k-th stored frame. k=1 is
+                                    # the recall-safe default: a clip trimmed
+                                    # by an offset not divisible by k samples
+                                    # a SHIFTED frame grid, and pHash is not
+                                    # pan-invariant (measured d=8-16 at 2px).
+                                    # Raise k only when decode dominates and
+                                    # trims are grid-aligned or absent.
+    video_frame_hamming_t: int = 8  # per-frame pHash Hamming radius
+    video_match_frac: float = 0.6   # mean frame-containment to link two videos
+
+    # --- audio near-dup (windowed spectral fingerprints) ---
+    audio_window: int = 1024        # PCM samples per fingerprint window
+    audio_shingle: int = 4          # consecutive window-hashes per shingle
+
     # --- union-find (T12) ---
     max_rounds: int = 12          # hash-min propagation round cap (O(log n) expected)
 

@@ -1,0 +1,148 @@
+"""Video near-dup pipeline: frame-sampled pHash -> LSH bands -> union-find.
+
+The same bucketed engine as image/text dedup, specialized to VSQ1 clips
+(stages/multimodal.VideoSignatures). Design for scale:
+
+* A whole clip arrives in one row, so the signature stage needs NO shuffle —
+  decode + per-frame pHash run where the bytes already live, and only the
+  8-bytes-per-sampled-frame hash list travels downstream (the binary payload
+  dies at the first stage, SURVEY §7.5's early-kill discipline).
+* Candidates come from the existing (band, bucket) groupby machinery
+  (stages/lsh.py): every sampled frame emits 4 x 16-bit pHash multi-index
+  bands, Hamming-verified AT EMISSION (radius ``video_frame_hamming_t``), so
+  two clips become a candidate pair iff some frame of one is a Hamming
+  near-match of some frame of the other. Hot buckets (black frames, test
+  cards) go through the same salting + ambassador re-linking as image LSH.
+* Verification is containment over the frame-hash lists: for candidate pair
+  (A, B), the fraction of A's frames with a Hamming-<=t match in B plus the
+  symmetric fraction must average >= ``video_match_frac``. Head-trimmed or
+  re-encoded copies keep containment ~1.0; clips sharing only a stray frame
+  fall below the bar. The all-pairs XOR-popcount per pair is O(|A| x |B|)
+  over a few dozen hashes and runs only on LSH survivors — never all clips.
+
+The reference has no video path; this realizes the task brief's multimodal
+requirement with the container decode done by our own VSQ1 codec
+(functions/codecs.py) — no external codec library.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.functions import hashing as H
+from deduplication_ray.stages import lsh
+from deduplication_ray.stages.multimodal import VideoSignatures
+from deduplication_ray.state import unionfind
+
+
+def video_signatures(ds: ray.data.Dataset, cfg: DedupConfig,
+                     id_col: str = "video_id") -> ray.data.Dataset:
+    return ds.map_batches(
+        VideoSignatures(cfg, id_col), batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+
+
+class _ExplodeFrameBands:
+    """signature rows -> (band, bucket, salt, image_id, ph, sh) bucket stream.
+
+    One bucket row per (sampled frame x 4 pHash 16-bit bands); schema matches
+    stages/lsh.edges_from_buckets so the whole skew/salting/pairing machinery
+    is reused unchanged. ``ph`` carries the frame hash for the at-emission
+    Hamming check (lsh._pixel_pair_keep)."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lists = t["frame_phashes"].combine_chunks() if isinstance(
+            t["frame_phashes"], pa.ChunkedArray) else t["frame_phashes"]
+        flat = lists.flatten().to_numpy()
+        counts = np.diff(lists.offsets.to_numpy())
+        band, bucket = lsh._hash16_bands(H.bitcast_i64_to_u64(flat),
+                                         lsh.BAND_PHASH)
+        ids = np.repeat(t["image_id"].to_pandas().to_numpy(), counts * 4)
+        ph = np.repeat(flat, 4)
+        return pa.table({
+            "band": band.astype(np.int64),
+            "bucket": bucket,
+            "salt": np.zeros(len(ids), dtype=np.int64),
+            "image_id": pa.array(ids, pa.string()),
+            "ph": pa.array(ph, pa.int64()),
+            "sh": np.zeros(len(ids), dtype=np.int64),
+        })
+
+
+def verify_video_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
+                       cfg: DedupConfig) -> ray.data.Dataset:
+    """Keep candidate (src, dst) iff mean frame containment >= video_match_frac."""
+    from deduplication_ray.stages.verify import attach_signatures
+
+    e = attach_signatures(edges, sigs, cfg, cols=["frame_phashes"])
+    tau, frac_min = cfg.video_frame_hamming_t, cfg.video_match_frac
+
+    def check(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.select(["src", "dst", "kind"])
+        keep = np.zeros(n, dtype=bool)
+        src_l = t["frame_phashes_src"].to_pylist()
+        dst_l = t["frame_phashes_dst"].to_pylist()
+        # per-pair all-pairs popcount: LSH survivors only, |A|,|B| ~ dozens
+        for i in range(n):
+            a = np.asarray(src_l[i], dtype=np.int64).view(np.uint64)
+            b = np.asarray(dst_l[i], dtype=np.int64).view(np.uint64)
+            if len(a) == 0 or len(b) == 0:
+                continue
+            d = H.popcount64(a[:, None] ^ b[None, :])
+            hit_a = (d.min(axis=1) <= tau).sum()
+            hit_b = (d.min(axis=0) <= tau).sum()
+            keep[i] = (hit_a + hit_b) / (len(a) + len(b)) >= frac_min
+        return t.select(["src", "dst", "kind"]).filter(pa.array(keep))
+
+    return e.map_batches(check, batch_format="pyarrow")
+
+
+def video_dedup_clusters(ds: ray.data.Dataset,
+                         cfg: DedupConfig | None = None,
+                         id_col: str = "video_id") -> ray.data.Dataset:
+    """(video_id, bytes[VSQ1]) -> clusters(video_id, cluster_id)."""
+    cfg = cfg or DedupConfig()
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    apply_context_tuning()
+    sigs = video_signatures(ds, cfg, id_col).materialize()
+    buckets = sigs.map_batches(_ExplodeFrameBands(cfg), batch_format="pyarrow")
+    # the emission-time Hamming gate must use the VIDEO frame radius, not the
+    # still-image one — swap it in a derived config for the pairing pass only
+    ecfg = dataclasses.replace(cfg, phash_hamming_t=cfg.video_frame_hamming_t)
+    edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, ecfg)).materialize()
+    vedges = verify_video_edges(edges, sigs, cfg).materialize()
+    ids = sigs.select_columns(["image_id"])
+    if vedges.count() == 0:
+        # no links survive verification: all clips are singletons. (Also
+        # dodges a Ray quirk: an EMPTY dataset loses its schema through
+        # rename_columns, which would break the lookup_join below.)
+        return ids.map_batches(
+            lambda t: pa.table({id_col: t["image_id"],
+                                "cluster_id": t["image_id"]}),
+            batch_format="pyarrow")
+    labels = unionfind.connected_components(vedges, cfg)
+    from deduplication_ray.stages.join import lookup_join
+
+    j = lookup_join(ids, labels.rename_columns({"node": "image_id"}),
+                    on=["image_id"], cfg=cfg, how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = pc.coalesce(t["label"].cast(pa.string()), t["image_id"])
+        return pa.table({id_col: t["image_id"], "cluster_id": lab})
+
+    return j.map_batches(fill, batch_format="pyarrow")

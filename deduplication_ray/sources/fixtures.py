@@ -317,3 +317,132 @@ def generate(out_dir: str, n_rows: int, seed: int = 42, num_files: int | None = 
                               os.path.join(out_dir, "truth"))
     storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
                                      "num_files": num_files, "stage": "fixture"})
+
+
+# ---------------------------------------------------------------- video fixture
+
+VIDEO_KINDS = ("unique", "exact", "reenc", "trim", "jitter")
+
+
+def plan_videos(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Video spec + truth, mirroring ``plan_rows`` for VSQ1 clips.
+
+    spec: video_id, kind, pattern_seed, noise_seed, w, h, n_frames, fps,
+          fmt, trim (frames dropped from the head).
+    Planted populations: unique 60% | exact dups 14% | re-encode (png->qrgb)
+    10% | head-trimmed copies 10% | per-frame pixel-jitter copies 6%.
+    truth: video_id, cluster_id (min video_id of the planted cluster).
+    """
+    rng = np.random.default_rng([seed, 11])
+    quotas = {"exact": int(0.14 * n_rows), "reenc": int(0.10 * n_rows),
+              "trim": int(0.10 * n_rows), "jitter": int(0.06 * n_rows)}
+    rows: list[dict] = []
+    cluster_of: list[int] = []
+    next_cluster = 0
+
+    def add(kind, ps, ns, w, h, nf, fps, fmt, trim, cluster):
+        rows.append(dict(kind=kind, pattern_seed=ps, noise_seed=ns, w=w, h=h,
+                         n_frames=nf, fps=fps, fmt=fmt, trim=trim))
+        cluster_of.append(cluster)
+
+    def dims():
+        return int(rng.integers(40, 65)), int(rng.integers(32, 49))
+
+    for kind, quota in quotas.items():
+        made = 0
+        while made < quota:
+            cl = next_cluster
+            next_cluster += 1
+            w, h = dims()
+            ps = int(rng.integers(1, 2**31))
+            nf = int(rng.integers(9, 16))
+            size = int(rng.integers(2, 5))
+            base_fmt = "png" if kind == "reenc" else _FMTS[int(rng.integers(3))]
+            add(kind, ps, 0, w, h, nf, 24, base_fmt, 0, cl)
+            made += 1
+            for _ in range(size - 1):
+                if kind == "exact":
+                    add(kind, ps, 0, w, h, nf, 24, base_fmt, 0, cl)
+                elif kind == "reenc":
+                    add(kind, ps, 0, w, h, nf, 24, "qrgb", 0, cl)
+                elif kind == "trim":
+                    add(kind, ps, 0, w, h, nf, 24, base_fmt,
+                        int(rng.integers(1, 3)), cl)
+                else:  # jitter: mild per-frame pixel noise
+                    add(kind, ps, int(rng.integers(1, 2**31)), w, h, nf, 24,
+                        base_fmt, 0, cl)
+                made += 1
+    while len(rows) < n_rows:
+        w, h = dims()
+        add("unique", int(rng.integers(1, 2**31)), 0, w, h,
+            int(rng.integers(9, 16)), 24, _FMTS[int(rng.integers(3))], 0,
+            next_cluster)
+        next_cluster += 1
+    rows = rows[:n_rows]
+    cluster_of = cluster_of[:n_rows]
+    order = rng.permutation(n_rows)
+    spec = pd.DataFrame([rows[i] for i in order])
+    spec.insert(0, "video_id", [f"v{i:07d}" for i in range(n_rows)])
+    clusters = pd.Series([cluster_of[i] for i in order])
+    # truth cluster id = min video_id within the planted cluster
+    rep = spec.groupby(clusters.values)["video_id"].transform("min")
+    truth = pd.DataFrame({"video_id": spec["video_id"], "cluster_id": rep})
+    return spec, truth
+
+
+def render_video_frames(ps: int, w: int, h: int, nf: int,
+                        noise_seed: int = 0) -> list[np.ndarray]:
+    """Deterministic clip: a seeded low-freq base frame panned 2 px/frame
+    (wrap-around), so consecutive frames are near-dups of each other but
+    distinct clips are far apart — the same stability argument as
+    ``render_pattern`` applied over time."""
+    base = render_pattern(ps, w, h)
+    frames = [np.roll(base, 2 * i, axis=1) for i in range(nf)]
+    if noise_seed:
+        frames = [apply_noise(f, noise_seed + i) for i, f in enumerate(frames)]
+    return frames
+
+
+class RenderVideos:
+    """map_batches callable: video spec rows -> (video_id, bytes, ...) rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = []
+        for r in batch.to_pylist():
+            frames = render_video_frames(r["pattern_seed"], r["w"], r["h"],
+                                         r["n_frames"], r["noise_seed"])
+            payloads.append(C.encode_vseq(frames[r["trim"]:], r["fps"],
+                                          r["fmt"]))
+        return pa.table({
+            "video_id": batch["video_id"],
+            "bytes": pa.array(payloads, pa.binary()),
+            "n_frames": batch["n_frames"].cast(pa.int64()),
+            "fps": batch["fps"].cast(pa.int32()),
+            "fmt": batch["fmt"],
+        })
+
+
+def generate_videos(out_dir: str, n_rows: int, seed: int = 42,
+                    num_files: int | None = None) -> None:
+    """Materialize the video fixture: table at out_dir/data, labels at
+    out_dir/truth. Requires an active Ray session; deterministic at any
+    parallelism (per-row seeds)."""
+    import os
+
+    import ray.data
+
+    from deduplication_ray.sources import storage
+
+    spec, truth = plan_videos(n_rows, seed)
+    if num_files is None:
+        num_files = max(4, min(64, n_rows // 500))
+    ds = ray.data.from_pandas(spec).repartition(num_files)
+    ds = ds.map_batches(RenderVideos(), batch_size=128, batch_format="pyarrow")
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    ds.write_parquet(data_dir)
+    storage.write_arrow_table(pa.Table.from_pandas(truth),
+                              os.path.join(out_dir, "truth"))
+    storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
+                                     "num_files": num_files,
+                                     "stage": "video_fixture"})

@@ -220,3 +220,50 @@ class VideoFrameSample:
             "phash": pa.array(H.bitcast_u64_to_i64(ph), pa.int64()),
             "mean_luma": pa.array(g.reshape(len(g), -1).mean(axis=1)),
         })
+
+
+class VideoSignatures:
+    """(video_id, bytes[VSQ1]) -> one signature row per VIDEO.
+
+    Emits ``frame_phashes: list<int64>`` (temporal order, every k-th frame)
+    plus ``n_frames`` — the per-video fingerprint the video near-dup pipeline
+    buckets and verifies on. A whole video arrives in one row, so the
+    signature needs NO shuffle: decode + pHash happen where the bytes already
+    are, and only the lean hash list (8 bytes x sampled frames) travels
+    downstream — the `bytes` column dies here, the same early-kill discipline
+    as the image pipeline (SURVEY §7.5).
+    """
+
+    def __init__(self, cfg: DedupConfig | None = None, id_col: str = "video_id"):
+        self.cfg = cfg or DedupConfig()
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        payload = t["bytes"].combine_chunks() if isinstance(t["bytes"], pa.ChunkedArray) else t["bytes"]
+        pbuf, poffs = H._arrow_flat_buffer(payload)
+        gray, counts, totals = [], [], []
+        for i in range(t.num_rows):
+            data = pbuf[poffs[i]:poffs[i + 1]].tobytes()
+            if data[:4] != C.VSQ1_MAGIC:
+                raise NotImplementedError(
+                    "video decode for non-VSQ1 containers requires "
+                    "ffmpeg/PyAV, not present in this environment")
+            k = 0
+            for _, px in C.decode_vseq_frames(data, cfg.video_every_k):
+                gray.append(C.resize_area(C.to_grayscale(px), cfg.phash_size))
+                k += 1
+            counts.append(k)
+            totals.append(C.vseq_header(data)[0])
+        if gray:
+            ph = H.bitcast_u64_to_i64(
+                C.phash64_batch(np.stack(gray), cfg.phash_size, cfg.phash_lowfreq))
+        else:
+            ph = np.empty(0, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        return pa.table({
+            "image_id": t[self.id_col].cast(pa.string()),
+            "frame_phashes": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(ph, pa.int64())),
+            "n_frames": pa.array(totals, pa.int64()),
+        })
