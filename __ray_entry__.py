@@ -75,6 +75,25 @@ def _video_fixture_query(sf_dir: str):
     return video_dedup_clusters(ds, DedupConfig(num_partitions=8))
 
 
+def _audio_fixture_query(sf_dir: str):
+    """Audio near-dup pipeline (spectral sub-fingerprints -> exact-shingle
+    LSH -> union-find) on the deterministic WAV fixture. Rows-only check;
+    recall/precision vs planted truth is asserted in
+    tests/test_audio_dedup.py."""
+    import os
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.audio_dedup import audio_dedup_clusters
+    from deduplication_ray.sources import fixtures, storage
+
+    n, seed = 400, FIXTURE_SEED
+    fix_dir = f"/tmp/dedup_ray_audfix_{seed}_{n}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate_audios(fix_dir, n, seed=seed)
+    ds = storage.read_table(f"{fix_dir}/data")
+    return audio_dedup_clusters(ds, DedupConfig(num_partitions=8))
+
+
 def _nonempty_or_typed_table(ds):
     """Dataset.to_pandas() on an EMPTY dataset yields a column-less frame,
     which would fail the driver's schema compare; hand back a typed empty
@@ -131,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ann.embedding_dup_pairs(sf, cos_min=0.45)),
         "image_dedup_clusters": _img_fixture_query,
         "video_dedup_clusters": _video_fixture_query,
+        "audio_dedup_clusters": _audio_fixture_query,
     }
 
 

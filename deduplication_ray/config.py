@@ -63,7 +63,19 @@ class DedupConfig:
 
     # --- audio near-dup (windowed spectral fingerprints) ---
     audio_window: int = 1024        # PCM samples per fingerprint window
-    audio_shingle: int = 4          # consecutive window-hashes per shingle
+    audio_shingle: int = 3          # consecutive coarse window-hashes per
+                                    # exact-match shingle (candidates)
+    audio_coarse_bands: int = 8     # coarse subfp bits for shingles: wider
+                                    # bands -> stabler signs -> longer exact
+                                    # runs in dup copies (fine 16-bit subfps
+                                    # do verification)
+    audio_frame_hamming_t: int = 2  # per-window 16-bit subfp Hamming radius
+                                    # (verification; candidates are exact
+                                    # shingle matches)
+    audio_match_frac: float = 0.8   # mean window-containment to link clips
+                                    # (true dup copies measure >= 0.95 at
+                                    # t=2; the worst coincidental near-miss
+                                    # observed measures 0.61)
 
     # --- union-find (T12) ---
     max_rounds: int = 12          # hash-min propagation round cap (O(log n) expected)

@@ -1,0 +1,137 @@
+"""Audio near-dup pipeline: spectral sub-fingerprints -> shingle LSH ->
+union-find.
+
+Same bucketed engine as image/video dedup, specialized to WAV/PCM clips
+(stages/multimodal.AudioSignatures). Design for scale:
+
+* A whole clip arrives in one row, so the signature stage needs NO shuffle —
+  decode + per-window fingerprinting run where the bytes already live, and
+  only ~2 bytes per 32 ms of audio travels downstream (the binary payload
+  dies at the first stage, SURVEY §7.5's early-kill discipline).
+* Candidates are EXACT matches on shingles of ``audio_shingle`` consecutive
+  COARSE (``audio_coarse_bands``-bit) sub-fingerprints (u64 splitmix chain):
+  two clips become a candidate pair iff they share one identical
+  audio_shingle-window run. Wide coarse bands keep dup copies' runs exactly
+  identical under requantization/noise; the fine 16-bit sub-fingerprints do
+  the discriminating at verification. Shingle hashes go through the
+  existing (band, bucket) groupby machinery
+  (stages/lsh.py) in the pass-through band namespace — no Hamming gate at
+  emission (same bucket already implies equal shingle) — with hot buckets
+  (silence, test tones) salted + ambassador re-linked as usual.
+* Verification is Hamming-tolerant containment over the per-window
+  sub-fingerprint lists: the fraction of A's windows with a 16-bit
+  fingerprint within ``audio_frame_hamming_t`` of some window of B, plus
+  the symmetric fraction, must average >= ``audio_match_frac``. Requantized
+  or lightly-noised copies keep containment ~1.0 despite a few flipped
+  bits; clips sharing only a coincidental shingle fall below the bar.
+
+Trim robustness contract: hop = audio_window // 2, so head-trims that are a
+multiple of the hop keep the window grid aligned and shingles are a strict
+subset. Arbitrary-offset trims would need denser hops (the audio analog of
+video_every_k=1; see config.py).
+
+The reference has no audio path; this realizes the task brief's multimodal
+requirement with the WAV/PCM decode done in pure numpy (decode_wav) — no
+external codec library.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.functions import hashing as H
+from deduplication_ray.stages import lsh
+from deduplication_ray.stages.multimodal import AudioSignatures, shingle_hashes
+from deduplication_ray.pipelines.video_dedup import clusters_from_verified_edges
+
+
+def audio_signatures(ds: ray.data.Dataset, cfg: DedupConfig,
+                     id_col: str = "audio_id") -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioSignatures(cfg, id_col), batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+
+
+class _ExplodeShingles:
+    """signature rows -> (band, bucket, salt, image_id, ph, sh) bucket stream.
+
+    One bucket row per shingle of ``audio_shingle`` consecutive window
+    sub-fingerprints; band 0 (the pass-through namespace, no emission-time
+    Hamming gate — bucket equality already implies shingle equality)."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = self.cfg.audio_shingle
+        lists = t["frame_subfps_coarse"].combine_chunks() if isinstance(
+            t["frame_subfps_coarse"], pa.ChunkedArray) else t["frame_subfps_coarse"]
+        flat = H.bitcast_i64_to_u64(lists.flatten().to_numpy())
+        offs = lists.offsets.to_numpy()
+        ids_np = t["image_id"].to_pandas().to_numpy()
+        hashes, counts = [], np.zeros(t.num_rows, dtype=np.int64)
+        for i in range(t.num_rows):
+            h = shingle_hashes(flat[offs[i]:offs[i + 1]], s)
+            hashes.append(h)
+            counts[i] = len(h)
+        bucket = (np.concatenate(hashes) if hashes else np.empty(0, np.uint64))
+        n = len(bucket)
+        return pa.table({
+            "band": np.zeros(n, dtype=np.int64),
+            "bucket": pa.array(H.bitcast_u64_to_i64(bucket), pa.int64()),
+            "salt": np.zeros(n, dtype=np.int64),
+            "image_id": pa.array(np.repeat(ids_np, counts), pa.string()),
+            "ph": np.zeros(n, dtype=np.int64),
+            "sh": np.zeros(n, dtype=np.int64),
+        })
+
+
+def verify_audio_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
+                       cfg: DedupConfig) -> ray.data.Dataset:
+    """Keep candidate (src, dst) iff mean window containment >= audio_match_frac."""
+    from deduplication_ray.stages.verify import attach_signatures
+
+    e = attach_signatures(edges, sigs, cfg, cols=["frame_subfps"])
+    tau, frac_min = cfg.audio_frame_hamming_t, cfg.audio_match_frac
+
+    def check(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.select(["src", "dst", "kind"])
+        keep = np.zeros(n, dtype=bool)
+        src_l = t["frame_subfps_src"].to_pylist()
+        dst_l = t["frame_subfps_dst"].to_pylist()
+        # per-pair all-pairs popcount over 16-bit values: LSH survivors only
+        for i in range(n):
+            a = np.asarray(src_l[i], dtype=np.int64).view(np.uint64)
+            b = np.asarray(dst_l[i], dtype=np.int64).view(np.uint64)
+            if len(a) == 0 or len(b) == 0:
+                continue
+            d = H.popcount64(a[:, None] ^ b[None, :])
+            hit_a = (d.min(axis=1) <= tau).sum()
+            hit_b = (d.min(axis=0) <= tau).sum()
+            keep[i] = (hit_a + hit_b) / (len(a) + len(b)) >= frac_min
+        return t.select(["src", "dst", "kind"]).filter(pa.array(keep))
+
+    return e.map_batches(check, batch_format="pyarrow")
+
+
+def audio_dedup_clusters(ds: ray.data.Dataset,
+                         cfg: DedupConfig | None = None,
+                         id_col: str = "audio_id") -> ray.data.Dataset:
+    """(audio_id, bytes[WAV]) -> clusters(audio_id, cluster_id)."""
+    cfg = cfg or DedupConfig()
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    apply_context_tuning()
+    sigs = audio_signatures(ds, cfg, id_col).materialize()
+    buckets = sigs.map_batches(_ExplodeShingles(cfg), batch_format="pyarrow")
+    edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, cfg)).materialize()
+    vedges = verify_audio_edges(edges, sigs, cfg).materialize()
+    ids = sigs.select_columns(["image_id"])
+    return clusters_from_verified_edges(ids, vedges, cfg, id_col)

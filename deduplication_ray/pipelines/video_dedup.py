@@ -109,24 +109,16 @@ def verify_video_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
     return e.map_batches(check, batch_format="pyarrow")
 
 
-def video_dedup_clusters(ds: ray.data.Dataset,
-                         cfg: DedupConfig | None = None,
-                         id_col: str = "video_id") -> ray.data.Dataset:
-    """(video_id, bytes[VSQ1]) -> clusters(video_id, cluster_id)."""
-    cfg = cfg or DedupConfig()
-    from deduplication_ray.stages.tuning import apply_context_tuning
-
-    apply_context_tuning()
-    sigs = video_signatures(ds, cfg, id_col).materialize()
-    buckets = sigs.map_batches(_ExplodeFrameBands(cfg), batch_format="pyarrow")
-    # the emission-time Hamming gate must use the VIDEO frame radius, not the
-    # still-image one — swap it in a derived config for the pairing pass only
-    ecfg = dataclasses.replace(cfg, phash_hamming_t=cfg.video_frame_hamming_t)
-    edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, ecfg)).materialize()
-    vedges = verify_video_edges(edges, sigs, cfg).materialize()
-    ids = sigs.select_columns(["image_id"])
+def clusters_from_verified_edges(ids: ray.data.Dataset,
+                                 vedges: ray.data.Dataset,
+                                 cfg: DedupConfig,
+                                 id_col: str) -> ray.data.Dataset:
+    """Shared tail for the modal dedup pipelines: verified edges + the full
+    id set (column ``image_id``) -> clusters(id_col, cluster_id), unmatched
+    ids as singletons. ``vedges`` must be materialized (its count decides
+    the empty shortcut)."""
     if vedges.count() == 0:
-        # no links survive verification: all clips are singletons. (Also
+        # no links survive verification: everything is a singleton. (Also
         # dodges a Ray quirk: an EMPTY dataset loses its schema through
         # rename_columns, which would break the lookup_join below.)
         return ids.map_batches(
@@ -146,3 +138,22 @@ def video_dedup_clusters(ds: ray.data.Dataset,
         return pa.table({id_col: t["image_id"], "cluster_id": lab})
 
     return j.map_batches(fill, batch_format="pyarrow")
+
+
+def video_dedup_clusters(ds: ray.data.Dataset,
+                         cfg: DedupConfig | None = None,
+                         id_col: str = "video_id") -> ray.data.Dataset:
+    """(video_id, bytes[VSQ1]) -> clusters(video_id, cluster_id)."""
+    cfg = cfg or DedupConfig()
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    apply_context_tuning()
+    sigs = video_signatures(ds, cfg, id_col).materialize()
+    buckets = sigs.map_batches(_ExplodeFrameBands(cfg), batch_format="pyarrow")
+    # the emission-time Hamming gate must use the VIDEO frame radius, not the
+    # still-image one — swap it in a derived config for the pairing pass only
+    ecfg = dataclasses.replace(cfg, phash_hamming_t=cfg.video_frame_hamming_t)
+    edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, ecfg)).materialize()
+    vedges = verify_video_edges(edges, sigs, cfg).materialize()
+    ids = sigs.select_columns(["image_id"])
+    return clusters_from_verified_edges(ids, vedges, cfg, id_col)

@@ -446,3 +446,138 @@ def generate_videos(out_dir: str, n_rows: int, seed: int = 42,
     storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
                                      "num_files": num_files,
                                      "stage": "video_fixture"})
+
+
+# ---------------------------------------------------------------- audio fixture
+
+AUDIO_KINDS = ("unique", "exact", "requant", "trim", "jitter")
+AUDIO_RATE = 16000
+
+
+def plan_audios(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Audio spec + truth, mirroring ``plan_videos`` for WAV clips.
+
+    spec: audio_id, kind, pattern_seed, noise_seed, n_samples, bits,
+          trim_hops (window/2-sample hops dropped from the head).
+    Planted populations: unique 60% | exact dups 14% | 8-bit requantized
+    copies 10% | head-trimmed copies 10% | additive-noise copies 6%.
+    truth: audio_id, cluster_id (min audio_id of the planted cluster).
+    """
+    rng = np.random.default_rng([seed, 12])
+    quotas = {"exact": int(0.14 * n_rows), "requant": int(0.10 * n_rows),
+              "trim": int(0.10 * n_rows), "jitter": int(0.06 * n_rows)}
+    rows: list[dict] = []
+    cluster_of: list[int] = []
+    next_cluster = 0
+
+    def add(kind, ps, ns, n_samples, bits, trim_hops, cluster):
+        rows.append(dict(kind=kind, pattern_seed=ps, noise_seed=ns,
+                         n_samples=n_samples, bits=bits, trim_hops=trim_hops))
+        cluster_of.append(cluster)
+
+    for kind, quota in quotas.items():
+        made = 0
+        while made < quota:
+            cl = next_cluster
+            next_cluster += 1
+            ps = int(rng.integers(1, 2**31))
+            ns_len = int(rng.integers(13000, 21000))
+            size = int(rng.integers(2, 5))
+            add(kind, ps, 0, ns_len, 16, 0, cl)
+            made += 1
+            for _ in range(size - 1):
+                if kind == "exact":
+                    add(kind, ps, 0, ns_len, 16, 0, cl)
+                elif kind == "requant":
+                    add(kind, ps, 0, ns_len, 8, 0, cl)
+                elif kind == "trim":
+                    add(kind, ps, 0, ns_len, 16, int(rng.integers(1, 5)), cl)
+                else:  # jitter: small additive noise on the same signal
+                    add(kind, ps, int(rng.integers(1, 2**31)), ns_len, 16, 0, cl)
+                made += 1
+    while len(rows) < n_rows:
+        add("unique", int(rng.integers(1, 2**31)), 0,
+            int(rng.integers(13000, 21000)), 16, 0, next_cluster)
+        next_cluster += 1
+    rows = rows[:n_rows]
+    cluster_of = cluster_of[:n_rows]
+    order = rng.permutation(n_rows)
+    spec = pd.DataFrame([rows[i] for i in order])
+    spec.insert(0, "audio_id", [f"a{i:07d}" for i in range(n_rows)])
+    clusters = pd.Series([cluster_of[i] for i in order])
+    rep = spec.groupby(clusters.values)["audio_id"].transform("min")
+    truth = pd.DataFrame({"audio_id": spec["audio_id"], "cluster_id": rep})
+    return spec, truth
+
+
+def render_audio_pcm(ps: int, n_samples: int, noise_seed: int = 0) -> np.ndarray:
+    """Deterministic clip: 3 seeded AM-modulated tones over a seeded
+    broadband noise floor (the floor is part of the SIGNAL — same seed in
+    every copy — so adjacent-band energy signs are deterministic everywhere,
+    not noise-dominated in tone-free bands). ``noise_seed`` adds small
+    independent noise on top (the "jitter" dup population)."""
+    r = np.random.default_rng([ps, 13])
+    t = np.arange(n_samples) / AUDIO_RATE
+    x = np.zeros(n_samples)
+    for _ in range(3):
+        f = float(np.exp(r.uniform(np.log(350.0), np.log(3800.0))))
+        a = float(r.uniform(0.3, 1.0))
+        m = float(r.uniform(2.0, 5.0))
+        ph = float(r.uniform(0.0, 2.0 * np.pi))
+        x += a * (1.0 + 0.8 * np.sin(2 * np.pi * m * t + ph)) / 2.0 \
+            * np.sin(2 * np.pi * f * t)
+    x += 0.1 * r.standard_normal(n_samples)
+    x = 0.5 * x / np.abs(x).max()
+    if noise_seed:
+        x = x + 0.005 * np.random.default_rng([noise_seed, 14]).standard_normal(n_samples)
+    return x
+
+
+class RenderAudios:
+    """map_batches callable: audio spec rows -> (audio_id, bytes, ...) rows."""
+
+    def __init__(self, hop: int = 512):
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from deduplication_ray.stages.multimodal import encode_wav
+
+        payloads = []
+        for r in batch.to_pylist():
+            pcm = render_audio_pcm(r["pattern_seed"], r["n_samples"],
+                                   r["noise_seed"])
+            pcm = pcm[r["trim_hops"] * self.hop:]
+            payloads.append(encode_wav(pcm, AUDIO_RATE, r["bits"]))
+        return pa.table({
+            "audio_id": batch["audio_id"],
+            "bytes": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array(np.full(batch.num_rows, AUDIO_RATE, np.int64)),
+            "bits": batch["bits"].cast(pa.int32()),
+        })
+
+
+def generate_audios(out_dir: str, n_rows: int, seed: int = 42,
+                    num_files: int | None = None, hop: int = 512) -> None:
+    """Materialize the audio fixture: table at out_dir/data, labels at
+    out_dir/truth. Requires an active Ray session; deterministic at any
+    parallelism (per-row seeds). ``hop`` must equal audio_window // 2 of the
+    config under test (trim offsets are planted grid-aligned)."""
+    import os
+
+    import ray.data
+
+    from deduplication_ray.sources import storage
+
+    spec, truth = plan_audios(n_rows, seed)
+    if num_files is None:
+        num_files = max(4, min(64, n_rows // 500))
+    ds = ray.data.from_pandas(spec).repartition(num_files)
+    ds = ds.map_batches(RenderAudios(hop), batch_size=128, batch_format="pyarrow")
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    ds.write_parquet(data_dir)
+    storage.write_arrow_table(pa.Table.from_pandas(truth),
+                              os.path.join(out_dir, "truth"))
+    storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
+                                     "num_files": num_files,
+                                     "stage": "audio_fixture"})

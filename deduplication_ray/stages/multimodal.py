@@ -267,3 +267,132 @@ class VideoSignatures:
                 pa.array(offsets), pa.array(ph, pa.int64())),
             "n_frames": pa.array(totals, pa.int64()),
         })
+
+
+def encode_wav(pcm: np.ndarray, rate: int, bits: int = 16) -> bytes:
+    """Minimal RIFF/WAVE PCM writer (mono), the inverse of ``decode_wav``.
+    ``pcm`` is float in [-1, 1]; 8- or 16-bit output."""
+    import struct
+
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    if bits == 16:
+        body = (x * 32767.0).round().astype("<i2").tobytes()
+    elif bits == 8:
+        body = (x * 127.0 + 128.0).round().astype(np.uint8).tobytes()
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM writer unsupported")
+    block = bits // 8
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * block, block, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body
+              + (b"\x00" if len(body) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_subfingerprints(pcm: np.ndarray, rate: int, window: int,
+                          n_bands: int = 16) -> np.ndarray:
+    """Per-frame 16-bit spectral sub-fingerprints (uint64 array).
+
+    Frames of ``window`` samples at hop window//2, log-spaced band energies
+    (300 Hz .. min(rate/2, 4 kHz)), bit m = sign of the adjacent-band energy
+    difference E[t,m] - E[t,m+1] — the spectral SHAPE per frame. This is the
+    Haitsma-Kalker band-energy-sign family (ISMIR 2002, "A Highly Robust
+    Audio Fingerprinting System") without HK's extra time differential:
+    for sparse spectra (few tones, most bands near the noise floor) the
+    double differential is noise-dominated (measured ~4 bit flips/frame
+    under 8-bit requantization vs ~0.2 for shape bits), while shape signs
+    stay gain-invariant and flip only where adjacent bands have near-equal
+    energy. Temporal variation (AM, onsets) still changes the shape frame
+    to frame, so shingles of consecutive sub-fingerprints carry temporal
+    structure for exact-match LSH.
+    """
+    spec, freqs = _audio_spectrogram(pcm, rate, window)
+    return _band_sign_bits(spec, freqs, rate, n_bands)
+
+
+def _audio_spectrogram(pcm: np.ndarray, rate: int,
+                       window: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hann-windowed power spectrogram at hop window//2: (frames x bins)."""
+    hop = max(1, window // 2)
+    if len(pcm) < window:
+        return np.empty((0, window // 2 + 1)), np.fft.rfftfreq(window, 1.0 / rate)
+    nf = (len(pcm) - window) // hop + 1
+    idx = np.arange(window)[None, :] + (np.arange(nf) * hop)[:, None]
+    frames = pcm[idx].astype(np.float64) * np.hanning(window)[None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    return spec, np.fft.rfftfreq(window, d=1.0 / rate)
+
+
+def _band_sign_bits(spec: np.ndarray, freqs: np.ndarray, rate: int,
+                    n_bands: int) -> np.ndarray:
+    """Adjacent-band energy-sign bits per frame -> one uint64 per frame."""
+    hi = min(rate / 2.0, 4000.0)
+    edges = np.geomspace(300.0, hi, n_bands + 2)
+    which = np.searchsorted(edges, freqs) - 1  # band index per fft bin
+    valid = (which >= 0) & (which < n_bands + 1)
+    energy = np.zeros((len(spec), n_bands + 1))
+    np.add.at(energy.T, which[valid], spec[:, valid].T)
+    bits = np.diff(energy, axis=1) < 0          # E[:, m] > E[:, m+1]
+    weights = (np.uint64(1) << np.arange(n_bands, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+
+
+def shingle_hashes(subfps: np.ndarray, s: int) -> np.ndarray:
+    """u64 hash per run of ``s`` consecutive sub-fingerprints (splitmix
+    chain), the exact-match LSH key for audio candidates."""
+    if len(subfps) < s:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(subfps, s)
+    h = np.zeros(len(win), dtype=np.uint64)
+    for j in range(s):
+        h = H.splitmix64(h ^ win[:, j])
+    return h
+
+
+class AudioSignatures:
+    """(audio_id, bytes[WAV]) -> one signature row per AUDIO file.
+
+    Emits two band resolutions over ONE spectrogram pass:
+    ``frame_subfps: list<int64>`` — fine 16-bit sub-fingerprints used for
+    Hamming-tolerant verification (strong cross-clip discrimination), and
+    ``frame_subfps_coarse: list<int64>`` — coarse ``audio_coarse_bands``-bit
+    sub-fingerprints used for the exact-shingle candidate buckets. Wider
+    coarse bands average more spectrum per sign, so dup copies keep long
+    runs of IDENTICAL coarse frames (exact shingles survive requantization /
+    light noise) while the fine bits keep unrelated clips far apart at
+    verification. Like VideoSignatures, the whole clip arrives in one row so
+    no shuffle is needed and the binary payload dies here; only ~3 bytes of
+    fingerprint per 32 ms of audio travels downstream.
+    """
+
+    def __init__(self, cfg: DedupConfig | None = None, id_col: str = "audio_id"):
+        self.cfg = cfg or DedupConfig()
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        payload = t["bytes"].combine_chunks() if isinstance(
+            t["bytes"], pa.ChunkedArray) else t["bytes"]
+        pbuf, poffs = H._arrow_flat_buffer(payload)
+        subs, coarse, counts = [], [], []
+        for i in range(t.num_rows):
+            data = pbuf[poffs[i]:poffs[i + 1]].tobytes()
+            pcm, rate = decode_wav(data)
+            spec, freqs = _audio_spectrogram(pcm, rate, cfg.audio_window)
+            subs.append(_band_sign_bits(spec, freqs, rate, 16))
+            coarse.append(_band_sign_bits(spec, freqs, rate,
+                                          cfg.audio_coarse_bands))
+            counts.append(len(subs[-1]))
+        flat = (np.concatenate(subs) if subs else np.empty(0, np.uint64))
+        flat_c = (np.concatenate(coarse) if coarse else np.empty(0, np.uint64))
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        return pa.table({
+            "image_id": t[self.id_col].cast(pa.string()),
+            "frame_subfps": pa.ListArray.from_arrays(
+                pa.array(offsets),
+                pa.array(H.bitcast_u64_to_i64(flat), pa.int64())),
+            "frame_subfps_coarse": pa.ListArray.from_arrays(
+                pa.array(offsets),
+                pa.array(H.bitcast_u64_to_i64(flat_c), pa.int64())),
+            "n_windows": pa.array(counts, pa.int64()),
+        })

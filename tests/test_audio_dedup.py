@@ -1,0 +1,83 @@
+"""Audio near-dup pipeline vs planted truth (WAV fixture)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.pipelines.audio_dedup import audio_dedup_clusters
+from deduplication_ray.pipelines.evaluate import pair_metrics
+from deduplication_ray.sources import fixtures as F
+
+
+@pytest.fixture(scope="module")
+def audio_fixture(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("audfix"))
+    F.generate_audios(out, 160, seed=7)
+    return out
+
+
+def test_plan_audios_deterministic():
+    s1, t1 = F.plan_audios(120, seed=7)
+    s2, t2 = F.plan_audios(120, seed=7)
+    pd.testing.assert_frame_equal(s1, s2)
+    pd.testing.assert_frame_equal(t1, t2)
+    assert set(s1["kind"]).issubset(set(F.AUDIO_KINDS))
+    assert (t1["cluster_id"] <= t1["audio_id"]).all()
+
+
+def test_wav_roundtrip_16_and_8_bit():
+    from deduplication_ray.stages.multimodal import decode_wav, encode_wav
+
+    pcm = F.render_audio_pcm(123, 5000)
+    for bits, tol in ((16, 1.5 / 32768), (8, 1.5 / 128)):
+        out, rate = decode_wav(encode_wav(pcm, F.AUDIO_RATE, bits))
+        assert rate == F.AUDIO_RATE
+        assert len(out) == len(pcm)
+        assert np.abs(out - pcm).max() <= tol
+
+
+def test_audio_dedup_matches_planted_truth(audio_fixture):
+    from deduplication_ray.sources import storage
+
+    cfg = DedupConfig(num_partitions=4)
+    ds = storage.read_table(f"{audio_fixture}/data")
+    pred = audio_dedup_clusters(ds, cfg).to_pandas()
+    truth = storage.read_table(f"{audio_fixture}/truth").to_pandas()
+    m = pair_metrics(
+        pred.rename(columns={"audio_id": "image_id"}),
+        truth.rename(columns={"audio_id": "image_id"}),
+    )
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.99, m
+
+
+def test_audio_dedup_deterministic_across_partitioning(audio_fixture):
+    from deduplication_ray.sources import storage
+
+    ds = storage.read_table(f"{audio_fixture}/data")
+    a = audio_dedup_clusters(ds.repartition(2), DedupConfig(num_partitions=2))
+    b = audio_dedup_clusters(ds.repartition(7), DedupConfig(num_partitions=4))
+    pa_ = a.to_pandas().sort_values("audio_id").reset_index(drop=True)
+    pb_ = b.to_pandas().sort_values("audio_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_, pb_)
+
+
+def test_verify_rejects_coincidental_shingle(ray_session):
+    """Clips sharing only a short run must not link (containment gate)."""
+    from deduplication_ray.stages.multimodal import encode_wav
+
+    # two distinct clips with the same 4-window head grafted on
+    head = F.render_audio_pcm(900, 3072)
+    a = np.concatenate([head, F.render_audio_pcm(901, 14000)])
+    b = np.concatenate([head, F.render_audio_pcm(902, 14000)])
+    t = pa.table({
+        "audio_id": ["a", "b"],
+        "bytes": [encode_wav(a, F.AUDIO_RATE), encode_wav(b, F.AUDIO_RATE)],
+    })
+    cfg = DedupConfig(num_partitions=2)
+    out = audio_dedup_clusters(ray.data.from_arrow(t), cfg).to_pandas()
+    assert out["cluster_id"].nunique() == 2
