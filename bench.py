@@ -93,6 +93,22 @@ def ensure_fixture() -> str:
     return d
 
 
+MODAL_ROWS = int(os.environ.get("BENCH_MODAL_ROWS", "4000"))
+
+
+def ensure_modal_fixture(kind: str) -> str:
+    """Generate (once, cached) the bench video/audio fixture. NOT timed."""
+    from deduplication_ray.sources import fixtures, storage
+
+    d = f"/tmp/dedup_ray_bench{kind}_{SEED}_{MODAL_ROWS}"
+    m = storage.read_manifest(d)
+    if not (m and m.get("n_rows") == MODAL_ROWS):
+        shutil.rmtree(d, ignore_errors=True)
+        gen = fixtures.generate_videos if kind == "vid" else fixtures.generate_audios
+        gen(d, MODAL_ROWS, seed=SEED)
+    return d
+
+
 def run_bench() -> dict:
     import ray
 
@@ -133,12 +149,20 @@ def run_bench() -> dict:
     queries["image_dedup"] = round(img_sec, 2)
     peak_rss_mb = round(rss.peak_kb / 1024, 1)
 
+    from deduplication_ray.pipelines.audio_dedup import audio_dedup_clusters
+    from deduplication_ray.pipelines.video_dedup import video_dedup_clusters
+
+    vid_fix, aud_fix = ensure_modal_fixture("vid"), ensure_modal_fixture("aud")
     for name, fn in [
         ("q1_pricing_summary", relational.q1_pricing_summary),
         ("broadcast_join", relational.q_broadcast_join),
         ("top_revenue_orders", relational.q_top_revenue_orders),
         ("doc_lsh_dedup", q_doc_lsh_dedup),
         ("ann_topk", brute_force_topk),
+        ("video_dedup", lambda _sf: video_dedup_clusters(
+            storage.read_table(f"{vid_fix}/data"), cfg)),
+        ("audio_dedup", lambda _sf: audio_dedup_clusters(
+            storage.read_table(f"{aud_fix}/data"), cfg)),
     ]:
         t0 = time.time()
         res = fn(SF_DIR)

@@ -65,17 +65,22 @@ class DedupConfig:
     audio_window: int = 1024        # PCM samples per fingerprint window
     audio_shingle: int = 3          # consecutive coarse window-hashes per
                                     # exact-match shingle (candidates)
-    audio_coarse_bands: int = 8     # coarse subfp bits for shingles: wider
+    audio_coarse_bands: int = 10    # coarse subfp bits for shingles: wider
                                     # bands -> stabler signs -> longer exact
                                     # runs in dup copies (fine 16-bit subfps
-                                    # do verification)
+                                    # do verification). 10 bands keeps every
+                                    # planted dup's exact run >= shingle
+                                    # length while cutting coincidental
+                                    # candidates ~7x vs 8 bands.
     audio_frame_hamming_t: int = 2  # per-window 16-bit subfp Hamming radius
                                     # (verification; candidates are exact
                                     # shingle matches)
-    audio_match_frac: float = 0.8   # mean window-containment to link clips
-                                    # (true dup copies measure >= 0.95 at
-                                    # t=2; the worst coincidental near-miss
-                                    # observed measures 0.61)
+    audio_match_frac: float = 0.5   # best ALIGNED match fraction to link two
+                                    # clips (true copies measure >= 0.68 on a
+                                    # 4000-clip fixture, the best
+                                    # coincidental candidate 0.29)
+    audio_max_offset: int = 8       # alignment search radius in hops
+                                    # (bounds detectable head trims)
 
     # --- union-find (T12) ---
     max_rounds: int = 12          # hash-min propagation round cap (O(log n) expected)

@@ -18,12 +18,14 @@ Same bucketed engine as image/video dedup, specialized to WAV/PCM clips
   (stages/lsh.py) in the pass-through band namespace — no Hamming gate at
   emission (same bucket already implies equal shingle) — with hot buckets
   (silence, test tones) salted + ambassador re-linked as usual.
-* Verification is Hamming-tolerant containment over the per-window
-  sub-fingerprint lists: the fraction of A's windows with a 16-bit
-  fingerprint within ``audio_frame_hamming_t`` of some window of B, plus
-  the symmetric fraction, must average >= ``audio_match_frac``. Requantized
-  or lightly-noised copies keep containment ~1.0 despite a few flipped
-  bits; clips sharing only a coincidental shingle fall below the bar.
+* Verification is TEMPORALLY-ALIGNED Hamming-tolerant matching over the
+  per-window fine sub-fingerprint lists (``aligned_match_score``): the best
+  single head-offset must align >= ``audio_match_frac`` of the longer
+  clip's windows within ``audio_frame_hamming_t`` bits. Alignment is the
+  load-bearing discriminator: bag-of-frames containment collapsed to 0.30
+  precision at 4000 clips (coincidentally-similar spectra match scattered),
+  while the aligned score separates perfectly (true >= 0.68, best false
+  candidate 0.29) because real copies match at ONE consistent offset.
 
 Trim robustness contract: hop = audio_window // 2, so head-trims that are a
 multiple of the hop keep the window grid aligned and shingles are a strict
@@ -91,13 +93,39 @@ class _ExplodeShingles:
         })
 
 
+def aligned_match_score(a: np.ndarray, b: np.ndarray, tau: int,
+                        max_off: int) -> float:
+    """Best TEMPORALLY-ALIGNED match fraction between two sub-fingerprint
+    sequences: max over head offsets in [-max_off, max_off] of
+    (#aligned frames with Hamming <= tau) / max(len(a), len(b)).
+
+    Alignment is the discriminator bag-of-frames containment lacks: true
+    copies (exact/requantized/noised/head-trimmed) match at ONE consistent
+    offset, while coincidentally-similar spectra only match scattered.
+    Measured on a 4000-clip fixture: true pairs score >= 0.68, the best
+    false candidate 0.29 — bag containment overlapped badly at this scale.
+    O(max_off * min(|a|, |b|)) per pair, LSH survivors only.
+    """
+    best = 0.0
+    denom = max(len(a), len(b))
+    for o in range(-max_off, max_off + 1):
+        x, y = (a[o:], b) if o >= 0 else (a, b[-o:])
+        m = min(len(x), len(y))
+        if m == 0:
+            continue
+        d = H.popcount64(x[:m] ^ y[:m])
+        best = max(best, float((d <= tau).sum()) / denom)
+    return best
+
+
 def verify_audio_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
                        cfg: DedupConfig) -> ray.data.Dataset:
-    """Keep candidate (src, dst) iff mean window containment >= audio_match_frac."""
+    """Keep candidate (src, dst) iff best aligned match >= audio_match_frac."""
     from deduplication_ray.stages.verify import attach_signatures
 
     e = attach_signatures(edges, sigs, cfg, cols=["frame_subfps"])
     tau, frac_min = cfg.audio_frame_hamming_t, cfg.audio_match_frac
+    max_off = cfg.audio_max_offset
 
     def check(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -106,16 +134,12 @@ def verify_audio_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
         keep = np.zeros(n, dtype=bool)
         src_l = t["frame_subfps_src"].to_pylist()
         dst_l = t["frame_subfps_dst"].to_pylist()
-        # per-pair all-pairs popcount over 16-bit values: LSH survivors only
         for i in range(n):
             a = np.asarray(src_l[i], dtype=np.int64).view(np.uint64)
             b = np.asarray(dst_l[i], dtype=np.int64).view(np.uint64)
             if len(a) == 0 or len(b) == 0:
                 continue
-            d = H.popcount64(a[:, None] ^ b[None, :])
-            hit_a = (d.min(axis=1) <= tau).sum()
-            hit_b = (d.min(axis=0) <= tau).sum()
-            keep[i] = (hit_a + hit_b) / (len(a) + len(b)) >= frac_min
+            keep[i] = aligned_match_score(a, b, tau, max_off) >= frac_min
         return t.select(["src", "dst", "kind"]).filter(pa.array(keep))
 
     return e.map_batches(check, batch_format="pyarrow")
