@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": docops.q_doc_stats,
         "charset_jaccard_pairs": docops.q_charset_jaccard_pairs,
         "events_asof_orders": R.q_events_asof_orders,
+        "events_follow_range": R.q_events_follow_range,
         "events_sliding_window": R.q_events_sliding_window,
         "distinct_orderkeys_hll": R.q_distinct_orderkeys_hll,
         "grouped_topn": R.q_grouped_topn,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": R.Q_EVENTS_WINDOW_SQL,
         "semi_join": R.Q_SEMI_JOIN_SQL,
         "events_asof_orders": R.Q_EVENTS_ASOF_ORDERS_SQL,
+        "events_follow_range": R.Q_EVENTS_FOLLOW_RANGE_SQL,
         "events_sliding_window": R.Q_EVENTS_SLIDING_WINDOW_SQL,
         "grouped_topn": R.Q_GROUPED_TOPN_SQL,
         "anti_join": R.Q_ANTI_JOIN_SQL,

@@ -493,6 +493,35 @@ LEFT JOIN LATERAL (
 """
 
 
+# ---------------------------------------------------------------- range join
+
+def q_events_follow_range(sf_dir: str, window_min: int = 5):
+    """Range (interval) self-join, aggregated: per event, the count of
+    same-user events in the FOLLOWING ``window_min`` minutes. Realized by
+    the distributed range_join_count operator (one key-hash shuffle + one
+    vectorized segment-offset sweep per partition — stages/rangejoin.py)."""
+    from deduplication_ray.stages.rangejoin import range_join_count
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return range_join_count(
+        ev, key="user_id", ts="ts",
+        lo=0, hi=window_min * 60 * 1_000_000,
+        out_cols=["event_id"], count_col="n_follow",
+    )
+
+
+Q_EVENTS_FOLLOW_RANGE_SQL = """
+SELECT e.event_id,
+       CAST(count(b.event_id) AS BIGINT) AS n_follow
+FROM events e
+LEFT JOIN events b
+  ON b.user_id = e.user_id
+ AND b.ts > e.ts
+ AND b.ts <= e.ts + INTERVAL 5 MINUTE
+GROUP BY e.event_id
+"""
+
+
 # ---------------------------------------------------------------- sliding window
 
 def q_events_sliding_window(sf_dir: str, size_min: int = 60, hop_min: int = 15):
