@@ -70,28 +70,30 @@ def build_edges(
         lsh.ExplodeBands(cfg), batch_format="pyarrow", batch_size=cfg.text_batch_size
     )
     extra = []
+    needs_verify = input_ds is not None and cfg.substring_rendezvous == "winnow"
     if input_ds is not None:
-        from deduplication_ray.stages.substring import suffix_array_edges, winnow_buckets
+        from deduplication_ray.stages.substring import substring_buckets, suffix_array_edges
 
-        buckets = buckets.union(winnow_buckets(input_ds, cfg))
-        extra.append(suffix_array_edges(input_ds, cfg))
+        buckets = buckets.union(substring_buckets(input_ds, cfg))
+        if cfg.use_suffix_array:
+            extra.append(suffix_array_edges(input_ds, cfg))
 
     edges = lsh.edges_from_buckets(buckets, cfg).union(lsh.exact_edges(signatures, cfg))
     for e in extra:
         edges = edges.union(e)
-    deduped = lsh.dedupe_edges(edges)
-    if input_ds is not None:
+    deduped = lsh.dedupe_edges(edges, keep_sc=needs_verify)
+    if needs_verify:
         from deduplication_ray.stages.substring import split_and_verify_substring
 
-        # materialize the deduped edge set before the substr_cand/rest split:
-        # Ray Data has no common-subexpression reuse, so two lazy consumers
-        # of the same Dataset would re-execute the whole edge DAG (suffix
-        # arrays, pairing, dedupe) twice. The edge set is lean (~1.4 rows per
-        # input row) — object-store residency is cheap, re-execution is not.
-        deduped = deduped.materialize()
-        # winnow minimizers prove only a k-char overlap; verify candidates
-        # by exact L-gram intersection before they count as 'substr'
-        deduped = split_and_verify_substring(deduped, input_ds, cfg)
+        # winnow mode only: a shared minimizer proves a k-char overlap, so
+        # candidates get the exact L-gram verification join. Materialize the
+        # deduped edge set before the candidate/rest split: Ray Data has no
+        # common-subexpression reuse, so two lazy consumers of the same
+        # Dataset would re-execute the whole edge DAG twice. The edge set is
+        # lean (~1.4 rows per input row) — object-store residency is cheap.
+        # 'grams' mode needs none of this: bucket co-membership proves the
+        # >= Lmin substring, edges arrive already trusted.
+        deduped = split_and_verify_substring(deduped.materialize(), input_ds, cfg)
     return deduped
 
 

@@ -56,24 +56,26 @@ def text_dedup_clusters(
         lsh.ExplodeBands(cfg), batch_format="pyarrow", batch_size=cfg.text_batch_size
     )
     extra = []
+    needs_verify = with_substring and cfg.substring_rendezvous == "winnow"
     if with_substring:
         from deduplication_ray.stages.substring import (
+            substring_buckets,
             suffix_array_edges,
-            winnow_buckets,
         )
 
-        buckets = buckets.union(winnow_buckets(ds, cfg, id_col, text_col))
-        extra.append(suffix_array_edges(ds, cfg, id_col, text_col))
+        buckets = buckets.union(substring_buckets(ds, cfg, id_col, text_col))
+        if cfg.use_suffix_array:
+            extra.append(suffix_array_edges(ds, cfg, id_col, text_col))
     edges = lsh.edges_from_buckets(buckets, cfg).union(
         lsh.exact_edges(sigs, cfg, key=("cap_hash",))
     )
     for e in extra:
         edges = edges.union(e)
-    # materialize before the substr_cand/rest split: two lazy consumers of
+    # materialize before the candidate/rest split: two lazy consumers of
     # the same Dataset re-execute the whole edge DAG (no common-subexpression
     # reuse in Ray Data) — same fix as image_dedup.build_edges
-    edges = lsh.dedupe_edges(edges).materialize()
-    if with_substring:
+    edges = lsh.dedupe_edges(edges, keep_sc=needs_verify).materialize()
+    if needs_verify:
         from deduplication_ray.stages.substring import split_and_verify_substring
 
         # winnow minimizers prove only a k-char overlap; verify candidates

@@ -44,12 +44,19 @@ AMBASSADOR_SALT = -1  # rendezvous sub-bucket linking salted shards
 BAND_MINHASH = 0      # 0 .. bands-1
 BAND_PHASH = 1000     # 1000..1003: 4 x 16-bit multi-index bands (pigeonhole:
 BAND_SIMHASH = 2000   # any Hamming distance <= 3 collides in >= 1 band)
-BAND_SUBSTR = 3000    # winnowing fingerprint rendezvous (stages/substring.py)
+BAND_SUBSTR = 3000    # winnowing fingerprint rendezvous (stages/substring.py):
+                      # proves a k-char overlap only -> kind 'substr_cand'
+BAND_SUBSTR_EXACT = 4000  # full L-gram rendezvous: bucket key IS the L-gram
+                      # hash, so membership proves the >=L shared substring
+                      # -> trusted kind 'substr', no verification join, and
+                      # hot-bucket star links are true by construction
 
 
 def kind_of_band(band: int) -> str:
-    if band >= BAND_SUBSTR:
+    if band >= BAND_SUBSTR_EXACT:
         return "substr"
+    if band >= BAND_SUBSTR:
+        return "substr_cand"
     if band >= BAND_SIMHASH:
         return "simhash"
     if band >= BAND_PHASH:
@@ -182,12 +189,17 @@ def _kind_column(band_arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 
     b = band_arr.combine_chunks() if isinstance(band_arr, pa.ChunkedArray) else band_arr
     return pc.if_else(
-        pc.greater_equal(b, BAND_SUBSTR),
-        pa.scalar("substr_cand"),
+        pc.greater_equal(b, BAND_SUBSTR_EXACT),
+        pa.scalar("substr"),
         pc.if_else(
-            pc.greater_equal(b, BAND_SIMHASH),
-            pa.scalar("simhash"),
-            pc.if_else(pc.greater_equal(b, BAND_PHASH), pa.scalar("phash"), pa.scalar("minhash")),
+            pc.greater_equal(b, BAND_SUBSTR),
+            pa.scalar("substr_cand"),
+            pc.if_else(
+                pc.greater_equal(b, BAND_SIMHASH),
+                pa.scalar("simhash"),
+                pc.if_else(pc.greater_equal(b, BAND_PHASH),
+                           pa.scalar("phash"), pa.scalar("minhash")),
+            ),
         ),
     )
 
@@ -417,7 +429,8 @@ def _pair_tagged_table(tbl: pa.Table, cfg: DedupConfig) -> pa.Table:
     if tbl.num_rows == 0:
         return pa.table({"src": pa.array([], pa.string()),
                          "dst": pa.array([], pa.string()),
-                         "kind": pa.array([], pa.string())})
+                         "kind": pa.array([], pa.string()),
+                         "sc": pa.array([], pa.int8())})
     band = tbl["band"].to_numpy()
     bucket = tbl["bucket"].to_numpy()
     salt = tbl["salt"].to_numpy()
@@ -497,7 +510,8 @@ def _pair_tagged_table(tbl: pa.Table, cfg: DedupConfig) -> pa.Table:
     if not out_src:
         return pa.table({"src": pa.array([], pa.string()),
                          "dst": pa.array([], pa.string()),
-                         "kind": pa.array([], pa.string())})
+                         "kind": pa.array([], pa.string()),
+                         "sc": pa.array([], pa.int8())})
     src = np.concatenate(out_src)
     dst = np.concatenate(out_dst)
     bands = np.concatenate(out_band).astype(np.int64)
@@ -505,11 +519,20 @@ def _pair_tagged_table(tbl: pa.Table, cfg: DedupConfig) -> pa.Table:
     # local (src,dst) dedupe before anything distributed sees the edges: a
     # true pair collides in MANY bands (up to 40+), so the raw pair stream is
     # ~20-40x the distinct edge set — sort by (pair hash, kind priority) and
-    # keep the most-trusted instance per pair
+    # keep one instance per pair. Substring-rendezvous instances rank LAST
+    # (they prove only a k-char overlap) but set the per-pair 'sc' flag, so
+    # a pair that is BOTH an LSH candidate and a substring candidate keeps
+    # its signature kind for Hamming/Jaccard verification AND still gets the
+    # exact L-gram substring check — either check passing keeps the edge.
+    # (Collapsing to a single kind used to silently drop the substring
+    # check for such pairs: an embedded 40-char substring in a long caption
+    # has low Jaccard, so the pair died in verify despite being a true dup.)
+    is_sc = ((bands >= BAND_SUBSTR) & (bands < BAND_SUBSTR_EXACT)).astype(np.int8)
     prio_of_band = np.select(
-        [bands >= BAND_SUBSTR, bands >= BAND_SIMHASH, bands >= BAND_PHASH],
-        [KIND_PRIORITY.index("substr"), KIND_PRIORITY.index("simhash"),
-         KIND_PRIORITY.index("phash")],
+        [bands >= BAND_SUBSTR_EXACT, bands >= BAND_SUBSTR,
+         bands >= BAND_SIMHASH, bands >= BAND_PHASH],
+        [KIND_PRIORITY.index("substr"), KIND_PRIORITY.index("substr_cand"),
+         KIND_PRIORITY.index("simhash"), KIND_PRIORITY.index("phash")],
         default=KIND_PRIORITY.index("minhash"),
     )
     hs = H.hash_bytes_array(pa.array(src, pa.string()))
@@ -524,17 +547,20 @@ def _pair_tagged_table(tbl: pa.Table, cfg: DedupConfig) -> pa.Table:
     first = np.concatenate(
         [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
     keep = order[first]
+    sc = np.maximum.reduceat(is_sc[order], np.flatnonzero(first))
     kind = _kind_column(pa.array(bands[keep]))
     return pa.table({"src": pa.array(src[keep], pa.string()),
                      "dst": pa.array(dst[keep], pa.string()),
-                     "kind": kind})
+                     "kind": kind,
+                     "sc": pa.array(sc, pa.int8())})
 
 
 def _empty_edge_ds() -> ray.data.Dataset:
     return ray.data.from_arrow(
         pa.table({"src": pa.array([], pa.string()),
                   "dst": pa.array([], pa.string()),
-                  "kind": pa.array([], pa.string())})
+                  "kind": pa.array([], pa.string()),
+                  "sc": pa.array([], pa.int8())})
     )
 
 
@@ -547,21 +573,34 @@ def _empty_edge_ds() -> ray.data.Dataset:
 KIND_PRIORITY = ["exact", "substr", "phash", "simhash", "minhash", "substr_cand"]
 
 
-def dedupe_edges(edges: ray.data.Dataset, num_parts: int = 64) -> ray.data.Dataset:
+def dedupe_edges(
+    edges: ray.data.Dataset, num_parts: int = 64, keep_sc: bool = False
+) -> ray.data.Dataset:
     """Collapse duplicate (src, dst) across bands — keep the most-trusted
     kind per KIND_PRIORITY. Hash-partitioned on a 128-bit NUMERIC pair key
     (string-pair sort keys made the shuffle ~10x slower; a 64-bit key
     silently drops edges on collision), reduced by ONE vectorized
     lexsort-unique per partition (``hash_grouped_reduce`` — Ray's aggregate
-    pays per-distinct-group costs that dominate at group-per-row keys)."""
+    pays per-distinct-group costs that dominate at group-per-row keys).
+
+    The per-pair substring-candidate flag (``sc`` column where present, or
+    kind == 'substr_cand') is OR-reduced across a pair's instances so
+    collapsing to the most-trusted kind never loses the fact that the pair
+    also earned an exact substring check — callers that route substring
+    verification pass ``keep_sc=True`` to receive the flag."""
     import pyarrow.compute as pc
 
     from deduplication_ray.stages.groupred import hash_grouped_reduce
 
     kindset = pa.array(KIND_PRIORITY)
+    sc_prio = KIND_PRIORITY.index("substr_cand")
 
     def to_prio(t: pa.Table) -> pa.Table:
         prio = pc.index_in(t["kind"], value_set=kindset).cast(pa.int64())
+        prio_np = prio.to_numpy()
+        sc = (t["sc"].to_numpy().astype(np.int8)
+              if "sc" in t.column_names else np.zeros(t.num_rows, np.int8))
+        sc = np.maximum(sc, (prio_np == sc_prio).astype(np.int8))
         hs = H.hash_bytes_array(t["src"].combine_chunks().cast(pa.string()))
         hd = H.hash_bytes_array(t["dst"].combine_chunks().cast(pa.string()))
         h1 = H.hash_u64_pair(hs, hd)
@@ -570,12 +609,14 @@ def dedupe_edges(edges: ray.data.Dataset, num_parts: int = 64) -> ray.data.Datas
             "h1": pa.array(H.bitcast_u64_to_i64(h1), pa.int64()),
             "h2": pa.array(H.bitcast_u64_to_i64(h2), pa.int64()),
             "src": t["src"], "dst": t["dst"], "prio": prio,
+            "sc": pa.array(sc, pa.int8()),
         })
 
     def red(t: pa.Table) -> pa.Table:
         h1 = t["h1"].to_numpy()
         h2 = t["h2"].to_numpy()
         prio = t["prio"].to_numpy()
+        sc = t["sc"].to_numpy()
         order = np.lexsort((prio, h2, h1))
         h1s, h2s = h1[order], h2[order]
         first = np.concatenate(
@@ -583,7 +624,11 @@ def dedupe_edges(edges: ray.data.Dataset, num_parts: int = 64) -> ray.data.Datas
         keep = order[first]
         out = t.take(pa.array(keep))
         kind = pc.take(kindset, out["prio"].combine_chunks().cast(pa.int32()))
-        return pa.table({"src": out["src"], "dst": out["dst"], "kind": kind})
+        cols = {"src": out["src"], "dst": out["dst"], "kind": kind}
+        if keep_sc:
+            sc_red = np.maximum.reduceat(sc[order], np.flatnonzero(first))
+            cols["sc"] = pa.array(sc_red, pa.int8())
+        return pa.table(cols)
 
     keyed = edges.map_batches(to_prio, batch_format="pyarrow", batch_size=None)
     return hash_grouped_reduce(
@@ -639,6 +684,7 @@ def exact_edges(
 
         t = t.filter(pc.invert(pc.equal(t["image_id"], t["src"])))
         kind = pa.nulls(t.num_rows, pa.string()).fill_null("exact")
-        return pa.table({"src": t["src"], "dst": t["image_id"], "kind": kind})
+        return pa.table({"src": t["src"], "dst": t["image_id"], "kind": kind,
+                         "sc": pa.array(np.zeros(t.num_rows, np.int8))})
 
     return joined.map_batches(finish, batch_format="pyarrow")

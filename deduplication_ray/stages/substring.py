@@ -6,23 +6,27 @@ least ``cfg.substring_min_len`` chars (the FIXTURES 'caption A embedded in
 caption B' population) — pairs MinHash can miss because a short shared
 substring of a long caption yields low Jaccard.
 
-Two complementary passes, both emitting trusted ``kind='substr'`` edges:
+Two passes:
 
-1. **Per-partition suffix array** (``SuffixArrayEdges``, a map_batches stage
-   with a large batch size): concatenate the partition's normalized captions
-   with NUL separators, build the suffix array by prefix doubling (numpy
-   lexsort, O(n log^2 n), no Python char loops), mark adjacent suffixes whose
-   LCP >= Lmin (vectorized Lmin-step comparison that treats NUL as
-   never-equal so matches cannot span documents), and link the distinct
-   documents of each >=Lmin-prefix run. Exact within the partition.
+1. **Winnowing rendezvous** (the default, complete on its own): every
+   caption emits the minimizer hashes of its k-gram rolling hashes
+   (k = Lmin - winnow_window + 1) over windows of ``cfg.winnow_window``
+   grams. Standard winnowing guarantee: two strings sharing a substring of
+   length >= k + w - 1 = Lmin share a minimizer — within AND across
+   partitions, no partition alignment needed. The fingerprints feed the
+   SAME bucket->edge machinery as LSH bands (band namespace 3000), so
+   hot-substring skew is salted identically. A shared minimizer proves only
+   a k-char overlap, so candidates are verified by exact L-gram
+   intersection (``verify_substring_candidates``) before they count.
 
-2. **Winnowing rendezvous** (boundary merge): every caption emits the
-   minimizer hashes of its Lmin-gram rolling hashes over windows of
-   ``cfg.winnow_window`` grams (standard winnowing guarantee: two strings
-   sharing a substring of length >= Lmin + w - 1 share a minimizer). The
-   fingerprints feed the SAME bucket->edge machinery as LSH bands (band
-   namespace 3000), so hot-substring skew is salted identically. This is the
-   cross-partition merge: it needs no partition alignment at all.
+2. **Per-partition suffix array** (``SuffixArrayEdges``; opt-in via
+   ``cfg.use_suffix_array`` — redundant given pass 1's guarantee):
+   concatenate the partition's normalized captions with NUL separators,
+   build the suffix array by prefix doubling (numpy lexsort, O(n log^2 n),
+   no Python char loops), mark adjacent suffixes whose LCP >= Lmin
+   (vectorized Lmin-step comparison that treats NUL as never-equal so
+   matches cannot span documents), and link the distinct documents of each
+   >=Lmin-prefix run. Exact within the partition, blind across partitions.
 
 A u64 fingerprint equality stands in for substring equality (collision odds
 ~n^2/2^64; at true 10^12 scale swap to 128-bit fingerprints). The reference
@@ -178,6 +182,7 @@ class SuffixArrayEdges:
                 "src": pa.array(ids[upk // stride], pa.string()),
                 "dst": pa.array(ids[upk % stride], pa.string()),
                 "kind": pa.array(["substr"] * len(upk), pa.string()),
+                "sc": pa.array(np.zeros(len(upk), np.int8)),
             }
         )
 
@@ -185,7 +190,7 @@ class SuffixArrayEdges:
 def _empty_edges() -> pa.Table:
     return pa.table(
         {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
-         "kind": pa.array([], pa.string())}
+         "kind": pa.array([], pa.string()), "sc": pa.array([], pa.int8())}
     )
 
 
@@ -298,15 +303,78 @@ def suffix_array_edges(
     )
 
 
+class GramFingerprints:
+    """Every distinct L-gram rolling hash of each normalized caption as a
+    bucket key (band 4000, ``BAND_SUBSTR_EXACT``).
+
+    Sharing a substring of >= L chars is EQUIVALENT to sharing an L-gram, so
+    bucket co-membership PROVES the link: edges from these buckets are
+    trusted 'substr' with no verification join, and hot-bucket star/
+    ambassador links are true by construction (every member shares the
+    bucket's gram — transitive). This closes the winnowing mode's hot-bucket
+    gap, where docs sharing only a popular k-char minimizer (k < L) were
+    salted apart and boundary pairs sharing exactly ~L chars lost their
+    direct edge. Cost: ~(len-L+1) keys/doc instead of ~2·len/w — linear in
+    text size, and the keys are u64s feeding the same partial-agg stats
+    shuffle. u64 collision odds are the engine's standard (~n_grams^2/2^64).
+    """
+
+    def __init__(self, cfg: DedupConfig, id_col: str = "image_id", text_col: str = "caption"):
+        self.cfg = cfg
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        L = self.cfg.substring_min_len
+        cap = normalize_captions(batch[self.text_col])
+        ids = batch[self.id_col].cast(pa.string()).to_pandas().to_numpy()
+        grams, offs = H.shingle_window_hashes(cap, L)
+        counts = (offs[1:] - offs[:-1]).astype(np.int64)
+        doc = np.repeat(np.arange(len(counts)), counts)
+        # dedupe (doc, gram): in-doc repeats would emit self-pairs
+        key = H.hash_u64_pair(grams, doc.astype(np.uint64))
+        _, first = np.unique(key, return_index=True)
+        fp, doc = grams[first], doc[first]
+        return pa.table(
+            {
+                "band": pa.array(np.full(len(fp), lsh.BAND_SUBSTR_EXACT, np.int64)),
+                "bucket": pa.array(H.bitcast_u64_to_i64(fp), pa.int64()),
+                "salt": pa.array(np.zeros(len(fp), np.int64)),
+                "image_id": pa.array(ids[doc], pa.string()),
+                "ph": pa.array(np.zeros(len(fp), np.int64)),
+                "sh": pa.array(np.zeros(len(fp), np.int64)),
+            }
+        )
+
+
+def substring_buckets(
+    input_ds: ray.data.Dataset,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> ray.data.Dataset:
+    """Substring-rendezvous bucket rows for the main LSH bucket stream —
+    UNIONED in so stats/salting/edge emission run ONCE for every candidate
+    family. Mode per ``cfg.substring_rendezvous``: 'grams' (default, exact
+    trusted edges) or 'winnow' (sparser keys, candidates need the exact
+    L-gram verification join)."""
+    lean = input_ds.select_columns([id_col, text_col])
+    fp_cls = (GramFingerprints if cfg.substring_rendezvous == "grams"
+              else WinnowFingerprints)
+    return lean.map_batches(
+        fp_cls(cfg, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=cfg.text_batch_size,
+    )
+
+
 def winnow_buckets(
     input_ds: ray.data.Dataset,
     cfg: DedupConfig,
     id_col: str = "image_id",
     text_col: str = "caption",
 ) -> ray.data.Dataset:
-    """Winnowing fingerprints as (band=3000, bucket, salt, image_id) rows —
-    UNIONED into the main LSH bucket stream so stats/salting/edge emission
-    run ONCE for every candidate family (boundary merge for free)."""
+    """Winnowing fingerprints as (band=3000, bucket, salt, image_id) rows."""
     lean = input_ds.select_columns([id_col, text_col])
     return lean.map_batches(
         WinnowFingerprints(cfg, id_col, text_col),
@@ -358,11 +426,21 @@ def verify_substring_candidates(
         kb = H.hash_u64_pair(np.repeat(idx, cnt_d), gd)
         common = np.intersect1d(ka, kb)
         hit_pairs = np.unique(np.repeat(idx, cnt_s)[np.isin(ka, common)])
-        keep = np.zeros(n, dtype=bool)
-        keep[hit_pairs.astype(np.int64)] = True
+        hit = np.zeros(n, dtype=bool)
+        hit[hit_pairs.astype(np.int64)] = True
+        # a pair that was ALSO an LSH candidate (kind != substr_cand) is not
+        # dropped on substring failure — it keeps its signature kind and
+        # falls through to the Hamming/Jaccard verification stage, so either
+        # check passing keeps the edge
+        kind_np = np.asarray(t["kind"].to_pylist())
+        keep = hit | (kind_np != "substr_cand")
+        kind_out = np.where(hit, "substr", kind_np)[keep]
         out = t.select(["src", "dst"]).filter(pa.array(keep))
-        return out.append_column(
-            "kind", pa.array(["substr"] * out.num_rows, pa.string()))
+        return pa.table({
+            "src": out["src"], "dst": out["dst"],
+            "kind": pa.array(kind_out, pa.string()),
+            "sc": pa.array(np.zeros(out.num_rows, np.int8)),
+        })
 
     return e.map_batches(check, batch_format="pyarrow")
 
@@ -374,15 +452,27 @@ def split_and_verify_substring(
     id_col: str = "image_id",
     text_col: str = "caption",
 ) -> ray.data.Dataset:
-    """Route 'substr_cand' edges through exact verification; pass the rest."""
+    """Route substring candidates through exact L-gram verification.
+
+    A candidate is any non-trusted edge whose per-pair ``sc`` flag is set
+    (the pair shared a winnow minimizer in SOME band instance — the kept
+    kind may be a signature kind after cross-band dedupe) or whose kind is
+    'substr_cand'. Verified hits become trusted 'substr'; misses that also
+    hold a signature kind fall through to Hamming/Jaccard verification."""
     import pyarrow.compute as pc
 
+    def cand_mask(t: pa.Table):
+        m = pc.equal(t["kind"], "substr_cand")
+        if "sc" in t.column_names:
+            m = pc.or_(m, pc.equal(t["sc"], 1))
+        trusted = pc.is_in(t["kind"],
+                           value_set=pa.array(["exact", "cap_exact", "substr"]))
+        return pc.and_(m, pc.invert(trusted))
+
     cand = edges.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "substr_cand")),
-        batch_format="pyarrow")
+        lambda t: t.filter(cand_mask(t)), batch_format="pyarrow")
     rest = edges.map_batches(
-        lambda t: t.filter(pc.invert(pc.equal(t["kind"], "substr_cand"))),
-        batch_format="pyarrow")
+        lambda t: t.filter(pc.invert(cand_mask(t))), batch_format="pyarrow")
     ver = verify_substring_candidates(cand, captions_ds, cfg, id_col, text_col)
     return rest.union(ver)
 
@@ -398,5 +488,5 @@ def substring_edges(
     stream; this composition exists for direct use/tests."""
     sa = suffix_array_edges(input_ds, cfg, id_col, text_col)
     win = lsh.edges_from_buckets(winnow_buckets(input_ds, cfg, id_col, text_col), cfg)
-    deduped = lsh.dedupe_edges(sa.union(win))  # standalone: dedupe locally
+    deduped = lsh.dedupe_edges(sa.union(win), keep_sc=True)
     return split_and_verify_substring(deduped, input_ds, cfg, id_col, text_col)
