@@ -132,6 +132,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topn": R.q_grouped_topn,
         "anti_join": R.q_anti_join,
         "grouped_quantiles": R.q_grouped_quantiles,
+        "orders_rollup": R.q_orders_rollup,
+        # training-data curation primitives (SQL-checked)
+        "doc_split": docops.q_doc_split,
+        "docs_above_median_quality": docops.q_docs_above_median_quality,
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
@@ -175,6 +179,9 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topn": R.Q_GROUPED_TOPN_SQL,
         "anti_join": R.Q_ANTI_JOIN_SQL,
         "grouped_quantiles": R.Q_GROUPED_QUANTILES_SQL,
+        "orders_rollup": R.Q_ORDERS_ROLLUP_SQL,
+        "doc_split": docops.Q_DOC_SPLIT_SQL,
+        "docs_above_median_quality": docops.Q_DOCS_ABOVE_MEDIAN_QUALITY_SQL,
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_quality": docops.Q_DOC_QUALITY_SQL,

@@ -6,9 +6,11 @@ semantics; rows-only otherwise.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 from deduplication_ray.config import DedupConfig
@@ -402,3 +404,113 @@ def q_doc_lsh_dedup(sf_dir: str):
     # 4096 default
     return text_dedup_clusters(ds, DedupConfig(num_partitions=8,
                                                sa_batch_size=1024))
+
+
+# -------------------------------------------------------- deterministic split
+
+# Knuth multiplicative-hash constant (public: TAOCP vol. 3, section 6.4).
+# doc_id is reduced mod 2^31 BEFORE the multiply so the product stays under
+# 2^63 — exact in BOTH numpy uint64 and DuckDB's overflow-checked BIGINT.
+_SPLIT_MULT = 2654435761
+_SPLIT_MOD = 2**32
+_TRAIN_LT = 3435973836   # floor(0.80 * 2^32)
+_VAL_LT = 3865470566     # floor(0.90 * 2^32)
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by multiplicative
+    hash of doc_id — the sampling/split primitive of a training-data
+    pipeline. Pure map_batches: no shuffle, no state, any worker computes
+    any row's split independently (exactly what a 100 TB split needs), and
+    the rule is SQL-expressible so the oracle value-hash checks every
+    assignment."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64) % np.uint64(2**31)
+        u = (ids * np.uint64(_SPLIT_MULT)) % np.uint64(_SPLIT_MOD)
+        split = np.where(
+            u < np.uint64(_TRAIN_LT), "train",
+            np.where(u < np.uint64(_VAL_LT), "val", "test"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+Q_DOC_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN ((doc_id % 2147483648) * {_SPLIT_MULT}) % {_SPLIT_MOD} < {_TRAIN_LT} THEN 'train'
+            WHEN ((doc_id % 2147483648) * {_SPLIT_MULT}) % {_SPLIT_MOD} < {_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# ------------------------------------------------- quantile-threshold filter
+
+_QUALITY_MILLI_EXPR = r"""
+       CAST(floor((
+         0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1))
+       + 0.3 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+       + 0.3 * exp(-0.5 * (((CAST(length(text) AS DOUBLE)
+                             / greatest(length(string_split_regex(trim(text), '\s+')), 1)
+                            ) - 5.5) / 3.0)
+                         * (((CAST(length(text) AS DOUBLE)
+                             / greatest(length(string_split_regex(trim(text), '\s+')), 1)
+                            ) - 5.5) / 3.0))
+       ) * 1000.0) AS BIGINT)
+"""
+
+
+def q_docs_above_median_quality(sf_dir: str):
+    """Quality-gated corpus filter: keep documents whose quality score is at
+    or above the GLOBAL median — the 'drop the worst half' curation step.
+
+    The global exact quantile is computed with the same distributed-CDF
+    trick as q_grouped_quantiles: per-batch value counts over the bounded
+    quality_milli domain (0..1000), one tiny groupby-sum whose shuffle
+    carries <= 1001 rows per block regardless of corpus size, then a CDF
+    walk picks DuckDB's quantile_disc(0.5) = sorted_v[floor(0.5*(n-1))].
+    The threshold broadcasts into a stateless filter pass — two linear
+    scans total, no sort, no data shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def qscore(t: pa.Table) -> pa.Table:
+        score = T.quality_score(t["text"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "quality_milli": pa.array(
+                np.floor(score * 1000.0).astype(np.int64)),
+        })
+
+    q = ds.map_batches(qscore, batch_format="pyarrow").materialize()
+
+    def vcount(t: pa.Table) -> pa.Table:
+        g = t.group_by("quality_milli").aggregate([("quality_milli", "count")])
+        return pa.table({"quality_milli": g["quality_milli"],
+                         "cnt": g["quality_milli_count"].cast(pa.int64())})
+
+    agg = (q.map_batches(vcount, batch_format="pyarrow", batch_size=None)
+           .groupby("quality_milli").aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas().sort_values("quality_milli"))
+    v = agg["quality_milli"].to_numpy()
+    cum = np.cumsum(agg["cnt"].to_numpy())
+    n = int(cum[-1])
+    thr = int(v[np.searchsorted(cum, int(np.floor(0.5 * (n - 1))), side="right")])
+
+    return q.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality_milli"], thr)),
+        batch_format="pyarrow")
+
+
+Q_DOCS_ABOVE_MEDIAN_QUALITY_SQL = f"""
+WITH q AS (
+  SELECT doc_id, {_QUALITY_MILLI_EXPR} AS quality_milli FROM documents
+)
+SELECT doc_id, quality_milli FROM q
+WHERE quality_milli >= (SELECT quantile_disc(quality_milli, 0.5) FROM q)
+"""

@@ -736,3 +736,61 @@ SELECT l_returnflag,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------- rollup aggregate
+
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (priority, status) — an operator Ray Data lacks.
+
+    Scale plan: the base table is aggregated ONCE at the finest grouping
+    level (per-batch Arrow hash-agg partials, then one tiny groupby-sum
+    shuffle carrying at most |priorities| x |statuses| rows per block); the
+    coarser rollup levels are re-aggregated FROM that finest aggregate,
+    whose size is bounded by group cardinality, not row count — never a
+    second pass over the data. Subtotal rows mark the rolled-up column with
+    'ALL' (both grouping columns are non-null by schema, so the marker is
+    unambiguous)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))).cast(pa.int64())
+        g = (t.set_column(2, "cents", cents)
+             .group_by(["o_orderpriority", "o_orderstatus"])
+             .aggregate([("cents", "sum"), ("cents", "count")]))
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"],
+            "o_orderstatus": g["o_orderstatus"],
+            "total_cents": g["cents_sum"].cast(pa.int64()),
+            "n_orders": g["cents_count"].cast(pa.int64()),
+        })
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["o_orderpriority", "o_orderstatus"])
+            .aggregate(Sum("total_cents", alias_name="total_cents"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .to_pandas())  # bounded: |priorities| x |statuses| rows
+
+    lvl1 = (fine.groupby("o_orderpriority", as_index=False)
+            [["total_cents", "n_orders"]].sum())
+    lvl1["o_orderstatus"] = "ALL"
+    grand = pd.DataFrame({
+        "o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+        "total_cents": [fine["total_cents"].sum()],
+        "n_orders": [fine["n_orders"].sum()],
+    })
+    cols = ["o_orderpriority", "o_orderstatus", "n_orders", "total_cents"]
+    out = pd.concat([fine[cols], lvl1[cols], grand[cols]], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out
+
+
+Q_ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""

@@ -55,6 +55,7 @@ SQL_CHECKED = [
     "events_sliding_window",
     "doc_quality", "doc_langid",
     "grouped_topn", "anti_join", "grouped_quantiles",
+    "orders_rollup", "doc_split", "docs_above_median_quality",
 ]
 
 
