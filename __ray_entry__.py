@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data curation primitives (SQL-checked)
         "doc_split": docops.q_doc_split,
         "docs_above_median_quality": docops.q_docs_above_median_quality,
+        "doc_decontaminate": docops.q_doc_decontaminate,
+        "source_cap_sample": docops.q_source_cap_sample,
+        "doc_word_repetition": docops.q_doc_word_repetition,
+        "top_terms": docops.q_top_terms,
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
@@ -182,6 +186,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": R.Q_ORDERS_ROLLUP_SQL,
         "doc_split": docops.Q_DOC_SPLIT_SQL,
         "docs_above_median_quality": docops.Q_DOCS_ABOVE_MEDIAN_QUALITY_SQL,
+        "doc_decontaminate": docops.doc_decontaminate_sql(),
+        "source_cap_sample": docops.source_cap_sample_sql(),
+        "doc_word_repetition": docops.Q_DOC_WORD_REPETITION_SQL,
+        "top_terms": docops.top_terms_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_quality": docops.Q_DOC_QUALITY_SQL,

@@ -514,3 +514,252 @@ WITH q AS (
 SELECT doc_id, quality_milli FROM q
 WHERE quality_milli >= (SELECT quantile_disc(quality_milli, 0.5) FROM q)
 """
+
+
+# --------------------------------------------------- benchmark decontamination
+
+_EVAL_MOD = 97  # docs with doc_id % 97 == 0 play the held-out benchmark suite
+
+
+def _tokens_flat(text_col) -> tuple[pa.Array, np.ndarray]:
+    """Lowered whitespace tokens flattened across the batch: flat token
+    array + int64 offsets (one slot per row), matching DuckDB
+    ``string_split_regex(lower(trim(text)), '\\s+')``."""
+    low = pc.utf8_lower(pc.utf8_trim_whitespace(text_col))
+    splits = pc.split_pattern_regex(low, r"\s+")
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    flat = splits.flatten()
+    counts = pc.list_value_length(splits).to_numpy().astype(np.int64)
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return flat, offs
+
+
+def _word_grams(text_col, n: int) -> tuple[pa.Array, np.ndarray]:
+    """All word n-gram strings in the batch (space-joined, lowercased) plus
+    the row index of each gram. Vectorized: n shifted zero-copy slices of
+    the flat token array joined element-wise; grams that would span a row
+    boundary are masked out via the list offsets. Mirrors DuckDB
+    ``array_to_string(w[i:i+n-1], ' ')``."""
+    flat, offs = _tokens_flat(text_col)
+    n_rows = len(offs) - 1
+    total = int(offs[-1])
+    if total < n:
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+    m = total - n + 1  # candidate gram start positions
+    parts = [flat.slice(g, m) for g in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    counts = offs[1:] - offs[:-1]
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)[:m]
+    row_end = np.repeat(offs[1:], counts)[:m]
+    valid = (np.arange(m, dtype=np.int64) + n) <= row_end
+    return grams.filter(pa.array(valid)), row_of[valid]
+
+
+def q_doc_decontaminate(sf_dir: str, n: int = 5):
+    """Benchmark decontamination: drop every training document that shares
+    ANY word n-gram with the held-out eval slice (doc_id % 97 == 0) — the
+    standard leak-prevention step before LLM training.
+
+    Scale plan: eval suites are small by construction (thousands of docs,
+    not billions), so the distinct eval gram set is built with one pruned
+    scan over the eval slice, collected once, and broadcast via ``ray.put``;
+    the training-side scan is then a single stateless ``map_batches`` doing
+    a vectorized Arrow ``is_in`` against the shared set — no shuffle, no
+    join, linear in corpus size, and the gram set lives in the object store
+    once per node (zero-copy reads), never re-shipped per batch."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        keep = (t["doc_id"].to_numpy() % _EVAL_MOD) == 0
+        g, _ = _word_grams(t.filter(pa.array(keep))["text"], n)
+        return pa.table({"gram": pc.unique(g)})
+
+    ev = pa.concat_tables(
+        list(ds.map_batches(eval_grams, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default")
+    eval_set = pc.unique(ev["gram"].combine_chunks())
+    ref = ray.put(eval_set)
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array((t["doc_id"].to_numpy() % _EVAL_MOD) != 0))
+        g, row = _word_grams(t["text"], n)
+        hit = pc.is_in(g, value_set=ray.get(ref)).to_numpy(zero_copy_only=False)
+        bad = np.zeros(t.num_rows, dtype=bool)
+        if hit.any():
+            bad[np.unique(row[hit])] = True
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(~bad))})
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def doc_decontaminate_sql(n: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i + {n - 1} AS BIGINT)], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, length(w) - {n - 1})) AS t(i)
+), evalg AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN evalg e ON gr.g = e.g
+  WHERE gr.doc_id % {_EVAL_MOD} <> 0
+)
+SELECT doc_id FROM documents
+WHERE doc_id % {_EVAL_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+# --------------------------------------------------- per-source quota sampling
+
+def q_source_cap_sample(sf_dir: str, k: int = 10):
+    """Per-source (per-domain) quota sampling: keep at most ``k`` documents
+    per source, chosen deterministically by multiplicative hash of doc_id —
+    the "cap every domain" step that stops a few giant crawl hosts from
+    dominating a training mix.
+
+    Scale plan: one map_batches pass emits at most k rows per source per
+    BATCH (vectorized sort + group head), so the following per-source
+    combine shuffles k x num_blocks rows per source instead of the full
+    table; the final map_groups touches only those bounded partials. The
+    hash order makes the selection independent of partitioning and
+    re-runnable."""
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = ((ids.astype(np.uint64) % np.uint64(2**31))
+             * np.uint64(_SPLIT_MULT)) % np.uint64(_SPLIT_MOD)
+        df = pd.DataFrame({"doc_id": ids,
+                           "source": t["source"].to_pandas().to_numpy(),
+                           "h": h.astype(np.int64)})
+        df = (df.sort_values(["source", "h", "doc_id"])
+              .groupby("source", as_index=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["h", "doc_id"]).head(k)
+                [["doc_id", "source"]])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("source").map_groups(final, batch_format="pandas"))
+
+
+def source_cap_sample_sql(k: int = 10) -> str:
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 2147483648) * {_SPLIT_MULT}) % {_SPLIT_MOD},
+                    doc_id) AS rn
+  FROM documents)
+WHERE rn <= {k}
+"""
+
+
+# --------------------------------------------------- word-repetition quality
+
+def q_doc_word_repetition(sf_dir: str):
+    """Per-document word-repetition stats (the Gopher-style repetition
+    filter signal): token count, distinct-token count, and duplicate-word
+    fraction in exact integer milli units. Stateless vectorized
+    map_batches: tokens are flattened once, hashed, and distinct-per-row
+    counted with a single composite-key unique — no per-row Python loop,
+    no shuffle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        counts = offs[1:] - offs[:-1]
+        n_docs = len(counts)
+        row = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        th = H.hash_bytes_array(flat)
+        key = H.hash_u64_pair(row.astype(np.uint64), th)
+        first = np.unique(key, return_index=True)[1]
+        nuniq = np.bincount(row[first], minlength=n_docs).astype(np.int64)
+        # integer milli fraction: exact on both sides (DuckDB // = floor div)
+        dup_milli = ((counts - nuniq) * 1000) // np.maximum(counts, 1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_distinct": pa.array(nuniq, pa.int64()),
+            "dup_frac_milli": pa.array(dup_milli, pa.int64()),
+        })
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+Q_DOC_WORD_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(toks) AS BIGINT) AS n_tokens,
+       CAST(length(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(((length(toks) - length(list_distinct(toks))) * 1000)
+            // greatest(length(toks), 1) AS BIGINT) AS dup_frac_milli
+FROM w
+"""
+
+
+# --------------------------------------------------- corpus document frequency
+
+def q_top_terms(sf_dir: str, k: int = 20):
+    """Top-k vocabulary terms by document frequency — the corpus-statistics
+    pass behind TF-IDF weighting and stopword discovery.
+
+    Scale plan: each batch holds whole documents, so distinct (doc, token)
+    pairs are exact locally; per-batch Arrow hash-agg partials shrink the
+    stream to one row per (token, batch) before the only shuffle (a
+    groupby-sum over tokens, bounded by vocabulary size, not corpus size);
+    a per-block partial top-k leaves <= k rows per block for the final tiny
+    driver merge — the full vocabulary is never collected."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        counts = offs[1:] - offs[:-1]
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        key = H.hash_u64_pair(row.astype(np.uint64), H.hash_bytes_array(flat))
+        first = np.unique(key, return_index=True)[1]
+        toks = flat.take(pa.array(np.sort(first)))
+        g = pa.table({"tok": toks}).group_by("tok").aggregate([("tok", "count")])
+        return pa.table({"tok": g["tok"],
+                         "df": g["tok_count"].cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("tok").aggregate(Sum("df", alias_name="df")))
+
+    def topk(t: pa.Table) -> pa.Table:
+        df_ = (t.to_pandas().sort_values(["df", "tok"], ascending=[False, True])
+               .head(k))
+        return pa.Table.from_pandas(df_, preserve_index=False)
+
+    cand = agg.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = (cand.sort_values(["df", "tok"], ascending=[False, True]).head(k)
+           .reset_index(drop=True)[["tok", "df"]])
+    out["df"] = out["df"].astype("int64")
+    return out
+
+
+def top_terms_sql(k: int = 20) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS df
+FROM toks GROUP BY tok
+ORDER BY df DESC, tok LIMIT {k}
+"""

@@ -56,6 +56,8 @@ SQL_CHECKED = [
     "doc_quality", "doc_langid",
     "grouped_topn", "anti_join", "grouped_quantiles",
     "orders_rollup", "doc_split", "docs_above_median_quality",
+    "doc_decontaminate", "source_cap_sample", "doc_word_repetition",
+    "top_terms",
 ]
 
 
