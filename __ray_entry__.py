@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": R.q_anti_join,
         "grouped_quantiles": R.q_grouped_quantiles,
         "orders_rollup": R.q_orders_rollup,
+        "events_type_pivot": R.q_events_type_pivot,
+        "events_lag": R.q_events_lag,
+        "daily_purchase_error_join": R.q_daily_purchase_error_join,
         # training-data curation primitives (SQL-checked)
         "doc_split": docops.q_doc_split,
         "docs_above_median_quality": docops.q_docs_above_median_quality,
@@ -184,6 +187,9 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": R.Q_ANTI_JOIN_SQL,
         "grouped_quantiles": R.Q_GROUPED_QUANTILES_SQL,
         "orders_rollup": R.Q_ORDERS_ROLLUP_SQL,
+        "events_type_pivot": R.events_type_pivot_sql(),
+        "events_lag": R.Q_EVENTS_LAG_SQL,
+        "daily_purchase_error_join": R.Q_DAILY_PURCHASE_ERROR_JOIN_SQL,
         "doc_split": docops.Q_DOC_SPLIT_SQL,
         "docs_above_median_quality": docops.Q_DOCS_ABOVE_MEDIAN_QUALITY_SQL,
         "doc_decontaminate": docops.doc_decontaminate_sql(),

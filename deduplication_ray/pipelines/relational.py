@@ -794,3 +794,155 @@ SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
+
+
+# ---------------------------------------------------------------- pivot (conditional agg)
+
+def q_events_type_pivot(sf_dir: str):
+    """PIVOT events on event_type: one row per user, one count column per
+    event type — the wide-format operator Ray Data lacks.
+
+    Scale plan: pivot = conditional aggregation. A tiny distinct pass finds
+    the column set (event-type cardinality is bounded by design in any
+    pivot); then one map_batches emits per-batch WIDE partials (one boolean
+    mask + bincount per type, all vectorized) and the only shuffle is a
+    groupby-sum over user_id carrying |users| x |types| cells — never the
+    raw event stream."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    parts = ds.select_columns(["event_type"]).map_batches(
+        lambda t: pa.table({"event_type": pc.unique(t["event_type"])}),
+        batch_format="pyarrow").to_pandas()
+    types = sorted(parts["event_type"].unique())
+
+    def wide(t: pa.Table) -> pa.Table:
+        users = t["user_id"].to_numpy()
+        uu, inv = np.unique(users, return_inverse=True)
+        et = t["event_type"]
+        cols = {"user_id": pa.array(uu, pa.int64())}
+        for ty in types:
+            m = pc.equal(et, pa.scalar(ty)).to_numpy(zero_copy_only=False)
+            cols[ty] = pa.array(
+                np.bincount(inv[m.astype(bool)], minlength=len(uu)).astype(np.int64))
+        return pa.table(cols)
+
+    agg = (ds.map_batches(wide, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(*[Sum(ty, alias_name=ty) for ty in types]))
+    return agg
+
+
+def events_type_pivot_sql() -> str:
+    # generated against the same dynamic type set the Ray side discovers
+    return """
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id
+""".format(cols=",\n       ".join(
+        f"CAST(count(*) FILTER (event_type = '{ty}') AS BIGINT) AS {ty}"
+        for ty in ("click", "error", "purchase", "signup", "view")))
+
+
+# ---------------------------------------------------------------- lead/lag window
+
+def q_events_lag(sf_dir: str, num_buckets: int = 32):
+    """Per-user LAG window: for every event, seconds since the user's
+    previous event (-1 for the first) and the previous event's type ('' for
+    the first) — the generic lead/lag operator.
+
+    Scale shape (same as sessionize): hash-partition users into buckets
+    co-locating each user's rows, ONE vectorized sort + shift pass per
+    bucket over all its users at once — per-key cost O(1) amortized, no
+    per-user Python call."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        gap_sec = np.floor(gap.to_numpy())
+        gap_sec[new_user.to_numpy()] = -1
+        prev_type = g["event_type"].shift().where(~new_user, "")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "gap_sec": gap_sec.astype("int64"),
+            "prev_type": prev_type.to_numpy(),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(lag_bucket, batch_format="pandas")
+
+
+Q_EVENTS_LAG_SQL = """
+SELECT event_id,
+       COALESCE(CAST(floor(epoch(ts - lag(ts) OVER w)) AS BIGINT), -1) AS gap_sec,
+       COALESCE(lag(event_type) OVER w, '') AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------- full outer shuffle join
+
+def q_daily_purchase_error_join(sf_dir: str):
+    """FULL OUTER JOIN of two large derived aggregates — per-(user, day)
+    purchase counts vs error counts — via the hash-co-partitioned
+    ``stages.join.shuffle_join`` (one all-to-all, one Arrow C++ join per
+    bucket; neither side is broadcast). Days where a user purchased but
+    never errored (and vice versa) surface as genuine outer rows,
+    zero-filled."""
+    from deduplication_ray.stages.join import shuffle_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def daily(ty: str, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], pa.scalar(ty)))
+            day = pc.strftime(t["ts"], format="%Y%m%d").cast(pa.int64())
+            g = (pa.table({"user_id": t["user_id"], "day": day})
+                 .group_by(["user_id", "day"]).aggregate([("day", "count")]))
+            return pa.table({"user_id": g["user_id"], "day": g["day"],
+                             out: g["day_count"].cast(pa.int64())})
+        return fn
+
+    from ray.data.aggregate import Sum as _Sum
+
+    p = (ds.map_batches(daily("purchase", "n_purchase"), batch_format="pyarrow")
+         .groupby(["user_id", "day"]).aggregate(_Sum("n_purchase", alias_name="n_purchase")))
+    e = (ds.map_batches(daily("error", "n_error"), batch_format="pyarrow")
+         .groupby(["user_id", "day"]).aggregate(_Sum("n_error", alias_name="n_error")))
+
+    j = shuffle_join(p, e, on=["user_id", "day"], how="full outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "day": t["day"],
+            "n_purchase": t["n_purchase"].cast(pa.int64()).fill_null(0),
+            "n_error": t["n_error"].cast(pa.int64()).fill_null(0),
+        })
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+Q_DAILY_PURCHASE_ERROR_JOIN_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), e AS (
+  SELECT user_id, CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_error
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+       COALESCE(p.day, e.day) AS day,
+       COALESCE(n_purchase, 0) AS n_purchase,
+       COALESCE(n_error, 0) AS n_error
+FROM p FULL OUTER JOIN e ON p.user_id = e.user_id AND p.day = e.day
+"""

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -233,3 +234,75 @@ def lookup_join(
             return t.join(right, keys=on, join_type=pa_join_type)
 
     return ds.map_batches(Merge(), batch_format="pyarrow")
+
+
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    how: str = "full outer",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Hash-co-partitioned shuffle join for two LARGE sides (neither fits a
+    broadcast): outer joins included, which ``lookup_join`` does not cover.
+
+    Plan: pad each side to the combined schema (typed nulls, zero-copy for
+    the real columns), tag the side, union the two streams, bucket every row
+    by a key hash, and run ONE Arrow C++ join per bucket inside
+    ``groupby(bucket).map_groups`` — the single all-to-all carries each row
+    exactly once, and per-bucket memory is |rows|/num_buckets per side.
+    Key-skew caveat: a single key lands in one bucket; salt upstream if one
+    key dominates (same discipline as the LSH hot-bucket path).
+    """
+    from deduplication_ray.functions import hashing as H  # noqa: F401
+
+    left = left.materialize()
+    right = right.materialize()
+
+    def _schema(ds) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if base is not None:
+            return base
+        return pa.schema([pa.field(nm, tp) for nm, tp in zip(s.names, s.types)])
+
+    ls, rs = _schema(left), _schema(right)
+    for k in on:
+        if ls.field(k).type != rs.field(k).type:
+            raise TypeError(f"join key {k}: {ls.field(k).type} != {rs.field(k).type}")
+    l_cols = list(ls.names)
+    r_extra = [f.name for f in rs if f.name not in on]
+    combined = list(ls) + [rs.field(c) for c in r_extra]
+
+    def pad(side: int, own: pa.Schema):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for f in combined:
+                if f.name in t.column_names:
+                    col = t[f.name]
+                    cols[f.name] = col.cast(f.type) if col.type != f.type else col
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            out = pa.table(cols)
+            b = (_key_hashes(out, on) % np.uint64(num_buckets)).astype(np.int64)
+            return (out.append_column("__side", pa.array(np.full(n, side, np.int8)))
+                    .append_column("__bucket", pa.array(b)))
+        return fn
+
+    unioned = (left.map_batches(pad(0, ls), batch_format="pyarrow")
+               .union(right.map_batches(pad(1, rs), batch_format="pyarrow")))
+
+    pa_how = {"inner": "inner", "left": "left outer",
+              "full outer": "full outer", "full_outer": "full outer"}[how]
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lt = (g.filter(pc.equal(g["__side"], pa.scalar(0, pa.int8())))
+              .select(l_cols))
+        rt = (g.filter(pc.equal(g["__side"], pa.scalar(1, pa.int8())))
+              .select(on + r_extra))
+        out = lt.join(rt, keys=on, join_type=pa_how)
+        return out.select(l_cols + r_extra)
+
+    return unioned.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow")

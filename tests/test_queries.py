@@ -58,7 +58,32 @@ SQL_CHECKED = [
     "orders_rollup", "doc_split", "docs_above_median_quality",
     "doc_decontaminate", "source_cap_sample", "doc_word_repetition",
     "top_terms",
+    "events_type_pivot", "events_lag", "daily_purchase_error_join",
 ]
+
+
+def test_shuffle_join_full_outer_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deduplication_ray.stages.join import shuffle_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 5], pa.int64()),
+        "a": pa.array(["l1", "l2", "l3", "l5"]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "b": pa.array([20, 30, 40], pa.int64()),
+    }))
+    out = shuffle_join(left, right, on=["k"], how="full outer",
+                       num_buckets=4).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [1, 2, 3, 4, 5]
+    assert list(out["a"].fillna("")) == ["l1", "l2", "l3", "", "l5"]
+    assert list(np.nan_to_num(out["b"].to_numpy(), nan=0).astype(int)) == \
+        [0, 20, 30, 40, 0]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
