@@ -56,6 +56,51 @@ def _img_fixture_query(sf_dir: str):
     return storage.read_table(f"{run_dir}/clusters")
 
 
+def _img_incremental_query(sf_dir: str):
+    """Incremental ingest on the image fixture: dedup a 200-row delta against
+    a finished 1000-row base run (base signatures/clusters reused from
+    checkpoint, only the delta is decoded), returning the full clusters
+    table. Rows-only check; exact equality with a from-scratch run over
+    base+delta is asserted in tests/test_incremental.py."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import run_pipeline
+    from deduplication_ray.pipelines.incremental import ingest_delta
+    from deduplication_ray.sources import fixtures, storage
+
+    n = TINY_FIXTURE_ROWS
+    cfg = DedupConfig(num_partitions=8)
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    tag = f"{FIXTURE_SEED}_{n}_{cfg.config_hash()}"
+    base_data = f"/tmp/dedup_ray_incbase_{tag}/data"
+    delta_data = f"/tmp/dedup_ray_incdelta_{tag}/data"
+    base_run = f"/tmp/dedup_ray_incbase_{tag}/run"
+    inc_run = f"/tmp/dedup_ray_incrun_{tag}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
+    if not os.path.exists(base_data):
+        tbl = pads.dataset(
+            [f"{fix_dir}/data/{f}" for f in os.listdir(f"{fix_dir}/data")
+             if f.endswith(".parquet")]).to_table()
+        mask = pa.array([i % 6 == 0 for i in range(tbl.num_rows)])
+        for d, t in ((base_data, tbl.filter(pa.compute.invert(mask))),
+                     (delta_data, tbl.filter(mask))):
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d)
+            step = (t.num_rows + 3) // 4
+            for i in range(4):
+                pq.write_table(t.slice(i * step, step), f"{d}/part-{i}.parquet")
+    run_pipeline(base_data, base_run, cfg)
+    ingest_delta(base_run, base_data, delta_data, inc_run, cfg)
+    return storage.read_table(f"{inc_run}/clusters")
+
+
 def _video_fixture_query(sf_dir: str):
     """Video near-dup pipeline (frame-sampled pHash -> LSH -> union-find) on
     the deterministic VSQ1 clip fixture. Rows-only check (iterative
@@ -161,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": lambda sf: _nonempty_or_typed_table(
             ann.embedding_dup_pairs(sf, cos_min=0.45)),
         "image_dedup_clusters": _img_fixture_query,
+        "image_dedup_incremental": _img_incremental_query,
         "video_dedup_clusters": _video_fixture_query,
         "audio_dedup_clusters": _audio_fixture_query,
     }

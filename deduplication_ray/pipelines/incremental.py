@@ -1,0 +1,270 @@
+"""Incremental ingest: dedup a NEW delta of rows against an existing
+deduplicated corpus without recomputing the corpus.
+
+This is the daily-crawl shape of a 100 TB pipeline: the base corpus was
+deduplicated once (``pipelines/image_dedup.run_pipeline``, checkpointed
+signatures + clusters under ``base_run_dir``); a delta arrives and must be
+(a) deduplicated against itself and (b) linked against the base — without
+re-decoding a single base image.
+
+Work is delta-bounded at every expensive stage:
+
+- **Signatures** (image decode, the dominant cost) run on delta rows only;
+  base signatures are read from the base run's checkpoint.
+- **Candidate generation** re-keys base *signatures* into band buckets (pure
+  hash math over the narrow signature table — no pixels) and keeps only
+  base rows landing in a bucket some delta row occupies: the distinct delta
+  bucket-key set is collected (bounded by |delta| x bands) and broadcast
+  via ``ray.put``, and the base bucket stream is filtered by a vectorized
+  ``searchsorted`` probe. Buckets untouched by the delta never emit a row.
+  (At 10^12 rows one would checkpoint the bucket index instead of re-keying
+  — the swap point is ``_bucket_stream``; re-keying costs one linear scan
+  of the signature table, which measured ~2% of a full run.)
+- **Old-old pairs are never re-verified**: after edge dedupe, an edge must
+  touch at least one delta id (broadcast membership probe). Connectivity
+  among base rows is injected instead as zero-cost ``kind='base'`` star
+  edges read straight from the base ``clusters`` checkpoint (non-singleton
+  members -> their representative).
+- **Union-find + finalize** then run over delta edges + base stars, so the
+  result is EXACTLY the clusters a from-scratch run over base+delta would
+  produce (asserted in tests/test_incremental.py): candidate coverage is
+  new-new (delta buckets), new-old (delta-occupied base buckets; identical
+  bucket membership implies identical salting decisions), and old-old
+  (base clusters — the base run already adjudicated those same buckets).
+
+Reference anchor: this generalizes the reference's dictionary reuse across
+blocks of one stream (``/root/reference/src/compressor.c:105-114`` — each new
+block probes the EXISTING dictionary) to a distributed corpus: the base
+signature/cluster checkpoints play the dictionary, the delta plays the new
+blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.functions import hashing as H
+from deduplication_ray.sources import storage
+from deduplication_ray.stages import lsh, verify
+from deduplication_ray.state import unionfind
+from deduplication_ray.state.checkpoint import CheckpointedRun
+
+
+def _bucket_stream(sigs: ray.data.Dataset, captions: ray.data.Dataset,
+                   cfg: DedupConfig) -> ray.data.Dataset:
+    """Every candidate family's (band, bucket, salt, image_id, ph, sh) rows
+    for one corpus side — the same stream ``build_edges`` unions."""
+    from deduplication_ray.stages.substring import substring_buckets
+
+    b = sigs.map_batches(lsh.ExplodeBands(cfg), batch_format="pyarrow",
+                         batch_size=cfg.text_batch_size)
+    return b.union(substring_buckets(captions, cfg))
+
+
+def _bucket_key(t: pa.Table) -> np.ndarray:
+    return H.hash_u64_pair(t["band"].to_numpy().view(np.uint64),
+                           t["bucket"].to_numpy().view(np.uint64))
+
+
+def _collect_keys(buckets: ray.data.Dataset) -> np.ndarray:
+    """Distinct composite bucket keys, pre-deduped per batch before the
+    bounded driver collect (|delta| x bands u64s at most)."""
+    def keys(t: pa.Table) -> pa.Table:
+        k = np.unique(_bucket_key(t))
+        return pa.table({"k": pa.array(H.bitcast_u64_to_i64(k), pa.int64())})
+
+    parts = list(buckets.map_batches(keys, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return np.empty(0, np.uint64)
+    allk = pa.concat_tables(parts, promote_options="default")["k"].to_numpy()
+    return np.unique(allk.view(np.uint64))
+
+
+class _KeepMatchingBuckets:
+    """Filter a bucket stream to rows whose (band, bucket) key is in the
+    broadcast sorted key set (plasma-local after first fetch per node)."""
+
+    def __init__(self, ref):
+        self.ref = ref
+        self._keys = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._keys is None:
+            self._keys = ray.get(self.ref)
+        ks = self._keys
+        if t.num_rows == 0 or len(ks) == 0:
+            return t.slice(0, 0)
+        k = _bucket_key(t)
+        pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
+        return t.filter(pa.array(ks[pos] == k))
+
+
+def _base_star_edges(clusters: ray.data.Dataset) -> ray.data.Dataset:
+    """Base connectivity as trusted star edges: member -> representative for
+    every non-singleton cluster member (cluster_id IS the min member id)."""
+    def stars(t: pa.Table) -> pa.Table:
+        ne = pc.not_equal(t["image_id"], t["cluster_id"])
+        t = t.filter(ne)
+        return pa.table({
+            "src": t["cluster_id"].cast(pa.string()),
+            "dst": t["image_id"].cast(pa.string()),
+            "kind": pa.array(["exact"] * t.num_rows, pa.string()),
+        })
+
+    return clusters.map_batches(stars, batch_format="pyarrow")
+
+
+def ingest_delta(
+    base_run_dir: str,
+    base_input_path: str,
+    delta_input_path: str,
+    out_run_dir: str,
+    cfg: DedupConfig | None = None,
+) -> dict:
+    """Dedup ``delta_input_path`` against the finished base run; write a full
+    clusters table (base + delta ids) under ``out_run_dir``. Returns stage
+    metrics. Every stage checkpoints under ``out_run_dir`` (same lineage
+    machinery as the full pipeline), so a killed ingest resumes."""
+    from deduplication_ray.pipelines.image_dedup import (
+        compute_signatures, finalize_clusters)
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    cfg = cfg or DedupConfig()
+    apply_context_tuning()
+    run = CheckpointedRun(out_run_dir, cfg)
+
+    base_sigs = storage.read_table(f"{base_run_dir}/signatures")
+    base_clusters = storage.read_table(f"{base_run_dir}/clusters")
+
+    delta_sigs = run.run_stage(
+        "signatures",
+        lambda: compute_signatures(storage.read_table(delta_input_path), cfg),
+        ["input"],
+    )
+
+    def delta_caps() -> ray.data.Dataset:
+        return storage.read_table(delta_input_path,
+                                  columns=["image_id", "caption"])
+
+    def base_caps() -> ray.data.Dataset:
+        return storage.read_table(base_input_path,
+                                  columns=["image_id", "caption"])
+
+    def build_and_verify() -> ray.data.Dataset:
+        db = _bucket_stream(delta_sigs, delta_caps(), cfg).materialize()
+        keys_ref = ray.put(_collect_keys(db))
+        bb = _bucket_stream(base_sigs, base_caps(), cfg).map_batches(
+            _KeepMatchingBuckets(keys_ref), batch_format="pyarrow")
+
+        # exact family, delta-bounded too: only base rows whose 128-bit
+        # content key matches some delta row enter the ck groupby
+        delta_lean = pa.concat_tables(
+            list(delta_sigs.select_columns(["image_id", "ck1", "ck2"])
+                 .iter_batches(batch_format="pyarrow", batch_size=None)),
+            promote_options="default")
+        delta_ids = pc.unique(
+            delta_lean["image_id"].combine_chunks().cast(pa.string()))
+        ids_ref = ray.put(delta_ids)
+        dck = np.unique(H.hash_u64_pair(
+            delta_lean["ck1"].to_numpy().view(np.uint64),
+            delta_lean["ck2"].to_numpy().view(np.uint64)))
+        ck_ref = ray.put(dck)
+
+        class MatchingCk:
+            def __init__(self):
+                self._keys = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._keys is None:
+                    self._keys = ray.get(ck_ref)
+                ks = self._keys
+                if t.num_rows == 0 or len(ks) == 0:
+                    return t.slice(0, 0)
+                k = H.hash_u64_pair(t["ck1"].to_numpy().view(np.uint64),
+                                    t["ck2"].to_numpy().view(np.uint64))
+                pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
+                return t.filter(pa.array(ks[pos] == k))
+
+        base_ck_hits = base_sigs.map_batches(MatchingCk(),
+                                             batch_format="pyarrow")
+        edges = lsh.edges_from_buckets(db.union(bb), cfg).union(
+            lsh.exact_edges(delta_sigs.union(base_ck_hits), cfg))
+        deduped = lsh.dedupe_edges(edges)
+
+        class TouchesDelta:
+            def __init__(self):
+                self._set = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._set is None:
+                    self._set = ray.get(ids_ref)
+                if t.num_rows == 0:
+                    return t
+                hit = pc.or_(
+                    pc.is_in(t["src"].cast(pa.string()), value_set=self._set),
+                    pc.is_in(t["dst"].cast(pa.string()), value_set=self._set))
+                return t.filter(hit)
+
+        cand = deduped.map_batches(TouchesDelta(), batch_format="pyarrow")
+        attached = verify.attach_signatures(
+            cand, delta_sigs.union(base_sigs), cfg)
+        return verify.verify_edges(attached, cfg, has_pixels=True)
+
+    vedges = run.run_stage("verified_edges", build_and_verify, ["signatures"])
+
+    def all_edges() -> ray.data.Dataset:
+        return vedges.union(_base_star_edges(base_clusters))
+
+    if run.is_complete("clusters"):
+        labels = None
+    else:
+        combined = all_edges().materialize()
+        if combined.count() <= cfg.local_uf_limit:
+            labels = run.run_stage(
+                "labels_r0", lambda: unionfind.local_components(combined),
+                ["verified_edges"])
+        else:
+            eb = unionfind.bidirectional(combined).materialize()
+            labels = unionfind.init_labels(combined, cfg.num_partitions).materialize()
+            prev_hash = unionfind.label_state_hash(labels)
+            rnd = -1
+            while True:
+                rnd += 1
+                if rnd >= cfg.max_rounds + 1:
+                    raise RuntimeError("union-find exceeded max_rounds")
+                new = run.run_stage(
+                    f"labels_r{rnd}",
+                    lambda: unionfind.propagate_round(labels, eb, cfg),
+                    [f"labels_r{rnd - 1}" if rnd else "verified_edges"])
+                new_hash = unionfind.label_state_hash(new)
+                labels = new
+                if new_hash == prev_hash:
+                    break
+                prev_hash = new_hash
+
+    ids = base_clusters.select_columns(["image_id"]).union(
+        delta_sigs.select_columns(["image_id"]))
+    clusters = run.run_stage(
+        "clusters", lambda: finalize_clusters(ids, labels, cfg), ["labels"])
+
+    metrics = {
+        "config_hash": cfg.config_hash(),
+        "stages_executed": run.executed,
+        "stages_resumed": run.skipped,
+        "stage_seconds": run.timings,
+        "rows": {
+            s: (storage.read_manifest(run.stage_dir(s)) or {}).get("rows")
+            for s in ("signatures", "verified_edges", "clusters")
+        },
+    }
+    storage.write_manifest(run.run_dir, {"stage": "run", "complete": True,
+                                         "config_hash": cfg.config_hash(),
+                                         "metrics": metrics})
+    return metrics

@@ -1,0 +1,78 @@
+"""Incremental ingest: delta dedup against a finished base run must equal a
+from-scratch run over base+delta, while only computing delta signatures."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import load_parquet_dir
+
+SPLIT_BASE = "/tmp/dedup_ray_inc_base_data"
+SPLIT_DELTA = "/tmp/dedup_ray_inc_delta_data"
+BASE_RUN = "/tmp/dedup_ray_inc_base_run"
+INC_RUN = "/tmp/dedup_ray_inc_run"
+
+
+@pytest.fixture(scope="module")
+def incremental_run(ray_session, tiny_fixture, tiny_run):
+    """Split the 800-row fixture 5:1, run base, then ingest the delta."""
+    from deduplication_ray.pipelines import image_dedup
+    from deduplication_ray.pipelines.incremental import ingest_delta
+
+    _, cfg, _ = tiny_run
+
+    tbl = pads.dataset(
+        [f"{tiny_fixture}/data/{f}" for f in os.listdir(f"{tiny_fixture}/data")
+         if f.endswith(".parquet")]).to_table()
+    idx = pa.array([i % 6 == 0 for i in range(tbl.num_rows)])
+    delta_tbl = tbl.filter(idx)
+    base_tbl = tbl.filter(pa.compute.invert(idx))
+
+    for d, t, parts in ((SPLIT_BASE, base_tbl, 4), (SPLIT_DELTA, delta_tbl, 2)):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        step = (t.num_rows + parts - 1) // parts
+        for i in range(parts):
+            pq.write_table(t.slice(i * step, step), f"{d}/part-{i}.parquet")
+
+    shutil.rmtree(BASE_RUN, ignore_errors=True)
+    shutil.rmtree(INC_RUN, ignore_errors=True)
+    image_dedup.run_pipeline(SPLIT_BASE, BASE_RUN, cfg)
+    metrics = ingest_delta(BASE_RUN, SPLIT_BASE, SPLIT_DELTA, INC_RUN, cfg)
+    return metrics, delta_tbl.num_rows, tbl.num_rows
+
+
+def test_incremental_matches_full_run(incremental_run, tiny_run):
+    """Cluster assignments from incremental ingest == from-scratch full run."""
+    full_dir, _, _ = tiny_run
+    full = (load_parquet_dir(f"{full_dir}/clusters")
+            .sort_values("image_id").reset_index(drop=True))
+    inc = (load_parquet_dir(f"{INC_RUN}/clusters")
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(inc) == len(full)
+    merged = full.merge(inc, on="image_id", suffixes=("_f", "_i"))
+    mismatch = (merged["cluster_id_f"] != merged["cluster_id_i"]).sum()
+    assert mismatch == 0, f"{mismatch}/{len(merged)} assignments differ"
+
+
+def test_incremental_signatures_are_delta_bounded(incremental_run):
+    """The expensive stage (image decode -> signatures) ran on delta rows
+    ONLY — base signatures came from the base run's checkpoint."""
+    metrics, n_delta, n_total = incremental_run
+    assert metrics["rows"]["signatures"] == n_delta
+    assert n_delta < n_total // 4
+
+
+def test_incremental_resumes_from_checkpoint(incremental_run, tiny_run):
+    """Re-invoking the ingest skips every completed stage."""
+    from deduplication_ray.pipelines.incremental import ingest_delta
+
+    _, cfg, _ = tiny_run
+    m2 = ingest_delta(BASE_RUN, SPLIT_BASE, SPLIT_DELTA, INC_RUN, cfg)
+    assert m2["stages_executed"] == []
+    assert "signatures" in m2["stages_resumed"]
+    assert "clusters" in m2["stages_resumed"]
