@@ -9,6 +9,8 @@ The reference exposes ``dedup_bin c|d``; the graft exposes:
   python -m deduplication_ray.cli decompress IN.ddp OUT.bin
   python -m deduplication_ray.cli fixture    --out DIR --rows N [--seed S]
   python -m deduplication_ray.cli query      [NAME] [--sf-dir DIR] [--dest DIR]
+  python -m deduplication_ray.cli ingest     --base-run DIR --base-input DIR
+                                             --delta-input DIR --out RUN_DIR
 
 ``run`` and ``resume`` are the same code path — resume is what ``run`` does
 when the run dir already holds complete, config-matching checkpoints (the
@@ -67,6 +69,19 @@ def main(argv: list[str] | None = None) -> int:
                   "bucket_cap", "substring_min_len", "num_partitions"):
             s.add_argument(f"--{f.replace('_', '-')}", type=int, default=None,
                            dest=f)
+
+    s = sub.add_parser("ingest", help="dedup a delta table against a finished "
+                                      "base run (incremental; reuses base "
+                                      "signature/cluster checkpoints)")
+    s.add_argument("--base-run", required=True, help="run dir of the base run")
+    s.add_argument("--base-input", required=True, help="base parquet table dir")
+    s.add_argument("--delta-input", required=True, help="delta parquet table dir")
+    s.add_argument("--out", required=True, help="run dir for the ingest")
+    s.add_argument("--num-cpus", type=int, default=None)
+    for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
+              "bucket_cap", "substring_min_len", "num_partitions"):
+        s.add_argument(f"--{f.replace('_', '-')}", type=int, default=None,
+                       dest=f)
 
     s = sub.add_parser("reconstruct", help="rebuild full table from a run dir")
     s.add_argument("--out", required=True, help="run dir of a completed run")
@@ -139,6 +154,17 @@ def main(argv: list[str] | None = None) -> int:
 
         metrics = run_pipeline(args.input, args.out, _cfg_from_args(args),
                                strict_resume=(args.cmd == "resume"))
+        print(json.dumps(metrics))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "ingest":
+        ray = _session(args.num_cpus)
+        from deduplication_ray.pipelines.incremental import ingest_delta
+
+        metrics = ingest_delta(args.base_run, args.base_input,
+                               args.delta_input, args.out,
+                               _cfg_from_args(args))
         print(json.dumps(metrics))
         ray.shutdown()
         return 0
