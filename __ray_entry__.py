@@ -188,7 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap_sample": docops.q_source_cap_sample,
         "doc_word_repetition": docops.q_doc_word_repetition,
         "top_terms": docops.q_top_terms,
+        "lang_stratified_sample": docops.q_lang_stratified_sample,
         # similarity search
+        "embedding_kmeans_cells": lambda sf: ann.embedding_kmeans_cells(sf),
         "ann_topk": lambda sf: ann.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
         "ann_topk_ivf": lambda sf: ann.ivf_topk(sf),
@@ -242,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "source_cap_sample": docops.source_cap_sample_sql(),
         "doc_word_repetition": docops.Q_DOC_WORD_REPETITION_SQL,
         "top_terms": docops.top_terms_sql(),
+        "lang_stratified_sample": docops.lang_stratified_sample_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_quality": docops.Q_DOC_QUALITY_SQL,

@@ -434,3 +434,48 @@ def _unpack_f32(col) -> np.ndarray:
         return np.empty((0, 0), dtype=np.float32)
     width = (offs[1] - offs[0])
     return buf[offs[0]: offs[-1]].view(np.float64).astype(np.float32).reshape(n, -1)
+
+
+def embedding_kmeans_cells(
+    sf_dir: str,
+    n_centroids: int = 16,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Semantic clustering of the embedding corpus: assign every vector to
+    its nearest spherical k-means centroid — the partitioning step behind
+    semantic dedup pruning, diversity-balanced sampling, and IVF indexing.
+
+    Scale plan: the centroid model trains on a bounded deterministic sample
+    (first 4096 ids) and broadcasts via ``ray.put`` (tiny); assignment is
+    one stateless map_batches matmul per batch — no shuffle, linear in
+    corpus size, deterministic at any parallelism. Rows-only check
+    (iterative k-means is not SQL-expressible); determinism and
+    argmax-consistency are asserted in tests/test_ann.py."""
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet",
+                            columns=[id_col, "embedding"])
+
+    st = ds.sort(id_col).limit(4096).to_pandas()
+    sample = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in st["embedding"]]))
+    cents = _kmeans_cosine(sample, n_centroids)
+    ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.cents = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.cents is None:
+                self.cents = ray.get(ref)
+            m = _normalize(_emb_matrix(t).astype(np.float64))
+            sims = m @ self.cents.T
+            cell = sims.argmax(axis=1)
+            return pa.table({
+                id_col: t[id_col],
+                "cell": pa.array(cell.astype(np.int64)),
+                "sim_milli": pa.array(
+                    np.floor(sims.max(axis=1) * 1000.0).astype(np.int64)),
+            })
+
+    return ds.map_batches(Assign(), batch_format="pyarrow")

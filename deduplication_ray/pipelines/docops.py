@@ -763,3 +763,43 @@ SELECT tok, CAST(count(*) AS BIGINT) AS df
 FROM toks GROUP BY tok
 ORDER BY df DESC, tok LIMIT {k}
 """
+
+
+# ------------------------------------------------ language-stratified sampling
+
+# per-language keep rates as exact u32 thresholds (floor(rate * 2^32)):
+# down-sample the dominant language, keep the tail languages dense — the
+# data-mix rebalancing step of a multilingual training pipeline
+_STRAT_THRESHOLDS = {"en": int(0.10 * 2**32)}
+_STRAT_DEFAULT_THRESHOLD = int(0.40 * 2**32)
+
+
+def q_lang_stratified_sample(sf_dir: str):
+    """Stratified (per-group-rate) sampling over documents: keep 10% of the
+    dominant language, 40% of every other, decided by the same
+    multiplicative doc_id hash as q_doc_split. Stateless single-pass
+    map_batches — no shuffle, deterministic at any parallelism, and every
+    kept row is independently recomputable (the property a resumable 100 TB
+    sampler needs). SQL-mirrored exactly via integer thresholds."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def samp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64) % np.uint64(2**31)
+        u = (ids * np.uint64(_SPLIT_MULT)) % np.uint64(_SPLIT_MOD)
+        langs = t["lang"].to_pandas().to_numpy()
+        th = np.full(len(langs), _STRAT_DEFAULT_THRESHOLD, dtype=np.uint64)
+        for lg, thr in _STRAT_THRESHOLDS.items():
+            th[langs == lg] = thr
+        return t.filter(pa.array(u < th))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+def lang_stratified_sample_sql() -> str:
+    cases = " ".join(f"WHEN lang = '{lg}' THEN {thr}"
+                     for lg, thr in _STRAT_THRESHOLDS.items())
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id % 2147483648) * {_SPLIT_MULT}) % {_SPLIT_MOD}
+      < (CASE {cases} ELSE {_STRAT_DEFAULT_THRESHOLD} END)
+"""

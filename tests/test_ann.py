@@ -93,3 +93,19 @@ def test_ivf_topk_recall_on_planted(emb_dir):
         got = set(approx[approx.q_id == q].n_id)
         if int(q) % 2 == 0 and int(q) < 80:  # planted near-identical partner
             assert top1 in got, (q, top1, got)
+
+
+def test_embedding_kmeans_cells_deterministic_and_consistent(ray_session):
+    import numpy as np
+
+    from deduplication_ray.pipelines.ann import embedding_kmeans_cells
+
+    sf = "/root/testdata/sf0.001"
+    a = embedding_kmeans_cells(sf).to_pandas().sort_values("vec_id")
+    b = embedding_kmeans_cells(sf).to_pandas().sort_values("vec_id")
+    assert (a["cell"].to_numpy() == b["cell"].to_numpy()).all()
+    assert (a["sim_milli"].to_numpy() == b["sim_milli"].to_numpy()).all()
+    # every row assigned, cells within range, and multiple cells in use
+    assert len(a) == len(a["vec_id"].unique())
+    assert a["cell"].between(0, 15).all()
+    assert a["cell"].nunique() >= 4

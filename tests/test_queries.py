@@ -59,6 +59,7 @@ SQL_CHECKED = [
     "doc_decontaminate", "source_cap_sample", "doc_word_repetition",
     "top_terms",
     "events_type_pivot", "events_lag", "daily_purchase_error_join",
+    "lang_stratified_sample",
 ]
 
 
