@@ -181,7 +181,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": R.q_events_type_pivot,
         "events_lag": R.q_events_lag,
         "daily_purchase_error_join": R.q_daily_purchase_error_join,
+        "events_value_rank": R.q_events_value_rank,
         # training-data curation primitives (SQL-checked)
+        "ngram_containment_pairs": docops.q_ngram_containment_pairs,
+        "doc_redact_pii": docops.q_doc_redact_pii,
+        "doc_chunks": docops.q_doc_chunks,
         "doc_split": docops.q_doc_split,
         "docs_above_median_quality": docops.q_docs_above_median_quality,
         "doc_decontaminate": docops.q_doc_decontaminate,
@@ -238,6 +242,10 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": R.events_type_pivot_sql(),
         "events_lag": R.Q_EVENTS_LAG_SQL,
         "daily_purchase_error_join": R.Q_DAILY_PURCHASE_ERROR_JOIN_SQL,
+        "events_value_rank": R.Q_EVENTS_VALUE_RANK_SQL,
+        "ngram_containment_pairs": docops.ngram_containment_pairs_sql(),
+        "doc_redact_pii": docops.doc_redact_pii_sql(),
+        "doc_chunks": docops.doc_chunks_sql(),
         "doc_split": docops.Q_DOC_SPLIT_SQL,
         "docs_above_median_quality": docops.Q_DOCS_ABOVE_MEDIAN_QUALITY_SQL,
         "doc_decontaminate": docops.doc_decontaminate_sql(),

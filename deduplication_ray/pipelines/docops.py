@@ -268,8 +268,13 @@ def q_doc_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
 
 
 def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
-                          exact_limit: int = 1500):
+                          exact_limit: int = 1500, metric: str = "jaccard"):
     """EXACT char n-gram Jaccard near-dup pairs (not the MinHash estimate).
+
+    ``metric='containment'`` switches the pair score to
+    |A∩B| / min(|A|,|B|) — the asymmetric detector that catches a short
+    document quoted/excerpted inside a longer one, which Jaccard misses
+    when the size ratio is large (output column ``containment_milli``).
 
     Size-dispatched: corpora up to ``exact_limit`` docs verify ALL (i<j)
     pairs — oracle-identical to the DuckDB gram-set SQL at any tau; above
@@ -336,11 +341,13 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
     e = lookup_join(e, lean.rename_columns({"image_id": "dst", "grams": "g_dst"}),
                     on=["dst"], cfg=cfg)
 
+    score_col = f"{metric}_milli"
+
     def check(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"src": pa.array([], pa.int64()),
                              "dst": pa.array([], pa.int64()),
-                             "jaccard_milli": pa.array([], pa.int64())})
+                             score_col: pa.array([], pa.int64())})
         gs = t["g_src"].to_pylist()
         gd = t["g_dst"].to_pylist()
         jac = np.empty(t.num_rows, dtype=np.float64)
@@ -348,7 +355,9 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
             a = np.frombuffer(gs[i], dtype=np.uint64)
             b = np.frombuffer(gd[i], dtype=np.uint64)
             inter = len(np.intersect1d(a, b, assume_unique=True))
-            jac[i] = inter / max(len(a) + len(b) - inter, 1)
+            denom = (min(len(a), len(b)) if metric == "containment"
+                     else len(a) + len(b) - inter)
+            jac[i] = inter / max(denom, 1)
         keep = jac >= tau
         t = t.filter(pa.array(keep))
         # integer ids, src < dst NUMERICALLY (the oracle compares BIGINTs)
@@ -356,10 +365,16 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
         b = t["dst"].cast(pa.int64()).to_numpy()
         return pa.table({
             "src": np.minimum(a, b), "dst": np.maximum(a, b),
-            "jaccard_milli": pa.array((jac[keep] * 1000).astype(np.int64)),
+            score_col: pa.array((jac[keep] * 1000).astype(np.int64)),
         })
 
     return e.map_batches(check, batch_format="pyarrow")
+
+
+def q_ngram_containment_pairs(sf_dir: str, tau: float = 0.7):
+    """Asymmetric excerpt/quote detector: pairs where the smaller document's
+    gram set is >= tau contained in the larger's."""
+    return q_ngram_jaccard_pairs(sf_dir, tau=tau, metric="containment")
 
 
 def ngram_jaccard_pairs_sql(tau: float = 0.6, k: int = 5) -> str:
@@ -802,4 +817,143 @@ def lang_stratified_sample_sql() -> str:
 SELECT doc_id, lang FROM documents
 WHERE ((doc_id % 2147483648) * {_SPLIT_MULT}) % {_SPLIT_MOD}
       < (CASE {cases} ELSE {_STRAT_DEFAULT_THRESHOLD} END)
+"""
+
+
+def ngram_containment_pairs_sql(tau: float = 0.7, k: int = 5) -> str:
+    """Oracle for the containment metric: same gram CTEs, denominator is the
+    SMALLER doc's gram-set size."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), {k}) AS g
+  FROM norm, UNNEST(generate_series(1, length(s) - {k} + 1)) AS t(i)
+  WHERE length(s) >= {k}
+  UNION
+  SELECT doc_id, s AS g FROM norm WHERE length(s) < {k}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.src, i.dst,
+       CAST(floor(CAST(i.c AS DOUBLE) / least(sa.n, sb.n) * 1000.0) AS BIGINT)
+           AS containment_milli
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.src
+JOIN sizes sb ON sb.doc_id = i.dst
+WHERE CAST(i.c AS DOUBLE) / least(sa.n, sb.n) >= {tau}
+"""
+
+
+# --------------------------------------------------------------- PII redaction
+
+# RE2-compatible patterns (no backrefs), identical strings on both sides
+_PII_PATTERNS = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{13,19}\b", "<LONGNUM>"),
+)
+
+
+def q_doc_redact_pii(sf_dir: str):
+    """PII scrubbing pass: replace email addresses, phone-shaped numbers and
+    long digit runs with typed placeholder tokens — the redaction step every
+    publishable training corpus needs. One stateless map_batches with
+    compiled-RE2 Arrow kernels (``replace_substring_regex``), no shuffle;
+    the SQL oracle applies the IDENTICAL regex chain, so every redacted byte
+    is value-hash-checked."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        s = t["text"]
+        for pat, tok in _PII_PATTERNS:
+            s = pc.replace_substring_regex(s, pat, tok)
+        n_red = pc.add(
+            pc.count_substring(s, "<EMAIL>"),
+            pc.add(pc.count_substring(s, "<PHONE>"),
+                   pc.count_substring(s, "<LONGNUM>"))).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "clean_text": s,
+                         "n_redactions": n_red})
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+def doc_redact_pii_sql() -> str:
+    expr = "text"
+    for pat, tok in _PII_PATTERNS:
+        sql_pat = pat.replace("\\", "\\\\").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{tok}', 'g')"
+    return f"""
+WITH r AS (SELECT doc_id, {expr} AS clean_text FROM documents)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) - length(replace(clean_text, '<EMAIL>', substring('<EMAIL>', 2)))
+          + length(clean_text) - length(replace(clean_text, '<PHONE>', substring('<PHONE>', 2)))
+          + length(clean_text) - length(replace(clean_text, '<LONGNUM>', substring('<LONGNUM>', 2)))
+          AS BIGINT) AS n_redactions
+FROM r
+"""
+
+
+# ------------------------------------------------------------- doc chunking
+
+def q_doc_chunks(sf_dir: str, max_words: int = 64):
+    """Split every document into fixed-size word chunks with stable ids —
+    the context-window packing primitive (one training sample per chunk).
+
+    flat_map realized vectorized: tokens are flattened ONCE per batch, chunk
+    boundaries computed arithmetically on the offsets, and chunk strings
+    rebuilt with a single ``binary_join_element_wise``-free slice gather via
+    list-array reconstruction — no per-document Python loop. Output grows
+    rows (1 -> ceil(n_words/max_words) per doc); chunk_id = (doc_id,
+    chunk_idx) so any worker can recompute any chunk independently."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        counts = offs[1:] - offs[:-1]
+        n_chunks = np.maximum((counts + max_words - 1) // max_words, 1)
+        doc_rep = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
+        # chunk k of doc d spans flat[offs[d] + k*W : min(offs[d]+(k+1)*W, offs[d+1])]
+        chunk_idx = H._ranges(n_chunks)
+        starts = offs[:-1][doc_rep] + chunk_idx * max_words
+        ends = np.minimum(starts + max_words, offs[1:][doc_rep])
+        # rebuild one list<string> array over the flat tokens, then join
+        lens = ends - starts
+        # gather token indices for every chunk in one arange trick
+        tok_idx = np.repeat(starts, lens) + H._ranges(lens)
+        toks = flat.take(pa.array(tok_idx, pa.int64()))
+        loffs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(loffs), toks)
+        joined = pc.binary_join(lst, " ")
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(doc_rep, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_words": pa.array(lens, pa.int64()),
+            "chunk_text": joined,
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def doc_chunks_sql(max_words: int = 64) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), spans AS (
+  SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_idx,
+         greatest(length(toks), 1) AS n
+  FROM w, UNNEST(generate_series(0,
+        CAST(ceil(greatest(length(toks), 1) / {max_words}.0) AS BIGINT) - 1)) AS t(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(least(n, (chunk_idx + 1) * {max_words}) - chunk_idx * {max_words} AS BIGINT) AS n_words,
+       array_to_string(toks[CAST(chunk_idx * {max_words} + 1 AS BIGINT)
+                            :CAST(least(n, (chunk_idx + 1) * {max_words}) AS BIGINT)], ' ') AS chunk_text
+FROM spans
 """

@@ -946,3 +946,48 @@ SELECT COALESCE(p.user_id, e.user_id) AS user_id,
        COALESCE(n_error, 0) AS n_error
 FROM p FULL OUTER JOIN e ON p.user_id = e.user_id AND p.day = e.day
 """
+
+
+# ---------------------------------------------------------------- rank window
+
+def q_events_value_rank(sf_dir: str, num_buckets: int = 32):
+    """Per-user dense value ranking: rank every event within its user by
+    (value DESC, event_id) — the ROW_NUMBER window operator. Same bucketed
+    shape as sessionize/lag: one hash shuffle co-locating each user, one
+    vectorized sort + arithmetic rank pass per bucket over ALL its users at
+    once (rank = position − user-segment start; no per-user call)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        pos = np.arange(len(g), dtype=np.int64)
+        seg_start = np.zeros(len(g), dtype=np.int64)
+        new = np.concatenate([[True], uid[1:] != uid[:-1]]) if len(g) else \
+            np.zeros(0, bool)
+        seg_start[new] = pos[new]
+        seg_start = np.maximum.accumulate(seg_start)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": uid,
+            "value_rank": pos - seg_start + 1,
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+Q_EVENTS_VALUE_RANK_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id) AS BIGINT)
+           AS value_rank
+FROM events
+"""
