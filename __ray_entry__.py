@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": docops.q_ngram_containment_pairs,
         "doc_redact_pii": docops.q_doc_redact_pii,
         "doc_chunks": docops.q_doc_chunks,
+        "doc_global_shuffle": docops.q_doc_global_shuffle,
         "doc_split": docops.q_doc_split,
         "docs_above_median_quality": docops.q_docs_above_median_quality,
         "doc_decontaminate": docops.q_doc_decontaminate,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment_pairs": docops.ngram_containment_pairs_sql(),
         "doc_redact_pii": docops.doc_redact_pii_sql(),
         "doc_chunks": docops.doc_chunks_sql(),
+        "doc_global_shuffle": docops.Q_DOC_GLOBAL_SHUFFLE_SQL,
         "doc_split": docops.Q_DOC_SPLIT_SQL,
         "docs_above_median_quality": docops.Q_DOCS_ABOVE_MEDIAN_QUALITY_SQL,
         "doc_decontaminate": docops.doc_decontaminate_sql(),

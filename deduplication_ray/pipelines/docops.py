@@ -957,3 +957,77 @@ SELECT doc_id, chunk_idx,
                             :CAST(least(n, (chunk_idx + 1) * {max_words}) AS BIGINT)], ' ') AS chunk_text
 FROM spans
 """
+
+
+# ------------------------------------------------- deterministic global shuffle
+
+def q_doc_global_shuffle(sf_dir: str):
+    """Deterministic global shuffle with materialized positions — the
+    "shuffle the corpus before packing" step, as a distributed zipWithIndex
+    (an operator Ray Data lacks).
+
+    Plan: shuffle order = sort by (multiplicative doc_id hash, doc_id) — a
+    seeded permutation any worker can recompute. Positions come from the
+    classic two-pass zipWithIndex: after the range sort, one cheap metadata
+    pass collects each block's (first-key, row-count) — #blocks rows, not
+    #rows — the driver prefix-sums them into per-block offsets, broadcasts
+    the tiny map, and a second stateless pass emits offset + local arange.
+    No per-row driver work, no second data shuffle."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64) % np.uint64(2**31)
+        h = (ids * np.uint64(_SPLIT_MULT)) % np.uint64(_SPLIT_MOD)
+        return t.append_column("h", pa.array(h.astype(np.int64)))
+
+    sorted_ds = (ds.map_batches(key, batch_format="pyarrow")
+                 .sort(["h", "doc_id"]).materialize())
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h0": pa.array([], pa.int64()),
+                             "id0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"h0": t["h"].slice(0, 1),
+                         "id0": t["doc_id"].slice(0, 1),
+                         "cnt": pa.array([t.num_rows], pa.int64())})
+
+    meta = pa.concat_tables(
+        list(sorted_ds.map_batches(block_meta, batch_format="pyarrow",
+                                   batch_size=None)
+             .iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default").to_pandas()
+    meta = meta.sort_values(["h0", "id0"]).reset_index(drop=True)
+    offsets = {(int(r.h0), int(r.id0)): int(o) for r, o in zip(
+        meta.itertuples(), np.concatenate([[0], np.cumsum(meta["cnt"])[:-1]]))}
+    ref = ray.put(offsets)
+
+    class Enumerate:
+        def __init__(self):
+            self.offsets = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "shuffle_pos": pa.array([], pa.int64())})
+            if self.offsets is None:
+                self.offsets = ray.get(ref)
+            base = self.offsets[(int(t["h"][0].as_py()),
+                                 int(t["doc_id"][0].as_py()))]
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "shuffle_pos": pa.array(
+                    base + np.arange(t.num_rows, dtype=np.int64)),
+            })
+
+    return sorted_ds.map_batches(Enumerate(), batch_format="pyarrow",
+                                 batch_size=None)
+
+
+Q_DOC_GLOBAL_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+            ORDER BY ((doc_id % 2147483648) * {_SPLIT_MULT}) % {_SPLIT_MOD},
+                     doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""

@@ -61,7 +61,7 @@ SQL_CHECKED = [
     "events_type_pivot", "events_lag", "daily_purchase_error_join",
     "lang_stratified_sample",
     "events_value_rank", "ngram_containment_pairs", "doc_redact_pii",
-    "doc_chunks",
+    "doc_chunks", "doc_global_shuffle",
 ]
 
 
