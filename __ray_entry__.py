@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_repetition": docops.q_doc_word_repetition,
         "top_terms": docops.q_top_terms,
         "lang_stratified_sample": docops.q_lang_stratified_sample,
+        "ensemble_dup_pairs": docops.q_ensemble_dup_pairs,
+        "signup_purchase_funnel": R.q_signup_purchase_funnel,
         # similarity search
         "embedding_kmeans_cells": lambda sf: ann.embedding_kmeans_cells(sf),
         "ann_topk": lambda sf: ann.brute_force_topk(sf),
@@ -248,6 +250,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_redact_pii": docops.doc_redact_pii_sql(),
         "doc_chunks": docops.doc_chunks_sql(),
         "doc_global_shuffle": docops.Q_DOC_GLOBAL_SHUFFLE_SQL,
+        "ensemble_dup_pairs": docops.ensemble_dup_pairs_sql(),
+        "signup_purchase_funnel": R.Q_SIGNUP_PURCHASE_FUNNEL_SQL,
         "doc_split": docops.Q_DOC_SPLIT_SQL,
         "docs_above_median_quality": docops.Q_DOCS_ABOVE_MEDIAN_QUALITY_SQL,
         "doc_decontaminate": docops.doc_decontaminate_sql(),

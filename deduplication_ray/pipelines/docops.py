@@ -1031,3 +1031,58 @@ SELECT doc_id,
                      doc_id) - 1 AS BIGINT) AS shuffle_pos
 FROM documents
 """
+
+
+# --------------------------------------------------- multi-detector ensemble
+
+def q_ensemble_dup_pairs(sf_dir: str, jac_tau: float = 0.6,
+                         cos_min: float = 0.45):
+    """Detector-fusion dedup: the union of the LEXICAL near-dup detector
+    (exact char-5-gram Jaccard >= jac_tau over documents) and the SEMANTIC
+    one (embedding cosine >= cos_min over the aligned embeddings table),
+    per pair flagged with which detector(s) fired — the ensemble view a
+    curation pipeline acts on (lexical-only -> boilerplate, semantic-only
+    -> paraphrase, both -> hard duplicate).
+
+    Fusion is one bounded groupby-max over the two detectors' pair streams
+    (each already sub-linear/size-dispatched); detectors never re-run per
+    fusion."""
+    from ray.data.aggregate import Max
+
+    from deduplication_ray.pipelines.ann import embedding_dup_pairs
+
+    def flag(lex: int, sem: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "src": t["src"].cast(pa.int64()),
+                "dst": t["dst"].cast(pa.int64()),
+                "lexical": pa.array(np.full(n, lex, np.int64)),
+                "semantic": pa.array(np.full(n, sem, np.int64)),
+            })
+        return fn
+
+    lex = q_ngram_jaccard_pairs(sf_dir, tau=jac_tau).map_batches(
+        flag(1, 0), batch_format="pyarrow")
+    sem = embedding_dup_pairs(sf_dir, cos_min=cos_min).map_batches(
+        flag(0, 1), batch_format="pyarrow")
+    return (lex.union(sem).groupby(["src", "dst"])
+            .aggregate(Max("lexical", alias_name="lexical"),
+                       Max("semantic", alias_name="semantic")))
+
+
+def ensemble_dup_pairs_sql(jac_tau: float = 0.6, cos_min: float = 0.45) -> str:
+    return f"""
+WITH lex AS (
+  SELECT src, dst FROM ({ngram_jaccard_pairs_sql(jac_tau)})
+), sem AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {cos_min}
+)
+SELECT COALESCE(l.src, s.src) AS src,
+       COALESCE(l.dst, s.dst) AS dst,
+       CAST(CASE WHEN l.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS lexical,
+       CAST(CASE WHEN s.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS semantic
+FROM lex l FULL OUTER JOIN sem s ON l.src = s.src AND l.dst = s.dst
+"""

@@ -991,3 +991,61 @@ SELECT event_id, user_id,
            AS value_rank
 FROM events
 """
+
+
+# ---------------------------------------------------------------- funnel analysis
+
+def q_signup_purchase_funnel(sf_dir: str, window_days: int = 7,
+                             num_buckets: int = 32):
+    """Sequential funnel: for every user who signed up, did a purchase
+    follow within ``window_days`` of their FIRST signup? The event-sequence
+    operator behind conversion metrics.
+
+    Scale shape: one hash shuffle co-locating each user's events, then a
+    vectorized pandas pass per bucket (first-signup min, windowed purchase
+    existence via one merge) over all the bucket's users at once — no
+    per-user call, no broadcast of per-user state."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["signup", "purchase"])))
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g[g["event_type"] == "signup"].groupby("user_id")["ts"].min()
+             .rename("signup_ts"))
+        if s.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "converted": pd.Series([], dtype="int64")})
+        p = g[g["event_type"] == "purchase"][["user_id", "ts"]]
+        m = p.merge(s, on="user_id")
+        hit = m[(m["ts"] >= m["signup_ts"])
+                & (m["ts"] <= m["signup_ts"] + pd.Timedelta(days=window_days))]
+        conv = hit["user_id"].unique()
+        return pd.DataFrame({
+            "user_id": s.index.to_numpy(),
+            "converted": np.isin(s.index.to_numpy(), conv).astype("int64"),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(funnel_bucket, batch_format="pandas")
+
+
+Q_SIGNUP_PURCHASE_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT s.user_id,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM events e
+         WHERE e.user_id = s.user_id AND e.event_type = 'purchase'
+           AND e.ts >= s.signup_ts
+           AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+       ) THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM s
+"""

@@ -62,6 +62,7 @@ SQL_CHECKED = [
     "lang_stratified_sample",
     "events_value_rank", "ngram_containment_pairs", "doc_redact_pii",
     "doc_chunks", "doc_global_shuffle",
+    "ensemble_dup_pairs", "signup_purchase_funnel",
 ]
 
 
