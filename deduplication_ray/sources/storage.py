@@ -28,9 +28,36 @@ MANIFEST_NAME = "_manifest.json"
 FORMAT = "parquet"  # -> "lance" when pylance is available
 
 
+def _detect_format(path: str) -> str:
+    """Format by extension: a file's own suffix, or the majority suffix of a
+    directory's data files. Parquet is the default (the engine's native
+    checkpoint format)."""
+    exts = {".parquet": "parquet", ".csv": "csv",
+            ".json": "json", ".jsonl": "json"}
+    root, ext = os.path.splitext(path)
+    if ext in exts:
+        return exts[ext]
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            e = os.path.splitext(f)[1]
+            if e in exts:
+                return exts[e]
+    return "parquet"
+
+
 def read_table(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
-    """Dataset source with column pruning pushed to the read."""
-    return ray.data.read_parquet(path, columns=columns, **kwargs)
+    """Dataset source with column pruning pushed to the read.
+
+    Format-dispatched by extension: Parquet (native; columns pruned at the
+    file read), CSV and JSON/JSONL (pruned by a projection right after the
+    read — those formats are row-oriented, so bytes are read either way).
+    Every pipeline in the engine accepts any of these interchangeably."""
+    fmt = _detect_format(path)
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=columns, **kwargs)
+    ds = (ray.data.read_csv(path, **kwargs) if fmt == "csv"
+          else ray.data.read_json(path, **kwargs))
+    return ds.select_columns(columns) if columns else ds
 
 
 def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:

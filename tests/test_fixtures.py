@@ -78,3 +78,33 @@ def test_permutation_metamorphic_clusters(ray_session, tiny_fixture, tmp_path):
     c1 = clusters_of(base)
     c2 = clusters_of(shuffled)
     assert (c1 == c2).all()
+
+
+def test_read_table_csv_and_json_sources(ray_session, tmp_path):
+    """The storage facade reads CSV and JSONL tables interchangeably with
+    Parquet — same rows through a real pipeline op."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.pipelines.docops import q_doc_stats
+    from deduplication_ray.sources import storage
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    base = str(tmp_path)
+    con = duckdb.connect()
+    con.register("t", src)
+    con.execute(f"COPY t TO '{base}/documents.csv' (HEADER)")
+    con.execute(f"COPY t TO '{base}/documents.jsonl' (FORMAT JSON)")
+
+    ref = q_doc_stats("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for ext in ("csv", "jsonl"):
+        d = str(tmp_path / ext)
+        import os
+        os.makedirs(d)
+        os.rename(f"{base}/documents.{ext}", f"{d}/documents.{ext}")
+        ds = storage.read_table(f"{d}/documents.{ext}",
+                                columns=["doc_id", "text"])
+        got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == len(ref)
+        assert list(got.columns) == ["doc_id", "text"]
