@@ -73,8 +73,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("ingest", help="dedup a delta table against a finished "
                                       "base run (incremental; reuses base "
                                       "signature/cluster checkpoints)")
-    s.add_argument("--base-run", required=True, help="run dir of the base run")
-    s.add_argument("--base-input", required=True, help="base parquet table dir")
+    s.add_argument("--base-run", required=True,
+                   help="run dir(s) of prior runs, comma-separated "
+                        "(original run + each finished ingest, in order)")
+    s.add_argument("--base-input", required=True,
+                   help="prior input table dir(s), comma-separated")
     s.add_argument("--delta-input", required=True, help="delta parquet table dir")
     s.add_argument("--out", required=True, help="run dir for the ingest")
     s.add_argument("--num-cpus", type=int, default=None)
@@ -162,7 +165,8 @@ def main(argv: list[str] | None = None) -> int:
         ray = _session(args.num_cpus)
         from deduplication_ray.pipelines.incremental import ingest_delta
 
-        metrics = ingest_delta(args.base_run, args.base_input,
+        metrics = ingest_delta(args.base_run.split(","),
+                               args.base_input.split(","),
                                args.delta_input, args.out,
                                _cfg_from_args(args))
         print(json.dumps(metrics))

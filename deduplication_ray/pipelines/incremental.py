@@ -122,8 +122,8 @@ def _base_star_edges(clusters: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def ingest_delta(
-    base_run_dir: str,
-    base_input_path: str,
+    base_run_dir: str | list[str],
+    base_input_path: str | list[str],
     delta_input_path: str,
     out_run_dir: str,
     cfg: DedupConfig | None = None,
@@ -131,7 +131,14 @@ def ingest_delta(
     """Dedup ``delta_input_path`` against the finished base run; write a full
     clusters table (base + delta ids) under ``out_run_dir``. Returns stage
     metrics. Every stage checkpoints under ``out_run_dir`` (same lineage
-    machinery as the full pipeline), so a killed ingest resumes."""
+    machinery as the full pipeline), so a killed ingest resumes.
+
+    CHAINED ingest (day 2, 3, ...): ``base_run_dir`` / ``base_input_path``
+    accept lists — pass every prior run (original + each finished ingest)
+    and every prior input dir. Base signatures are the UNION of the prior
+    runs' signature checkpoints (each delta's signatures were written by
+    its own ingest, so nothing is ever recomputed); base clusters come from
+    the MOST RECENT run, whose clusters table already covers all prior ids."""
     from deduplication_ray.pipelines.image_dedup import (
         compute_signatures, finalize_clusters)
     from deduplication_ray.stages.tuning import apply_context_tuning
@@ -140,8 +147,14 @@ def ingest_delta(
     apply_context_tuning()
     run = CheckpointedRun(out_run_dir, cfg)
 
-    base_sigs = storage.read_table(f"{base_run_dir}/signatures")
-    base_clusters = storage.read_table(f"{base_run_dir}/clusters")
+    base_runs = ([base_run_dir] if isinstance(base_run_dir, str)
+                 else list(base_run_dir))
+    base_inputs = ([base_input_path] if isinstance(base_input_path, str)
+                   else list(base_input_path))
+    base_sigs = storage.read_table(f"{base_runs[0]}/signatures")
+    for r in base_runs[1:]:
+        base_sigs = base_sigs.union(storage.read_table(f"{r}/signatures"))
+    base_clusters = storage.read_table(f"{base_runs[-1]}/clusters")
 
     delta_sigs = run.run_stage(
         "signatures",
@@ -154,8 +167,11 @@ def ingest_delta(
                                   columns=["image_id", "caption"])
 
     def base_caps() -> ray.data.Dataset:
-        return storage.read_table(base_input_path,
-                                  columns=["image_id", "caption"])
+        ds = storage.read_table(base_inputs[0],
+                                columns=["image_id", "caption"])
+        for p in base_inputs[1:]:
+            ds = ds.union(storage.read_table(p, columns=["image_id", "caption"]))
+        return ds
 
     def build_and_verify() -> ray.data.Dataset:
         db = _bucket_stream(delta_sigs, delta_caps(), cfg).materialize()

@@ -34,11 +34,15 @@ def _detect_format(path: str) -> str:
     checkpoint format)."""
     exts = {".parquet": "parquet", ".csv": "csv",
             ".json": "json", ".jsonl": "json"}
+    if isinstance(path, (list, tuple)):
+        path = path[0] if path else ""
     root, ext = os.path.splitext(path)
     if ext in exts:
         return exts[ext]
     if os.path.isdir(path):
         for f in sorted(os.listdir(path)):
+            if f.startswith("_") or f.startswith("."):
+                continue  # sidecars: _manifest.json, _metadata, hidden files
             e = os.path.splitext(f)[1]
             if e in exts:
                 return exts[e]

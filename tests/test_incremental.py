@@ -76,3 +76,50 @@ def test_incremental_resumes_from_checkpoint(incremental_run, tiny_run):
     assert m2["stages_executed"] == []
     assert "signatures" in m2["stages_resumed"]
     assert "clusters" in m2["stages_resumed"]
+
+
+def test_chained_ingest_matches_full_run(ray_session, tiny_fixture, tiny_run):
+    """Day-2 ingest: base run -> ingest delta1 -> ingest delta2 (base = both
+    prior runs). Final clusters == the from-scratch full run over all rows."""
+    from deduplication_ray.pipelines import image_dedup
+    from deduplication_ray.pipelines.incremental import ingest_delta
+
+    full_dir, cfg, _ = tiny_run
+
+    tbl = pads.dataset(
+        [f"{tiny_fixture}/data/{f}" for f in os.listdir(f"{tiny_fixture}/data")
+         if f.endswith(".parquet")]).to_table()
+    mod = pa.array([i % 6 for i in range(tbl.num_rows)])
+    import pyarrow.compute as pc
+    splits = {
+        "base": tbl.filter(pc.greater(mod, 1)),
+        "d1": tbl.filter(pc.equal(mod, 0)),
+        "d2": tbl.filter(pc.equal(mod, 1)),
+    }
+    dirs = {}
+    for name, t in splits.items():
+        d = f"/tmp/dedup_ray_chain_{name}_data"
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        step = (t.num_rows + 1) // 2
+        for i in range(2):
+            pq.write_table(t.slice(i * step, step), f"{d}/part-{i}.parquet")
+        dirs[name] = d
+
+    r0, r1, r2 = ("/tmp/dedup_ray_chain_run0", "/tmp/dedup_ray_chain_run1",
+                  "/tmp/dedup_ray_chain_run2")
+    for d in (r0, r1, r2):
+        shutil.rmtree(d, ignore_errors=True)
+    image_dedup.run_pipeline(dirs["base"], r0, cfg)
+    ingest_delta(r0, dirs["base"], dirs["d1"], r1, cfg)
+    m2 = ingest_delta([r0, r1], [dirs["base"], dirs["d1"]], dirs["d2"], r2, cfg)
+
+    assert m2["rows"]["signatures"] == splits["d2"].num_rows
+    full = (load_parquet_dir(f"{full_dir}/clusters")
+            .sort_values("image_id").reset_index(drop=True))
+    inc = (load_parquet_dir(f"{r2}/clusters")
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(inc) == len(full)
+    merged = full.merge(inc, on="image_id", suffixes=("_f", "_i"))
+    mismatch = (merged["cluster_id_f"] != merged["cluster_id_i"]).sum()
+    assert mismatch == 0, f"{mismatch}/{len(merged)} assignments differ"
