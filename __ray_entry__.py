@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": lambda sf: ann.ivf_topk(sf),
         # rows-only (non-SQL-expressible) detectors
         "doc_lsh_dedup": docops.q_doc_lsh_dedup,
+        "doc_dedup_keep_best": docops.q_doc_dedup_keep_best,
         "ngram_jaccard_pairs": docops.q_ngram_jaccard_pairs,
         "doc_simhash_pairs": docops.q_doc_simhash_pairs,
         "doc_langid": docops.q_doc_langid,

@@ -29,6 +29,29 @@ IMG_ROWS = int(os.environ.get("BENCH_IMG_ROWS", "60000"))
 SEED = 42
 
 
+def host_health_probe() -> dict:
+    """Fixed micro-probe of the machine the numbers were taken on: one
+    single-stream memory-copy bandwidth sample + one single-core ALU sample.
+    Recorded alongside every bench result because this sandbox VM shows
+    intermittent host-level degradation (memory bandwidth observed anywhere
+    from ~0.07 to several GB/s across the same day) that changes pipeline
+    wall time far more than any code change — a result without the probe is
+    uninterpretable."""
+    import numpy as np
+
+    a = np.ones(25_000_000, dtype=np.float64)  # 200 MB
+    t0 = time.time()
+    for _ in range(4):
+        a.copy()
+    bw = 4 * a.nbytes * 2 / (time.time() - t0) / 1e9
+    x = np.random.RandomState(0).rand(2_000_000)
+    t0 = time.time()
+    for _ in range(5):
+        np.sort(x)
+    alu = 10.0 / (time.time() - t0)  # sorts/sec x2 (fixed work units)
+    return {"host_mem_gbps": round(bw, 2), "host_sort_units": round(alu, 1)}
+
+
 def _img_fixture_dir() -> str:
     return f"/tmp/dedup_ray_benchfix_{SEED}_{IMG_ROWS}"
 
@@ -181,6 +204,7 @@ def run_bench() -> dict:
         "img_rows": IMG_ROWS,
         "images_per_sec": round(IMG_ROWS / img_sec, 1),
         "peak_rss_mb": peak_rss_mb,
+        **host_health_probe(),
     }
     ray.shutdown()
     return out
@@ -221,6 +245,10 @@ def run_scaling() -> dict:
         "total_sec_32": r_hi["value"],
         "peak_rss_mb_8": r_lo.get("peak_rss_mb"),
         "peak_rss_mb_32": r_hi.get("peak_rss_mb"),
+        "host_probe_8": {k: r_lo.get(k) for k in
+                         ("host_mem_gbps", "host_sort_units")},
+        "host_probe_32": {k: r_hi.get(k) for k in
+                          ("host_mem_gbps", "host_sort_units")},
     }
 
 

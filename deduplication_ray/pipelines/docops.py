@@ -1086,3 +1086,69 @@ SELECT COALESCE(l.src, s.src) AS src,
        CAST(CASE WHEN s.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS semantic
 FROM lex l FULL OUTER JOIN sem s ON l.src = s.src AND l.dst = s.dst
 """
+
+
+# ---------------------------------------------- representative selection policy
+
+def q_doc_dedup_keep_best(sf_dir: str):
+    """Near-dup dedup with a QUALITY-AWARE representative policy: cluster
+    documents with the full text near-dup engine, then keep the
+    highest-quality member of each cluster (ties -> smallest doc_id) instead
+    of the min-id member — the curation policy that preserves the best copy
+    of every duplicated passage.
+
+    Selection is one bounded groupby-argmax over (cluster_id,
+    quality_milli): the per-doc quality scores ride along the cluster
+    stream, so no second scan of the text. Rows-only (clusters come from
+    iterative union-find)."""
+    from ray.data.aggregate import Max
+
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def qscore(t: pa.Table) -> pa.Table:
+        score = T.quality_score(t["text"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "quality_milli": pa.array(
+                np.floor(score * 1000.0).astype(np.int64)),
+        })
+
+    quality = ds.map_batches(qscore, batch_format="pyarrow")
+    clusters = text_dedup_clusters(ds, DedupConfig(num_partitions=8,
+                                                   sa_batch_size=1024))
+    # the cluster engine keys by STRING ids internally; align with the
+    # int64 doc_id the quality stream carries before the join
+    clusters = clusters.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                            "cluster_id": t["cluster_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
+    joined = lookup_join(clusters, quality, on=["doc_id"], cfg=cfg)
+
+    # argmax per cluster via one composite-key max: quality in the high
+    # bits, (2^31 - doc_id) in the low bits so ties pick the SMALLEST id
+    def composite(t: pa.Table) -> pa.Table:
+        q = t["quality_milli"].to_numpy().astype(np.int64)
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "cluster_id": t["cluster_id"],
+            "key": pa.array((q << np.int64(32)) + (np.int64(2**31) - d)),
+        })
+
+    best = (joined.map_batches(composite, batch_format="pyarrow")
+            .groupby("cluster_id").aggregate(Max("key", alias_name="key")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy()
+        return pa.table({
+            "cluster_id": t["cluster_id"],
+            "kept_doc_id": pa.array(np.int64(2**31) - (k & np.int64(0xFFFFFFFF))),
+            "kept_quality_milli": pa.array(k >> np.int64(32)),
+        })
+
+    return best.map_batches(unpack, batch_format="pyarrow")

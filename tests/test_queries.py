@@ -143,3 +143,61 @@ def test_hll_merge_order_invariant():
     assert (merged == whole).all()
     est = SK.hll_estimate(whole)
     assert abs(est - 100_000) / 100_000 < 0.02, est
+
+
+def test_doc_dedup_keep_best_quality(entry_mod, con):
+    """Every cluster keeps its highest-quality member (tie -> min doc_id);
+    kept ids cover exactly the cluster set of the plain dedup."""
+    import pandas as pd
+
+    qs = entry_mod.queries()
+    best = _to_pandas(qs["doc_dedup_keep_best"](SF_DIR))
+    plain = _to_pandas(qs["doc_lsh_dedup"](SF_DIR))
+    plain["doc_id"] = plain["doc_id"].astype("int64")
+    plain["cluster_id"] = plain["cluster_id"].astype("int64")
+    assert set(best["cluster_id"]) == set(plain["cluster_id"].unique())
+    # kept doc belongs to its own cluster
+    merged = best.merge(plain, left_on="kept_doc_id", right_on="doc_id")
+    assert (merged["cluster_id_x"] == merged["cluster_id_y"]).all()
+    # quality is the cluster max (recompute via the SQL quality oracle)
+    qual = con.execute(entry_mod.oracle_sql()["doc_quality"]).fetchdf()
+    j = plain.merge(qual, on="doc_id").merge(best, on="cluster_id")
+    cluster_max = j.groupby("cluster_id")["quality_milli"].max()
+    got = best.set_index("cluster_id")["kept_quality_milli"]
+    pd.testing.assert_series_equal(
+        got.sort_index(), cluster_max.sort_index(),
+        check_names=False, check_dtype=False)
+
+
+def test_global_shuffle_partition_invariant(entry_mod, ray_session):
+    """zipWithIndex positions are identical under different partitioning."""
+    from deduplication_ray.pipelines.docops import q_doc_global_shuffle
+
+    a = _to_pandas(q_doc_global_shuffle(SF_DIR)).sort_values("doc_id")
+    import ray.data
+
+    # same op over a repartitioned copy of the table
+    from deduplication_ray.sources import storage
+    import os, shutil
+
+    d = "/tmp/dedup_ray_shufrepart"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    storage.read_table(f"{SF_DIR}/documents.parquet").repartition(13) \
+        .write_parquet(d)
+    b = _to_pandas(q_doc_global_shuffle_over(d)).sort_values("doc_id")
+    assert (a["shuffle_pos"].to_numpy() == b["shuffle_pos"].to_numpy()).all()
+
+
+def q_doc_global_shuffle_over(table_dir: str):
+    import os
+    import shutil
+
+    # point the op at a directory-shaped documents table
+    tmp_sf = "/tmp/dedup_ray_shufsf"
+    shutil.rmtree(tmp_sf, ignore_errors=True)
+    os.makedirs(tmp_sf)
+    os.symlink(table_dir, f"{tmp_sf}/documents.parquet")
+    from deduplication_ray.pipelines.docops import q_doc_global_shuffle
+
+    return q_doc_global_shuffle(tmp_sf)
