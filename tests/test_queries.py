@@ -201,3 +201,27 @@ def q_doc_global_shuffle_over(table_dir: str):
     from deduplication_ray.pipelines.docops import q_doc_global_shuffle
 
     return q_doc_global_shuffle(tmp_sf)
+
+
+def test_shuffle_join_single_hot_key(ray_session):
+    """Degenerate skew: every row shares ONE join key — the join must still
+    complete and produce the full cross product within that key's bucket
+    (documents the 'salt upstream if one key dominates' caveat: correctness
+    holds, the bucket just does the work serially)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deduplication_ray.stages.join import shuffle_join
+
+    n = 300
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.zeros(n, np.int64)),
+        "a": pa.array(np.arange(n, dtype=np.int64)),
+    })).repartition(8)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.zeros(n, np.int64)),
+        "b": pa.array(np.arange(n, dtype=np.int64)),
+    })).repartition(8)
+    out = shuffle_join(left, right, on=["k"], how="inner", num_buckets=16)
+    assert out.count() == n * n
