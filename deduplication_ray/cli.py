@@ -140,9 +140,22 @@ def main(argv: list[str] | None = None) -> int:
             ray.shutdown()
             return 2
         res = qs[args.name](args.sf_dir)
-        if args.dest is not None and hasattr(res, "write_parquet"):
-            res.write_parquet(args.dest)
-            print(json.dumps({"query": args.name, "rows": res.count(),
+        if args.dest is not None:
+            if hasattr(res, "write_parquet"):  # Dataset
+                res.write_parquet(args.dest)
+                n = res.count()
+            else:  # driver-side pandas/Arrow result (e.g. top_terms)
+                import os
+
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                tbl = (res if isinstance(res, pa.Table)
+                       else pa.Table.from_pandas(res, preserve_index=False))
+                os.makedirs(args.dest, exist_ok=True)
+                pq.write_table(tbl, os.path.join(args.dest, "part-0.parquet"))
+                n = tbl.num_rows
+            print(json.dumps({"query": args.name, "rows": n,
                               "dest": args.dest}))
         else:
             df = res.to_pandas() if hasattr(res, "to_pandas") else res

@@ -18,6 +18,7 @@ via the same bucket machinery (a 'semantic dedup' detector).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -42,6 +43,28 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(norms, 1e-30)
 
 
+def _bounded_head(ds: "ray.data.Dataset", id_col: str, n: int) -> pd.DataFrame:
+    """The n smallest-id rows WITHOUT a global sort: each block keeps its own
+    n smallest (vectorized partial), the driver merges the <= n x num_blocks
+    survivors. A ``sort().limit()`` here would all-to-all shuffle the whole
+    corpus to pick a bounded deterministic sample."""
+    import pyarrow.compute as pc
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows <= n:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=[(id_col, "ascending")])[:n])
+
+    tbls = list(ds.map_batches(part, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None))
+    cand = pa.concat_tables(tbls, promote_options="default") if tbls else None
+    if cand is None or cand.num_rows == 0:
+        return pd.DataFrame()
+    cand = cand.take(
+        pc.sort_indices(cand, sort_keys=[(id_col, "ascending")])[:n])
+    return cand.to_pandas()
+
+
 def brute_force_topk(
     sf_dir: str,
     n_queries: int = 5,
@@ -60,7 +83,7 @@ def brute_force_topk(
     ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
 
     # queries: the n_queries smallest ids (deterministic, SQL-expressible)
-    qt = ds.sort(id_col).limit(n_queries).to_pandas()
+    qt = _bounded_head(ds, id_col, n_queries)
     q_ids = qt[id_col].to_numpy()
     qm = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in qt["embedding"]]))
     ref = ray.put((q_ids, qm))
@@ -141,7 +164,7 @@ def lsh_topk(
     from deduplication_ray.stages.lsh import _hash16_bands
 
     ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
-    qt = ds.sort(id_col).limit(n_queries).to_pandas()
+    qt = _bounded_head(ds, id_col, n_queries)
     q_ids = qt[id_col].to_numpy()
     qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"]]))
     planes = H.make_simhash_planes(64, qm.shape[1], seed)
@@ -241,7 +264,7 @@ def ivf_topk(
 
     # centroid model from a bounded, deterministic sample (first 4096 rows
     # in id order — no corpus-wide collect)
-    st = ds.sort(id_col).limit(4096).to_pandas()
+    st = _bounded_head(ds, id_col, 4096)
     sample = _normalize(np.stack(
         [np.asarray(v, dtype=np.float64) for v in st["embedding"]]))
     cents = _kmeans_cosine(sample, n_centroids)
@@ -455,7 +478,7 @@ def embedding_kmeans_cells(
     ds = storage.read_table(f"{sf_dir}/{table}.parquet",
                             columns=[id_col, "embedding"])
 
-    st = ds.sort(id_col).limit(4096).to_pandas()
+    st = _bounded_head(ds, id_col, 4096)
     sample = _normalize(np.stack(
         [np.asarray(v, dtype=np.float64) for v in st["embedding"]]))
     cents = _kmeans_cosine(sample, n_centroids)

@@ -333,6 +333,18 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
                  cfg.num_partitions * 4)
     else:
         buckets = sigs.map_batches(lsh.ExplodeBands(cfg), batch_format="pyarrow")
+        if metric == "containment":
+            # MinHash bands are Jaccard-tuned: a short doc fully contained
+            # in a long one has containment ~1 but Jaccard ~|A|/|B|, so band
+            # collision probability collapses and exactly the asymmetric
+            # pairs this metric exists for would be missed. The substring
+            # L-gram rendezvous catches them by construction (an excerpt of
+            # >= Lmin chars shares full L-grams with its source), so union
+            # its buckets into the candidate stream on the scale path.
+            from deduplication_ray.stages.substring import substring_buckets
+
+            buckets = buckets.union(
+                substring_buckets(ds, cfg, id_col="doc_id", text_col="text"))
         edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, cfg))
 
     lean = sigs.select_columns(["image_id", "grams"])
@@ -884,9 +896,15 @@ def q_doc_redact_pii(sf_dir: str):
 
 
 def doc_redact_pii_sql() -> str:
+    # DuckDB single-quoted strings take backslashes LITERALLY (no escaping):
+    # the regex must go in with single backslashes or '\b'/'\d' would match
+    # literal backslash characters and the oracle would redact nothing
+    # (caught by test_doc_redact_pii_on_planted_pii, which plants real
+    # PII-shaped strings — the sf fixtures contain none, so the corpus-level
+    # hash check alone would be vacuously green either way).
     expr = "text"
     for pat, tok in _PII_PATTERNS:
-        sql_pat = pat.replace("\\", "\\\\").replace("'", "''")
+        sql_pat = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{sql_pat}', '{tok}', 'g')"
     return f"""
 WITH r AS (SELECT doc_id, {expr} AS clean_text FROM documents)
@@ -1101,8 +1119,6 @@ def q_doc_dedup_keep_best(sf_dir: str):
     quality_milli): the per-doc quality scores ride along the cluster
     stream, so no second scan of the text. Rows-only (clusters come from
     iterative union-find)."""
-    from ray.data.aggregate import Max
-
     from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1130,25 +1146,27 @@ def q_doc_dedup_keep_best(sf_dir: str):
     cfg = DedupConfig(num_partitions=8)
     joined = lookup_join(clusters, quality, on=["doc_id"], cfg=cfg)
 
-    # argmax per cluster via one composite-key max: quality in the high
-    # bits, (2^31 - doc_id) in the low bits so ties pick the SMALLEST id
-    def composite(t: pa.Table) -> pa.Table:
-        q = t["quality_milli"].to_numpy().astype(np.int64)
-        d = t["doc_id"].to_numpy().astype(np.int64)
-        return pa.table({
+    # per-partition argmax then one bounded final argmax — no bit packing
+    # (a packed (quality, id) key would corrupt for ids >= 2^31), and no
+    # row-level shuffle: each batch emits at most one row per cluster
+    def partial_best(t: pa.Table) -> pa.Table:
+        df = pa.table({
             "cluster_id": t["cluster_id"],
-            "key": pa.array((q << np.int64(32)) + (np.int64(2**31) - d)),
-        })
+            "kept_doc_id": t["doc_id"].cast(pa.int64()),
+            "kept_quality_milli": t["quality_milli"].cast(pa.int64()),
+        }).to_pandas()
+        df = df.sort_values(
+            ["cluster_id", "kept_quality_milli", "kept_doc_id"],
+            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates("cluster_id", keep="first"),
+            preserve_index=False)
 
-    best = (joined.map_batches(composite, batch_format="pyarrow")
-            .groupby("cluster_id").aggregate(Max("key", alias_name="key")))
+    def final_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["kept_quality_milli", "kept_doc_id"],
+                          ascending=[False, True], kind="mergesort")
+        return g.head(1)[["cluster_id", "kept_doc_id", "kept_quality_milli"]]
 
-    def unpack(t: pa.Table) -> pa.Table:
-        k = t["key"].to_numpy()
-        return pa.table({
-            "cluster_id": t["cluster_id"],
-            "kept_doc_id": pa.array(np.int64(2**31) - (k & np.int64(0xFFFFFFFF))),
-            "kept_quality_milli": pa.array(k >> np.int64(32)),
-        })
-
-    return best.map_batches(unpack, batch_format="pyarrow")
+    return (joined.map_batches(partial_best, batch_format="pyarrow")
+            .groupby("cluster_id").map_groups(final_best,
+                                              batch_format="pandas"))

@@ -137,6 +137,47 @@ def _edge_rows(run: CheckpointedRun, vedges: ray.data.Dataset) -> int:
     return int(n) if n is not None else vedges.count()
 
 
+def checkpointed_components(
+    run: CheckpointedRun,
+    edges_ds: ray.data.Dataset,
+    cfg: DedupConfig,
+    upstream: str = "verified_edges",
+    edge_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Shared union-find driver (used by run_pipeline AND incremental
+    ingest): size-dispatched — one local vectorized pass below
+    ``cfg.local_uf_limit`` edges, distributed hash-min rounds above — with
+    per-round ``labels_r{k}`` checkpoints and latest-round fast resume."""
+    start_round = run.latest_labels_round()
+    if edge_rows is None:
+        edge_rows = edges_ds.count()
+    if start_round < 0 and edge_rows <= cfg.local_uf_limit:
+        return run.run_stage(
+            "labels_r0", lambda: unionfind.local_components(edges_ds),
+            [upstream])
+    eb = unionfind.bidirectional(edges_ds).materialize()
+    if start_round >= 0:
+        labels = storage.read_table(run.stage_dir(f"labels_r{start_round}"))
+        run.skipped.extend(f"labels_r{k}" for k in range(start_round + 1))
+    else:
+        labels = unionfind.init_labels(edges_ds, cfg.num_partitions).materialize()
+    prev_hash = unionfind.label_state_hash(labels)
+    rnd = start_round
+    while True:
+        rnd += 1
+        if rnd >= cfg.max_rounds + 1:
+            raise RuntimeError("union-find exceeded max_rounds")
+        new = run.run_stage(
+            f"labels_r{rnd}",
+            lambda: unionfind.propagate_round(labels, eb, cfg),
+            [f"labels_r{rnd - 1}" if rnd else upstream])
+        new_hash = unionfind.label_state_hash(new)
+        labels = new
+        if new_hash == prev_hash:
+            return labels
+        prev_hash = new_hash
+
+
 def run_pipeline(
     input_path: str,
     run_dir: str,
@@ -196,40 +237,11 @@ def run_pipeline(
     )
 
     # --- union-find with per-round checkpoints (mid-shuffle resume) ---
-    start_round = run.latest_labels_round()
     if run.is_complete("clusters"):
         labels = None  # not needed
-    elif start_round < 0 and _edge_rows(run, vedges) <= cfg.local_uf_limit:
-        # size dispatch: small edge sets converge in ONE local vectorized
-        # pass (still checkpointed as labels_r0 for resume); the distributed
-        # hash-min rounds below are the 10^12-row path
-        labels = run.run_stage(
-            "labels_r0", lambda: unionfind.local_components(vedges),
-            ["verified_edges"],
-        )
     else:
-        eb = unionfind.bidirectional(vedges).materialize()
-        if start_round >= 0:
-            labels = storage.read_table(run.stage_dir(f"labels_r{start_round}"))
-            run.skipped.extend(f"labels_r{k}" for k in range(start_round + 1))
-        else:
-            labels = unionfind.init_labels(vedges, cfg.num_partitions).materialize()
-        prev_hash = unionfind.label_state_hash(labels)
-        rnd = start_round
-        while True:
-            rnd += 1
-            if rnd >= cfg.max_rounds + 1:
-                raise RuntimeError("union-find exceeded max_rounds")
-            new = run.run_stage(
-                f"labels_r{rnd}",
-                lambda: unionfind.propagate_round(labels, eb, cfg),
-                [f"labels_r{rnd - 1}" if rnd else "verified_edges"],
-            )
-            new_hash = unionfind.label_state_hash(new)
-            labels = new
-            if new_hash == prev_hash:
-                break
-            prev_hash = new_hash
+        labels = checkpointed_components(
+            run, vedges, cfg, edge_rows=_edge_rows(run, vedges))
 
     ids = storage.read_table(input_path, columns=["image_id"]) if input_ds is None \
         else input_ds.select_columns(["image_id"])

@@ -22,7 +22,7 @@ Work is delta-bounded at every expensive stage:
   of the signature table, which measured ~2% of a full run.)
 - **Old-old pairs are never re-verified**: after edge dedupe, an edge must
   touch at least one delta id (broadcast membership probe). Connectivity
-  among base rows is injected instead as zero-cost ``kind='base'`` star
+  among base rows is injected instead as zero-cost trusted star
   edges read straight from the base ``clusters`` checkpoint (non-singleton
   members -> their representative).
 - **Union-find + finalize** then run over delta edges + base stars, so the
@@ -52,7 +52,6 @@ from deduplication_ray.config import DedupConfig
 from deduplication_ray.functions import hashing as H
 from deduplication_ray.sources import storage
 from deduplication_ray.stages import lsh, verify
-from deduplication_ray.state import unionfind
 from deduplication_ray.state.checkpoint import CheckpointedRun
 
 
@@ -241,29 +240,10 @@ def ingest_delta(
     if run.is_complete("clusters"):
         labels = None
     else:
-        combined = all_edges().materialize()
-        if combined.count() <= cfg.local_uf_limit:
-            labels = run.run_stage(
-                "labels_r0", lambda: unionfind.local_components(combined),
-                ["verified_edges"])
-        else:
-            eb = unionfind.bidirectional(combined).materialize()
-            labels = unionfind.init_labels(combined, cfg.num_partitions).materialize()
-            prev_hash = unionfind.label_state_hash(labels)
-            rnd = -1
-            while True:
-                rnd += 1
-                if rnd >= cfg.max_rounds + 1:
-                    raise RuntimeError("union-find exceeded max_rounds")
-                new = run.run_stage(
-                    f"labels_r{rnd}",
-                    lambda: unionfind.propagate_round(labels, eb, cfg),
-                    [f"labels_r{rnd - 1}" if rnd else "verified_edges"])
-                new_hash = unionfind.label_state_hash(new)
-                labels = new
-                if new_hash == prev_hash:
-                    break
-                prev_hash = new_hash
+        from deduplication_ray.pipelines.image_dedup import (
+            checkpointed_components)
+
+        labels = checkpointed_components(run, all_edges().materialize(), cfg)
 
     ids = base_clusters.select_columns(["image_id"]).union(
         delta_sigs.select_columns(["image_id"]))

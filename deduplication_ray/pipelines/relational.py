@@ -833,14 +833,11 @@ def q_events_type_pivot(sf_dir: str):
 
 
 def events_type_pivot_sql() -> str:
-    # generated against the same dynamic type set the Ray side discovers
-    return """
-SELECT user_id,
-       {cols}
-FROM events GROUP BY user_id
-""".format(cols=",\n       ".join(
-        f"CAST(count(*) FILTER (event_type = '{ty}') AS BIGINT) AS {ty}"
-        for ty in ("click", "error", "purchase", "signup", "view")))
+    # DuckDB's dynamic PIVOT discovers the column set from the data, exactly
+    # like the Ray side's distinct pass — no hardcoded type list, so a table
+    # with fewer/more/new event types stays oracle-comparable (missing
+    # (user, type) cells fill 0 on both sides; verified behavior)
+    return "PIVOT events ON event_type USING count(*) GROUP BY user_id"
 
 
 # ---------------------------------------------------------------- lead/lag window

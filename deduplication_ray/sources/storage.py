@@ -29,9 +29,12 @@ FORMAT = "parquet"  # -> "lance" when pylance is available
 
 
 def _detect_format(path: str) -> str:
-    """Format by extension: a file's own suffix, or the majority suffix of a
-    directory's data files. Parquet is the default (the engine's native
-    checkpoint format)."""
+    """Format by extension: a file's own suffix, or — for a directory — the
+    MAJORITY suffix of its data files, with parquet (the engine's native
+    checkpoint format) winning any tie or mixture that includes it, so one
+    stray export.csv next to fifty part-*.parquet files cannot flip the
+    whole directory to CSV. Sidecars (_manifest.json, _metadata, hidden
+    files) are ignored."""
     exts = {".parquet": "parquet", ".csv": "csv",
             ".json": "json", ".jsonl": "json"}
     if isinstance(path, (list, tuple)):
@@ -40,12 +43,17 @@ def _detect_format(path: str) -> str:
     if ext in exts:
         return exts[ext]
     if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
+        counts: dict[str, int] = {}
+        for f in os.listdir(path):
             if f.startswith("_") or f.startswith("."):
-                continue  # sidecars: _manifest.json, _metadata, hidden files
+                continue
             e = os.path.splitext(f)[1]
             if e in exts:
-                return exts[e]
+                counts[exts[e]] = counts.get(exts[e], 0) + 1
+        if counts:
+            if "parquet" in counts:
+                return "parquet"
+            return max(counts, key=counts.get)
     return "parquet"
 
 

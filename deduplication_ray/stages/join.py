@@ -254,11 +254,6 @@ def shuffle_join(
     Key-skew caveat: a single key lands in one bucket; salt upstream if one
     key dominates (same discipline as the LSH hot-bucket path).
     """
-    from deduplication_ray.functions import hashing as H  # noqa: F401
-
-    left = left.materialize()
-    right = right.materialize()
-
     def _schema(ds) -> pa.Schema:
         s = ds.schema()
         base = getattr(s, "base_schema", None)
@@ -274,7 +269,11 @@ def shuffle_join(
     r_extra = [f.name for f in rs if f.name not in on]
     combined = list(ls) + [rs.field(c) for c in r_extra]
 
-    def pad(side: int, own: pa.Schema):
+    # NOTE: schema() peeks at the first block without pinning either side in
+    # the object store; each side is consumed exactly once by the pad+union
+    # pass below, so a full materialize() here would only double peak plasma
+    # footprint for the advertised two-LARGE-sides case.
+    def pad(side: int):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
             cols = {}
@@ -290,8 +289,8 @@ def shuffle_join(
                     .append_column("__bucket", pa.array(b)))
         return fn
 
-    unioned = (left.map_batches(pad(0, ls), batch_format="pyarrow")
-               .union(right.map_batches(pad(1, rs), batch_format="pyarrow")))
+    unioned = (left.map_batches(pad(0), batch_format="pyarrow")
+               .union(right.map_batches(pad(1), batch_format="pyarrow")))
 
     pa_how = {"inner": "inner", "left": "left outer",
               "full outer": "full outer", "full_outer": "full outer"}[how]

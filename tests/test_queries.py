@@ -225,3 +225,47 @@ def test_shuffle_join_single_hot_key(ray_session):
     })).repartition(8)
     out = shuffle_join(left, right, on=["k"], how="inner", num_buckets=16)
     assert out.count() == n * n
+
+
+def test_doc_redact_pii_on_planted_pii(ray_session, tmp_path):
+    """Non-vacuous redaction check: plant real PII-shaped strings in a
+    synthetic documents table and assert Ray and the DuckDB oracle agree
+    AND actually redact (the sf fixtures contain no PII, so the corpus
+    check alone would pass even with a broken oracle regex)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from deduplication_ray.pipelines.docops import q_doc_redact_pii
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "contact jane.doe+x@example.co.uk for details",
+            "call 555-123-4567 or 555.987.6543 now",
+            "card 12345678901234567 on file",
+            "clean text with no pii at all",
+        ]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([10] * 4, pa.int64()),
+    })
+    d = str(tmp_path / "pii_sf")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(rows, f"{d}/documents.parquet")
+
+    mine = (q_doc_redact_pii(d).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{d}/documents.parquet')")
+    oracle = (con.execute(E.oracle_sql()["doc_redact_pii"]).fetchdf()
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+    assert "<EMAIL>" in mine["clean_text"][0]
+    assert mine["clean_text"][1].count("<PHONE>") == 2
+    assert "<LONGNUM>" in mine["clean_text"][2]
+    assert list(mine["n_redactions"]) == [1, 2, 1, 0]
