@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": R.q_events_lag,
         "daily_purchase_error_join": R.q_daily_purchase_error_join,
         "events_value_rank": R.q_events_value_rank,
+        "orders_cube": R.q_orders_cube,
+        "events_running_total": R.q_events_running_total,
         # training-data curation primitives (SQL-checked)
         "ngram_containment_pairs": docops.q_ngram_containment_pairs,
         "doc_redact_pii": docops.q_doc_redact_pii,
@@ -247,6 +249,8 @@ def oracle_sql() -> dict[str, str]:
         "events_lag": R.Q_EVENTS_LAG_SQL,
         "daily_purchase_error_join": R.Q_DAILY_PURCHASE_ERROR_JOIN_SQL,
         "events_value_rank": R.Q_EVENTS_VALUE_RANK_SQL,
+        "orders_cube": R.Q_ORDERS_CUBE_SQL,
+        "events_running_total": R.Q_EVENTS_RUNNING_TOTAL_SQL,
         "ngram_containment_pairs": docops.ngram_containment_pairs_sql(),
         "doc_redact_pii": docops.doc_redact_pii_sql(),
         "doc_chunks": docops.doc_chunks_sql(),

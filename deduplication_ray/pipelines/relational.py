@@ -1046,3 +1046,111 @@ SELECT s.user_id,
        ) THEN 1 ELSE 0 END AS BIGINT) AS converted
 FROM s
 """
+
+
+# ---------------------------------------------------------------- cube aggregate
+
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE (priority, status): the rollup family completed — all
+    four grouping sets. Same scale plan as q_orders_rollup: ONE pass over
+    the data to the finest aggregate (cardinality-bounded), every coarser
+    grouping set re-aggregated from it on the driver; the extra set vs
+    ROLLUP ((), status) costs one more tiny pandas groupby, never a table
+    scan."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))).cast(pa.int64())
+        g = (t.set_column(2, "cents", cents)
+             .group_by(["o_orderpriority", "o_orderstatus"])
+             .aggregate([("cents", "sum"), ("cents", "count")]))
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"],
+            "o_orderstatus": g["o_orderstatus"],
+            "total_cents": g["cents_sum"].cast(pa.int64()),
+            "n_orders": g["cents_count"].cast(pa.int64()),
+        })
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["o_orderpriority", "o_orderstatus"])
+            .aggregate(Sum("total_cents", alias_name="total_cents"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .to_pandas())  # bounded: |priorities| x |statuses| rows
+
+    def coarser(by: list[str], filled: list[str]) -> pd.DataFrame:
+        if by:
+            g = fine.groupby(by, as_index=False)[["total_cents", "n_orders"]].sum()
+        else:
+            g = pd.DataFrame({"total_cents": [fine["total_cents"].sum()],
+                              "n_orders": [fine["n_orders"].sum()]})
+        for c in filled:
+            g[c] = "ALL"
+        return g
+
+    cols = ["o_orderpriority", "o_orderstatus", "n_orders", "total_cents"]
+    out = pd.concat([
+        fine[cols],
+        coarser(["o_orderpriority"], ["o_orderstatus"])[cols],
+        coarser(["o_orderstatus"], ["o_orderpriority"])[cols],
+        coarser([], ["o_orderpriority", "o_orderstatus"])[cols],
+    ], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out
+
+
+Q_ORDERS_CUBE_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------- running total
+
+def q_events_running_total(sf_dir: str, num_buckets: int = 32):
+    """Per-user cumulative value sum ordered by time — the running-total
+    window (ROWS UNBOUNDED PRECEDING frame). Same bucketed shape as
+    sessionize/lag/rank: one hash shuffle co-locating users, one vectorized
+    sort + segment-reset cumsum per bucket over all its users at once."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # exact integer cents so the cumulative sum is order-independent
+        # across engines (float accumulation order would differ)
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        csum = np.cumsum(cents)
+        uid = g["user_id"].to_numpy()
+        new = np.concatenate([[True], uid[1:] != uid[:-1]]) if len(g) else \
+            np.zeros(0, bool)
+        base = np.zeros(len(g), dtype=np.int64)
+        starts = np.flatnonzero(new)
+        if len(starts):
+            seg_base = np.concatenate([[0], csum[starts[1:] - 1]])
+            base = np.repeat(seg_base, np.diff(np.append(starts, len(g))))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "running_cents": csum - base,
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(running, batch_format="pandas")
+
+
+Q_EVENTS_RUNNING_TOTAL_SQL = """
+SELECT event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+"""

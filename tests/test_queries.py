@@ -63,6 +63,7 @@ SQL_CHECKED = [
     "events_value_rank", "ngram_containment_pairs", "doc_redact_pii",
     "doc_chunks", "doc_global_shuffle",
     "ensemble_dup_pairs", "signup_purchase_funnel",
+    "orders_cube", "events_running_total",
 ]
 
 
