@@ -150,6 +150,19 @@ def ingest_delta(
                  else list(base_run_dir))
     base_inputs = ([base_input_path] if isinstance(base_input_path, str)
                    else list(base_input_path))
+    # config guard: signatures computed under a different shingle/band/hash
+    # config are NOT comparable — mixing them would silently produce wrong
+    # buckets/edges. Refuse loudly instead.
+    for r in base_runs:
+        m = storage.read_manifest(f"{r}/signatures") or {}
+        got = m.get("config_hash")
+        if got is not None and got != cfg.config_hash():
+            raise ValueError(
+                f"base run {r} signatures were written under config {got}, "
+                f"but this ingest runs config {cfg.config_hash()}; "
+                "re-run the base with the same DedupConfig (or pass that "
+                "config here) — incremental ingest cannot mix signature "
+                "configs")
     base_sigs = storage.read_table(f"{base_runs[0]}/signatures")
     for r in base_runs[1:]:
         base_sigs = base_sigs.union(storage.read_table(f"{r}/signatures"))

@@ -123,3 +123,21 @@ def test_chained_ingest_matches_full_run(ray_session, tiny_fixture, tiny_run):
     merged = full.merge(inc, on="image_id", suffixes=("_f", "_i"))
     mismatch = (merged["cluster_id_f"] != merged["cluster_id_i"]).sum()
     assert mismatch == 0, f"{mismatch}/{len(merged)} assignments differ"
+
+
+def test_ingest_refuses_mismatched_base_config(ray_session, incremental_run,
+                                               tiny_run):
+    """Mixing signature configs across base runs must fail loudly, not
+    silently produce wrong buckets."""
+    import pytest
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import ingest_delta
+
+    _, cfg, _ = tiny_run
+    other = DedupConfig(num_partitions=cfg.num_partitions,
+                        sig_concurrency=cfg.sig_concurrency,
+                        shingle_k=cfg.shingle_k + 1)
+    with pytest.raises(ValueError, match="cannot mix signature configs"):
+        ingest_delta(BASE_RUN, SPLIT_BASE, SPLIT_DELTA,
+                     "/tmp/dedup_ray_inc_badcfg", other)
