@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly at any threshold
         "embedding_dup_pairs": lambda sf: _nonempty_or_typed_table(
             ann.embedding_dup_pairs(sf, cos_min=0.45)),
+        "embedding_dup_clusters": lambda sf: ann.embedding_dup_clusters(sf),
         "image_dedup_clusters": _img_fixture_query,
         "image_dedup_incremental": _img_incremental_query,
         "video_dedup_clusters": _video_fixture_query,
@@ -277,6 +278,9 @@ def oracle_sql() -> dict[str, str]:
         # full value-hash check (the LSH candidates + exact-cosine gate must
         # reproduce the O(n^2) join exactly)
         "embedding_dup_pairs": ann.embedding_dup_pairs_sql(0.45),
+        # the union-find itself, SQL-checked: DuckDB recursive-CTE min-label
+        # closure as the oracle for the distributed connected components
+        "embedding_dup_clusters": ann.embedding_dup_clusters_sql(0.45),
         # doc_lsh_dedup / doc_simhash_pairs / doc_langid / doc_quality /
         # doc_fingerprints / image_dedup_clusters:
         # intentionally omitted — not ANSI-SQL-expressible (iterative

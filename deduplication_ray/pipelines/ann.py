@@ -502,3 +502,72 @@ def embedding_kmeans_cells(
             })
 
     return ds.map_batches(Assign(), batch_format="pyarrow")
+
+
+def embedding_dup_clusters(sf_dir: str, cos_min: float = 0.45,
+                           table: str = "embeddings",
+                           id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Connected components over the semantic dup-pair graph: every vector
+    labeled with the NUMERIC-min member id of its component (singletons =
+    self) — the engine's union-find primitive exposed as a SQL-CHECKED
+    query. The DuckDB oracle computes the same transitive closure with a
+    recursive CTE (min-label propagation to fixpoint), so the iterative
+    distributed algorithm is value-hash-verified end-to-end, not just
+    tested against the repo's own serial oracle.
+
+    Node ids travel zero-padded (12 digits) through the string-keyed
+    union-find so lexicographic min == numeric min, and are cast back to
+    int64 at the end."""
+    import pyarrow.compute as pc
+
+    from deduplication_ray.state import unionfind
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
+    pairs = embedding_dup_pairs(sf_dir, cos_min=cos_min)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        pad = lambda c: pc.utf8_lpad(t[c].cast(pa.string()), 12, "0")
+        return pa.table({"src": pad("src"), "dst": pad("dst"),
+                         "kind": pa.array(["exact"] * t.num_rows)})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() <= cfg.local_uf_limit:
+        labels = unionfind.local_components(edges)
+    else:
+        labels = unionfind.connected_components(edges, cfg)
+
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col])
+    ids = ds.map_batches(
+        lambda t: pa.table({"node": pc.utf8_lpad(
+            t[id_col].cast(pa.string()), 12, "0")}),
+        batch_format="pyarrow")
+    j = lookup_join(ids, labels, on=["node"], cfg=cfg, how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        lab = pc.coalesce(t["label"].cast(pa.string()), t["node"])
+        return pa.table({
+            id_col: t["node"].cast(pa.int64()),
+            "cluster_id": lab.cast(pa.int64()),
+        })
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+def embedding_dup_clusters_sql(cos_min: float = 0.45) -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {cos_min}
+), edges AS (
+  SELECT src AS a, dst AS b FROM pairs
+  UNION ALL SELECT dst, src FROM pairs
+), comp(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, c.lbl FROM comp c JOIN edges e ON e.a = c.node
+)
+SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM comp GROUP BY node
+"""

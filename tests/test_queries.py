@@ -64,6 +64,7 @@ SQL_CHECKED = [
     "doc_chunks", "doc_global_shuffle",
     "ensemble_dup_pairs", "signup_purchase_funnel",
     "orders_cube", "events_running_total",
+    "embedding_dup_clusters",
 ]
 
 
