@@ -86,6 +86,15 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument(f"--{f.replace('_', '-')}", type=int, default=None,
                        dest=f)
 
+    s = sub.add_parser("curate", help="end-to-end training-data curation: "
+                                      "decontaminate -> quality gate -> "
+                                      "dedup keep-best -> split -> chunk -> "
+                                      "partitioned parquet")
+    s.add_argument("--sf-dir", required=True,
+                   help="directory holding documents.parquet")
+    s.add_argument("--out", required=True, help="output directory")
+    s.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("reconstruct", help="rebuild full table from a run dir")
     s.add_argument("--out", required=True, help="run dir of a completed run")
     s.add_argument("--dest", required=True, help="directory for the rebuilt table")
@@ -171,6 +180,14 @@ def main(argv: list[str] | None = None) -> int:
         metrics = run_pipeline(args.input, args.out, _cfg_from_args(args),
                                strict_resume=(args.cmd == "resume"))
         print(json.dumps(metrics))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "curate":
+        ray = _session(args.num_cpus)
+        from deduplication_ray.pipelines.curate import curate_documents
+
+        print(json.dumps(curate_documents(args.sf_dir, args.out)))
         ray.shutdown()
         return 0
 

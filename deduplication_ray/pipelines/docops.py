@@ -444,14 +444,14 @@ _TRAIN_LT = 3435973836   # floor(0.80 * 2^32)
 _VAL_LT = 3865470566     # floor(0.90 * 2^32)
 
 
-def q_doc_split(sf_dir: str):
+def q_doc_split(sf_dir: str, ds=None):
     """Deterministic 80/10/10 train/val/test assignment by multiplicative
     hash of doc_id — the sampling/split primitive of a training-data
     pipeline. Pure map_batches: no shuffle, no state, any worker computes
     any row's split independently (exactly what a 100 TB split needs), and
     the rule is SQL-expressible so the oracle value-hash checks every
-    assignment."""
-    ds = _docs(sf_dir, ["doc_id"])
+    assignment. ``ds`` overrides the table source."""
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id"])
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy().astype(np.uint64) % np.uint64(2**31)
@@ -919,7 +919,7 @@ FROM r
 
 # ------------------------------------------------------------- doc chunking
 
-def q_doc_chunks(sf_dir: str, max_words: int = 64):
+def q_doc_chunks(sf_dir: str, max_words: int = 64, ds=None):
     """Split every document into fixed-size word chunks with stable ids —
     the context-window packing primitive (one training sample per chunk).
 
@@ -928,8 +928,9 @@ def q_doc_chunks(sf_dir: str, max_words: int = 64):
     rebuilt with a single ``binary_join_element_wise``-free slice gather via
     list-array reconstruction — no per-document Python loop. Output grows
     rows (1 -> ceil(n_words/max_words) per doc); chunk_id = (doc_id,
-    chunk_idx) so any worker can recompute any chunk independently."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    chunk_idx) so any worker can recompute any chunk independently.
+    ``ds`` overrides the table source (curate chains pass survivors)."""
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
 
     def chunk(t: pa.Table) -> pa.Table:
         flat, offs = _tokens_flat(t["text"])

@@ -1,0 +1,37 @@
+"""End-to-end curation chain: decontaminate -> quality gate -> dedup
+keep-best -> split -> chunk -> partitioned write."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.dataset as pads
+
+
+def test_curate_documents_funnel(ray_session, tmp_path):
+    from deduplication_ray.pipelines.curate import curate_documents
+
+    out = str(tmp_path / "curated")
+    m = curate_documents("/root/testdata/sf0.001", out)
+
+    # monotone funnel
+    assert (m["docs_total"] >= m["after_decontaminate"]
+            >= m["after_quality_gate"] >= m["after_dedup"] > 0)
+    assert m["chunks_written"] >= m["after_dedup"]
+
+    frames = []
+    for split in ("train", "val", "test"):
+        d = f"{out}/{split}"
+        assert os.path.isdir(d)
+        df = pads.dataset(d).to_table().to_pandas()
+        if len(df):
+            assert (df["split"] == split).all()
+        frames.append(df)
+    allc = pd.concat(frames, ignore_index=True)
+    assert len(allc) == m["chunks_written"]
+    # every surviving doc contributed at least one chunk; no duplicates of
+    # (doc_id, chunk_idx)
+    assert allc["doc_id"].nunique() == m["after_dedup"]
+    assert not allc.duplicated(["doc_id", "chunk_idx"]).any()
+    # train split dominates under the 80/10/10 hash rule
+    assert len(frames[0]) > len(frames[1]) and len(frames[0]) > len(frames[2])
