@@ -184,11 +184,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_rank": R.q_events_value_rank,
         "orders_cube": R.q_orders_cube,
         "events_running_total": R.q_events_running_total,
+        "events_props_agg": R.q_events_props_agg,
         # training-data curation primitives (SQL-checked)
         "ngram_containment_pairs": docops.q_ngram_containment_pairs,
         "doc_redact_pii": docops.q_doc_redact_pii,
         "doc_chunks": docops.q_doc_chunks,
         "doc_global_shuffle": docops.q_doc_global_shuffle,
+        "doc_pack_sequences": docops.q_doc_pack_sequences,
         "doc_split": docops.q_doc_split,
         "docs_above_median_quality": docops.q_docs_above_median_quality,
         "doc_decontaminate": docops.q_doc_decontaminate,
@@ -252,10 +254,12 @@ def oracle_sql() -> dict[str, str]:
         "events_value_rank": R.Q_EVENTS_VALUE_RANK_SQL,
         "orders_cube": R.Q_ORDERS_CUBE_SQL,
         "events_running_total": R.Q_EVENTS_RUNNING_TOTAL_SQL,
+        "events_props_agg": R.Q_EVENTS_PROPS_AGG_SQL,
         "ngram_containment_pairs": docops.ngram_containment_pairs_sql(),
         "doc_redact_pii": docops.doc_redact_pii_sql(),
         "doc_chunks": docops.doc_chunks_sql(),
         "doc_global_shuffle": docops.Q_DOC_GLOBAL_SHUFFLE_SQL,
+        "doc_pack_sequences": docops.doc_pack_sequences_sql(),
         "ensemble_dup_pairs": docops.ensemble_dup_pairs_sql(),
         "signup_purchase_funnel": R.Q_SIGNUP_PURCHASE_FUNNEL_SQL,
         "doc_split": docops.Q_DOC_SPLIT_SQL,

@@ -1171,3 +1171,102 @@ def q_doc_dedup_keep_best(sf_dir: str):
     return (joined.map_batches(partial_best, batch_format="pyarrow")
             .groupby("cluster_id").map_groups(final_best,
                                               batch_format="pandas"))
+
+
+# --------------------------------------------------------- sequence packing
+
+def q_doc_pack_sequences(sf_dir: str, seq_len: int = 128, ds=None):
+    """Pack the tokenized corpus into fixed-length training sequences by
+    global concatenate-and-slice (the standard GPT-style pretraining
+    packing): documents are laid end-to-end in doc_id order and cut every
+    ``seq_len`` tokens; the output manifest has one row per (document,
+    sequence) span — which sequence each doc lands in, how many of its
+    tokens, and at what position. Chain after ``q_doc_global_shuffle`` to
+    pack in shuffled order.
+
+    Scale plan: the global token offset of every document is a distributed
+    prefix sum realized with the same two-pass zipWithIndex shape as
+    ``q_doc_global_shuffle`` — after a range sort on doc_id, ONE metadata
+    pass collects per-block (first doc_id, token total) — #blocks rows, not
+    #rows — the driver prefix-sums the tiny list, broadcasts the offset
+    map, and a stateless second pass computes per-doc offsets (intra-block
+    cumsum + block base) and expands doc -> (seq_id, span) rows vectorized
+    (np.repeat + arange, no per-doc loop). The heavy text column never
+    enters the sort: docs are collapsed to (doc_id, n_tokens) first."""
+    src = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        _, offs = _tokens_flat(t["text"])
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(offs[1:] - offs[:-1])})
+
+    counted = (src.map_batches(count_tokens, batch_format="pyarrow")
+               .sort("doc_id").materialize())
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id0": pa.array([], pa.int64()),
+                             "toks": pa.array([], pa.int64())})
+        return pa.table({
+            "id0": t["doc_id"].slice(0, 1),
+            "toks": pa.array([int(t["n_tokens"].to_numpy().sum())], pa.int64()),
+        })
+
+    meta = pa.concat_tables(
+        list(counted.map_batches(block_meta, batch_format="pyarrow",
+                                 batch_size=None)
+             .iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default").to_pandas().sort_values("id0")
+    bases = np.concatenate([[0], np.cumsum(meta["toks"].to_numpy())[:-1]]) \
+        if len(meta) else np.array([], dtype=np.int64)
+    ref = ray.put({int(i): int(b) for i, b in zip(meta["id0"], bases)})
+
+    class Expand:
+        def __init__(self):
+            self.bases = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "seq_id": pa.array([], pa.int64()),
+                              "seq_tokens": pa.array([], pa.int64()),
+                              "start_in_seq": pa.array([], pa.int64())})
+            if t.num_rows == 0:
+                return empty
+            if self.bases is None:
+                self.bases = ray.get(ref)
+            n = t["n_tokens"].to_numpy()
+            off = self.bases[int(t["doc_id"][0].as_py())] + np.cumsum(n) - n
+            s0, s1 = off // seq_len, (off + n - 1) // seq_len
+            reps = s1 - s0 + 1
+            doc_rep = np.repeat(np.arange(len(n), dtype=np.int64), reps)
+            seq = s0[doc_rep] + H._ranges(reps)
+            lo = np.maximum(seq * seq_len, off[doc_rep])
+            hi = np.minimum((seq + 1) * seq_len, (off + n)[doc_rep])
+            return pa.table({
+                "doc_id": t["doc_id"].take(pa.array(doc_rep, pa.int64())),
+                "seq_id": pa.array(seq),
+                "seq_tokens": pa.array(hi - lo),
+                "start_in_seq": pa.array(lo - seq * seq_len),
+            })
+
+    return counted.map_batches(Expand, batch_format="pyarrow",
+                               batch_size=None, concurrency=(1, 8))
+
+
+def doc_pack_sequences_sql(seq_len: int = 128) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n
+  FROM documents
+), o AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off
+  FROM w
+)
+SELECT doc_id,
+       CAST(s AS BIGINT) AS seq_id,
+       CAST(least((s + 1) * {seq_len}, off + n) - greatest(s * {seq_len}, off) AS BIGINT) AS seq_tokens,
+       CAST(greatest(s * {seq_len}, off) - s * {seq_len} AS BIGINT) AS start_in_seq
+FROM o, UNNEST(generate_series(off // {seq_len}, (off + n - 1) // {seq_len})) AS t(s)
+"""

@@ -1154,3 +1154,66 @@ SELECT event_id,
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM events
 """
+
+
+# ------------------------------------------------- semi-structured JSON props
+
+def q_events_props_agg(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` payload column,
+    pull the numeric field ``k``, and aggregate it per event_type — the
+    "query the JSON blob" operator every event-log pipeline needs (the
+    reference's R3 schema-imposition generalized to nested payloads:
+    interpretation is imposed at read time, not stored).
+
+    Scale plan: extraction is ONE vectorized RE2 kernel per batch
+    (``pc.extract_regex`` — no Python json.loads per row, which would be a
+    row loop over 10^12 events); per-batch partial aggregation collapses
+    each block to <= |event_types| rows before the only shuffle, a
+    groupby-sum over the bounded type set. Documents absent/malformed ``k``
+    as NULL (counted in n_events, excluded from sums) exactly like SQL
+    ``json_extract_string``."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
+        kv = k.fill_null(0).to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        uu, inv = np.unique(
+            et.to_numpy(zero_copy_only=False), return_inverse=True)
+        n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        nk = np.bincount(inv[valid], minlength=len(uu)).astype(np.int64)
+        sk = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(sk, inv[valid], kv[valid])
+        # per-type partial min/max over valid k only (identity fills so
+        # empty partials never win the final min/max)
+        mn = np.full(len(uu), np.iinfo(np.int64).max)
+        mx = np.full(len(uu), np.iinfo(np.int64).min)
+        np.minimum.at(mn, inv[valid], kv[valid])
+        np.maximum.at(mx, inv[valid], kv[valid])
+        return pa.table({
+            "event_type": pa.array(uu, pa.string()),
+            "n_events": pa.array(n), "n_with_k": pa.array(nk),
+            "sum_k": pa.array(sk), "min_k": pa.array(mn),
+            "max_k": pa.array(mx),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_with_k", alias_name="n_with_k"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Min("min_k", alias_name="min_k"),
+                       Max("max_k", alias_name="max_k")))
+
+
+Q_EVENTS_PROPS_AGG_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""

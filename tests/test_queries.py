@@ -65,6 +65,7 @@ SQL_CHECKED = [
     "ensemble_dup_pairs", "signup_purchase_funnel",
     "orders_cube", "events_running_total",
     "embedding_dup_clusters",
+    "events_props_agg", "doc_pack_sequences",
 ]
 
 
@@ -271,3 +272,51 @@ def test_doc_redact_pii_on_planted_pii(ray_session, tmp_path):
     assert mine["clean_text"][1].count("<PHONE>") == 2
     assert "<LONGNUM>" in mine["clean_text"][2]
     assert list(mine["n_redactions"]) == [1, 2, 1, 0]
+
+
+def test_pack_sequences_invariants(entry_mod, ray_session):
+    """Packing manifest conservation laws: (1) per-doc token spans sum to
+    the doc's token count (nothing lost or duplicated at sequence cuts);
+    (2) every sequence except the last is exactly full; (3) positions are
+    partition-invariant (same manifest over a 13-part repartitioned copy)."""
+    import numpy as np
+
+    from deduplication_ray.pipelines.docops import q_doc_pack_sequences
+
+    L = 128
+    df = _to_pandas(q_doc_pack_sequences(SF_DIR, seq_len=L))
+    per_seq = df.groupby("seq_id")["seq_tokens"].sum()
+    assert (per_seq.iloc[:-1] == L).all()
+    assert 0 < per_seq.iloc[-1] <= L
+    # doc totals match an independent count
+    import duckdb
+
+    exp = duckdb.sql(
+        "SELECT doc_id, CAST(length(string_split_regex(lower(trim(text)),"
+        " '\\s+')) AS BIGINT) AS n FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchdf()
+    got = df.groupby("doc_id")["seq_tokens"].sum().sort_index()
+    assert (got.to_numpy() == exp["n"].to_numpy()).all()
+
+    # partition invariance through the two-pass prefix sum
+    import os
+    import shutil
+
+    from deduplication_ray.sources import storage
+
+    d = "/tmp/dedup_ray_packrepart"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    storage.read_table(f"{SF_DIR}/documents.parquet").repartition(13) \
+        .write_parquet(d)
+    tmp_sf = "/tmp/dedup_ray_packsf"
+    shutil.rmtree(tmp_sf, ignore_errors=True)
+    os.makedirs(tmp_sf)
+    os.symlink(d, f"{tmp_sf}/documents.parquet")
+    df2 = _to_pandas(q_doc_pack_sequences(tmp_sf, seq_len=L))
+    key = ["doc_id", "seq_id"]
+    a = df.sort_values(key).reset_index(drop=True)
+    b = df2.sort_values(key).reset_index(drop=True)
+    assert (a[["seq_tokens", "start_in_seq"]].to_numpy()
+            == b[["seq_tokens", "start_in_seq"]].to_numpy()).all()
