@@ -1181,8 +1181,9 @@ def q_doc_pack_sequences(sf_dir: str, seq_len: int = 128, ds=None):
     packing): documents are laid end-to-end in doc_id order and cut every
     ``seq_len`` tokens; the output manifest has one row per (document,
     sequence) span — which sequence each doc lands in, how many of its
-    tokens, and at what position. Chain after ``q_doc_global_shuffle`` to
-    pack in shuffled order.
+    tokens, and at what position. (Packing in shuffled order = relabel
+    doc_id with the materialized ``q_doc_global_shuffle`` position first;
+    this op always packs in ascending key order.)
 
     Scale plan: the global token offset of every document is a distributed
     prefix sum realized with the same two-pass zipWithIndex shape as
