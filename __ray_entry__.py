@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": R.q_orders_cube,
         "events_running_total": R.q_events_running_total,
         "events_props_agg": R.q_events_props_agg,
+        "revenue_by_nation": R.q_revenue_by_nation,
         # training-data curation primitives (SQL-checked)
         "ngram_containment_pairs": docops.q_ngram_containment_pairs,
         "doc_redact_pii": docops.q_doc_redact_pii,
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": R.Q_ORDERS_CUBE_SQL,
         "events_running_total": R.Q_EVENTS_RUNNING_TOTAL_SQL,
         "events_props_agg": R.Q_EVENTS_PROPS_AGG_SQL,
+        "revenue_by_nation": R.Q_REVENUE_BY_NATION_SQL,
         "ngram_containment_pairs": docops.ngram_containment_pairs_sql(),
         "doc_redact_pii": docops.doc_redact_pii_sql(),
         "doc_chunks": docops.doc_chunks_sql(),

@@ -1217,3 +1217,96 @@ SELECT event_type,
        CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """
+
+
+# ------------------------------------------------------ multi-way join (Q5 shape)
+
+def q_revenue_by_nation(sf_dir: str, num_buckets: int = 32):
+    """TPC-H Q5 shape: revenue per nation for customers of ONE region —
+    a five-table join composed from both join strategies this engine has:
+    the dimension chain region -> nation -> customer collapses into one
+    broadcast custkey->nation map (tiny, ray.put once), while
+    lineitem x orders — the big-big edge where no side is broadcastable at
+    10^12 rows — goes through the hash-co-partitioned ``shuffle_join``.
+
+    Scale plan: lineitem is pre-collapsed per batch (np.unique + add.at on
+    l_orderkey) so the all-to-all carries partial aggregates, not raw
+    items; orders is filtered to the region's customers BEFORE the
+    shuffle (broadcast semi-join); the final groupby is nation-bounded.
+    The region is picked data-independently (min r_name) so the query is
+    deterministic on any dataset."""
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rname = region["r_name"].min()
+    rkeys = set(region.loc[region["r_name"] == rname, "r_regionkey"])
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    nation = nation[nation["n_regionkey"].isin(rkeys)]
+    nmap = dict(zip(nation["n_nationkey"].astype(int),
+                    nation["n_name"].astype(str)))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].astype(int).isin(nmap)]
+    order_idx = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
+    ckeys = cust["c_custkey"].to_numpy()[order_idx]
+    cnames = np.array([nmap[int(k)] for k in
+                       cust["c_nationkey"].to_numpy()[order_idx]], dtype=object)
+    ref = ray.put((ckeys, cnames))
+
+    class AttachNation:
+        def __init__(self):
+            self.keys, self.names = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, ck), 0,
+                          max(len(self.keys) - 1, 0))
+            ok = (self.keys[pos] == ck) if len(self.keys) else \
+                np.zeros(len(ck), bool)
+            return pa.table({
+                "l_orderkey": t["o_orderkey"].filter(pa.array(ok)),
+                "n_name": pa.array(self.names[pos[ok]].tolist(), pa.string()),
+            })
+
+    orders_nat = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(AttachNation, batch_format="pyarrow", concurrency=(1, 4))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0))).cast(pa.int64()).to_numpy()
+        ok_ = t["l_orderkey"].to_numpy()
+        uu, inv = np.unique(ok_, return_inverse=True)
+        s = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({
+            "l_orderkey": pa.array(uu),
+            "rev_e4": pa.array(s),
+            "n_items": pa.array(np.bincount(inv, minlength=len(uu))
+                                .astype(np.int64)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    from deduplication_ray.stages.join import shuffle_join
+    joined = shuffle_join(li, orders_nat, on=["l_orderkey"], how="inner",
+                          num_buckets=num_buckets)
+    return joined.groupby("n_name").aggregate(
+        Sum("rev_e4", alias_name="revenue_e4"),
+        Sum("n_items", alias_name="n_items"))
+
+
+Q_REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = (SELECT min(r_name) FROM region)
+GROUP BY n_name
+"""

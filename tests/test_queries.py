@@ -65,7 +65,7 @@ SQL_CHECKED = [
     "ensemble_dup_pairs", "signup_purchase_funnel",
     "orders_cube", "events_running_total",
     "embedding_dup_clusters",
-    "events_props_agg", "doc_pack_sequences",
+    "events_props_agg", "doc_pack_sequences", "revenue_by_nation",
 ]
 
 
