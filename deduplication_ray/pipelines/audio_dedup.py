@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -118,6 +119,47 @@ def aligned_match_score(a: np.ndarray, b: np.ndarray, tau: int,
     return best
 
 
+def aligned_match_scores_batch(fa: np.ndarray, la: np.ndarray,
+                               fb: np.ndarray, lb: np.ndarray,
+                               tau: int, max_off: int) -> np.ndarray:
+    """``aligned_match_score`` over a whole batch of pairs at once
+    (parity-tested against the scalar form in tests/test_audio_dedup.py).
+
+    Inputs are the flattened u64 sub-fingerprints of all src (``fa``) /
+    dst (``fb``) lists plus per-pair lengths. Pairs are padded into two
+    (n, Lmax) matrices (clip lengths are bounded by construction:
+    duration_max/hop windows) so each head offset is ONE sliced
+    popcount(XOR) over the whole batch instead of n Python calls — the
+    per-pair loop cost 0.46 ms/pair in tiny-numpy-call overhead at 19k
+    candidates (4000-clip bench), ~25x the vectorized cost."""
+    n = len(la)
+    if n == 0:
+        return np.zeros(0)
+    La, Lb = int(la.max(initial=1)), int(lb.max(initial=1))
+    A = np.zeros((n, La), dtype=np.uint64)
+    B = np.zeros((n, Lb), dtype=np.uint64)
+    A[np.repeat(np.arange(n), la), H._ranges(la)] = fa
+    B[np.repeat(np.arange(n), lb), H._ranges(lb)] = fb
+    best = np.zeros(n, dtype=np.int64)
+    for o in range(-max_off, max_off + 1):
+        if o >= 0:
+            W = min(La - o, Lb)
+            if W <= 0:
+                continue
+            d = H.popcount64(A[:, o:o + W] ^ B[:, :W])
+            m = np.minimum(la - o, lb)
+        else:
+            W = min(Lb + o, La)
+            if W <= 0:
+                continue
+            d = H.popcount64(A[:, :W] ^ B[:, -o:-o + W])
+            m = np.minimum(la, lb + o)
+        # mask out pad columns beyond each pair's overlap length
+        good = (d <= tau) & (np.arange(W)[None, :] < np.clip(m, 0, None)[:, None])
+        np.maximum(best, good.sum(axis=1), out=best)
+    return best / np.maximum(np.maximum(la, lb), 1)
+
+
 def verify_audio_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
                        cfg: DedupConfig) -> ray.data.Dataset:
     """Keep candidate (src, dst) iff best aligned match >= audio_match_frac."""
@@ -127,20 +169,20 @@ def verify_audio_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
     tau, frac_min = cfg.audio_frame_hamming_t, cfg.audio_match_frac
     max_off = cfg.audio_max_offset
 
+    def flat_lens(col) -> tuple[np.ndarray, np.ndarray]:
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        f = H.bitcast_i64_to_u64(a.flatten().to_numpy())
+        l_ = pc.list_value_length(a).fill_null(0).to_numpy().astype(np.int64)
+        return f, l_
+
     def check(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
+        if t.num_rows == 0:
             return t.select(["src", "dst", "kind"])
-        keep = np.zeros(n, dtype=bool)
-        src_l = t["frame_subfps_src"].to_pylist()
-        dst_l = t["frame_subfps_dst"].to_pylist()
-        for i in range(n):
-            a = np.asarray(src_l[i], dtype=np.int64).view(np.uint64)
-            b = np.asarray(dst_l[i], dtype=np.int64).view(np.uint64)
-            if len(a) == 0 or len(b) == 0:
-                continue
-            keep[i] = aligned_match_score(a, b, tau, max_off) >= frac_min
-        return t.select(["src", "dst", "kind"]).filter(pa.array(keep))
+        fa, la = flat_lens(t["frame_subfps_src"])
+        fb, lb = flat_lens(t["frame_subfps_dst"])
+        scores = aligned_match_scores_batch(fa, la, fb, lb, tau, max_off)
+        return t.select(["src", "dst", "kind"]).filter(
+            pa.array(scores >= frac_min))
 
     return e.map_batches(check, batch_format="pyarrow")
 

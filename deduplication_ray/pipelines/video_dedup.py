@@ -31,6 +31,7 @@ import dataclasses
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -87,23 +88,36 @@ def verify_video_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
     e = attach_signatures(edges, sigs, cfg, cols=["frame_phashes"])
     tau, frac_min = cfg.video_frame_hamming_t, cfg.video_match_frac
 
+    def flat_lens(col) -> tuple[np.ndarray, np.ndarray]:
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        f = a.flatten().to_numpy().astype(np.int64).view(np.uint64)
+        l_ = pc.list_value_length(a).fill_null(0).to_numpy().astype(np.int64)
+        return f, l_
+
     def check(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
             return t.select(["src", "dst", "kind"])
-        keep = np.zeros(n, dtype=bool)
-        src_l = t["frame_phashes_src"].to_pylist()
-        dst_l = t["frame_phashes_dst"].to_pylist()
-        # per-pair all-pairs popcount: LSH survivors only, |A|,|B| ~ dozens
-        for i in range(n):
-            a = np.asarray(src_l[i], dtype=np.int64).view(np.uint64)
-            b = np.asarray(dst_l[i], dtype=np.int64).view(np.uint64)
-            if len(a) == 0 or len(b) == 0:
-                continue
-            d = H.popcount64(a[:, None] ^ b[None, :])
-            hit_a = (d.min(axis=1) <= tau).sum()
-            hit_b = (d.min(axis=0) <= tau).sum()
-            keep[i] = (hit_a + hit_b) / (len(a) + len(b)) >= frac_min
+        # whole-batch frame containment: pairs padded into (n, Lmax)
+        # matrices, ONE (n, La, Lb) popcount(XOR) for all pairs at once
+        # (frame lists are sampling-bounded: duration/every_k frames) —
+        # the per-pair Python loop this replaces spent ~0.5 ms/pair in
+        # tiny-call overhead (measured on the audio twin of this check).
+        fa, la = flat_lens(t["frame_phashes_src"])
+        fb, lb = flat_lens(t["frame_phashes_dst"])
+        La, Lb = int(la.max(initial=1)), int(lb.max(initial=1))
+        A = np.zeros((n, La), dtype=np.uint64)
+        B = np.zeros((n, Lb), dtype=np.uint64)
+        A[np.repeat(np.arange(n), la), H._ranges(la)] = fa
+        B[np.repeat(np.arange(n), lb), H._ranges(lb)] = fb
+        va = np.arange(La)[None, :] < la[:, None]
+        vb = np.arange(Lb)[None, :] < lb[:, None]
+        d = H.popcount64(A[:, :, None] ^ B[:, None, :])
+        d = np.where(vb[:, None, :], d, 65)  # pad frames never match
+        hit_a = ((d.min(axis=2) <= tau) & va).sum(axis=1)
+        d = np.where(va[:, :, None], d, 65)
+        hit_b = ((d.min(axis=1) <= tau) & vb).sum(axis=1)
+        keep = (hit_a + hit_b) / np.maximum(la + lb, 1) >= frac_min
         return t.select(["src", "dst", "kind"]).filter(pa.array(keep))
 
     return e.map_batches(check, batch_format="pyarrow")

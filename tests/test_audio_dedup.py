@@ -81,3 +81,33 @@ def test_verify_rejects_coincidental_shingle(ray_session):
     cfg = DedupConfig(num_partitions=2)
     out = audio_dedup_clusters(ray.data.from_arrow(t), cfg).to_pandas()
     assert out["cluster_id"].nunique() == 2
+
+
+def test_aligned_scores_batch_matches_scalar():
+    """The vectorized batch scorer is bit-identical to the per-pair scalar
+    form across random lengths (incl. empty and shorter-than-offset lists)."""
+    import numpy as np
+
+    from deduplication_ray.pipelines.audio_dedup import (
+        aligned_match_score, aligned_match_scores_batch)
+
+    rng = np.random.default_rng(7)
+    pairs = []
+    for _ in range(200):
+        la, lb = int(rng.integers(0, 50)), int(rng.integers(0, 50))
+        a = rng.integers(0, 2**63, size=la, dtype=np.int64).view(np.uint64)
+        b = rng.integers(0, 2**63, size=lb, dtype=np.int64).view(np.uint64)
+        # make some pairs near-dups so scores are non-trivial
+        if la and rng.random() < 0.4:
+            b = a[: min(la, lb)].copy()
+            if len(b):
+                b[0] ^= np.uint64(1)
+        pairs.append((a, b))
+    tau, mo = 2, 8
+    want = np.array([aligned_match_score(a, b, tau, mo) for a, b in pairs])
+    fa = np.concatenate([a for a, _ in pairs]) if pairs else np.empty(0, np.uint64)
+    fb = np.concatenate([b for _, b in pairs]) if pairs else np.empty(0, np.uint64)
+    la_ = np.array([len(a) for a, _ in pairs], dtype=np.int64)
+    lb_ = np.array([len(b) for _, b in pairs], dtype=np.int64)
+    got = aligned_match_scores_batch(fa, la_, fb, lb_, tau, mo)
+    assert np.allclose(got, want)
