@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_follow_range": R.q_events_follow_range,
         "events_sliding_window": R.q_events_sliding_window,
         "distinct_orderkeys_hll": R.q_distinct_orderkeys_hll,
+        "distinct_orders_per_flag_hll": R.q_distinct_orders_per_flag_hll,
         "grouped_topn": R.q_grouped_topn,
         "anti_join": R.q_anti_join,
         "grouped_quantiles": R.q_grouped_quantiles,
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": docops.q_doc_chunks,
         "doc_global_shuffle": docops.q_doc_global_shuffle,
         "doc_pack_sequences": docops.q_doc_pack_sequences,
+        "doc_uniform_sample": docops.q_doc_uniform_sample,
         "doc_split": docops.q_doc_split,
         "docs_above_median_quality": docops.q_docs_above_median_quality,
         "doc_decontaminate": docops.q_doc_decontaminate,
@@ -262,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": docops.doc_chunks_sql(),
         "doc_global_shuffle": docops.Q_DOC_GLOBAL_SHUFFLE_SQL,
         "doc_pack_sequences": docops.doc_pack_sequences_sql(),
+        "doc_uniform_sample": docops.doc_uniform_sample_sql(),
         "ensemble_dup_pairs": docops.ensemble_dup_pairs_sql(),
         "signup_purchase_funnel": R.Q_SIGNUP_PURCHASE_FUNNEL_SQL,
         "doc_split": docops.Q_DOC_SPLIT_SQL,

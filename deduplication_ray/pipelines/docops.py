@@ -1271,3 +1271,50 @@ SELECT doc_id,
        CAST(greatest(s * {seq_len}, off) - s * {seq_len} AS BIGINT) AS start_in_seq
 FROM o, UNNEST(generate_series(off // {seq_len}, (off + n - 1) // {seq_len})) AS t(s)
 """
+
+
+# -------------------------------------------------------- exact-k uniform sample
+
+def q_doc_uniform_sample(sf_dir: str, k: int = 100, ds=None):
+    """EXACTLY-k uniform corpus sample: the k documents with the smallest
+    seeded multiplicative hash — bottom-k sampling, the way to draw a fixed-
+    size uniform sample from 10^12 rows without a global sort or any
+    driver-side randomness (deterministic, resumable, any worker can
+    recompute membership given the final threshold).
+
+    Scale plan: each block keeps only its own k smallest hashes (vectorized
+    partial top-k, so the collect is bounded at k x num_blocks rows), one
+    tiny final merge picks the global bottom k. Complements the RATE
+    samplers (``q_lang_stratified_sample``: fixed keep probability,
+    variable count) with a fixed-COUNT draw."""
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64) % np.uint64(2**31)
+        # second multiplicative mix so the sample is independent of the
+        # train/val/test split (different constant than _SPLIT_MULT)
+        u = (ids * np.uint64(2246822519)) % np.uint64(_SPLIT_MOD)
+        out = pa.table({"doc_id": t["doc_id"],
+                        "h": pa.array(u.astype(np.int64))})
+        if out.num_rows <= k:
+            return out
+        idx = pc.sort_indices(out, sort_keys=[("h", "ascending"),
+                                              ("doc_id", "ascending")])
+        return out.take(idx[:k])
+
+    cand_tbls = list(ds.map_batches(key, batch_format="pyarrow")
+                     .iter_batches(batch_format="pyarrow", batch_size=None))
+    cand = pa.concat_tables(cand_tbls, promote_options="default") if cand_tbls \
+        else pa.table({"doc_id": pa.array([], pa.int64()),
+                       "h": pa.array([], pa.int64())})
+    idx = pc.sort_indices(cand, sort_keys=[("h", "ascending"),
+                                           ("doc_id", "ascending")])
+    return cand.take(idx[:k]).select(["doc_id"])
+
+
+def doc_uniform_sample_sql(k: int = 100) -> str:
+    return f"""
+SELECT doc_id FROM documents
+ORDER BY ((doc_id % 2147483648) * 2246822519) % {_SPLIT_MOD}, doc_id
+LIMIT {k}
+"""

@@ -1310,3 +1310,52 @@ JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = (SELECT min(r_name) FROM region)
 GROUP BY n_name
 """
+
+
+# ------------------------------------------------------ grouped distinct sketch
+
+def q_distinct_orders_per_flag_hll(sf_dir: str, p: int = 14):
+    """Approximate COUNT(DISTINCT l_orderkey) GROUP BY l_returnflag via
+    per-group HyperLogLog sketches — the grouped form of the mergeable-
+    sketch path (``q_distinct_orderkeys_hll``). At 10^12 rows an EXACT
+    grouped distinct needs a (group, key) all-to-all; the sketch shuffle
+    carries |groups| x 16KB register blobs per block regardless of key
+    cardinality, and the final merge is one elementwise max per group.
+
+    Per-batch work stays vectorized: keys are hashed in one splitmix64
+    pass and grouped with np.unique; the Python loop is over the (tiny,
+    bounded) set of groups present in the batch, never rows. Approximate
+    (~0.8% @ p=14) -> rows-only driver check; per-group error vs exact
+    distinct is asserted in tests."""
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.functions import sketch as SK
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        h = H.splitmix64(
+            t["l_orderkey"].to_numpy().astype(np.int64).view(np.uint64))
+        uu, inv = np.unique(flags, return_inverse=True)
+        out_f, out_r = [], []
+        for gi, f in enumerate(uu):
+            regs = SK.hll_init(p)
+            SK.hll_update(regs, h[inv == gi])
+            out_f.append(str(f))
+            out_r.append(regs.tobytes())
+        return pa.table({"l_returnflag": pa.array(out_f, pa.string()),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        from deduplication_ray.functions import sketch as SK2
+
+        regs = SK2.hll_init(p)
+        for b in g["regs"]:
+            regs = SK2.hll_merge(regs, np.frombuffer(b, np.uint8))
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "distinct_est": [int(round(SK2.hll_estimate(regs)))],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("l_returnflag").map_groups(merge, batch_format="pandas")

@@ -66,6 +66,7 @@ SQL_CHECKED = [
     "orders_cube", "events_running_total",
     "embedding_dup_clusters",
     "events_props_agg", "doc_pack_sequences", "revenue_by_nation",
+    "doc_uniform_sample",
 ]
 
 
@@ -320,3 +321,18 @@ def test_pack_sequences_invariants(entry_mod, ray_session):
     b = df2.sort_values(key).reset_index(drop=True)
     assert (a[["seq_tokens", "start_in_seq"]].to_numpy()
             == b[["seq_tokens", "start_in_seq"]].to_numpy()).all()
+
+
+def test_grouped_hll_within_error_bound(entry_mod, con):
+    from deduplication_ray.pipelines.relational import (
+        q_distinct_orders_per_flag_hll)
+
+    got = q_distinct_orders_per_flag_hll(SF_DIR).to_pandas() \
+        .set_index("l_returnflag")["distinct_est"]
+    exact = con.execute(
+        "SELECT l_returnflag, count(DISTINCT l_orderkey) AS n "
+        "FROM lineitem GROUP BY l_returnflag").fetchdf() \
+        .set_index("l_returnflag")["n"]
+    assert set(got.index) == set(exact.index)
+    for f in exact.index:
+        assert abs(got[f] - exact[f]) / exact[f] < 0.03, (f, got[f], exact[f])
