@@ -7,8 +7,13 @@ order-insensitive value hash (columns sorted by name, rows sorted).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# `python tools/check_oracle.py` puts tools/ (not the repo root) on sys.path;
+# __ray_entry__ lives at the root, so add it explicitly.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
