@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_global_shuffle": docops.q_doc_global_shuffle,
         "doc_pack_sequences": docops.q_doc_pack_sequences,
         "doc_uniform_sample": docops.q_doc_uniform_sample,
+        "doc_weighted_sample": docops.q_doc_weighted_sample,
+        "doc_fuzzy_decontaminate": docops.q_doc_fuzzy_decontaminate,
         "doc_split": docops.q_doc_split,
         "docs_above_median_quality": docops.q_docs_above_median_quality,
         "doc_decontaminate": docops.q_doc_decontaminate,
@@ -265,6 +267,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_global_shuffle": docops.Q_DOC_GLOBAL_SHUFFLE_SQL,
         "doc_pack_sequences": docops.doc_pack_sequences_sql(),
         "doc_uniform_sample": docops.doc_uniform_sample_sql(),
+        "doc_weighted_sample": docops.doc_weighted_sample_sql(),
+        "doc_fuzzy_decontaminate": docops.doc_fuzzy_decontaminate_sql(),
         "ensemble_dup_pairs": docops.ensemble_dup_pairs_sql(),
         "signup_purchase_funnel": R.Q_SIGNUP_PURCHASE_FUNNEL_SQL,
         "doc_split": docops.Q_DOC_SPLIT_SQL,

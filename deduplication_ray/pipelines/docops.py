@@ -1318,3 +1318,158 @@ SELECT doc_id FROM documents
 ORDER BY ((doc_id % 2147483648) * 2246822519) % {_SPLIT_MOD}, doc_id
 LIMIT {k}
 """
+
+
+# ------------------------------------------------- weighted (pps) sampling
+
+# xxHash PRIME32_3 (public constant) — a third independent multiplicative
+# stream so the weighted draw is uncorrelated with both the train/val/test
+# split (_SPLIT_MULT) and the uniform sample (2246822519 = PRIME32_2).
+_WSAMPLE_MULT = 3266489917
+
+
+def q_doc_weighted_sample(sf_dir: str, k: int = 100, ds=None):
+    """EXACTLY-k sample with inclusion probability proportional to document
+    LENGTH (code points) — sequential Poisson sampling (Ohlsson 1998, public):
+    rank every row by ``u / w`` where ``u`` is a seeded multiplicative hash of
+    doc_id and ``w`` the weight, keep the global bottom k. Sampling docs
+    proportional to size is the standard way to draw an (approximately)
+    token-unbiased subset for training-mix experiments; with w=1 it
+    degenerates to ``q_doc_uniform_sample``.
+
+    Scale plan mirrors the uniform sampler: each block keeps only its own k
+    smallest keys (vectorized partial bottom-k), the driver merges the
+    bounded k x num_blocks survivors — no global sort, no shuffle,
+    deterministic under any partitioning. The key u/w is an exact IEEE754
+    double of two exact integers on BOTH engines, so the DuckDB oracle
+    reproduces the ordering bit-for-bit."""
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64) % np.uint64(2**31)
+        u = (ids * np.uint64(_WSAMPLE_MULT)) % np.uint64(_SPLIT_MOD)
+        w = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        w = np.maximum(w.astype(np.int64), 1)
+        out = pa.table({"doc_id": t["doc_id"],
+                        "key": pa.array(u.astype(np.float64) / w)})
+        if out.num_rows <= k:
+            return out
+        idx = pc.sort_indices(out, sort_keys=[("key", "ascending"),
+                                              ("doc_id", "ascending")])
+        return out.take(idx[:k])
+
+    cand_tbls = list(ds.map_batches(key, batch_format="pyarrow")
+                     .iter_batches(batch_format="pyarrow", batch_size=None))
+    cand = pa.concat_tables(cand_tbls, promote_options="default") if cand_tbls \
+        else pa.table({"doc_id": pa.array([], pa.int64()),
+                       "key": pa.array([], pa.float64())})
+    idx = pc.sort_indices(cand, sort_keys=[("key", "ascending"),
+                                           ("doc_id", "ascending")])
+    return cand.take(idx[:k]).select(["doc_id"])
+
+
+def doc_weighted_sample_sql(k: int = 100) -> str:
+    return f"""
+SELECT doc_id FROM documents
+ORDER BY CAST(((doc_id % 2147483648) * {_WSAMPLE_MULT}) % {_SPLIT_MOD} AS DOUBLE)
+         / GREATEST(length(text), 1), doc_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------- fuzzy (near-dup) decontamination
+
+# The fuzzy filter uses its OWN eval slice (mod 29, ~3% of docs): the mod-97
+# slice used by the exact filter happens to contain no planted near-dups at
+# the test scales, which would make this operator vacuous under the oracle.
+_FUZZY_EVAL_MOD = 29
+
+
+def q_doc_fuzzy_decontaminate(sf_dir: str, n: int = 3, tau: float = 0.5,
+                              ds=None):
+    """NEAR-duplicate benchmark decontamination: drop every training document
+    whose distinct word n-gram JACCARD similarity with ANY held-out eval doc
+    (doc_id % _FUZZY_EVAL_MOD == 0) reaches ``tau`` — the fuzzy complement of
+    ``q_doc_decontaminate`` (which needs only ONE shared gram and so
+    over-fires on boilerplate). This is the overlap rule used for training-set
+    decontamination in published LLM data work (gram-overlap thresholds
+    rather than exact match).
+
+    Scale plan: eval suites are small by construction, so the per-eval-doc
+    distinct gram table ({gram, ev_doc, ev_n}) is built in one pruned pass,
+    collected once (bounded by the eval suite), and broadcast via ``ray.put``.
+    The training side is one stateless ``map_batches``: per batch the
+    distinct (row, gram) pairs come from one Arrow C++ group_by, the
+    intersection counts from one Arrow C++ hash join against the shared eval
+    table plus a second group_by — no Python loops, no corpus shuffle,
+    linear in corpus size."""
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        keep = (t["doc_id"].to_numpy() % _FUZZY_EVAL_MOD) == 0
+        t = t.filter(pa.array(keep))
+        g, row = _word_grams(t["text"], n)
+        d = pa.table({"ev_doc": t["doc_id"].take(pa.array(row)),
+                      "gram": g}).group_by(["ev_doc", "gram"]).aggregate([])
+        return d
+
+    ev_tbls = list(ds.map_batches(eval_grams, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow", batch_size=None))
+    ev = pa.concat_tables(ev_tbls, promote_options="default") if ev_tbls else \
+        pa.table({"ev_doc": pa.array([], pa.int64()),
+                  "gram": pa.array([], pa.string())})
+    # rows of one doc never span batches, so per-batch distinct is global
+    sizes = ev.group_by("ev_doc").aggregate([("gram", "count")])
+    ev = ev.join(sizes.rename_columns(["ev_doc", "ev_n"]), "ev_doc",
+                 join_type="inner")
+    ref = ray.put(ev)
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array((t["doc_id"].to_numpy() % _FUZZY_EVAL_MOD) != 0))
+        g, row = _word_grams(t["text"], n)
+        bad = np.zeros(t.num_rows, dtype=bool)
+        if len(g):
+            d = pa.table({"row": pa.array(row), "gram": g}) \
+                .group_by(["row", "gram"]).aggregate([])
+            n_a = np.zeros(t.num_rows, dtype=np.int64)
+            rows_d, cnts_d = np.unique(d["row"].to_numpy(), return_counts=True)
+            n_a[rows_d] = cnts_d
+            j = d.join(ray.get(ref), "gram", join_type="inner")
+            if j.num_rows:
+                inter = j.group_by(["row", "ev_doc", "ev_n"]) \
+                    .aggregate([("gram", "count")])
+                r = inter["row"].to_numpy()
+                c = inter["gram_count"].to_numpy()
+                ev_n = inter["ev_n"].to_numpy()
+                jac = c / np.maximum(n_a[r] + ev_n - c, 1)
+                bad[np.unique(r[jac >= tau])] = True
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(~bad))})
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def doc_fuzzy_decontaminate_sql(n: int = 3, tau: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i + {n - 1} AS BIGINT)], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, length(w) - {n - 1})) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS cnt FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT tr.doc_id AS td, ev.doc_id AS ed, count(*) AS c
+  FROM grams tr JOIN grams ev ON tr.g = ev.g
+  WHERE tr.doc_id % {_FUZZY_EVAL_MOD} <> 0 AND ev.doc_id % {_FUZZY_EVAL_MOD} = 0
+  GROUP BY 1, 2
+), bad AS (
+  SELECT DISTINCT i.td FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.td
+  JOIN sizes sb ON sb.doc_id = i.ed
+  WHERE CAST(i.c AS DOUBLE) / (sa.cnt + sb.cnt - i.c) >= {tau}
+)
+SELECT doc_id FROM documents
+WHERE doc_id % {_FUZZY_EVAL_MOD} <> 0 AND doc_id NOT IN (SELECT td FROM bad)
+"""

@@ -66,7 +66,7 @@ SQL_CHECKED = [
     "orders_cube", "events_running_total",
     "embedding_dup_clusters",
     "events_props_agg", "doc_pack_sequences", "revenue_by_nation",
-    "doc_uniform_sample",
+    "doc_uniform_sample", "doc_weighted_sample", "doc_fuzzy_decontaminate",
 ]
 
 
@@ -336,3 +336,40 @@ def test_grouped_hll_within_error_bound(entry_mod, con):
     assert set(got.index) == set(exact.index)
     for f in exact.index:
         assert abs(got[f] - exact[f]) / exact[f] < 0.03, (f, got[f], exact[f])
+
+
+def test_weighted_sample_is_length_biased(entry_mod, con):
+    """pps semantics: with w = doc length, the sampled docs' mean length must
+    exceed the corpus mean (deterministic given the fixed seed constants)."""
+    from deduplication_ray.pipelines.docops import q_doc_weighted_sample
+
+    got = q_doc_weighted_sample(SF_DIR, k=100)
+    ids = got.to_pandas()["doc_id"].tolist()
+    assert len(ids) == 100 and len(set(ids)) == 100
+    mean_all = con.execute("SELECT avg(length(text)) FROM documents").fetchone()[0]
+    mean_sample = con.execute(
+        "SELECT avg(length(text)) FROM documents WHERE doc_id IN "
+        f"({','.join(map(str, ids))})").fetchone()[0]
+    assert mean_sample > mean_all
+
+
+def test_fuzzy_decontaminate_drops_planted_near_dup(ray_session):
+    """A training doc that is a near-copy of an eval doc (id % 29 == 0) is
+    dropped; an unrelated doc and a doc sharing only ONE gram survive (the
+    one-gram case is exactly what the exact filter would over-fire on)."""
+    import pyarrow as pa
+    import ray
+
+    from deduplication_ray.pipelines.docops import q_doc_fuzzy_decontaminate
+
+    eval_text = "the quick brown fox jumps over the lazy dog again and again"
+    near = eval_text + " extra"            # jaccard >> 0.5 vs eval doc
+    one_gram = ("completely different content except the quick brown words "
+                "nothing else lines up at all here")
+    other = "unrelated text with no overlap whatsoever in any window"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([29, 1, 2, 3], pa.int64()),
+        "text": pa.array([eval_text, near, one_gram, other]),
+    }))
+    kept = q_doc_fuzzy_decontaminate("", ds=ds).to_pandas()["doc_id"].tolist()
+    assert sorted(kept) == [2, 3]
