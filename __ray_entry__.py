@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_uniform_sample": docops.q_doc_uniform_sample,
         "doc_weighted_sample": docops.q_doc_weighted_sample,
         "doc_fuzzy_decontaminate": docops.q_doc_fuzzy_decontaminate,
+        "doc_token_estimate": docops.q_doc_token_estimate,
         "doc_split": docops.q_doc_split,
         "docs_above_median_quality": docops.q_docs_above_median_quality,
         "doc_decontaminate": docops.q_doc_decontaminate,
@@ -269,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_uniform_sample": docops.doc_uniform_sample_sql(),
         "doc_weighted_sample": docops.doc_weighted_sample_sql(),
         "doc_fuzzy_decontaminate": docops.doc_fuzzy_decontaminate_sql(),
+        "doc_token_estimate": docops.doc_token_estimate_sql(),
         "ensemble_dup_pairs": docops.ensemble_dup_pairs_sql(),
         "signup_purchase_funnel": R.Q_SIGNUP_PURCHASE_FUNNEL_SQL,
         "doc_split": docops.Q_DOC_SPLIT_SQL,

@@ -1473,3 +1473,45 @@ WITH toks AS (
 SELECT doc_id FROM documents
 WHERE doc_id % {_FUZZY_EVAL_MOD} <> 0 AND doc_id NOT IN (SELECT td FROM bad)
 """
+
+
+# --------------------------------------------------- BPE-ish token estimation
+
+# GPT-2-style pre-tokenizer pattern (public: the radford2019 BPE splitter),
+# restated in RE2-safe syntax (no lookahead — the trailing-space refinement
+# `\s+(?!\S)` is dropped, so runs of whitespace count as one token). Both
+# pyarrow and DuckDB run RE2 with identical leftmost-first alternation, so
+# the per-document counts agree bit-for-bit.
+_BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q_doc_token_estimate(sf_dir: str, ds=None):
+    """Per-document token-budget estimate: whitespace token count plus a
+    BPE-ish pre-tokenizer match count (the GPT-2 split regex) — the cheap
+    stand-in for a real tokenizer when sizing a training mix. One stateless
+    ``map_batches``; both counts are single vectorized RE2 kernels
+    (``count_substring_regex`` / ``split_pattern_regex``) per batch — no
+    Python loops, no shuffle, linear scan."""
+    from deduplication_ray.functions.text import token_count
+
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens_ws": token_count(t["text"]).cast(pa.int64()),
+            "n_tokens_bpe": pc.count_substring_regex(
+                t["text"], _BPE_SPLIT_PATTERN).cast(pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_token_estimate_sql() -> str:
+    pat = _BPE_SPLIT_PATTERN.replace("'", "''")  # SQL string-literal quoting
+    return f"""
+SELECT doc_id,
+       length(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+       length(regexp_extract_all(text, '{pat}')) AS n_tokens_bpe
+FROM documents
+"""

@@ -67,6 +67,7 @@ SQL_CHECKED = [
     "embedding_dup_clusters",
     "events_props_agg", "doc_pack_sequences", "revenue_by_nation",
     "doc_uniform_sample", "doc_weighted_sample", "doc_fuzzy_decontaminate",
+    "doc_token_estimate",
 ]
 
 

@@ -1,12 +1,16 @@
 """Regenerate docs/QUERIES.md from __ray_entry__.queries() docstrings.
 
-Usage: PYTHONPATH=/root/repo python tools/gen_queries_md.py
+Usage: python tools/gen_queries_md.py (any cwd)
 """
 
 from __future__ import annotations
 
 import inspect
+import os
 import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
