@@ -1515,3 +1515,60 @@ SELECT doc_id,
        length(regexp_extract_all(text, '{pat}')) AS n_tokens_bpe
 FROM documents
 """
+
+
+# ------------------------------------------- heavy hitters (Misra-Gries) sketch
+
+def q_top_terms_sketch(sf_dir: str, k: int = 200, top: int = 20, ds=None):
+    """Approximate top terms by document frequency via a MERGEABLE
+    Misra-Gries summary (Misra & Gries 1982; mergeability per Agarwal et al.,
+    "Mergeable Summaries", PODS 2012 — both public): each batch builds its
+    exact distinct-per-doc token counts, compacts them to at most ``k``
+    entries by subtracting the (k+1)-th largest count, and ships only that
+    summary; the driver pointwise-sums the bounded k x num_blocks partials
+    and compacts once more. Estimated counts UNDERCOUNT by at most
+    n/(k+1) (n = total distinct doc-token pairs), so every true heavy
+    hitter with df > n/(k+1) survives.
+
+    This is the no-shuffle alternative to ``q_top_terms``: that one shuffles
+    one row per vocabulary term (fine when vocab << corpus); this one ships a
+    CONSTANT k rows per block regardless of vocabulary size — the right
+    trade on open-vocabulary 100 TB web text. Rows-only (approximate by
+    design); the error bound and exact-top containment are asserted in
+    tests against the exact operator."""
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def mg_compact(toks: pa.Array, cnts: np.ndarray, kk: int) -> pa.Table:
+        if len(cnts) > kk:
+            order = np.argsort(-cnts, kind="stable")
+            sub = cnts[order[kk]]
+            keep = order[:kk]
+            toks, cnts = toks.take(pa.array(keep)), cnts[keep] - sub
+            pos = cnts > 0
+            toks, cnts = toks.filter(pa.array(pos)), cnts[pos]
+        return pa.table({"tok": toks, "df_est": pa.array(cnts, pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        counts = offs[1:] - offs[:-1]
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        key = H.hash_u64_pair(row.astype(np.uint64), H.hash_bytes_array(flat))
+        first = np.unique(key, return_index=True)[1]
+        toks = flat.take(pa.array(np.sort(first)))
+        g = pa.table({"tok": toks}).group_by("tok").aggregate([("tok", "count")])
+        return mg_compact(g["tok"].combine_chunks(),
+                          g["tok_count"].to_numpy().astype(np.int64), k)
+
+    parts = list(ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.table({"tok": pa.array([], pa.string()),
+                         "df_est": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts, promote_options="default") \
+        .group_by("tok").aggregate([("df_est", "sum")])
+    out = mg_compact(merged["tok"].combine_chunks(),
+                     merged["df_est_sum"].to_numpy().astype(np.int64), k)
+    df_ = (out.to_pandas().sort_values(["df_est", "tok"],
+                                       ascending=[False, True]).head(top))
+    return pa.Table.from_pandas(df_.reset_index(drop=True), preserve_index=False)

@@ -374,3 +374,27 @@ def test_fuzzy_decontaminate_drops_planted_near_dup(ray_session):
     }))
     kept = q_doc_fuzzy_decontaminate("", ds=ds).to_pandas()["doc_id"].tolist()
     assert sorted(kept) == [2, 3]
+
+
+def test_top_terms_sketch_bounds(entry_mod, con, ray_session):
+    """Misra-Gries guarantees: estimates undercount by at most n/(k+1)
+    (n = distinct doc-token pairs), and the exact top-10 all survive into
+    the sketch's top-20."""
+    from deduplication_ray.pipelines.docops import q_top_terms_sketch
+
+    k = 200
+    sk = q_top_terms_sketch(SF_DIR, k=k, top=20).to_pandas()
+    exact = con.execute("""
+        WITH toks AS (SELECT doc_id,
+          unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+          FROM documents)
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+    """).fetchdf()
+    n = int(exact["df"].sum())
+    bound = n / (k + 1)
+    m = sk.merge(exact, on="tok", how="left").fillna(0)
+    assert (m["df_est"] <= m["df"]).all()
+    assert ((m["df"] - m["df_est"]) <= bound).all()
+    top10 = set(exact.sort_values(["df", "tok"], ascending=[False, True])
+                .head(10)["tok"])
+    assert top10 <= set(sk["tok"])
