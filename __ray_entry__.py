@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topn": R.q_grouped_topn,
         "anti_join": R.q_anti_join,
         "grouped_quantiles": R.q_grouped_quantiles,
+        "grouped_quantiles_sketch": R.q_grouped_quantiles_sketch,
         "orders_rollup": R.q_orders_rollup,
         "events_type_pivot": R.q_events_type_pivot,
         "events_lag": R.q_events_lag,

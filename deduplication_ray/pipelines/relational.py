@@ -1359,3 +1359,67 @@ def q_distinct_orders_per_flag_hll(sf_dir: str, p: int = 14):
 
     return ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .groupby("l_returnflag").map_groups(merge, batch_format="pandas")
+
+
+# -------------------------------------------- grouped quantile SKETCH (bottom-k)
+
+def q_grouped_quantiles_sketch(sf_dir: str, k: int = 4096):
+    """Approximate grouped quantiles over a CONTINUOUS value column via a
+    per-group bottom-k sample sketch (Cohen & Kaplan's bottom-k sketches,
+    public): every row gets a deterministic 64-bit hash of its identity
+    (l_orderkey, l_linenumber); each group keeps the values of its k
+    smallest hashes. Bottom-k sets are MERGEABLE (union then re-truncate)
+    and partition-invariant, and the survivors are a uniform random sample
+    of the group, so the sample quantile's rank error is O(1/sqrt(k)) with
+    high probability.
+
+    This complements ``q_grouped_quantiles`` (exact distributed CDF): the
+    CDF plan's shuffle is bounded by |distinct values|, which is fine for
+    bounded domains (quantities 1..50) but becomes the corpus itself on
+    continuous columns like prices; the sketch ships a CONSTANT
+    |groups| x k rows per block no matter the domain. One linear pass,
+    no shuffle of raw rows; partials bounded at |groups| x k x #blocks.
+    Rows-only (approximate by design); the rank-error bound is asserted in
+    tests against DuckDB's exact quantiles."""
+    from deduplication_ray.functions import hashing as H
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def bottom_k(t: pa.Table) -> pa.Table:
+        h = H.hash_u64_pair(
+            t["l_orderkey"].to_numpy().astype(np.uint64),
+            t["l_linenumber"].to_numpy().astype(np.uint64)).astype(np.int64)
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        v = t["l_extendedprice"].to_numpy()
+        order = np.lexsort((h, flags))
+        f_s, h_s, v_s = flags[order], h[order], v[order]
+        # rank within group, vectorized: reset the running index at group starts
+        starts = np.concatenate([[0], np.flatnonzero(f_s[1:] != f_s[:-1]) + 1])
+        rank = np.arange(len(f_s)) - np.repeat(starts, np.diff(
+            np.concatenate([starts, [len(f_s)]])))
+        keep = rank < k
+        return pa.table({"l_returnflag": pa.array(f_s[keep]),
+                         "h": pa.array(h_s[keep]),
+                         "v": pa.array(v_s[keep])})
+
+    parts = list(ds.map_batches(bottom_k, batch_format="pyarrow",
+                                batch_size=None)
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    merged = pa.concat_tables(parts, promote_options="default") if parts else \
+        pa.table({"l_returnflag": pa.array([], pa.string()),
+                  "h": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.float64())})
+    df = merged.to_pandas()
+    rows = []
+    for flag, g in df.groupby("l_returnflag"):
+        sample = np.sort(g.nsmallest(k, "h")["v"].to_numpy())
+        n = len(sample)
+        rows.append({
+            "l_returnflag": flag,
+            "p50_est": float(sample[int(np.floor(0.50 * (n - 1)))]),
+            "p90_est": float(sample[int(np.floor(0.90 * (n - 1)))]),
+            "p99_est": float(sample[int(np.floor(0.99 * (n - 1)))]),
+            "sample_n": n,
+        })
+    return pd.DataFrame(rows)

@@ -398,3 +398,32 @@ def test_top_terms_sketch_bounds(entry_mod, con, ray_session):
     top10 = set(exact.sort_values(["df", "tok"], ascending=[False, True])
                 .head(10)["tok"])
     assert top10 <= set(sk["tok"])
+
+
+def test_grouped_quantile_sketch_rank_error(entry_mod, con, ray_session):
+    """Bottom-k sample quantiles: the estimate's TRUE rank must sit within
+    the O(1/sqrt(k)) band around the target quantile; with k >= group size
+    the sketch degenerates to exact."""
+    import numpy as np
+
+    from deduplication_ray.pipelines.relational import q_grouped_quantiles_sketch
+
+    k = 256
+    est = q_grouped_quantiles_sketch(SF_DIR, k=k)
+    exact = con.execute(
+        "SELECT l_returnflag, list(l_extendedprice ORDER BY l_extendedprice) v "
+        "FROM lineitem GROUP BY l_returnflag").fetchdf()
+    bound = 4 * np.sqrt(0.25 / k) + 0.01
+    for _, r in est.iterrows():
+        v = np.array(exact[exact["l_returnflag"] == r["l_returnflag"]]["v"].iloc[0])
+        n = len(v)
+        for q, col in ((0.50, "p50_est"), (0.90, "p90_est"), (0.99, "p99_est")):
+            rank = np.searchsorted(v, r[col], side="right") / n
+            assert abs(rank - q) <= bound, (r["l_returnflag"], q, rank)
+    # k >= group size -> sample IS the group -> exact quantile_disc values
+    full = q_grouped_quantiles_sketch(SF_DIR, k=10**7)
+    ex = con.execute(
+        "SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) p50 "
+        "FROM lineitem GROUP BY l_returnflag").fetchdf()
+    m = full.merge(ex, on="l_returnflag")
+    assert (m["p50_est"] == m["p50"]).all()
