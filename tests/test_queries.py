@@ -427,3 +427,32 @@ def test_grouped_quantile_sketch_rank_error(entry_mod, con, ray_session):
         "FROM lineitem GROUP BY l_returnflag").fetchdf()
     m = full.merge(ex, on="l_returnflag")
     assert (m["p50_est"] == m["p50"]).all()
+
+
+def test_lookup_join_distributed_fallback_parity(ray_session):
+    """lookup_join with broadcast_limit=0 (forced hash-join fallback) must
+    equal the broadcast path, for inner and left joins, nulls included."""
+    import dataclasses
+
+    import pyarrow as pa
+    import ray.data
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.stages.join import lookup_join
+
+    big = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 5, 7], pa.int64()),
+        "a": pa.array(["x1", "x2", "x2b", "x3", "x5", "x7"]),
+    })).repartition(3)
+    look = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "b": pa.array([20, 30, 40], pa.int64()),
+    }))
+    cfg = DedupConfig(num_partitions=4)
+    cfg0 = dataclasses.replace(cfg, broadcast_limit=0)
+    for how in ("inner", "left"):
+        bcast = lookup_join(big, look, on=["k"], cfg=cfg, how=how).to_pandas()
+        dist = lookup_join(big, look, on=["k"], cfg=cfg0, how=how).to_pandas()
+        bcast = bcast.sort_values(["k", "a"]).reset_index(drop=True)
+        dist = dist[bcast.columns].sort_values(["k", "a"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(bcast, dist, check_dtype=False)
