@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": docops.q_doc_quality,
         "doc_fingerprints": docops.q_doc_fingerprints,
         "top_terms_sketch": docops.q_top_terms_sketch,
+        "lsh_bucket_stats": docops.q_lsh_bucket_stats,
         # cos_min=0.45 on the synthetic tables: low enough that real pairs
         # exist at every sf (max pairwise sim ~0.5), so the oracle check is
         # non-trivial; the exact broadcast-matmul path reproduces the SQL

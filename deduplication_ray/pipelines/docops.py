@@ -1572,3 +1572,75 @@ def q_top_terms_sketch(sf_dir: str, k: int = 200, top: int = 20, ds=None):
     df_ = (out.to_pandas().sort_values(["df_est", "tok"],
                                        ascending=[False, True]).head(top))
     return pa.Table.from_pandas(df_.reset_index(drop=True), preserve_index=False)
+
+
+# ------------------------------------------------ LSH bucket-skew diagnostics
+
+def q_lsh_bucket_stats(sf_dir: str, ds=None):
+    """Operational skew report for the LSH shuffle: per MinHash band, the
+    bucket-size distribution (p50 / p99 / max), bucket and row counts, and
+    how many buckets exceed ``cfg.bucket_cap`` (i.e. would be salted by the
+    dedup engine). This is the tuning dial for ``bucket_cap`` / band count
+    on a new corpus: a fat p99 means the band shuffle has hot keys and the
+    all-pairs step inside buckets is about to go quadratic.
+
+    Scale plan: bucket sizes come from the SAME groupby((band, bucket))
+    count the dedup pipeline already does (no extra shuffle class); the
+    size DISTRIBUTION is then exact-CDF'd the way ``q_grouped_quantiles``
+    is — per-batch (band, size) value-count partials, a groupby-sum bounded
+    by |bands| x |distinct sizes| (tiny), one driver walk. The raw bucket
+    table is never collected."""
+    from ray.data.aggregate import Count, Sum
+
+    from deduplication_ray.stages import lsh
+    from deduplication_ray.stages.signatures import normalize_captions
+
+    cfg = DedupConfig(num_partitions=8)
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    mh_a, mh_b = H.make_minhash_perms(cfg.num_perm, cfg.seed)
+
+    def sig(t: pa.Table) -> pa.Table:
+        cap = normalize_captions(t["text"])
+        grams, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
+        mh = H.minhash_signatures(grams, offs, mh_a, mh_b)
+        return pa.table({"image_id": t["doc_id"].cast(pa.string()),
+                         "minhash": H.pack_u64_rows(mh)})
+
+    buckets = (ds.map_batches(sig, batch_format="pyarrow",
+                              batch_size=cfg.text_batch_size)
+               .map_batches(lsh.ExplodeBands(cfg), batch_format="pyarrow"))
+    sizes = buckets.groupby(["band", "bucket"]).aggregate(
+        Count(alias_name="size"))
+
+    def size_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["band", "size"]).aggregate([("size", "count")])
+        return pa.table({"band": g["band"], "size": g["size"],
+                         "n": g["size_count"].cast(pa.int64())})
+
+    hist = (sizes.map_batches(size_counts, batch_format="pyarrow")
+            .groupby(["band", "size"]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+
+    rows = []
+    for band, g in hist.groupby("band"):
+        g = g.sort_values("size")
+        sz = g["size"].to_numpy()
+        n = g["n"].to_numpy()
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+
+        def pick(q):
+            return int(sz[np.searchsorted(cum, int(np.floor(q * (total - 1))),
+                                          side="right")])
+
+        rows.append({
+            "band": int(band),
+            "n_buckets": total,
+            "n_rows": int((sz * n).sum()),
+            "p50_size": pick(0.50),
+            "p99_size": pick(0.99),
+            "max_size": int(sz[-1]),
+            "n_over_cap": int(n[sz > cfg.bucket_cap].sum()),
+        })
+    return pd.DataFrame(rows).sort_values("band").reset_index(drop=True)

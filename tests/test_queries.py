@@ -456,3 +456,49 @@ def test_lookup_join_distributed_fallback_parity(ray_session):
         bcast = bcast.sort_values(["k", "a"]).reset_index(drop=True)
         dist = dist[bcast.columns].sort_values(["k", "a"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(bcast, dist, check_dtype=False)
+
+
+def test_sample_and_sketch_partition_invariance(ray_session):
+    """Bottom-k constructions (weighted sample, quantile sketch) must give
+    IDENTICAL results under any partitioning — the property that makes them
+    safe on a 256-node cluster where block boundaries are arbitrary."""
+    from deduplication_ray.pipelines.docops import q_doc_weighted_sample
+    from deduplication_ray.pipelines.relational import q_grouped_quantiles_sketch
+    from deduplication_ray.sources import storage
+
+    base = storage.read_table(f"{SF_DIR}/documents.parquet")
+    a = q_doc_weighted_sample("", k=50, ds=base).to_pandas()
+    b = q_doc_weighted_sample("", k=50, ds=base.repartition(17)).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+    import os
+    import shutil
+
+    tmp_sf = "/tmp/dedup_ray_qsketch_repart"
+    shutil.rmtree(tmp_sf, ignore_errors=True)
+    os.makedirs(tmp_sf)
+    storage.read_table(f"{SF_DIR}/lineitem.parquet").repartition(11) \
+        .write_parquet(f"{tmp_sf}/lineitem.parquet")
+    x = q_grouped_quantiles_sketch(SF_DIR, k=128)
+    y = q_grouped_quantiles_sketch(tmp_sf, k=128)
+    pd.testing.assert_frame_equal(
+        x.sort_values("l_returnflag").reset_index(drop=True),
+        y.sort_values("l_returnflag").reset_index(drop=True))
+
+
+def test_lsh_bucket_stats_invariants(ray_session):
+    """Per band: rows accounted exactly (every doc lands in every MinHash
+    band once), percentiles ordered, over-cap count consistent with max."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.docops import q_lsh_bucket_stats
+    from deduplication_ray.sources import storage
+
+    n_docs = storage.read_table(f"{SF_DIR}/documents.parquet").count()
+    df = q_lsh_bucket_stats(SF_DIR)
+    cfg = DedupConfig()
+    mh = df[df["band"] < cfg.bands]
+    assert len(mh) == cfg.bands
+    assert (mh["n_rows"] == n_docs).all()
+    assert (df["p50_size"] <= df["p99_size"]).all()
+    assert (df["p99_size"] <= df["max_size"]).all()
+    assert ((df["max_size"] > cfg.bucket_cap) == (df["n_over_cap"] > 0)).all()
