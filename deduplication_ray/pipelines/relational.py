@@ -27,8 +27,13 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from deduplication_ray.sources import storage
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return storage.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          **kwargs) -> ray.data.Dataset:
+    """Column pruning + optional row-filter pushdown (``filter=`` a pyarrow
+    dataset expression): selective predicates skip whole row groups at the
+    parquet scan, so filtered-out rows never leave storage."""
+    return storage.read_table(f"{sf_dir}/{table}.parquet", columns=columns,
+                              **kwargs)
 
 
 # ---------------------------------------------------------------- groupby-agg
@@ -36,15 +41,16 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filtered groupby-aggregate with partial combine.
     Column pruning at the read; revenue computed vectorized per batch."""
+    import datetime
+
+    # shipdate predicate pushed to the parquet scan; the column itself is
+    # then not even projected (filter columns need not be read columns)
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-                "l_discount", "l_shipdate"])
+                "l_discount"],
+               filter=(pc.field("l_shipdate") <= datetime.datetime(1998, 9, 2)))
 
     def prep(t: pa.Table) -> pa.Table:
-        import datetime
-
-        cutoff = pa.scalar(datetime.datetime(1998, 9, 2), type=t.schema.field("l_shipdate").type)
-        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
         # money in integer cents / 1e-4 units: float sums are order-dependent
         # across partitions, integer sums are exact + associative, so the
         # DuckDB oracle hash-compares bit-identically at any parallelism
@@ -247,10 +253,10 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 # ---------------------------------------------------------------- filter + agg
 
 def q_filter_agg(sf_dir: str):
-    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
-
-    def f(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["l_quantity"], 45))
+    # predicate pushed to the parquet scan: row groups whose max quantity
+    # is <= 45 are never read off storage
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"],
+               filter=(pc.field("l_quantity") > 45))
 
     def cents(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -259,7 +265,7 @@ def q_filter_agg(sf_dir: str):
             "l_quantity": t["l_quantity"],
         })
 
-    return ds.map_batches(f, batch_format="pyarrow").map_batches(
+    return ds.map_batches(
         cents, batch_format="pyarrow"
     ).groupby("l_returnflag").aggregate(
         Count(alias_name="n"),
@@ -338,10 +344,11 @@ FROM events GROUP BY event_type, day
 def q_semi_join(sf_dir: str):
     """Customers with at least one high-value order: broadcast key-set
     semi-join (Bloom-filter pattern, exact set at this scale)."""
-    hot = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    # predicate pushed to the parquet scan (row-group pruning at the source)
+    hot = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                filter=(pc.field("o_totalprice") > 300000.0))
 
     def f(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["o_totalprice"], 300000.0))
         return t.select(["o_custkey"])
 
     # distributed distinct BEFORE the collect: the driver only ever sees the
@@ -653,10 +660,10 @@ def q_anti_join(sf_dir: str):
     vectorized sorted-keyset NOT-IN filter per batch. At 100 TB the keyset
     collect is replaced by the same Bloom-prefilter + exact-set pattern; the
     filter pass is unchanged."""
-    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   filter=(pc.field("o_orderpriority") == "1-URGENT"))
 
     def f(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
         return t.select(["o_custkey"])
 
     distinct = urgent.map_batches(f, batch_format="pyarrow") \
