@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_sources": R.q_topk_sources,
         "events_window": R.q_events_window,
         "semi_join": R.q_semi_join,
+        "semi_join_bloom": R.q_semi_join_bloom,
         # dedup operators (SQL-checked where exact)
         "exact_dedup_docs": R.q_exact_dedup_docs,
         "dedup_keep_first": R.q_dedup_keep_first,
@@ -250,6 +251,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_sources": R.Q_TOPK_SOURCES_SQL,
         "events_window": R.Q_EVENTS_WINDOW_SQL,
         "semi_join": R.Q_SEMI_JOIN_SQL,
+        # Bloom prefilter + exact confirm == exact semi-join: SAME oracle
+        "semi_join_bloom": R.Q_SEMI_JOIN_SQL,
         "events_asof_orders": R.Q_EVENTS_ASOF_ORDERS_SQL,
         "events_follow_range": R.Q_EVENTS_FOLLOW_RANGE_SQL,
         "events_sliding_window": R.Q_EVENTS_SLIDING_WINDOW_SQL,

@@ -59,3 +59,41 @@ def hll_estimate(regs: np.ndarray) -> float:
         if zeros:
             est = m * np.log(m / zeros)  # linear counting, small range
     return float(est)
+
+
+# ------------------------------------------------------------- Bloom filter
+
+def bloom_init(n_bits: int) -> np.ndarray:
+    """Empty Bloom bitmap (n_bits rounded up to a byte multiple). Mergeable
+    by bitwise OR — per-block partials union exactly like HLL registers."""
+    return np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+
+
+def _bloom_positions(hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """k bit positions per key via double hashing (Kirsch & Mitzenmacher,
+    2006 — public): pos_i = (h1 + i*h2) mod n_bits, h1/h2 two independent
+    64-bit mixes of the input hash. Returns shape (len, k)."""
+    from deduplication_ray.functions import hashing as H
+
+    h1 = H.splitmix64(hashes)
+    h2 = H.splitmix64(hashes ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(n_bits)).astype(np.int64)
+
+
+def bloom_add(bits: np.ndarray, hashes: np.ndarray, k: int = 7) -> np.ndarray:
+    """Set the k positions of every key (vectorized; in-place on ``bits``)."""
+    pos = _bloom_positions(hashes.astype(np.uint64), len(bits) * 8, k)
+    np.bitwise_or.at(bits, pos.ravel() >> 3,
+                     np.uint8(1) << (pos.ravel() & 7).astype(np.uint8))
+    return bits
+
+
+def bloom_might_contain(bits: np.ndarray, hashes: np.ndarray,
+                        k: int = 7) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (false positives at
+    the configured rate), False = DEFINITELY absent (no false negatives)."""
+    pos = _bloom_positions(hashes.astype(np.uint64), len(bits) * 8, k)
+    got = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return got.all(axis=1)

@@ -1430,3 +1430,64 @@ def q_grouped_quantiles_sketch(sf_dir: str, k: int = 4096):
             "sample_n": n,
         })
     return pd.DataFrame(rows)
+
+
+def q_semi_join_bloom(sf_dir: str, n_bits: int = 1 << 20):
+    """The 100 TB semi-join plan the plain ``q_semi_join`` docstring promises:
+    a BLOOM prefilter (mergeable bitmap, ~128 KB here) broadcast to the probe
+    side kills almost every non-matching row for free, and only the tiny
+    surviving fraction is confirmed EXACTLY against the key set — so the
+    result is identical to the exact semi-join (same DuckDB oracle) while
+    the driver never collects an unbounded key list and the probe table
+    never shuffles.
+
+    Build: distinct hot-customer keys stay a Dataset; per-block Bloom
+    partials (one bitmap row per block) are OR-merged — the same
+    commutative-merge shape as the HLL sketch. Probe: stateless map_batches,
+    vectorized k-probe per batch. Confirm: the Bloom survivors (true matches
+    + ~0.8% false positives) go through the size-dispatched lookup_join
+    against the key Dataset — broadcast here, hash-shuffle above
+    ``cfg.broadcast_limit``."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.functions import sketch as SK
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
+    hot = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                filter=(pc.field("o_totalprice") > 300000.0))
+    keys = (hot.map_batches(lambda t: t.select(["o_custkey"]),
+                            batch_format="pyarrow")
+            .groupby("o_custkey").aggregate(Count(alias_name="_n"))
+            .select_columns(["o_custkey"]).materialize())
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bits = SK.bloom_init(n_bits)
+        SK.bloom_add(bits, t["o_custkey"].to_numpy().astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = SK.bloom_init(n_bits)
+    for b in (keys.map_batches(bloom_partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for blob in b["bits"].to_pylist():
+            np.bitwise_or(merged, np.frombuffer(blob, dtype=np.uint8),
+                          out=merged)
+    ref = ray.put(merged)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    class BloomProbe:
+        def __init__(self):
+            self.bits = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            maybe = SK.bloom_might_contain(
+                self.bits, t["c_custkey"].to_numpy().astype(np.uint64))
+            return t.filter(pa.array(maybe))
+
+    survivors = cust.map_batches(BloomProbe, batch_format="pyarrow",
+                                 concurrency=(1, 4))
+    confirmed = lookup_join(
+        survivors, keys.rename_columns({"o_custkey": "c_custkey"}),
+        on=["c_custkey"], cfg=cfg)
+    return confirmed.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_customers"))

@@ -67,7 +67,7 @@ SQL_CHECKED = [
     "embedding_dup_clusters",
     "events_props_agg", "doc_pack_sequences", "revenue_by_nation",
     "doc_uniform_sample", "doc_weighted_sample", "doc_fuzzy_decontaminate",
-    "doc_token_estimate",
+    "doc_token_estimate", "semi_join_bloom",
 ]
 
 
@@ -502,3 +502,28 @@ def test_lsh_bucket_stats_invariants(ray_session):
     assert (df["p50_size"] <= df["p99_size"]).all()
     assert (df["p99_size"] <= df["max_size"]).all()
     assert ((df["max_size"] > cfg.bucket_cap) == (df["n_over_cap"] > 0)).all()
+
+
+def test_bloom_filter_properties():
+    """No false negatives ever; false-positive rate near the theoretical
+    (1 - e^{-kn/m})^k; partial bitmaps OR-merge to the whole."""
+    import numpy as np
+
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.functions import sketch as SK
+
+    n, bits_per_key, k = 20_000, 10, 7
+    keys = H.splitmix64(np.arange(n, dtype=np.uint64))
+    fresh = H.splitmix64(np.arange(n, n + 100_000, dtype=np.uint64))
+    m = n * bits_per_key
+    whole = SK.bloom_add(SK.bloom_init(m), keys, k=k)
+    assert SK.bloom_might_contain(whole, keys, k=k).all()
+    fpr = SK.bloom_might_contain(whole, fresh, k=k).mean()
+    theory = (1 - np.exp(-k * n / m)) ** k
+    assert fpr < 3 * theory, (fpr, theory)
+    parts = [SK.bloom_add(SK.bloom_init(m), c, k=k)
+             for c in np.array_split(keys, 5)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = np.bitwise_or(merged, p)
+    assert (merged == whole).all()
