@@ -32,7 +32,9 @@ def token_count(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Whitespace token count, matching DuckDB
     ``length(string_split_regex(trim(text), '\\s+'))`` (empty string -> 1,
     DuckDB's convention for split of '')."""
-    trimmed = pc.utf8_trim_whitespace(text)
+    # trim SPACES only: DuckDB trim() strips ' ' (not tabs/newlines), and
+    # utf8_trim_whitespace would diverge on text with \t\n edges
+    trimmed = pc.utf8_trim(text, " ")
     splits = pc.split_pattern_regex(trimmed, r"\s+")
     return pc.list_value_length(splits)
 

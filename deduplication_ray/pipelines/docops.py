@@ -552,7 +552,8 @@ def _tokens_flat(text_col) -> tuple[pa.Array, np.ndarray]:
     """Lowered whitespace tokens flattened across the batch: flat token
     array + int64 offsets (one slot per row), matching DuckDB
     ``string_split_regex(lower(trim(text)), '\\s+')``."""
-    low = pc.utf8_lower(pc.utf8_trim_whitespace(text_col))
+    # space-only trim = DuckDB trim() exactly (it does not strip \t\n)
+    low = pc.utf8_lower(pc.utf8_trim(text_col, " "))
     splits = pc.split_pattern_regex(low, r"\s+")
     if isinstance(splits, pa.ChunkedArray):
         splits = splits.combine_chunks()
@@ -1275,6 +1276,31 @@ FROM o, UNNEST(generate_series(off // {seq_len}, (off + n - 1) // {seq_len})) AS
 
 # -------------------------------------------------------- exact-k uniform sample
 
+def _bottom_k_docs(ds, key_of_batch, k: int, key_type: pa.DataType) -> pa.Table:
+    """Shared exact-k bottom-k scaffold for the samplers: each block keeps
+    its own k smallest (key, doc_id) rows — vectorized partial, so the
+    driver collect is bounded at k x num_blocks — then one tiny final merge.
+    ``key_of_batch`` maps a batch to its per-row sort key (deterministic,
+    partition-invariant by construction)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.table({"doc_id": t["doc_id"], "key": key_of_batch(t)})
+        if out.num_rows <= k:
+            return out
+        idx = pc.sort_indices(out, sort_keys=[("key", "ascending"),
+                                              ("doc_id", "ascending")])
+        return out.take(idx[:k])
+
+    tbls = list(ds.map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None))
+    cand = pa.concat_tables(tbls, promote_options="default") if tbls \
+        else pa.table({"doc_id": pa.array([], pa.int64()),
+                       "key": pa.array([], key_type)})
+    idx = pc.sort_indices(cand, sort_keys=[("key", "ascending"),
+                                           ("doc_id", "ascending")])
+    return cand.take(idx[:k]).select(["doc_id"])
+
+
 def q_doc_uniform_sample(sf_dir: str, k: int = 100, ds=None):
     """EXACTLY-k uniform corpus sample: the k documents with the smallest
     seeded multiplicative hash — bottom-k sampling, the way to draw a fixed-
@@ -1289,27 +1315,14 @@ def q_doc_uniform_sample(sf_dir: str, k: int = 100, ds=None):
     variable count) with a fixed-COUNT draw."""
     ds = ds if ds is not None else _docs(sf_dir, ["doc_id"])
 
-    def key(t: pa.Table) -> pa.Table:
+    def key(t: pa.Table) -> pa.Array:
         ids = t["doc_id"].to_numpy().astype(np.uint64) % np.uint64(2**31)
         # second multiplicative mix so the sample is independent of the
         # train/val/test split (different constant than _SPLIT_MULT)
         u = (ids * np.uint64(2246822519)) % np.uint64(_SPLIT_MOD)
-        out = pa.table({"doc_id": t["doc_id"],
-                        "h": pa.array(u.astype(np.int64))})
-        if out.num_rows <= k:
-            return out
-        idx = pc.sort_indices(out, sort_keys=[("h", "ascending"),
-                                              ("doc_id", "ascending")])
-        return out.take(idx[:k])
+        return pa.array(u.astype(np.int64))
 
-    cand_tbls = list(ds.map_batches(key, batch_format="pyarrow")
-                     .iter_batches(batch_format="pyarrow", batch_size=None))
-    cand = pa.concat_tables(cand_tbls, promote_options="default") if cand_tbls \
-        else pa.table({"doc_id": pa.array([], pa.int64()),
-                       "h": pa.array([], pa.int64())})
-    idx = pc.sort_indices(cand, sort_keys=[("h", "ascending"),
-                                           ("doc_id", "ascending")])
-    return cand.take(idx[:k]).select(["doc_id"])
+    return _bottom_k_docs(ds, key, k, pa.int64())
 
 
 def doc_uniform_sample_sql(k: int = 100) -> str:
@@ -1345,27 +1358,14 @@ def q_doc_weighted_sample(sf_dir: str, k: int = 100, ds=None):
     reproduces the ordering bit-for-bit."""
     ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
 
-    def key(t: pa.Table) -> pa.Table:
+    def key(t: pa.Table) -> pa.Array:
         ids = t["doc_id"].to_numpy().astype(np.uint64) % np.uint64(2**31)
         u = (ids * np.uint64(_WSAMPLE_MULT)) % np.uint64(_SPLIT_MOD)
         w = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
         w = np.maximum(w.astype(np.int64), 1)
-        out = pa.table({"doc_id": t["doc_id"],
-                        "key": pa.array(u.astype(np.float64) / w)})
-        if out.num_rows <= k:
-            return out
-        idx = pc.sort_indices(out, sort_keys=[("key", "ascending"),
-                                              ("doc_id", "ascending")])
-        return out.take(idx[:k])
+        return pa.array(u.astype(np.float64) / w)
 
-    cand_tbls = list(ds.map_batches(key, batch_format="pyarrow")
-                     .iter_batches(batch_format="pyarrow", batch_size=None))
-    cand = pa.concat_tables(cand_tbls, promote_options="default") if cand_tbls \
-        else pa.table({"doc_id": pa.array([], pa.int64()),
-                       "key": pa.array([], pa.float64())})
-    idx = pc.sort_indices(cand, sort_keys=[("key", "ascending"),
-                                           ("doc_id", "ascending")])
-    return cand.take(idx[:k]).select(["doc_id"])
+    return _bottom_k_docs(ds, key, k, pa.float64())
 
 
 def doc_weighted_sample_sql(k: int = 100) -> str:
@@ -1621,6 +1621,10 @@ def q_lsh_bucket_stats(sf_dir: str, ds=None):
     hist = (sizes.map_batches(size_counts, batch_format="pyarrow")
             .groupby(["band", "size"]).aggregate(Sum("n", alias_name="n"))
             .to_pandas())
+    cols = ["band", "n_buckets", "n_rows", "p50_size", "p99_size",
+            "max_size", "n_over_cap"]
+    if "band" not in hist.columns:  # empty corpus -> column-less to_pandas()
+        return pd.DataFrame(columns=cols).astype(np.int64)
 
     rows = []
     for band, g in hist.groupby("band"):

@@ -1394,9 +1394,9 @@ def q_grouped_quantiles_sketch(sf_dir: str, k: int = 4096):
                ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
 
     def bottom_k(t: pa.Table) -> pa.Table:
-        h = H.hash_u64_pair(
+        h = H.bitcast_u64_to_i64(H.hash_u64_pair(
             t["l_orderkey"].to_numpy().astype(np.uint64),
-            t["l_linenumber"].to_numpy().astype(np.uint64)).astype(np.int64)
+            t["l_linenumber"].to_numpy().astype(np.uint64)))
         flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
         v = t["l_extendedprice"].to_numpy()
         order = np.lexsort((h, flags))

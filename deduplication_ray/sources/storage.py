@@ -67,8 +67,14 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs) -> ray.dat
     fmt = _detect_format(path)
     if fmt == "parquet":
         return ray.data.read_parquet(path, columns=columns, **kwargs)
+    # CSV/JSON readers take no filter kwarg; apply the same expression right
+    # after the read so every pipeline stays format-interchangeable (the
+    # predicate just can't skip storage bytes on row-oriented formats)
+    flt = kwargs.pop("filter", None)
     ds = (ray.data.read_csv(path, **kwargs) if fmt == "csv"
           else ray.data.read_json(path, **kwargs))
+    if flt is not None:
+        ds = ds.map_batches(lambda t: t.filter(flt), batch_format="pyarrow")
     return ds.select_columns(columns) if columns else ds
 
 

@@ -108,3 +108,28 @@ def test_read_table_csv_and_json_sources(ray_session, tmp_path):
         got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert len(got) == len(ref)
         assert list(got.columns) == ["doc_id", "text"]
+
+
+def test_read_table_filter_kwarg_all_formats(ray_session, tmp_path):
+    """The `filter=` pushdown kwarg works for parquet (scan-level) AND for
+    CSV/JSON (applied post-read), including predicates on non-projected
+    columns — format interchangeability holds for filtered reads."""
+    import duckdb
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.sources import storage
+
+    src_path = "/root/testdata/sf0.001/documents.parquet"
+    src = pq.read_table(src_path)
+    expected = sorted(r["doc_id"] for r in src.to_pylist() if r["doc_id"] > 250)
+    base = str(tmp_path)
+    con = duckdb.connect()
+    con.register("t", src)
+    con.execute(f"COPY t TO '{base}/documents.csv' (HEADER)")
+    con.execute(f"COPY t TO '{base}/documents.jsonl' (FORMAT JSON)")
+    for path in (src_path, f"{base}/documents.csv", f"{base}/documents.jsonl"):
+        ds = storage.read_table(path, columns=["doc_id"],
+                                filter=(pc.field("doc_id") > 250))
+        got = sorted(ds.to_pandas()["doc_id"].tolist())
+        assert got == expected, path

@@ -16,7 +16,10 @@ texts = st.lists(
 def _py_tokens(s: str) -> list[str]:
     import re
 
-    return re.split(r"\s+", s.strip().lower())
+    # strip SPACES only, mirroring DuckDB trim() (which the Arrow kernel
+    # now matches exactly — leading \t\n produce an empty first token on
+    # both engines)
+    return re.split(r"\s+", s.strip(" ").lower())
 
 
 @settings(max_examples=200, deadline=None)
