@@ -36,6 +36,16 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None,
                               **kwargs)
 
 
+def _collect_int_column(ds: ray.data.Dataset, col: str) -> np.ndarray:
+    """Driver collect of one int64 column of a BOUNDED dataset. Empty-safe:
+    ``Dataset.to_pandas()`` on zero rows returns a COLUMN-LESS frame (schema
+    loss), which a plain ``df[col]`` turns into a KeyError."""
+    df = ds.select_columns([col]).to_pandas()
+    if col not in df.columns:
+        return np.empty(0, dtype=np.int64)
+    return df[col].to_numpy()
+
+
 # ---------------------------------------------------------------- groupby-agg
 
 def q1_pricing_summary(sf_dir: str):
@@ -353,9 +363,9 @@ def q_semi_join(sf_dir: str):
 
     # distributed distinct BEFORE the collect: the driver only ever sees the
     # bounded set of distinct hot customers, not the raw filtered stream
-    distinct = hot.map_batches(f, batch_format="pyarrow") \
-        .groupby("o_custkey").aggregate(Count(alias_name="_n")) \
-        .select_columns(["o_custkey"]).to_pandas()["o_custkey"].to_numpy()
+    distinct = _collect_int_column(
+        hot.map_batches(f, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Count(alias_name="_n")), "o_custkey")
     keys_arr = np.sort(distinct.astype(np.int64)) if len(distinct) \
         else np.array([-1], dtype=np.int64)
     ref = ray.put(keys_arr)
@@ -666,9 +676,9 @@ def q_anti_join(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         return t.select(["o_custkey"])
 
-    distinct = urgent.map_batches(f, batch_format="pyarrow") \
-        .groupby("o_custkey").aggregate(Count(alias_name="_n")) \
-        .select_columns(["o_custkey"]).to_pandas()["o_custkey"].to_numpy()
+    distinct = _collect_int_column(
+        urgent.map_batches(f, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Count(alias_name="_n")), "o_custkey")
     keys_arr = np.sort(distinct.astype(np.int64)) if len(distinct) \
         else np.array([-1], dtype=np.int64)
     ref = ray.put(keys_arr)

@@ -153,10 +153,22 @@ def lookup_join(
             else:
                 schema = lookup.schema()
                 arrow_schema = getattr(schema, "base_schema", None)
-                if arrow_schema is None:
+                if arrow_schema is None and schema is not None:
                     arrow_schema = pa.schema(
                         [pa.field(nm, tp) for nm, tp in zip(schema.names, schema.types)]
                     )
+                if arrow_schema is None:
+                    # a FULLY empty dataset can lose its schema entirely
+                    # (Dataset.schema() -> None); the join keys' types are
+                    # still known from the probe side, and an all-empty
+                    # lookup contributes no other columns to the output
+                    left = getattr(ds.schema(), "base_schema", None)
+                    if left is None:
+                        # BOTH sides schema-less empty: the join of nothing
+                        # with nothing is the (empty) probe side
+                        return ds
+                    arrow_schema = pa.schema(
+                        [left.field(c) for c in on])
                 small = arrow_schema.empty_table()
         else:
             join_type = "inner" if how == "inner" else "left_outer"

@@ -527,3 +527,38 @@ def test_bloom_filter_properties():
     for p in parts[1:]:
         merged = np.bitwise_or(merged, p)
     assert (merged == whole).all()
+
+
+def test_queries_survive_empty_tables(ray_session, tmp_path):
+    """Zero-row inputs (with real schemas) must flow through representative
+    operators without raising — the first failure mode of a resumed run
+    whose filter killed every row of a partition."""
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.pipelines import docops, relational as R
+
+    empty_sf = str(tmp_path / "sf_empty")
+    import os
+
+    os.makedirs(empty_sf)
+    for t in TABLES:
+        src = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(src.slice(0, 0), f"{empty_sf}/{t}.parquet")
+
+    for name, fn in [
+        ("q1", R.q1_pricing_summary),
+        ("filter_agg", R.q_filter_agg),
+        ("semi_join", R.q_semi_join),
+        ("semi_join_bloom", R.q_semi_join_bloom),
+        ("grouped_quantiles_sketch", R.q_grouped_quantiles_sketch),
+        ("doc_stats", docops.q_doc_stats),
+        ("doc_uniform_sample", docops.q_doc_uniform_sample),
+        ("doc_weighted_sample", docops.q_doc_weighted_sample),
+        ("doc_token_estimate", docops.q_doc_token_estimate),
+        ("doc_fuzzy_decontaminate", docops.q_doc_fuzzy_decontaminate),
+        ("top_terms_sketch", docops.q_top_terms_sketch),
+        ("lsh_bucket_stats", docops.q_lsh_bucket_stats),
+    ]:
+        out = fn(empty_sf)
+        df = _to_pandas(out)
+        assert len(df) == 0, (name, len(df))
