@@ -91,3 +91,26 @@ def test_quality_score_ranges():
     arr = pa.array(DOCS + [""])
     q = T.quality_score(arr)
     assert ((q >= 0) & (q <= 1)).all()
+
+
+def test_text_dedup_partition_determinism(ray_session):
+    """The full text near-dup engine yields IDENTICAL cluster assignments
+    under different partition counts and input layouts — block boundaries
+    are arbitrary on a real cluster, so any partition-sensitivity is a bug."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+    from deduplication_ray.sources import storage
+
+    def run(num_partitions, repart):
+        ds = storage.read_table("/root/testdata/sf0.001/documents.parquet",
+                                columns=["doc_id", "text"])
+        if repart:
+            ds = ds.repartition(repart)
+        out = text_dedup_clusters(
+            ds, DedupConfig(num_partitions=num_partitions, sa_batch_size=1024))
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    a = run(4, None)
+    b = run(13, 7)
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
