@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup operators (SQL-checked where exact)
         "exact_dedup_docs": R.q_exact_dedup_docs,
         "dedup_keep_first": R.q_dedup_keep_first,
+        "dedup_keep_first_index": R.q_dedup_keep_first_index,
         "doc_stats": docops.q_doc_stats,
         "charset_jaccard_pairs": docops.q_charset_jaccard_pairs,
         "events_asof_orders": R.q_events_asof_orders,
@@ -292,6 +293,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": docops.doc_langid_sql(),
         "exact_dedup_docs": R.Q_EXACT_DEDUP_DOCS_SQL,
         "dedup_keep_first": R.Q_DEDUP_KEEP_FIRST_SQL,
+        # live-actor index path, deterministic final state -> same oracle
+        "dedup_keep_first_index": R.Q_DEDUP_KEEP_FIRST_SQL,
         "doc_stats": docops.Q_DOC_STATS_SQL,
         "charset_jaccard_pairs": docops.Q_CHARSET_JACCARD_SQL,
         "ann_topk": ann.ann_topk_sql(),

@@ -1501,3 +1501,16 @@ def q_semi_join_bloom(sf_dir: str, n_bits: int = 1 << 20):
         on=["c_custkey"], cfg=cfg)
     return confirmed.groupby("c_nationkey").aggregate(
         Count(alias_name="n_customers"))
+
+
+def q_dedup_keep_first_index(sf_dir: str):
+    """``dedup_keep_first`` computed through the live SHARED MUTABLE INDEX
+    (``state/index.py``) instead of groupby-min: the raw-actor pattern for
+    semantics the Dataset API can't express (probing mid-stream). Final
+    index state is deterministic (commutative min updates), so this is
+    SQL-checked against the SAME oracle as the groupby plan."""
+    from deduplication_ray.state.index import dedup_index_keep_min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = dedup_index_keep_min(ds, "text", "doc_id")
+    return t.select(["id"]).rename_columns(["doc_id"])

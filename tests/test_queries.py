@@ -67,7 +67,7 @@ SQL_CHECKED = [
     "embedding_dup_clusters",
     "events_props_agg", "doc_pack_sequences", "revenue_by_nation",
     "doc_uniform_sample", "doc_weighted_sample", "doc_fuzzy_decontaminate",
-    "doc_token_estimate", "semi_join_bloom",
+    "doc_token_estimate", "semi_join_bloom", "dedup_keep_first_index",
 ]
 
 
@@ -562,3 +562,26 @@ def test_queries_survive_empty_tables(ray_session, tmp_path):
         out = fn(empty_sf)
         df = _to_pandas(out)
         assert len(df) == 0, (name, len(df))
+
+
+def test_dedup_index_streaming_gate(ray_session):
+    """The live index's probe_and_insert reports prior membership (the
+    ingest-gate semantics no groupby can provide) and keeps min ids under
+    out-of-order arrival."""
+    import numpy as np
+
+    from deduplication_ray.state.index import DedupIndexShard
+
+    shard = DedupIndexShard.remote()
+    import ray as _ray
+
+    keys = np.array([10, 20, 30], dtype=np.int64)
+    seen1 = _ray.get(shard.probe_and_insert.remote(keys, np.array([5, 6, 7])))
+    assert not seen1.any()
+    # re-probe same keys with a LOWER id for key 20 and a new key
+    seen2 = _ray.get(shard.probe_and_insert.remote(
+        np.array([20, 40], dtype=np.int64), np.array([2, 9])))
+    assert list(seen2) == [True, False]
+    dump = _ray.get(shard.dump.remote()).to_pydict()
+    state = dict(zip(dump["key"], dump["id"]))
+    assert state == {10: 5, 20: 2, 30: 7, 40: 9}
