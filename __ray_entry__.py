@@ -101,6 +101,42 @@ def _img_incremental_query(sf_dir: str):
     return storage.read_table(f"{inc_run}/clusters")
 
 
+def _text_incremental_query(sf_dir: str):
+    """Incremental TEXT ingest: dedup a documents delta (doc_id % 4 == 0 of
+    sf0.001) against a checkpointed base text run via
+    ``ingest_delta(mode='text')``; returns the full clusters table.
+    Rows-only check; exact equality with a from-scratch run is asserted in
+    tests/test_incremental.py::test_text_ingest_matches_full_run."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import ingest_delta
+    from deduplication_ray.pipelines.text_dedup import run_text_pipeline
+    from deduplication_ray.sources import storage
+
+    cfg = DedupConfig(num_partitions=8, sa_batch_size=1024)
+    root = f"/tmp/dedup_ray_txtinc_{cfg.config_hash()}"
+    if not os.path.exists(f"{root}/full_written"):
+        src = pq.read_table("/root/testdata/sf0.001/documents.parquet") \
+            .select(["doc_id", "text"])
+        is_delta = pc.equal(pc.bit_wise_and(src["doc_id"], 3), 0)
+        for name, t in (("base", src.filter(pc.invert(is_delta))),
+                        ("delta", src.filter(is_delta))):
+            os.makedirs(f"{root}/{name}", exist_ok=True)
+            step = (t.num_rows + 3) // 4
+            for i in range(4):
+                pq.write_table(t.slice(i * step, step),
+                               f"{root}/{name}/part-{i}.parquet")
+        open(f"{root}/full_written", "w").close()
+    run_text_pipeline(f"{root}/base", f"{root}/base_run", cfg)
+    ingest_delta(f"{root}/base_run", f"{root}/base", f"{root}/delta",
+                 f"{root}/inc_run", cfg, mode="text")
+    return storage.read_table(f"{root}/inc_run/clusters")
+
+
 def _video_fixture_query(sf_dir: str):
     """Video near-dup pipeline (frame-sampled pHash -> LSH -> union-find) on
     the deterministic VSQ1 clip fixture. Rows-only check (iterative
@@ -233,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_clusters": lambda sf: ann.embedding_dup_clusters(sf),
         "image_dedup_clusters": _img_fixture_query,
         "image_dedup_incremental": _img_incremental_query,
+        "text_dedup_incremental": _text_incremental_query,
         "video_dedup_clusters": _video_fixture_query,
         "audio_dedup_clusters": _audio_fixture_query,
     }

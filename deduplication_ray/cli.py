@@ -80,6 +80,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="prior input table dir(s), comma-separated")
     s.add_argument("--delta-input", required=True, help="delta parquet table dir")
     s.add_argument("--out", required=True, help="run dir for the ingest")
+    s.add_argument("--mode", choices=("image", "text"), default="image",
+                   help="'text' ingests (doc_id, text) tables against a "
+                        "run_text_pipeline base")
     s.add_argument("--num-cpus", type=int, default=None)
     for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
               "bucket_cap", "substring_min_len", "num_partitions"):
@@ -198,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
         metrics = ingest_delta(args.base_run.split(","),
                                args.base_input.split(","),
                                args.delta_input, args.out,
-                               _cfg_from_args(args))
+                               _cfg_from_args(args), mode=args.mode)
         print(json.dumps(metrics))
         ray.shutdown()
         return 0

@@ -126,6 +126,7 @@ def ingest_delta(
     delta_input_path: str,
     out_run_dir: str,
     cfg: DedupConfig | None = None,
+    mode: str = "image",
 ) -> dict:
     """Dedup ``delta_input_path`` against the finished base run; write a full
     clusters table (base + delta ids) under ``out_run_dir``. Returns stage
@@ -137,7 +138,14 @@ def ingest_delta(
     and every prior input dir. Base signatures are the UNION of the prior
     runs' signature checkpoints (each delta's signatures were written by
     its own ingest, so nothing is ever recomputed); base clusters come from
-    the MOST RECENT run, whose clusters table already covers all prior ids."""
+    the MOST RECENT run, whose clusters table already covers all prior ids.
+
+    ``mode``: 'image' (default — full pixel+caption engine) or 'text'
+    ((doc_id, text) tables deduplicated by the caption-only engine; base
+    runs come from ``text_dedup.run_text_pipeline``). Mode only changes
+    the signature function, the exact-dup key (single cap_hash vs the
+    128-bit (ck1, ck2) content pair) and the verification families — the
+    delta-bounding machinery is identical."""
     from deduplication_ray.pipelines.image_dedup import (
         compute_signatures, finalize_clusters)
     from deduplication_ray.stages.tuning import apply_context_tuning
@@ -145,6 +153,40 @@ def ingest_delta(
     cfg = cfg or DedupConfig()
     apply_context_tuning()
     run = CheckpointedRun(out_run_dir, cfg)
+
+    if mode == "text":
+        from deduplication_ray.pipelines.text_dedup import (
+            as_engine_table, text_signatures)
+
+        def sig_fn(path):
+            ds = storage.read_table(path, columns=["doc_id", "text"])
+            return text_signatures(as_engine_table(ds), cfg,
+                                   "image_id", "caption")
+
+        def caps_of(path):
+            return as_engine_table(
+                storage.read_table(path, columns=["doc_id", "text"]))
+
+        exact_key = ("cap_hash",)
+        attach_cols = ["minhash"]
+        has_pixels = False
+    else:
+        def sig_fn(path):
+            return compute_signatures(storage.read_table(path), cfg)
+
+        def caps_of(path):
+            return storage.read_table(path, columns=["image_id", "caption"])
+
+        exact_key = ("ck1", "ck2")
+        attach_cols = None
+        has_pixels = True
+
+    def exact_key_u64(t: pa.Table) -> np.ndarray:
+        if len(exact_key) == 2:
+            return H.hash_u64_pair(
+                t[exact_key[0]].to_numpy().view(np.uint64),
+                t[exact_key[1]].to_numpy().view(np.uint64))
+        return t[exact_key[0]].to_numpy().view(np.uint64)
 
     base_runs = ([base_run_dir] if isinstance(base_run_dir, str)
                  else list(base_run_dir))
@@ -170,19 +212,17 @@ def ingest_delta(
 
     delta_sigs = run.run_stage(
         "signatures",
-        lambda: compute_signatures(storage.read_table(delta_input_path), cfg),
+        lambda: sig_fn(delta_input_path),
         ["input"],
     )
 
     def delta_caps() -> ray.data.Dataset:
-        return storage.read_table(delta_input_path,
-                                  columns=["image_id", "caption"])
+        return caps_of(delta_input_path)
 
     def base_caps() -> ray.data.Dataset:
-        ds = storage.read_table(base_inputs[0],
-                                columns=["image_id", "caption"])
+        ds = caps_of(base_inputs[0])
         for p in base_inputs[1:]:
-            ds = ds.union(storage.read_table(p, columns=["image_id", "caption"]))
+            ds = ds.union(caps_of(p))
         return ds
 
     def build_and_verify() -> ray.data.Dataset:
@@ -194,15 +234,13 @@ def ingest_delta(
         # exact family, delta-bounded too: only base rows whose 128-bit
         # content key matches some delta row enter the ck groupby
         delta_lean = pa.concat_tables(
-            list(delta_sigs.select_columns(["image_id", "ck1", "ck2"])
+            list(delta_sigs.select_columns(["image_id", *exact_key])
                  .iter_batches(batch_format="pyarrow", batch_size=None)),
             promote_options="default")
         delta_ids = pc.unique(
             delta_lean["image_id"].combine_chunks().cast(pa.string()))
         ids_ref = ray.put(delta_ids)
-        dck = np.unique(H.hash_u64_pair(
-            delta_lean["ck1"].to_numpy().view(np.uint64),
-            delta_lean["ck2"].to_numpy().view(np.uint64)))
+        dck = np.unique(exact_key_u64(delta_lean))
         ck_ref = ray.put(dck)
 
         class MatchingCk:
@@ -215,15 +253,15 @@ def ingest_delta(
                 ks = self._keys
                 if t.num_rows == 0 or len(ks) == 0:
                     return t.slice(0, 0)
-                k = H.hash_u64_pair(t["ck1"].to_numpy().view(np.uint64),
-                                    t["ck2"].to_numpy().view(np.uint64))
+                k = exact_key_u64(t)
                 pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
                 return t.filter(pa.array(ks[pos] == k))
 
         base_ck_hits = base_sigs.map_batches(MatchingCk(),
                                              batch_format="pyarrow")
         edges = lsh.edges_from_buckets(db.union(bb), cfg).union(
-            lsh.exact_edges(delta_sigs.union(base_ck_hits), cfg))
+            lsh.exact_edges(delta_sigs.union(base_ck_hits), cfg,
+                            key=exact_key))
         deduped = lsh.dedupe_edges(edges)
 
         class TouchesDelta:
@@ -242,8 +280,8 @@ def ingest_delta(
 
         cand = deduped.map_batches(TouchesDelta(), batch_format="pyarrow")
         attached = verify.attach_signatures(
-            cand, delta_sigs.union(base_sigs), cfg)
-        return verify.verify_edges(attached, cfg, has_pixels=True)
+            cand, delta_sigs.union(base_sigs), cfg, cols=attach_cols)
+        return verify.verify_edges(attached, cfg, has_pixels=has_pixels)
 
     vedges = run.run_stage("verified_edges", build_and_verify, ["signatures"])
 

@@ -109,3 +109,90 @@ def text_dedup_clusters(
         return pa.table({"doc_id": t["image_id"], "cluster_id": lab})
 
     return j.map_batches(fill, batch_format="pyarrow")
+
+
+def as_engine_table(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text") -> ray.data.Dataset:
+    """(id, text) table -> the engine's canonical (image_id, caption) shape,
+    so the checkpoint/incremental machinery (written against the canonical
+    columns) runs unchanged over documents."""
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table({"image_id": t[id_col].cast(pa.string()),
+                         "caption": t[text_col]})
+
+    return ds.map_batches(rn, batch_format="pyarrow")
+
+
+def run_text_pipeline(input_path: str, run_dir: str,
+                      cfg: DedupConfig | None = None,
+                      id_col: str = "doc_id", text_col: str = "text") -> dict:
+    """Checkpointed text dedup run: same DAG as ``text_dedup_clusters`` but
+    every stage persists under ``run_dir`` with lineage (signatures,
+    verified_edges, union-find rounds, clusters) — a killed run resumes, and
+    the signature/cluster checkpoints feed
+    ``incremental.ingest_delta(mode='text')`` exactly like the image run's
+    feed the image ingest. Returns stage metrics."""
+    from deduplication_ray.pipelines.image_dedup import (
+        checkpointed_components, finalize_clusters)
+    from deduplication_ray.sources import storage
+    from deduplication_ray.stages.tuning import apply_context_tuning
+    from deduplication_ray.state.checkpoint import CheckpointedRun
+
+    cfg = cfg or DedupConfig()
+    apply_context_tuning()
+    run = CheckpointedRun(run_dir, cfg)
+
+    def caps() -> ray.data.Dataset:
+        return as_engine_table(
+            storage.read_table(input_path, columns=[id_col, text_col]),
+            id_col, text_col)
+
+    sigs = run.run_stage(
+        "signatures",
+        lambda: text_signatures(caps(), cfg, "image_id", "caption"),
+        ["input"])
+
+    def build() -> ray.data.Dataset:
+        ds = caps()
+        buckets = sigs.map_batches(lsh.ExplodeBands(cfg),
+                                   batch_format="pyarrow",
+                                   batch_size=cfg.text_batch_size)
+        from deduplication_ray.stages.substring import (
+            substring_buckets, suffix_array_edges)
+
+        buckets = buckets.union(substring_buckets(ds, cfg))
+        needs_verify = cfg.substring_rendezvous == "winnow"
+        edges = lsh.edges_from_buckets(buckets, cfg).union(
+            lsh.exact_edges(sigs, cfg, key=("cap_hash",)))
+        if cfg.use_suffix_array:
+            edges = edges.union(suffix_array_edges(ds, cfg))
+        edges = lsh.dedupe_edges(edges, keep_sc=needs_verify).materialize()
+        if needs_verify:
+            from deduplication_ray.stages.substring import (
+                split_and_verify_substring)
+
+            edges = split_and_verify_substring(edges, ds, cfg).materialize()
+        attached = verify.attach_signatures(edges, sigs, cfg, cols=["minhash"])
+        return verify.verify_edges(attached, cfg, has_pixels=False)
+
+    vedges = run.run_stage("verified_edges", build, ["signatures"])
+
+    if run.is_complete("clusters"):
+        labels = None
+    else:
+        labels = checkpointed_components(run, vedges.materialize(), cfg)
+
+    ids = sigs.select_columns(["image_id"])
+    run.run_stage("clusters",
+                  lambda: finalize_clusters(ids, labels, cfg), ["labels"])
+
+    metrics = {
+        "config_hash": cfg.config_hash(),
+        "stages_executed": run.executed,
+        "stages_resumed": run.skipped,
+        "stage_seconds": run.timings,
+    }
+    storage.write_manifest(run.run_dir, {"stage": "run", "complete": True,
+                                         "config_hash": cfg.config_hash(),
+                                         "metrics": metrics})
+    return metrics

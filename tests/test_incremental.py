@@ -141,3 +141,43 @@ def test_ingest_refuses_mismatched_base_config(ray_session, incremental_run,
     with pytest.raises(ValueError, match="cannot mix signature configs"):
         ingest_delta(BASE_RUN, SPLIT_BASE, SPLIT_DELTA,
                      "/tmp/dedup_ray_inc_badcfg", other)
+
+
+def test_text_ingest_matches_full_run(ray_session, tmp_path):
+    """mode='text': a text delta ingested against a checkpointed text base
+    run yields EXACTLY the clusters of a from-scratch run over base+delta,
+    and the ingest's signature stage is delta-bounded."""
+    import pyarrow.compute as pc
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import ingest_delta
+    from deduplication_ray.pipelines.text_dedup import run_text_pipeline
+    from deduplication_ray.sources import storage
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet") \
+        .select(["doc_id", "text"])
+    is_delta = pc.equal(pc.bit_wise_and(src["doc_id"], 3), 0)
+    parts = {"base": src.filter(pc.invert(is_delta)),
+             "delta": src.filter(is_delta), "full": src}
+    for name, t in parts.items():
+        d = tmp_path / name
+        os.makedirs(d)
+        step = (t.num_rows + 3) // 4
+        for i in range(4):
+            pq.write_table(t.slice(i * step, step), f"{d}/part-{i}.parquet")
+
+    cfg = DedupConfig(num_partitions=8, sa_batch_size=1024)
+    run_text_pipeline(str(tmp_path / "base"), str(tmp_path / "base_run"), cfg)
+    metrics = ingest_delta(str(tmp_path / "base_run"), str(tmp_path / "base"),
+                           str(tmp_path / "delta"), str(tmp_path / "inc_run"),
+                           cfg, mode="text")
+    run_text_pipeline(str(tmp_path / "full"), str(tmp_path / "full_run"), cfg)
+
+    inc = storage.read_table(f"{tmp_path}/inc_run/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    full = storage.read_table(f"{tmp_path}/full_run/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert (inc["image_id"].values == full["image_id"].values).all()
+    assert (inc["cluster_id"].values == full["cluster_id"].values).all()
+    # delta-bounded: the ingest signature checkpoint holds ONLY delta rows
+    assert metrics["rows"]["signatures"] == parts["delta"].num_rows
