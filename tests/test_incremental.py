@@ -181,3 +181,43 @@ def test_text_ingest_matches_full_run(ray_session, tmp_path):
     assert (inc["cluster_id"].values == full["cluster_id"].values).all()
     # delta-bounded: the ingest signature checkpoint holds ONLY delta rows
     assert metrics["rows"]["signatures"] == parts["delta"].num_rows
+
+
+def test_chained_text_ingest_matches_full_run(ray_session, tmp_path):
+    """Day-2 text delta against [base run, day-1 ingest] equals the
+    from-scratch text run over all three slices."""
+    import pyarrow.compute as pc
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import ingest_delta
+    from deduplication_ray.pipelines.text_dedup import run_text_pipeline
+    from deduplication_ray.sources import storage
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet") \
+        .select(["doc_id", "text"])
+    mod = pc.bit_wise_and(src["doc_id"], 3)
+    parts = {"base": src.filter(pc.greater(mod, 1)),     # 2, 3
+             "d1": src.filter(pc.equal(mod, 0)),
+             "d2": src.filter(pc.equal(mod, 1)),
+             "full": src}
+    for name, t in parts.items():
+        d = tmp_path / name
+        os.makedirs(d)
+        step = (t.num_rows + 2) // 3
+        for i in range(3):
+            pq.write_table(t.slice(i * step, step), f"{d}/part-{i}.parquet")
+
+    cfg = DedupConfig(num_partitions=8, sa_batch_size=1024)
+    p = lambda n: str(tmp_path / n)  # noqa: E731
+    run_text_pipeline(p("base"), p("base_run"), cfg)
+    ingest_delta(p("base_run"), p("base"), p("d1"), p("run1"), cfg, mode="text")
+    ingest_delta([p("base_run"), p("run1")], [p("base"), p("d1")],
+                 p("d2"), p("run2"), cfg, mode="text")
+    run_text_pipeline(p("full"), p("full_run"), cfg)
+
+    inc = storage.read_table(f"{tmp_path}/run2/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    full = storage.read_table(f"{tmp_path}/full_run/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert (inc["image_id"].values == full["image_id"].values).all()
+    assert (inc["cluster_id"].values == full["cluster_id"].values).all()
