@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
         s = sub.add_parser(verb, help="execute (or resume) the dedup DAG")
         s.add_argument("--input", required=True, help="parquet table dir/file")
         s.add_argument("--out", required=True, help="run (checkpoint) dir")
+        s.add_argument("--mode", choices=("image", "text"), default="image",
+                       help="'text' runs the checkpointed caption-only "
+                            "engine over a (doc_id, text) table")
         s.add_argument("--num-cpus", type=int, default=None)
         for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
                   "bucket_cap", "substring_min_len", "num_partitions"):
@@ -178,6 +181,16 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd in ("run", "resume"):
         ray = _session(args.num_cpus)
+        if getattr(args, "mode", "image") == "text":
+            from deduplication_ray.pipelines.text_dedup import run_text_pipeline
+
+            # run_text_pipeline resumes by default; strict refusal semantics
+            # come from the checkpoint layer's config-hash guard either way
+            metrics = run_text_pipeline(args.input, args.out,
+                                        _cfg_from_args(args))
+            print(json.dumps(metrics))
+            ray.shutdown()
+            return 0
         from deduplication_ray.pipelines.image_dedup import run_pipeline
 
         metrics = run_pipeline(args.input, args.out, _cfg_from_args(args),
