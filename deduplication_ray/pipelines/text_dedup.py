@@ -191,6 +191,10 @@ def run_text_pipeline(input_path: str, run_dir: str,
         "stages_executed": run.executed,
         "stages_resumed": run.skipped,
         "stage_seconds": run.timings,
+        "rows": {
+            s: (storage.read_manifest(run.stage_dir(s)) or {}).get("rows")
+            for s in ("signatures", "verified_edges", "clusters")
+        },
     }
     storage.write_manifest(run.run_dir, {"stage": "run", "complete": True,
                                          "config_hash": cfg.config_hash(),
