@@ -184,10 +184,9 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "mode", "image") == "text":
             from deduplication_ray.pipelines.text_dedup import run_text_pipeline
 
-            # run_text_pipeline resumes by default; strict refusal semantics
-            # come from the checkpoint layer's config-hash guard either way
-            metrics = run_text_pipeline(args.input, args.out,
-                                        _cfg_from_args(args))
+            metrics = run_text_pipeline(
+                args.input, args.out, _cfg_from_args(args),
+                strict_resume=(args.cmd == "resume"))
             print(json.dumps(metrics))
             ray.shutdown()
             return 0

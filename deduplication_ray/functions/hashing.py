@@ -61,8 +61,14 @@ def popcount64(a: np.ndarray) -> np.ndarray:
         return ((x * h01) >> U64(56)).astype(np.int64)
 
 
-def hash_bytes_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+def hash_bytes_array(arr: pa.Array | pa.ChunkedArray,
+                     seed: int = 0) -> np.ndarray:
     """Content hash of an Arrow binary/string column -> u64 per row.
+
+    ``seed`` selects an independent member of the hash family (the mixed
+    seed perturbs every per-word hash BEFORE the splitmix finalizer, so
+    collisions at different seeds are uncorrelated); seed=0 is bit-identical
+    to the unseeded function. Two seeds give an effective 128-bit key.
 
     Zero-copy: reads the Arrow value buffer directly (no per-row Python
     bytes objects). This is the distributed replacement for the reference's
@@ -101,8 +107,10 @@ def hash_bytes_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         np.arange(len(words), dtype=np.int64)
         - np.repeat(word_starts[:-1], word_counts)
     ).astype(U64)
+    seed_mix = splitmix64(np.uint64(seed)) if seed else U64(0)
     with np.errstate(over="ignore"):
-        per_word = splitmix64((words + U64(1)) * _POLY_P + rel * _MIX2)
+        per_word = splitmix64(
+            (words + U64(1)) * _POLY_P + rel * _MIX2 + seed_mix)
     seg = np.zeros(n_rows, dtype=U64)
     nonempty = word_counts > 0
     if nonempty.any():

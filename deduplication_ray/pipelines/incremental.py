@@ -127,6 +127,8 @@ def ingest_delta(
     out_run_dir: str,
     cfg: DedupConfig | None = None,
     mode: str = "image",
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> dict:
     """Dedup ``delta_input_path`` against the finished base run; write a full
     clusters table (base + delta ids) under ``out_run_dir``. Returns stage
@@ -151,6 +153,18 @@ def ingest_delta(
     from deduplication_ray.stages.tuning import apply_context_tuning
 
     cfg = cfg or DedupConfig()
+    # the ingest edge plan reproduces the full run's edges ONLY for the
+    # default exact L-gram rendezvous: winnow candidates need the
+    # split_and_verify_substring pass and the opt-in suffix-array family is
+    # a whole extra edge source — neither is wired into the delta-bounded
+    # plan, and running anyway would SILENTLY drop clusters the full run
+    # finds. Refuse loudly instead (applies to both modes).
+    if cfg.substring_rendezvous != "grams" or cfg.use_suffix_array:
+        raise ValueError(
+            "incremental ingest supports the default exact-gram substring "
+            f"rendezvous only (got rendezvous={cfg.substring_rendezvous!r}, "
+            f"use_suffix_array={cfg.use_suffix_array}); run the full "
+            "pipeline for these configs")
     apply_context_tuning()
     run = CheckpointedRun(out_run_dir, cfg)
 
@@ -159,13 +173,14 @@ def ingest_delta(
             as_engine_table, text_signatures)
 
         def sig_fn(path):
-            ds = storage.read_table(path, columns=["doc_id", "text"])
-            return text_signatures(as_engine_table(ds), cfg,
-                                   "image_id", "caption")
+            ds = storage.read_table(path, columns=[id_col, text_col])
+            return text_signatures(as_engine_table(ds, id_col, text_col),
+                                   cfg, "image_id", "caption")
 
         def caps_of(path):
             return as_engine_table(
-                storage.read_table(path, columns=["doc_id", "text"]))
+                storage.read_table(path, columns=[id_col, text_col]),
+                id_col, text_col)
 
         exact_key = ("cap_hash",)
         attach_cols = ["minhash"]

@@ -16,7 +16,6 @@ import ray.data
 from deduplication_ray.config import DedupConfig
 from deduplication_ray.stages import lsh, verify
 from deduplication_ray.stages.signatures import CaptionSignatures
-from deduplication_ray.stages.substring import substring_edges
 from deduplication_ray.state import unionfind
 
 
@@ -39,6 +38,36 @@ def text_signatures(
     )
 
 
+
+def text_edge_dag(caps: "ray.data.Dataset", sigs: "ray.data.Dataset",
+                  cfg: DedupConfig) -> "ray.data.Dataset":
+    """The text candidate/verify DAG over a CANONICAL (image_id, caption)
+    table: MinHash band buckets + substring-gram buckets + cap_hash exact
+    stars (+ optional suffix-array edges), deduped, winnow-verified when
+    configured, signature-attached and Jaccard-verified. ONE implementation
+    shared by the lazy ``text_dedup_clusters`` and the checkpointed
+    ``run_text_pipeline`` so the two plans cannot drift."""
+    from deduplication_ray.stages.substring import (
+        substring_buckets, suffix_array_edges)
+
+    buckets = sigs.map_batches(lsh.ExplodeBands(cfg), batch_format="pyarrow",
+                               batch_size=cfg.text_batch_size)
+    buckets = buckets.union(substring_buckets(caps, cfg))
+    needs_verify = cfg.substring_rendezvous == "winnow"
+    edges = lsh.edges_from_buckets(buckets, cfg).union(
+        lsh.exact_edges(sigs, cfg, key=("cap_hash",)))
+    if cfg.use_suffix_array:
+        edges = edges.union(suffix_array_edges(caps, cfg))
+    edges = lsh.dedupe_edges(edges, keep_sc=needs_verify).materialize()
+    if needs_verify:
+        from deduplication_ray.stages.substring import (
+            split_and_verify_substring)
+
+        edges = split_and_verify_substring(edges, caps, cfg).materialize()
+    attached = verify.attach_signatures(edges, sigs, cfg, cols=["minhash"])
+    return verify.verify_edges(attached, cfg, has_pixels=False)
+
+
 def text_dedup_clusters(
     ds: ray.data.Dataset,
     cfg: DedupConfig | None = None,
@@ -51,39 +80,19 @@ def text_dedup_clusters(
     from deduplication_ray.stages.tuning import apply_context_tuning
 
     apply_context_tuning()
-    sigs = text_signatures(ds, cfg, id_col, text_col).materialize()
-    buckets = sigs.map_batches(
-        lsh.ExplodeBands(cfg), batch_format="pyarrow", batch_size=cfg.text_batch_size
-    )
-    extra = []
-    needs_verify = with_substring and cfg.substring_rendezvous == "winnow"
+    caps = as_engine_table(ds, id_col, text_col)
+    sigs = text_signatures(caps, cfg, "image_id", "caption").materialize()
     if with_substring:
-        from deduplication_ray.stages.substring import (
-            substring_buckets,
-            suffix_array_edges,
-        )
-
-        buckets = buckets.union(substring_buckets(ds, cfg, id_col, text_col))
-        if cfg.use_suffix_array:
-            extra.append(suffix_array_edges(ds, cfg, id_col, text_col))
-    edges = lsh.edges_from_buckets(buckets, cfg).union(
-        lsh.exact_edges(sigs, cfg, key=("cap_hash",))
-    )
-    for e in extra:
-        edges = edges.union(e)
-    # materialize before the candidate/rest split: two lazy consumers of
-    # the same Dataset re-execute the whole edge DAG (no common-subexpression
-    # reuse in Ray Data) — same fix as image_dedup.build_edges
-    edges = lsh.dedupe_edges(edges, keep_sc=needs_verify).materialize()
-    if needs_verify:
-        from deduplication_ray.stages.substring import split_and_verify_substring
-
-        # winnow minimizers prove only a k-char overlap; verify candidates
-        # by exact L-gram intersection before they count as 'substr'
-        edges = split_and_verify_substring(edges, ds, cfg, id_col, text_col).materialize()
-
-    attached = verify.attach_signatures(edges, sigs, cfg, cols=["minhash"])
-    vedges = verify.verify_edges(attached, cfg, has_pixels=False).materialize()
+        vedges = text_edge_dag(caps, sigs, cfg).materialize()
+    else:
+        edges = lsh.dedupe_edges(
+            lsh.edges_from_buckets(
+                sigs.map_batches(lsh.ExplodeBands(cfg),
+                                 batch_format="pyarrow",
+                                 batch_size=cfg.text_batch_size), cfg)
+            .union(lsh.exact_edges(sigs, cfg, key=("cap_hash",)))).materialize()
+        attached = verify.attach_signatures(edges, sigs, cfg, cols=["minhash"])
+        vedges = verify.verify_edges(attached, cfg, has_pixels=False).materialize()
 
     labels = unionfind.connected_components(vedges, cfg)
 
@@ -125,7 +134,8 @@ def as_engine_table(ds: ray.data.Dataset, id_col: str = "doc_id",
 
 def run_text_pipeline(input_path: str, run_dir: str,
                       cfg: DedupConfig | None = None,
-                      id_col: str = "doc_id", text_col: str = "text") -> dict:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      strict_resume: bool = False) -> dict:
     """Checkpointed text dedup run: same DAG as ``text_dedup_clusters`` but
     every stage persists under ``run_dir`` with lineage (signatures,
     verified_edges, union-find rounds, clusters) — a killed run resumes, and
@@ -140,7 +150,7 @@ def run_text_pipeline(input_path: str, run_dir: str,
 
     cfg = cfg or DedupConfig()
     apply_context_tuning()
-    run = CheckpointedRun(run_dir, cfg)
+    run = CheckpointedRun(run_dir, cfg, strict_resume=strict_resume)
 
     def caps() -> ray.data.Dataset:
         return as_engine_table(
@@ -153,27 +163,7 @@ def run_text_pipeline(input_path: str, run_dir: str,
         ["input"])
 
     def build() -> ray.data.Dataset:
-        ds = caps()
-        buckets = sigs.map_batches(lsh.ExplodeBands(cfg),
-                                   batch_format="pyarrow",
-                                   batch_size=cfg.text_batch_size)
-        from deduplication_ray.stages.substring import (
-            substring_buckets, suffix_array_edges)
-
-        buckets = buckets.union(substring_buckets(ds, cfg))
-        needs_verify = cfg.substring_rendezvous == "winnow"
-        edges = lsh.edges_from_buckets(buckets, cfg).union(
-            lsh.exact_edges(sigs, cfg, key=("cap_hash",)))
-        if cfg.use_suffix_array:
-            edges = edges.union(suffix_array_edges(ds, cfg))
-        edges = lsh.dedupe_edges(edges, keep_sc=needs_verify).materialize()
-        if needs_verify:
-            from deduplication_ray.stages.substring import (
-                split_and_verify_substring)
-
-            edges = split_and_verify_substring(edges, ds, cfg).materialize()
-        attached = verify.attach_signatures(edges, sigs, cfg, cols=["minhash"])
-        return verify.verify_edges(attached, cfg, has_pixels=False)
+        return text_edge_dag(caps(), sigs, cfg)
 
     vedges = run.run_stage("verified_edges", build, ["signatures"])
 

@@ -157,18 +157,28 @@ def lookup_join(
                     arrow_schema = pa.schema(
                         [pa.field(nm, tp) for nm, tp in zip(schema.names, schema.types)]
                     )
+                left = getattr(ds.schema(), "base_schema", None)
                 if arrow_schema is None:
                     # a FULLY empty dataset can lose its schema entirely
                     # (Dataset.schema() -> None); the join keys' types are
                     # still known from the probe side, and an all-empty
                     # lookup contributes no other columns to the output
-                    left = getattr(ds.schema(), "base_schema", None)
                     if left is None:
                         # BOTH sides schema-less empty: the join of nothing
                         # with nothing is the (empty) probe side
                         return ds
-                    arrow_schema = pa.schema(
-                        [left.field(c) for c in on])
+                    arrow_schema = pa.schema([left.field(c) for c in on])
+                # empty datasets can also report a STALE schema: a lazy
+                # rename_columns/Project over zero blocks is dropped, so the
+                # key columns may appear under their pre-rename names.
+                # Synthesize the missing key fields from the probe side (the
+                # stale-named leftovers become empty value columns, which the
+                # merge fills with nulls — harmless).
+                for c in on:
+                    if arrow_schema.get_field_index(c) == -1:
+                        if left is None:
+                            return ds
+                        arrow_schema = arrow_schema.append(left.field(c))
                 small = arrow_schema.empty_table()
         else:
             join_type = "inner" if how == "inner" else "left_outer"

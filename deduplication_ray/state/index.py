@@ -22,8 +22,9 @@ Design:
   this operator against the same DuckDB oracle as ``dedup_keep_first``.
 - Feeding happens inside ``map_batches``: each batch groups its keys by
   shard (vectorized) and fires at most one ``probe_and_insert`` per shard
-  per batch. Keys are the engine's 64-bit content hashes; ids travel as
-  int64. Text never reaches the index.
+  per batch. Keys are 128-bit content identities (two independent seeded
+  members of the payload-hash family); ids travel as int64. Text never
+  reaches the index.
 
 Partitioning assumption (documented per the brief): key->shard is pure
 hash math, so NO co-partitioning of the input is required; the cost model
@@ -53,22 +54,27 @@ class DedupIndexShard:
     def __init__(self):
         self.best: dict[int, int] = {}
 
-    def probe_and_insert(self, keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
-        """Insert (key, id) pairs, keeping the min id per key; returns the
-        pre-insert membership mask (True = key was already present), so an
-        ingest gate can admit/reject rows against everything seen so far."""
+    def probe_and_insert(self, k1: np.ndarray, k2: np.ndarray,
+                         ids: np.ndarray) -> np.ndarray:
+        """Insert ((k1, k2), id) pairs, keeping the min id per 128-bit key;
+        returns the pre-insert membership mask (True = key was already
+        present), so an ingest gate can admit/reject rows against everything
+        seen so far."""
         best = self.best
-        seen = np.empty(len(keys), dtype=bool)
-        for i, (k, v) in enumerate(zip(keys.tolist(), ids.tolist())):
-            cur = best.get(k)
+        seen = np.empty(len(ids), dtype=bool)
+        for i, (a, b, v) in enumerate(zip(k1.tolist(), k2.tolist(),
+                                          ids.tolist())):
+            cur = best.get((a, b))
             seen[i] = cur is not None
             if cur is None or v < cur:
-                best[k] = v
+                best[(a, b)] = v
         return seen
 
     def dump(self) -> pa.Table:
+        ks = list(self.best.keys())
         return pa.table({
-            "key": pa.array(list(self.best.keys()), pa.int64()),
+            "key1": pa.array([k[0] for k in ks], pa.int64()),
+            "key2": pa.array([k[1] for k in ks], pa.int64()),
             "id": pa.array(list(self.best.values()), pa.int64()),
         })
 
@@ -87,19 +93,19 @@ def dedup_index_keep_min(
     def feed(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"n": pa.array([], pa.int64())})
-        # content identity = the engine's standard 64-bit payload hash
-        # (hashing.hash_bytes_array — the memcmp analog); at index scale an
-        # exact deployment would widen to the 128-bit (ck1, ck2) pair the
-        # image pipeline ships
-        key = H.bitcast_u64_to_i64(H.hash_bytes_array(t[text_col]))
+        # content identity = TWO independent members of the engine's payload
+        # hash family (seeded hash_bytes_array) = an effective 128-bit key,
+        # the same exactness contract as the image pipeline's (ck1, ck2)
+        k1 = H.bitcast_u64_to_i64(H.hash_bytes_array(t[text_col]))
+        k2 = H.bitcast_u64_to_i64(H.hash_bytes_array(t[text_col], seed=1))
         ids = t[id_col].to_numpy()
-        shard_of = (key.view(np.uint64) % np.uint64(num_shards)).astype(np.int64)
+        shard_of = (k1.view(np.uint64) % np.uint64(num_shards)).astype(np.int64)
         pending = []
         for s in range(num_shards):
             m = shard_of == s
             if m.any():
                 pending.append(
-                    shards[s].probe_and_insert.remote(key[m], ids[m]))
+                    shards[s].probe_and_insert.remote(k1[m], k2[m], ids[m]))
         ray.get(pending)  # barrier per batch: updates are durable before ack
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 

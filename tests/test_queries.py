@@ -575,13 +575,15 @@ def test_dedup_index_streaming_gate(ray_session):
     shard = DedupIndexShard.remote()
     import ray as _ray
 
-    keys = np.array([10, 20, 30], dtype=np.int64)
-    seen1 = _ray.get(shard.probe_and_insert.remote(keys, np.array([5, 6, 7])))
+    k1 = np.array([10, 20, 30], dtype=np.int64)
+    k2 = -k1
+    seen1 = _ray.get(shard.probe_and_insert.remote(k1, k2, np.array([5, 6, 7])))
     assert not seen1.any()
     # re-probe same keys with a LOWER id for key 20 and a new key
     seen2 = _ray.get(shard.probe_and_insert.remote(
-        np.array([20, 40], dtype=np.int64), np.array([2, 9])))
+        np.array([20, 40], dtype=np.int64),
+        np.array([-20, -40], dtype=np.int64), np.array([2, 9])))
     assert list(seen2) == [True, False]
     dump = _ray.get(shard.dump.remote()).to_pydict()
-    state = dict(zip(dump["key"], dump["id"]))
-    assert state == {10: 5, 20: 2, 30: 7, 40: 9}
+    state = dict(zip(zip(dump["key1"], dump["key2"]), dump["id"]))
+    assert state == {(10, -10): 5, (20, -20): 2, (30, -30): 7, (40, -40): 9}

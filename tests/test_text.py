@@ -114,3 +114,33 @@ def test_text_dedup_partition_determinism(ray_session):
     b = run(13, 7)
     assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
     assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
+
+
+def test_text_dedup_all_unique_corpus(ray_session, tmp_path):
+    """A corpus with ZERO duplicate edges (every doc unique) must yield all
+    singletons through both the lazy and the checkpointed text pipelines —
+    regression: the empty labels dataset used to reach lookup_join with a
+    stale (pre-rename) schema and crash on the missing key column."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.text_dedup import (
+        run_text_pipeline, text_dedup_clusters)
+    from deduplication_ray.sources import storage
+
+    rng = np.random.RandomState(0)
+    texts = ["".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), 30))
+             for _ in range(40)]
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, f"{d}/part-0.parquet")
+    cfg = DedupConfig(num_partitions=4, sa_batch_size=1024)
+    out = text_dedup_clusters(storage.read_table(str(d)), cfg).to_pandas()
+    assert len(out) == 40
+    assert (out["doc_id"].astype(str).values == out["cluster_id"].values).all()
+    m = run_text_pipeline(str(d), str(tmp_path / "run"), cfg)
+    assert m["rows"] == {"signatures": 40, "verified_edges": 0, "clusters": 40}
