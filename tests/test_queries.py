@@ -558,6 +558,7 @@ def test_queries_survive_empty_tables(ray_session, tmp_path):
         ("doc_fuzzy_decontaminate", docops.q_doc_fuzzy_decontaminate),
         ("top_terms_sketch", docops.q_top_terms_sketch),
         ("lsh_bucket_stats", docops.q_lsh_bucket_stats),
+        ("doc_lsh_dedup", docops.q_doc_lsh_dedup),  # full text engine, 0 docs
     ]:
         out = fn(empty_sf)
         df = _to_pandas(out)
