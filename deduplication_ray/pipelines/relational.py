@@ -1514,3 +1514,135 @@ def q_dedup_keep_first_index(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     t = dedup_index_keep_min(ds, "text", "doc_id")
     return t.select(["id"]).rename_columns(["doc_id"])
+
+
+# ------------------------------------------- sketch verdict (driver-checkable)
+#
+# The three sketch queries above are approximate by design, so their raw
+# estimates cannot be value-hash-compared against exact SQL. These verdict
+# forms encode the tolerance check INTO the hash-match protocol: the Ray side
+# recomputes the exact answer (distributed; the exact pass exists only to
+# verify, the sketch is the production path) and emits (exact, within_bound)
+# rows; the oracle emits the same exact values with a constant TRUE. A sketch
+# drifting outside its proven error bound flips the boolean and fails the
+# driver's value-hash — the same bound pytest asserts, now driver-visible.
+
+def q_distinct_orderkeys_hll_check(sf_dir: str, p: int = 14,
+                                   tol: float = 0.03):
+    """HLL global COUNT(DISTINCT) verdict: one row
+    (exact_distinct, hll_within_3pct). Exact side = per-batch np.unique
+    partials -> groupby(count groups), fully distributed; the |est-exact|
+    comparison touches two scalars on the driver."""
+    est = int(q_distinct_orderkeys_hll(sf_dir, p=p)
+              .to_pandas()["distinct_est"].iloc[0])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"k": np.unique(t["l_orderkey"].to_numpy())})
+
+    exact = int(_read(sf_dir, "lineitem", ["l_orderkey"])
+                .map_batches(uniq, batch_format="pyarrow")
+                .groupby("k").count().count())
+    ok = abs(est - exact) <= tol * exact
+    return pd.DataFrame({"exact_distinct": [exact], "hll_within_3pct": [ok]})
+
+
+Q_DISTINCT_ORDERKEYS_HLL_CHECK_SQL = """
+SELECT count(DISTINCT l_orderkey) AS exact_distinct,
+       TRUE AS hll_within_3pct
+FROM lineitem
+"""
+
+
+def q_distinct_orders_per_flag_hll_check(sf_dir: str, p: int = 14,
+                                         tol: float = 0.03):
+    """Grouped-HLL verdict: per l_returnflag
+    (exact_distinct, hll_within_3pct). Exact side = per-batch unique
+    (flag, key) pairs -> two-key groupby dedupe -> per-flag count; both
+    shuffles are bounded by the true distinct cardinality."""
+    est = q_distinct_orders_per_flag_hll(sf_dir, p=p).to_pandas() \
+        .set_index("l_returnflag")["distinct_est"]
+
+    def uniq(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        keys = t["l_orderkey"].to_numpy()
+        order = np.lexsort((keys, flags))
+        f_s, k_s = flags[order], keys[order]
+        keep = np.concatenate([[True], (f_s[1:] != f_s[:-1])
+                               | (k_s[1:] != k_s[:-1])]) \
+            if len(f_s) else np.zeros(0, bool)
+        return pa.table({"l_returnflag": pa.array(f_s[keep]),
+                         "l_orderkey": pa.array(k_s[keep])})
+
+    exact = (_read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey"])
+             .map_batches(uniq, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_orderkey"]).count()
+             .groupby("l_returnflag")
+             .aggregate(Count(alias_name="exact_distinct"))
+             .to_pandas().set_index("l_returnflag")["exact_distinct"])
+    rows = []
+    for f in sorted(exact.index):
+        e = int(exact[f])
+        rows.append({"l_returnflag": f, "exact_distinct": e,
+                     "hll_within_3pct":
+                         f in est.index and abs(int(est[f]) - e) <= tol * e})
+    return pd.DataFrame(rows)
+
+
+Q_DISTINCT_ORDERS_PER_FLAG_HLL_CHECK_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_distinct,
+       TRUE AS hll_within_3pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_grouped_quantiles_sketch_check(sf_dir: str, k: int = 4096):
+    """Bottom-k quantile-sketch verdict: per l_returnflag
+    (p50_ok, p90_ok, p99_ok) — each TRUE iff the sketch estimate's TRUE rank
+    in the group sits within the O(1/sqrt(k)) band the sketch guarantees
+    (same bound tests/test_queries.py::test_grouped_quantile_sketch_rank_error
+    asserts). Rank side = broadcast the 3x3 estimate table, per-batch
+    vectorized <=-counts, Sum-aggregated per flag — raw values never leave
+    their blocks."""
+    est = q_grouped_quantiles_sketch(sf_dir, k=k)
+    est_map = {r["l_returnflag"]: (r["p50_est"], r["p90_est"], r["p99_est"])
+               for _, r in est.iterrows()}
+
+    def counts(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        v = t["l_extendedprice"].to_numpy()
+        out = {"l_returnflag": [], "n": [], "le50": [], "le90": [], "le99": []}
+        for f, (e50, e90, e99) in est_map.items():
+            g = v[flags == f]
+            out["l_returnflag"].append(f)
+            out["n"].append(len(g))
+            out["le50"].append(int((g <= e50).sum()))
+            out["le90"].append(int((g <= e90).sum()))
+            out["le99"].append(int((g <= e99).sum()))
+        return pa.table({k2: pa.array(vv) for k2, vv in out.items()})
+
+    agg = (_read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+           .map_batches(counts, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("le50", alias_name="le50"),
+                      Sum("le90", alias_name="le90"),
+                      Sum("le99", alias_name="le99"))
+           .to_pandas())
+    bound = 4 * np.sqrt(0.25 / k) + 0.01
+    rows = []
+    for _, r in agg.sort_values("l_returnflag").iterrows():
+        n = max(int(r["n"]), 1)
+        rows.append({
+            "l_returnflag": r["l_returnflag"],
+            "p50_ok": bool(abs(r["le50"] / n - 0.50) <= bound),
+            "p90_ok": bool(abs(r["le90"] / n - 0.90) <= bound),
+            "p99_ok": bool(abs(r["le99"] / n - 0.99) <= bound),
+        })
+    return pd.DataFrame(rows)
+
+
+Q_GROUPED_QUANTILES_SKETCH_CHECK_SQL = """
+SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+"""

@@ -68,6 +68,8 @@ SQL_CHECKED = [
     "events_props_agg", "doc_pack_sequences", "revenue_by_nation",
     "doc_uniform_sample", "doc_weighted_sample", "doc_fuzzy_decontaminate",
     "doc_token_estimate", "semi_join_bloom", "dedup_keep_first_index",
+    "distinct_orderkeys_hll", "distinct_orders_per_flag_hll",
+    "grouped_quantiles_sketch",
 ]
 
 
@@ -103,6 +105,19 @@ def test_query_matches_oracle(name, entry_mod, con):
     assert list(mine.columns) == list(oracle.columns)
     assert len(mine) == len(oracle)
     pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_registry_ordering_contract(entry_mod):
+    """The driver scores the FIRST 50 registered queries: every one of those
+    must be oracle-backed (a rows-only entry inside the window wastes a green
+    slot), and every oracle key must resolve to a registered query."""
+    qs, oq = list(entry_mod.queries()), entry_mod.oracle_sql()
+    assert len(qs) >= 50
+    assert [n for n in qs[:50] if n not in oq] == []
+    assert [n for n in oq if n not in entry_mod.queries()] == []
+    # rows-only entries all sit AFTER every oracle-backed entry
+    first_rows_only = next(i for i, n in enumerate(qs) if n not in oq)
+    assert all(n not in oq for n in qs[first_rows_only:])
 
 
 def test_rows_only_queries_execute(entry_mod):
