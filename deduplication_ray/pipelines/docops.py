@@ -355,21 +355,41 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
 
     score_col = f"{metric}_milli"
 
+    def _flat_u64(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+        """(flat uint64 grams, per-row counts) for a binary column whose rows
+        are u64-packed blobs — zero-copy views over the Arrow buffers. Every
+        blob is a multiple of 8 bytes by construction, so all value offsets
+        are 8-aligned and the data buffer reinterprets as uint64 directly."""
+        arr = col.combine_chunks()
+        off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+            arr.offset: arr.offset + len(arr) + 1]
+        buf = arr.buffers()[2]
+        u64 = np.frombuffer(buf, dtype=np.uint64, count=len(buf) // 8)
+        return (u64[offs[0] // 8: offs[-1] // 8],
+                ((offs[1:] - offs[:-1]) // 8).astype(np.int64))
+
     def check(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"src": pa.array([], pa.int64()),
                              "dst": pa.array([], pa.int64()),
                              score_col: pa.array([], pa.int64())})
-        gs = t["g_src"].to_pylist()
-        gd = t["g_dst"].to_pylist()
-        jac = np.empty(t.num_rows, dtype=np.float64)
-        for i in range(t.num_rows):  # per-PAIR set intersection
-            a = np.frombuffer(gs[i], dtype=np.uint64)
-            b = np.frombuffer(gd[i], dtype=np.uint64)
-            inter = len(np.intersect1d(a, b, assume_unique=True))
-            denom = (min(len(a), len(b)) if metric == "containment"
-                     else len(a) + len(b) - inter)
-            jac[i] = inter / max(denom, 1)
+        # whole-batch set intersection: flatten both sides to (pair_idx, gram)
+        # and count grams seen twice within a pair after ONE lexsort — each
+        # side's grams are unique per row, so a duplicate == an intersection
+        fa, la = _flat_u64(t["g_src"])
+        fb, lb = _flat_u64(t["g_dst"])
+        npairs = t.num_rows
+        idx = np.arange(npairs, dtype=np.int64)
+        pairs = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+        grams = np.concatenate([fa, fb])
+        order = np.lexsort((grams, pairs))
+        p_s, g_s = pairs[order], grams[order]
+        dup = (p_s[1:] == p_s[:-1]) & (g_s[1:] == g_s[:-1])
+        inter = np.bincount(p_s[1:][dup], minlength=npairs)
+        denom = (np.minimum(la, lb) if metric == "containment"
+                 else la + lb - inter)
+        jac = inter / np.maximum(denom, 1)
         keep = jac >= tau
         t = t.filter(pa.array(keep))
         # integer ids, src < dst NUMERICALLY (the oracle compares BIGINTs)

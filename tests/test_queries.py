@@ -107,6 +107,19 @@ def test_query_matches_oracle(name, entry_mod, con):
     pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
 
 
+def test_ngram_jaccard_lsh_path_matches_exact(ray_session):
+    """The sub-linear LSH candidate path (exact_limit=0) must score every
+    surviving pair IDENTICALLY to the all-pairs path — exercises the
+    zero-copy flat-u64 verify over blobs that crossed lookup_join."""
+    from deduplication_ray.pipelines import docops
+
+    exact = _to_pandas(docops.q_ngram_jaccard_pairs(SF_DIR)) \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    lsh = _to_pandas(docops.q_ngram_jaccard_pairs(SF_DIR, exact_limit=0)) \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, lsh, check_dtype=False)
+
+
 def test_registry_ordering_contract(entry_mod):
     """The driver scores the FIRST 50 registered queries: every one of those
     must be oracle-backed (a rows-only entry inside the window wastes a green
