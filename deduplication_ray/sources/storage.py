@@ -15,28 +15,104 @@ in one place — the API is format-agnostic).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import tempfile
-from typing import Any
+from typing import Any, Callable
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
 MANIFEST_NAME = "_manifest.json"
-FORMAT = "parquet"  # -> "lance" when pylance is available
+
+
+# ----------------------------------------------------------- format backends
+#
+# Every pipeline/checkpoint sink and source in the engine goes through
+# read_table/write_table below; which physical format they hit is decided
+# HERE and only here. ``FORMAT`` names the engine's NATIVE format — the one
+# checkpoints, stage outputs and sinks are written in. Swapping to Lance once
+# ``pylance`` is installable is one ``register_format("lance", ...)`` +
+# ``set_format("lance")``; tests/test_pipeline.py proves the isolation by
+# running the real checkpoint layer under a fake registered format.
+
+@dataclasses.dataclass(frozen=True)
+class FormatBackend:
+    """reader(path, columns=None, **kw) -> Dataset; writer(ds, path, **kw)
+    writes a directory of part files; extensions[0] is the extension the
+    writer produces (used for detection and part-file listing)."""
+    reader: Callable[..., ray.data.Dataset]
+    writer: Callable[..., None]
+    extensions: tuple[str, ...]
+
+
+def _post_prune(ds: ray.data.Dataset, columns, flt) -> ray.data.Dataset:
+    # row-oriented formats take no filter/columns pushdown kwargs; apply the
+    # same expression right after the read so every pipeline stays
+    # format-interchangeable (the predicate just can't skip storage bytes)
+    if flt is not None:
+        ds = ds.map_batches(lambda t: t.filter(flt), batch_format="pyarrow")
+    return ds.select_columns(columns) if columns else ds
+
+
+def _read_csv(path, columns=None, **kw):
+    flt = kw.pop("filter", None)
+    return _post_prune(ray.data.read_csv(path, **kw), columns, flt)
+
+
+def _read_json(path, columns=None, **kw):
+    flt = kw.pop("filter", None)
+    return _post_prune(ray.data.read_json(path, **kw), columns, flt)
+
+
+_BACKENDS: dict[str, FormatBackend] = {
+    "parquet": FormatBackend(
+        lambda path, columns=None, **kw:
+            ray.data.read_parquet(path, columns=columns, **kw),
+        lambda ds, path, **kw: ds.write_parquet(path, **kw),
+        (".parquet",)),
+    "csv": FormatBackend(
+        _read_csv, lambda ds, path, **kw: ds.write_csv(path, **kw), (".csv",)),
+    "json": FormatBackend(
+        _read_json, lambda ds, path, **kw: ds.write_json(path, **kw),
+        (".json", ".jsonl")),
+}
+
+FORMAT = "parquet"  # -> set_format("lance") when pylance is available
+
+
+def register_format(name: str, reader, writer, extensions) -> None:
+    """Plug in a table format (e.g. Lance: reader wrapping
+    ``ray.data.read_lance``, writer wrapping ``Dataset.write_lance``)."""
+    _BACKENDS[name] = FormatBackend(reader, writer, tuple(extensions))
+
+
+def set_format(name: str) -> None:
+    """Switch the engine's NATIVE format for all subsequent writes/reads."""
+    global FORMAT
+    if name not in _BACKENDS:
+        raise ValueError(
+            f"format {name!r} is not registered (have {sorted(_BACKENDS)}); "
+            "call register_format first — e.g. Lance needs pylance, which "
+            "is unavailable in this offline sandbox")
+    FORMAT = name
+
+
+def native_ext() -> str:
+    """Extension of the current native format's part files."""
+    return _BACKENDS[FORMAT].extensions[0]
 
 
 def _detect_format(path: str) -> str:
     """Format by extension: a file's own suffix, or — for a directory — the
-    MAJORITY suffix of its data files, with parquet (the engine's native
-    checkpoint format) winning any tie or mixture that includes it, so one
-    stray export.csv next to fifty part-*.parquet files cannot flip the
-    whole directory to CSV. Sidecars (_manifest.json, _metadata, hidden
-    files) are ignored."""
-    exts = {".parquet": "parquet", ".csv": "csv",
-            ".json": "json", ".jsonl": "json"}
+    MAJORITY suffix of its data files, with the NATIVE format winning any
+    tie or mixture that includes it, so one stray export.csv next to fifty
+    part-*.parquet files cannot flip the whole directory to CSV. Sidecars
+    (_manifest.json, _metadata, hidden files) are ignored. No recognizable
+    extension -> the native format."""
+    exts = {e: name for name, b in _BACKENDS.items() for e in b.extensions}
     if isinstance(path, (list, tuple)):
         path = path[0] if path else ""
     root, ext = os.path.splitext(path)
@@ -51,36 +127,28 @@ def _detect_format(path: str) -> str:
             if e in exts:
                 counts[exts[e]] = counts.get(exts[e], 0) + 1
         if counts:
-            if "parquet" in counts:
-                return "parquet"
+            if FORMAT in counts:
+                return FORMAT
             return max(counts, key=counts.get)
-    return "parquet"
+    return FORMAT
 
 
 def read_table(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
     """Dataset source with column pruning pushed to the read.
 
-    Format-dispatched by extension: Parquet (native; columns pruned at the
-    file read), CSV and JSON/JSONL (pruned by a projection right after the
-    read — those formats are row-oriented, so bytes are read either way).
-    Every pipeline in the engine accepts any of these interchangeably."""
-    fmt = _detect_format(path)
-    if fmt == "parquet":
-        return ray.data.read_parquet(path, columns=columns, **kwargs)
-    # CSV/JSON readers take no filter kwarg; apply the same expression right
-    # after the read so every pipeline stays format-interchangeable (the
-    # predicate just can't skip storage bytes on row-oriented formats)
-    flt = kwargs.pop("filter", None)
-    ds = (ray.data.read_csv(path, **kwargs) if fmt == "csv"
-          else ray.data.read_json(path, **kwargs))
-    if flt is not None:
-        ds = ds.map_batches(lambda t: t.filter(flt), batch_format="pyarrow")
-    return ds.select_columns(columns) if columns else ds
+    Backend-dispatched by extension: the native format prunes columns (and,
+    for Parquet/Lance, row filters) at the file read; CSV and JSON/JSONL are
+    pruned by a projection right after the read. Every pipeline in the
+    engine accepts any registered format interchangeably."""
+    return _BACKENDS[_detect_format(path)].reader(path, columns=columns,
+                                                  **kwargs)
 
 
 def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
+    """Native-format sink — the single write path for every checkpoint and
+    pipeline output."""
     os.makedirs(path, exist_ok=True)
-    ds.write_parquet(path, **kwargs)
+    _BACKENDS[FORMAT].writer(ds, path, **kwargs)
 
 
 def write_manifest(path: str, manifest: dict[str, Any]) -> None:
@@ -109,8 +177,10 @@ def write_arrow_table(table: pa.Table, path: str, filename: str = "part-0.parque
 
 
 def dataset_files(path: str) -> list[str]:
+    """Data part files of a table directory, any registered format."""
+    exts = tuple(e for b in _BACKENDS.values() for e in b.extensions)
     return sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
-        if f.endswith(".parquet")
+        if f.endswith(exts) and not f.startswith(("_", "."))
     )

@@ -93,7 +93,7 @@ class CheckpointedRun:
             # shuffle outputs fragment into hundreds of tiny blocks; feeding
             # those into the next shuffle multiplies its fixed costs
             out = out.repartition(self.cfg.num_partitions).materialize()
-        out.write_parquet(sdir)
+        storage.write_table(out, sdir)
         n = out.count()
         storage.write_manifest(
             sdir,
@@ -173,7 +173,7 @@ class CheckpointedRun:
                 if os.path.isdir(d):
                     shutil.rmtree(d)
             os.makedirs(tmp)
-            fn(group).write_parquet(tmp)
+            storage.write_table(fn(group), tmp)
             os.replace(tmp, gdir)  # atomic group commit
             with lock:
                 done_files.extend(group)
@@ -202,7 +202,8 @@ class CheckpointedRun:
         self.timings[stage] = round(_time.time() - t0, 2)
         import glob
 
-        part_files = sorted(glob.glob(os.path.join(sdir, "group_*", "*.parquet")))
+        part_files = sorted(glob.glob(
+            os.path.join(sdir, "group_*", "*" + storage.native_ext())))
         out = storage.read_table(part_files).materialize()
         storage.write_manifest(
             sdir,

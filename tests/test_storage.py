@@ -1,0 +1,94 @@
+"""Storage facade isolation (T1): the engine's sinks/sources are pluggable
+behind ``storage.FORMAT``. A fake registered format drives the REAL
+checkpoint layer end-to-end, proving the documented one-line Lance swap
+(``register_format`` + ``set_format``) actually holds — no pipeline or
+checkpoint code path knows the physical format."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from deduplication_ray.config import DedupConfig
+from deduplication_ray.sources import storage
+from deduplication_ray.state.checkpoint import CheckpointedRun
+
+FAKE_EXT = ".fakefmt"
+
+
+def _fake_write(ds: ray.data.Dataset, path: str, **kw) -> None:
+    tbls = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    tbl = (pa.concat_tables(tbls, promote_options="default") if tbls
+           else pa.table({}))
+    pq.write_table(tbl, os.path.join(path, "part-0" + FAKE_EXT))
+
+
+def _fake_read(path, columns=None, **kw):
+    if isinstance(path, (list, tuple)):
+        files = list(path)
+    elif os.path.isdir(path):
+        files = [os.path.join(path, f) for f in sorted(os.listdir(path))
+                 if f.endswith(FAKE_EXT)]
+    else:
+        files = [path]
+    tbl = pa.concat_tables([pq.read_table(f) for f in files],
+                           promote_options="default")
+    if columns:
+        tbl = tbl.select(columns)
+    return ray.data.from_arrow(tbl)
+
+
+@pytest.fixture
+def fake_format():
+    storage.register_format("fakefmt", _fake_read, _fake_write, (FAKE_EXT,))
+    storage.set_format("fakefmt")
+    try:
+        yield
+    finally:
+        storage.set_format("parquet")
+        del storage._BACKENDS["fakefmt"]
+
+
+def test_write_read_round_trip_through_fake_format(ray_session, tmp_path,
+                                                   fake_format):
+    ds = ray.data.from_arrow(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
+    out = str(tmp_path / "t")
+    storage.write_table(ds, out)
+    files = os.listdir(out)
+    assert files and all(f.endswith(FAKE_EXT) for f in files), files
+    got = storage.read_table(out, columns=["a"]).to_pandas()
+    assert sorted(got["a"]) == [1, 2, 3] and list(got.columns) == ["a"]
+
+
+def test_checkpoint_layer_is_format_agnostic(ray_session, tmp_path,
+                                             fake_format):
+    """run_stage writes, completes, and RESUMES through the registered
+    backend — zero .parquet files anywhere in the run dir."""
+    cfg = DedupConfig(num_partitions=2)
+    run_dir = str(tmp_path / "run")
+    calls = []
+
+    def stage():
+        calls.append(1)
+        return ray.data.from_arrow(pa.table({"k": list(range(10))}))
+
+    r1 = CheckpointedRun(run_dir, cfg)
+    out1 = r1.run_stage("s1", stage)
+    assert r1.executed == ["s1"] and out1.count() == 10
+
+    walked = [f for _, _, fs in os.walk(run_dir) for f in fs]
+    assert any(f.endswith(FAKE_EXT) for f in walked)
+    assert not any(f.endswith(".parquet") for f in walked), walked
+
+    r2 = CheckpointedRun(run_dir, cfg)
+    out2 = r2.run_stage("s1", stage)
+    assert r2.skipped == ["s1"] and len(calls) == 1  # resumed, not recomputed
+    assert sorted(out2.to_pandas()["k"]) == list(range(10))
+
+
+def test_set_format_rejects_unregistered():
+    with pytest.raises(ValueError, match="not registered"):
+        storage.set_format("lance")
+    assert storage.FORMAT == "parquet"
