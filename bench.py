@@ -11,7 +11,8 @@ deterministic synthetic image+caption fixture, plus per-query seconds over
 the sf0.1 testdata tables.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
-BENCH_IMG_ROWS (default 20000).
+BENCH_IMG_ROWS (default 60000), BENCH_COLD=1 (drop the page cache before the
+image pipeline instead of warming it — reference cache hygiene; needs root).
 """
 
 from __future__ import annotations
@@ -54,6 +55,73 @@ def host_health_probe() -> dict:
             # below ~2 the host (not the code) bounds every pipeline phase —
             # see BENCH/BASELINE.md samples 4/6/7-8 for measured impact
             "host_degraded": bw < 2.0}
+
+
+def drop_page_cache() -> bool:
+    """Reference-parity cache hygiene (``scripts/encode_bench.sh:56-69``
+    syncs + drops the page cache before each cold run): vm.drop_caches=3.
+    Root-only; returns False — and the bench stays warm-cache, the default
+    protocol — when not permitted. Enabled with BENCH_COLD=1."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except OSError:
+        return False
+
+
+class CpuCounters:
+    """Hardware-ish counters around a measured region. ``perf stat -d`` is
+    the reference protocol (``scripts/encode_bench.sh:56-69``) but perf is
+    not installed in this container, so /proc/stat jiffies + context
+    switches stand in: avg busy cores and ctxt switches/sec over the region
+    (diagnoses the same things — starved stages, oversubscription)."""
+
+    @staticmethod
+    def _read() -> tuple[list[int], int]:
+        jiffies, ctxt = [], 0
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu "):
+                    jiffies = [int(x) for x in line.split()[1:]]
+                elif line.startswith("ctxt"):
+                    ctxt = int(line.split()[1])
+        return jiffies, ctxt
+
+    def __enter__(self):
+        self.t0 = time.time()
+        self.j0, self.c0 = self._read()
+        return self
+
+    def __exit__(self, *exc):
+        dt = max(time.time() - self.t0, 1e-6)
+        j1, c1 = self._read()
+        hz = os.sysconf("SC_CLK_TCK")
+        total = sum(b - a for a, b in zip(self.j0, j1)) / hz
+        idle = sum(j1[i] - self.j0[i] for i in (3, 4)) / hz  # idle + iowait
+        self.busy_cores = round((total - idle) / dt, 2)
+        self.ctxt_per_sec = round((c1 - self.c0) / dt)
+        return False
+
+
+def _perf_cmd() -> list[str]:
+    """``perf stat -d`` wrapper for subprocess runs when perf exists (it
+    does not in this container; the wrapper is a no-op then)."""
+    return (["perf", "stat", "-d", "-x", ","]
+            if shutil.which("perf") else [])
+
+
+def _parse_perf(stderr: str) -> dict | None:
+    out = {}
+    for line in stderr.splitlines():
+        parts = line.split(",")
+        if len(parts) >= 3 and parts[0] not in ("", "<not supported>"):
+            try:
+                out[parts[2]] = float(parts[0])
+            except ValueError:
+                continue
+    return out or None
 
 
 def _img_fixture_dir() -> str:
@@ -156,10 +224,12 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     fix = ensure_fixture()
-    # warm the page cache (measure compute+shuffle, not first disk read)
     from deduplication_ray.sources import storage
 
-    storage.read_table(f"{fix}/data").count()
+    cold = os.environ.get("BENCH_COLD") == "1" and drop_page_cache()
+    if not cold:
+        # warm the page cache (measure compute+shuffle, not first disk read)
+        storage.read_table(f"{fix}/data").count()
 
     run_dir = f"/tmp/dedup_ray_benchrun_{NUM_CPUS}"
     shutil.rmtree(run_dir, ignore_errors=True)
@@ -169,7 +239,7 @@ def run_bench() -> dict:
     # while the groups' read/write tasks starve -> deadlock at num_cpus=8.
     # Tasks share the session's prestarted workers and can't starve anyone.
     cfg = DedupConfig(num_partitions=max(8, NUM_CPUS))
-    with PeakRssSampler() as rss:
+    with PeakRssSampler() as rss, CpuCounters() as cpu:
         t0 = time.time()
         image_dedup.run_pipeline(f"{fix}/data", run_dir, cfg)
         img_sec = time.time() - t0
@@ -197,6 +267,11 @@ def run_bench() -> dict:
             res.materialize()
         queries[name] = round(time.time() - t0, 2)
 
+    # text-engine headline: docs/sec of the full near-dup engine (MinHash-LSH
+    # + substring + union-find — the same engine entry() runs) at this sf
+    doc_rows = storage.read_table(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id"]).count()
+
     total = round(sum(queries.values()), 2)
     out = {
         "metric": "end-to-end dedup pipeline + headline queries wall time",
@@ -207,7 +282,13 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "img_rows": IMG_ROWS,
         "images_per_sec": round(IMG_ROWS / img_sec, 1),
+        "text_doc_rows": doc_rows,
+        "text_docs_per_sec": round(doc_rows / max(queries["doc_lsh_dedup"],
+                                                  1e-9), 1),
         "peak_rss_mb": peak_rss_mb,
+        "image_busy_cores": cpu.busy_cores,
+        "image_ctxt_per_sec": cpu.ctxt_per_sec,
+        "cold_read": cold,
         **host_health_probe(),
     }
     ray.shutdown()
@@ -227,10 +308,14 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+        cmd = _perf_cmd() + [sys.executable, os.path.abspath(__file__)]
+        out = subprocess.run(cmd,
                              env=env, capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        if _perf_cmd():
+            res["perf"] = _parse_perf(out.stderr)
+        return res
 
     lo, hi = 8, 32
     r_lo, r_hi = one(lo), one(hi)
@@ -249,10 +334,16 @@ def run_scaling() -> dict:
         "total_sec_32": r_hi["value"],
         "peak_rss_mb_8": r_lo.get("peak_rss_mb"),
         "peak_rss_mb_32": r_hi.get("peak_rss_mb"),
+        "text_docs_per_sec_8": r_lo.get("text_docs_per_sec"),
+        "text_docs_per_sec_32": r_hi.get("text_docs_per_sec"),
+        "image_busy_cores_8": r_lo.get("image_busy_cores"),
+        "image_busy_cores_32": r_hi.get("image_busy_cores"),
         "host_probe_8": {k: r_lo.get(k) for k in
                          ("host_mem_gbps", "host_sort_units")},
         "host_probe_32": {k: r_hi.get(k) for k in
                           ("host_mem_gbps", "host_sort_units")},
+        **({"perf_8": r_lo.get("perf"), "perf_32": r_hi.get("perf")}
+           if _perf_cmd() else {}),
     }
 
 
