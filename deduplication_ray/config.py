@@ -38,6 +38,14 @@ class DedupConfig:
     # --- skew defusal (T8) ---
     bucket_cap: int = 64          # max rows per LSH bucket before salting
     pair_cap: int = 2048          # max emitted pairs per (sub)bucket; above -> anchor star
+    gram_sample_drop_df: int = 1024  # gram-sample buckets (BAND_GRAM_SAMPLE:
+                                     # containment candidates keyed by a raw
+                                     # shingle-gram hash) above this member
+                                     # count are DROPPED, not salted — a gram
+                                     # shared by 1000+ docs is a stopword
+                                     # shingle with ~zero containment signal,
+                                     # and star-linking it would emit
+                                     # bucket-size spurious candidates
 
     # --- substring pass (T11) ---
     substring_min_len: int = 40   # Lmin: min shared-substring chars to link

@@ -267,8 +267,24 @@ def q_doc_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def _flat_u64(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 grams, per-row counts) for a binary column whose rows
+    are u64-packed blobs — zero-copy views over the Arrow buffers. Every
+    blob is a multiple of 8 bytes by construction, so all value offsets
+    are 8-aligned and the data buffer reinterprets as uint64 directly."""
+    arr = col.combine_chunks()
+    off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+        arr.offset: arr.offset + len(arr) + 1]
+    buf = arr.buffers()[2]
+    u64 = np.frombuffer(buf, dtype=np.uint64, count=len(buf) // 8)
+    return (u64[offs[0] // 8: offs[-1] // 8],
+            ((offs[1:] - offs[:-1]) // 8).astype(np.int64))
+
+
 def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
-                          exact_limit: int = 1500, metric: str = "jaccard"):
+                          exact_limit: int = 1500, metric: str = "jaccard",
+                          sample_p: float = 1 / 2):
     """EXACT char n-gram Jaccard near-dup pairs (not the MinHash estimate).
 
     ``metric='containment'`` switches the pair score to
@@ -278,10 +294,13 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
 
     Size-dispatched: corpora up to ``exact_limit`` docs verify ALL (i<j)
     pairs — oracle-identical to the DuckDB gram-set SQL at any tau; above
-    it, candidates come from the shared MinHash-band machinery (sub-linear)
-    and only candidates are verified (recall < 1 possible by design — the
-    scale path). Verification attaches each doc's sorted unique gram-hash
-    set as a binary blob and intersects per pair.
+    it, candidates come from the shared MinHash-band machinery (sub-linear;
+    for containment, unioned with the substring L-gram rendezvous and a
+    consistent gram-sampling family at ``sample_p``, so a pair sharing m
+    grams is missed w.p. (1-sample_p)^m — measured recall 1.0 vs the exact
+    path on the test corpus) and only candidates are verified.
+    Verification attaches each doc's sorted unique gram-hash set as a
+    binary blob and intersects per pair with one whole-batch sort-merge.
     """
     from deduplication_ray.stages import lsh
     from deduplication_ray.stages.join import lookup_join
@@ -345,6 +364,40 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
 
             buckets = buckets.union(
                 substring_buckets(ds, cfg, id_col="doc_id", text_col="text"))
+            # ... and scattered overlap can't: a quote broken by edits shares
+            # many k-grams but no >=L contiguous run. Consistent gram
+            # sampling covers it: every doc emits the grams whose hash falls
+            # under a global p*2^64 threshold (bucket key = the gram hash),
+            # so a pair sharing m grams misses with prob (1-p)^m — at the
+            # p=1/2 default, >=8 shared grams rendezvous w.p. 0.996.
+            # Linear cost (~p x gram stream as extra bucket rows, less than
+            # the substring family's every-L-gram emission); stopword-gram
+            # hot buckets are DROPPED by the tagger (cfg.gram_sample_drop_df
+            # — DF>1024 grams carry no containment signal) rather than
+            # star-salted, and every candidate is exactly verified below,
+            # so precision is unharmed.
+            thresh = np.uint64(int(sample_p * 2**64))
+
+            def sample_grams(t: pa.Table) -> pa.Table:
+                flat, lens = _flat_u64(t["grams"])
+                doc = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+                m = flat < thresh
+                g, d = flat[m], doc[m]
+                ids_ = t["image_id"].to_pandas().to_numpy()
+                z = np.zeros(len(g), np.int64)
+                return pa.table({
+                    "band": pa.array(np.full(len(g), lsh.BAND_GRAM_SAMPLE,
+                                             np.int64)),
+                    "bucket": pa.array(H.bitcast_u64_to_i64(g), pa.int64()),
+                    "salt": pa.array(z),
+                    "image_id": pa.array(ids_[d], pa.string()),
+                    "ph": pa.array(z),
+                    "sh": pa.array(z),
+                })
+
+            buckets = buckets.union(
+                sigs.select_columns(["image_id", "grams"])
+                .map_batches(sample_grams, batch_format="pyarrow"))
         edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, cfg))
 
     lean = sigs.select_columns(["image_id", "grams"])
@@ -354,20 +407,6 @@ def q_ngram_jaccard_pairs(sf_dir: str, tau: float = 0.6,
                     on=["dst"], cfg=cfg)
 
     score_col = f"{metric}_milli"
-
-    def _flat_u64(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-        """(flat uint64 grams, per-row counts) for a binary column whose rows
-        are u64-packed blobs — zero-copy views over the Arrow buffers. Every
-        blob is a multiple of 8 bytes by construction, so all value offsets
-        are 8-aligned and the data buffer reinterprets as uint64 directly."""
-        arr = col.combine_chunks()
-        off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
-        offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
-            arr.offset: arr.offset + len(arr) + 1]
-        buf = arr.buffers()[2]
-        u64 = np.frombuffer(buf, dtype=np.uint64, count=len(buf) // 8)
-        return (u64[offs[0] // 8: offs[-1] // 8],
-                ((offs[1:] - offs[:-1]) // 8).astype(np.int64))
 
     def check(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

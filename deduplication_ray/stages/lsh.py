@@ -46,6 +46,13 @@ BAND_PHASH = 1000     # 1000..1003: 4 x 16-bit multi-index bands (pigeonhole:
 BAND_SIMHASH = 2000   # any Hamming distance <= 3 collides in >= 1 band)
 BAND_SUBSTR = 3000    # winnowing fingerprint rendezvous (stages/substring.py):
                       # proves a k-char overlap only -> kind 'substr_cand'
+BAND_GRAM_SAMPLE = 3500  # consistent gram sampling (containment candidates):
+                      # bucket key = a shingle-gram hash below a global
+                      # threshold p*2^64, so two docs sharing m grams miss
+                      # with prob (1-p)^m even when the overlap is SCATTERED
+                      # (no contiguous >=L run for the substring family).
+                      # Inside the substr_cand namespace: pure candidate,
+                      # callers must verify (q_ngram_jaccard_pairs does).
 BAND_SUBSTR_EXACT = 4000  # full L-gram rendezvous: bucket key IS the L-gram
                       # hash, so membership proves the >=L shared substring
                       # -> trusted kind 'substr', no verification join, and
@@ -295,18 +302,24 @@ class _KeyTagger:
     (sorted composite keys, counts) arrays (ray.get once per actor,
     searchsorted per batch). Rows in no multi bucket are DROPPED; rows in hot
     buckets (count > cap) get salt = hash(image_id) %% ceil(count/cap); cold
-    multi rows get salt = -1."""
+    multi rows get salt = -1. Gram-sample rows (BAND_GRAM_SAMPLE) in buckets
+    above ``gram_drop_df`` members are dropped outright — stopword shingles
+    carry no containment signal and star-linking them would emit bucket-size
+    spurious candidates."""
 
-    def __init__(self, multi_ref, cap: int):
+    def __init__(self, multi_ref, cap: int, gram_drop_df: int = 1024):
         self._ref = multi_ref
         self._cap = cap
+        self._gram_drop_df = gram_drop_df
         self.keys = None
         self.n_salts = None
+        self.counts = None
 
     def _ensure(self):
         if self.keys is None:
             keys, counts = ray.get(self._ref)
             self.keys = keys
+            self.counts = counts
             self.n_salts = np.where(counts > self._cap, -(-counts // self._cap), 0)
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -314,8 +327,12 @@ class _KeyTagger:
         band = t["band"].to_numpy()
         bucket = t["bucket"].to_numpy()
         comp = H.hash_u64_pair(band.view(np.uint64), bucket.view(np.uint64))
-        pos = np.clip(np.searchsorted(self.keys, comp), 0, max(len(self.keys) - 1, 0))
-        keep = len(self.keys) > 0 and (self.keys[pos] == comp)
+        if len(self.keys) == 0:
+            return t.slice(0, 0)
+        pos = np.clip(np.searchsorted(self.keys, comp), 0, len(self.keys) - 1)
+        keep = self.keys[pos] == comp
+        keep &= ~((band == BAND_GRAM_SAMPLE)
+                  & (self.counts[pos] > self._gram_drop_df))
         if not np.any(keep):
             return t.slice(0, 0)
         t = t.filter(pa.array(keep))
@@ -364,7 +381,8 @@ def edges_from_buckets(
 
     multi_ref = ray.put((keys, counts))
     tagged = buckets.map_batches(
-        _KeyTagger(multi_ref, cfg.bucket_cap), batch_format="pyarrow"
+        _KeyTagger(multi_ref, cfg.bucket_cap, cfg.gram_sample_drop_df),
+        batch_format="pyarrow",
     ).materialize()
 
     # size dispatch: a small tagged set (dup candidates only) pairs faster in

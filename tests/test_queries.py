@@ -120,6 +120,60 @@ def test_ngram_jaccard_lsh_path_matches_exact(ray_session):
     pd.testing.assert_frame_equal(exact, lsh, check_dtype=False)
 
 
+def test_containment_scale_path_recall(ray_session):
+    """The containment scale path (MinHash bands + substring rendezvous +
+    consistent gram sampling) must recover the exact all-pairs result on the
+    test corpus with no spurious pairs (every candidate is exactly
+    verified)."""
+    from deduplication_ray.pipelines import docops
+
+    exact = _to_pandas(docops.q_ngram_containment_pairs(SF_DIR))
+    scale = _to_pandas(docops.q_ngram_jaccard_pairs(
+        SF_DIR, exact_limit=0, metric="containment", tau=0.7))
+    e = set(zip(exact["src"], exact["dst"]))
+    s = set(zip(scale["src"], scale["dst"]))
+    assert not (s - e), "scale path produced unverified spurious pairs"
+    assert len(e & s) / max(len(e), 1) >= 0.95, (len(e & s), len(e))
+
+
+def test_gram_sample_hot_buckets_dropped(ray_session):
+    """A stopword-gram bucket (DF above gram_sample_drop_df) must be DROPPED
+    from the gram-sample family, not star-salted into bucket-size candidate
+    edges; a rare-gram bucket must still pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.stages import lsh
+
+    n = 50
+    rows = {"band": [], "bucket": [], "salt": [], "image_id": [],
+            "ph": [], "sh": []}
+    for i in range(n):  # every doc shares the stopword gram (bucket 7)
+        rows["band"].append(lsh.BAND_GRAM_SAMPLE)
+        rows["bucket"].append(7)
+        rows["salt"].append(0)
+        rows["image_id"].append(f"d{i:03d}")
+        rows["ph"].append(0)
+        rows["sh"].append(0)
+    for i in (1, 2):  # two docs share a rare gram (bucket 99)
+        rows["band"].append(lsh.BAND_GRAM_SAMPLE)
+        rows["bucket"].append(99)
+        rows["salt"].append(0)
+        rows["image_id"].append(f"d{i:03d}")
+        rows["ph"].append(0)
+        rows["sh"].append(0)
+    buckets = ray.data.from_arrow(pa.table({
+        k: pa.array(v, pa.int64() if k != "image_id" else pa.string())
+        for k, v in rows.items()}))
+    cfg = DedupConfig(num_partitions=2, gram_sample_drop_df=10)
+    edges = lsh.dedupe_edges(
+        lsh.edges_from_buckets(buckets, cfg)).to_pandas()
+    pairs = set(zip(edges["src"], edges["dst"]))
+    assert pairs == {("d001", "d002")}, pairs
+
+
 def test_registry_ordering_contract(entry_mod):
     """The driver scores the FIRST 50 registered queries: every one of those
     must be oracle-backed (a rows-only entry inside the window wastes a green
