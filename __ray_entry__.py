@@ -175,6 +175,56 @@ def _audio_fixture_query(sf_dir: str):
     return audio_dedup_clusters(ds, DedupConfig(num_partitions=8))
 
 
+def _modal_incremental_query(kind: str):
+    """Incremental VIDEO/AUDIO ingest on the modal fixture: dedup an
+    every-5th-row delta against a checkpointed base run
+    (``run_modal_pipeline``), returning the full clusters table. Rows-only
+    check; exact equality with a from-scratch run is asserted in
+    tests/test_incremental.py::test_modal_ingest_matches_full_run."""
+    def q(sf_dir: str):
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        from deduplication_ray.config import DedupConfig
+        from deduplication_ray.pipelines.incremental import (
+            ingest_delta_modal, run_modal_pipeline)
+        from deduplication_ray.sources import fixtures, storage
+
+        n, seed = 400, FIXTURE_SEED
+        cfg = DedupConfig(num_partitions=8)
+        short = "vid" if kind == "video" else "aud"
+        fix_dir = f"/tmp/dedup_ray_{short}fix_{seed}_{n}"
+        tag = f"{seed}_{n}_{cfg.config_hash()}"
+        root = f"/tmp/dedup_ray_{short}inc_{tag}"
+        if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+            gen = (fixtures.generate_videos if kind == "video"
+                   else fixtures.generate_audios)
+            gen(fix_dir, n, seed=seed)
+        if not os.path.exists(f"{root}/split_done"):
+            tbl = pads.dataset(
+                [f"{fix_dir}/data/{f}" for f in os.listdir(f"{fix_dir}/data")
+                 if f.endswith(".parquet")]).to_table()
+            mask = pa.array([i % 5 == 0 for i in range(tbl.num_rows)])
+            for name, t in (("base", tbl.filter(pa.compute.invert(mask))),
+                            ("delta", tbl.filter(mask))):
+                shutil.rmtree(f"{root}/{name}", ignore_errors=True)
+                os.makedirs(f"{root}/{name}")
+                step = (t.num_rows + 1) // 2
+                for i in range(2):
+                    pq.write_table(t.slice(i * step, step),
+                                   f"{root}/{name}/part-{i}.parquet")
+            open(f"{root}/split_done", "w").close()
+        run_modal_pipeline(f"{root}/base", f"{root}/base_run", cfg, kind=kind)
+        ingest_delta_modal(f"{root}/base_run", f"{root}/delta",
+                           f"{root}/inc_run", cfg, kind=kind)
+        return storage.read_table(f"{root}/inc_run/clusters")
+    return q
+
+
 def _nonempty_or_typed_table(ds):
     """Dataset.to_pandas() on an EMPTY dataset yields a column-less frame,
     which would fail the driver's schema compare; hand back a typed empty
@@ -293,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dedup_incremental": _text_incremental_query,
         "video_dedup_clusters": _video_fixture_query,
         "audio_dedup_clusters": _audio_fixture_query,
+        "video_dedup_incremental": _modal_incremental_query("video"),
+        "audio_dedup_incremental": _modal_incremental_query("audio"),
     }
 
 

@@ -64,9 +64,12 @@ def main(argv: list[str] | None = None) -> int:
         s = sub.add_parser(verb, help="execute (or resume) the dedup DAG")
         s.add_argument("--input", required=True, help="parquet table dir/file")
         s.add_argument("--out", required=True, help="run (checkpoint) dir")
-        s.add_argument("--mode", choices=("image", "text"), default="image",
+        s.add_argument("--mode", choices=("image", "text", "video", "audio"),
+                       default="image",
                        help="'text' runs the checkpointed caption-only "
-                            "engine over a (doc_id, text) table")
+                            "engine over a (doc_id, text) table; 'video' / "
+                            "'audio' run the checkpointed modal engines "
+                            "over (video_id|audio_id, bytes) tables")
         s.add_argument("--num-cpus", type=int, default=None)
         for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
                   "bucket_cap", "substring_min_len", "num_partitions"):
@@ -79,13 +82,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--base-run", required=True,
                    help="run dir(s) of prior runs, comma-separated "
                         "(original run + each finished ingest, in order)")
-    s.add_argument("--base-input", required=True,
-                   help="prior input table dir(s), comma-separated")
+    s.add_argument("--base-input", default=None,
+                   help="prior input table dir(s), comma-separated "
+                        "(required for image/text modes; video/audio "
+                        "ingest reads base signatures from the run dirs "
+                        "and never touches base media)")
     s.add_argument("--delta-input", required=True, help="delta parquet table dir")
     s.add_argument("--out", required=True, help="run dir for the ingest")
-    s.add_argument("--mode", choices=("image", "text"), default="image",
+    s.add_argument("--mode", choices=("image", "text", "video", "audio"),
+                   default="image",
                    help="'text' ingests (doc_id, text) tables against a "
-                        "run_text_pipeline base")
+                        "run_text_pipeline base; 'video'/'audio' ingest "
+                        "modal deltas against a run_modal_pipeline base")
     s.add_argument("--num-cpus", type=int, default=None)
     for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
               "bucket_cap", "substring_min_len", "num_partitions"):
@@ -181,11 +189,22 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd in ("run", "resume"):
         ray = _session(args.num_cpus)
-        if getattr(args, "mode", "image") == "text":
+        mode = getattr(args, "mode", "image")
+        if mode == "text":
             from deduplication_ray.pipelines.text_dedup import run_text_pipeline
 
             metrics = run_text_pipeline(
                 args.input, args.out, _cfg_from_args(args),
+                strict_resume=(args.cmd == "resume"))
+            print(json.dumps(metrics))
+            ray.shutdown()
+            return 0
+        if mode in ("video", "audio"):
+            from deduplication_ray.pipelines.incremental import (
+                run_modal_pipeline)
+
+            metrics = run_modal_pipeline(
+                args.input, args.out, _cfg_from_args(args), kind=mode,
                 strict_resume=(args.cmd == "resume"))
             print(json.dumps(metrics))
             ray.shutdown()
@@ -208,12 +227,23 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "ingest":
         ray = _session(args.num_cpus)
-        from deduplication_ray.pipelines.incremental import ingest_delta
+        if args.mode in ("video", "audio"):
+            from deduplication_ray.pipelines.incremental import (
+                ingest_delta_modal)
 
-        metrics = ingest_delta(args.base_run.split(","),
-                               args.base_input.split(","),
-                               args.delta_input, args.out,
-                               _cfg_from_args(args), mode=args.mode)
+            metrics = ingest_delta_modal(
+                args.base_run.split(","), args.delta_input, args.out,
+                _cfg_from_args(args), kind=args.mode)
+        else:
+            from deduplication_ray.pipelines.incremental import ingest_delta
+
+            if not args.base_input:
+                raise SystemExit("--base-input is required for "
+                                 f"mode={args.mode}")
+            metrics = ingest_delta(args.base_run.split(","),
+                                   args.base_input.split(","),
+                                   args.delta_input, args.out,
+                                   _cfg_from_args(args), mode=args.mode)
         print(json.dumps(metrics))
         ray.shutdown()
         return 0

@@ -105,6 +105,26 @@ class _KeepMatchingBuckets:
         return t.filter(pa.array(ks[pos] == k))
 
 
+class _TouchesDelta:
+    """Drop edges linking two BASE ids: old-old pairs were adjudicated by
+    the base run (their connectivity re-enters as trusted star edges), so
+    only edges touching at least one delta id proceed to verification."""
+
+    def __init__(self, ids_ref):
+        self.ref = ids_ref
+        self._set = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._set is None:
+            self._set = ray.get(self.ref)
+        if t.num_rows == 0:
+            return t
+        hit = pc.or_(
+            pc.is_in(t["src"].cast(pa.string()), value_set=self._set),
+            pc.is_in(t["dst"].cast(pa.string()), value_set=self._set))
+        return t.filter(hit)
+
+
 def _base_star_edges(clusters: ray.data.Dataset) -> ray.data.Dataset:
     """Base connectivity as trusted star edges: member -> representative for
     every non-singleton cluster member (cluster_id IS the min member id)."""
@@ -278,22 +298,8 @@ def ingest_delta(
             lsh.exact_edges(delta_sigs.union(base_ck_hits), cfg,
                             key=exact_key))
         deduped = lsh.dedupe_edges(edges)
-
-        class TouchesDelta:
-            def __init__(self):
-                self._set = None
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if self._set is None:
-                    self._set = ray.get(ids_ref)
-                if t.num_rows == 0:
-                    return t
-                hit = pc.or_(
-                    pc.is_in(t["src"].cast(pa.string()), value_set=self._set),
-                    pc.is_in(t["dst"].cast(pa.string()), value_set=self._set))
-                return t.filter(hit)
-
-        cand = deduped.map_batches(TouchesDelta(), batch_format="pyarrow")
+        cand = deduped.map_batches(_TouchesDelta(ids_ref),
+                                   batch_format="pyarrow")
         attached = verify.attach_signatures(
             cand, delta_sigs.union(base_sigs), cfg, cols=attach_cols)
         return verify.verify_edges(attached, cfg, has_pixels=has_pixels)
@@ -330,3 +336,185 @@ def ingest_delta(
                                          "config_hash": cfg.config_hash(),
                                          "metrics": metrics})
     return metrics
+
+
+# ------------------------------------------------- video / audio modalities
+
+def _modal_kit(kind: str, cfg: DedupConfig) -> dict:
+    """Modality plumbing for the checkpointed + incremental video/audio
+    paths: signature fn, bucket-stream fn, the config used for PAIRING
+    (video swaps the pHash Hamming gate for its frame radius, exactly as
+    ``video_dedup_clusters`` does) and the verification fn. Candidate and
+    verify semantics are the lazy pipelines' own functions — one
+    implementation, so the plans cannot drift."""
+    import dataclasses
+
+    if kind == "video":
+        from deduplication_ray.pipelines import video_dedup as V
+
+        return {
+            "sig": lambda path, id_col: V.video_signatures(
+                storage.read_table(path), cfg, id_col),
+            "buckets": lambda sigs: sigs.map_batches(
+                V._ExplodeFrameBands(cfg), batch_format="pyarrow"),
+            "edge_cfg": dataclasses.replace(
+                cfg, phash_hamming_t=cfg.video_frame_hamming_t),
+            "verify": lambda edges, sigs: V.verify_video_edges(
+                edges, sigs, cfg),
+            "id_col": "video_id",
+        }
+    if kind == "audio":
+        from deduplication_ray.pipelines import audio_dedup as A
+
+        return {
+            "sig": lambda path, id_col: A.audio_signatures(
+                storage.read_table(path), cfg, id_col),
+            "buckets": lambda sigs: sigs.map_batches(
+                A._ExplodeShingles(cfg), batch_format="pyarrow"),
+            "edge_cfg": cfg,
+            "verify": lambda edges, sigs: A.verify_audio_edges(
+                edges, sigs, cfg),
+            "id_col": "audio_id",
+        }
+    raise ValueError(f"unknown modal kind {kind!r} (expected video|audio)")
+
+
+def _modal_metrics(run: CheckpointedRun, cfg: DedupConfig) -> dict:
+    metrics = {
+        "config_hash": cfg.config_hash(),
+        "stages_executed": run.executed,
+        "stages_resumed": run.skipped,
+        "stage_seconds": run.timings,
+        "rows": {
+            s: (storage.read_manifest(run.stage_dir(s)) or {}).get("rows")
+            for s in ("signatures", "verified_edges", "clusters")
+        },
+    }
+    storage.write_manifest(run.run_dir, {"stage": "run", "complete": True,
+                                         "config_hash": cfg.config_hash(),
+                                         "metrics": metrics})
+    return metrics
+
+
+def run_modal_pipeline(input_path: str, run_dir: str,
+                       cfg: DedupConfig | None = None, kind: str = "video",
+                       id_col: str | None = None,
+                       strict_resume: bool = False) -> dict:
+    """Checkpointed video/audio dedup run — the base-run producer for
+    ``ingest_delta_modal``, mirroring ``run_text_pipeline``: signatures,
+    edges, verified_edges and per-round union-find labels all persist under
+    ``run_dir`` with config-hash lineage; clusters are written in the
+    engine-canonical (image_id, cluster_id) shape. Same DAG as the lazy
+    ``video_dedup_clusters`` / ``audio_dedup_clusters``."""
+    from deduplication_ray.pipelines.image_dedup import (
+        checkpointed_components, finalize_clusters)
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    cfg = cfg or DedupConfig()
+    kit = _modal_kit(kind, cfg)
+    id_col = id_col or kit["id_col"]
+    apply_context_tuning()
+    run = CheckpointedRun(run_dir, cfg, strict_resume=strict_resume)
+
+    sigs = run.run_stage(
+        "signatures", lambda: kit["sig"](input_path, id_col), ["input"])
+
+    def build() -> ray.data.Dataset:
+        b = kit["buckets"](sigs).materialize()
+        return lsh.dedupe_edges(lsh.edges_from_buckets(b, kit["edge_cfg"]))
+
+    edges = run.run_stage("edges", build, ["signatures"])
+    vedges = run.run_stage(
+        "verified_edges", lambda: kit["verify"](edges, sigs),
+        ["edges", "signatures"])
+
+    if run.is_complete("clusters"):
+        labels = None
+    else:
+        labels = checkpointed_components(run, vedges.materialize(), cfg)
+    ids = sigs.select_columns(["image_id"])
+    run.run_stage("clusters",
+                  lambda: finalize_clusters(ids, labels, cfg), ["labels"])
+    return _modal_metrics(run, cfg)
+
+
+def ingest_delta_modal(
+    base_run_dir: str | list[str],
+    delta_input_path: str,
+    out_run_dir: str,
+    cfg: DedupConfig | None = None,
+    kind: str = "video",
+    id_col: str | None = None,
+) -> dict:
+    """Delta-bounded video/audio ingest against finished
+    ``run_modal_pipeline`` base runs — the modal twin of ``ingest_delta``:
+
+    - decode/DCT/FFT runs on DELTA rows only; base frame signatures come
+      from the base runs' checkpoints (chained day-2+ ingest: pass every
+      prior run as a list, signatures union, clusters from the last),
+    - base signatures are re-keyed into bucket rows (pure hash math, no
+      media bytes) and filtered to DELTA-OCCUPIED buckets via the broadcast
+      sorted-key probe,
+    - old-old edges are dropped (``_TouchesDelta``); base connectivity
+      re-enters as trusted star edges from the base clusters checkpoint,
+    - result equals a from-scratch run over base+delta (asserted in
+      tests/test_incremental.py), by the same argument as the image mode:
+      delta-occupied buckets see identical membership hence identical
+      salting/pairing, untouched buckets were adjudicated by the base run.
+    """
+    from deduplication_ray.pipelines.image_dedup import (
+        checkpointed_components, finalize_clusters)
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    cfg = cfg or DedupConfig()
+    kit = _modal_kit(kind, cfg)
+    id_col = id_col or kit["id_col"]
+    apply_context_tuning()
+    run = CheckpointedRun(out_run_dir, cfg)
+
+    base_runs = ([base_run_dir] if isinstance(base_run_dir, str)
+                 else list(base_run_dir))
+    for r in base_runs:  # config guard — signatures are config-specific
+        m = storage.read_manifest(f"{r}/signatures") or {}
+        got = m.get("config_hash")
+        if got is not None and got != cfg.config_hash():
+            raise ValueError(
+                f"base run {r} signatures were written under config {got}, "
+                f"but this ingest runs config {cfg.config_hash()}; "
+                "incremental ingest cannot mix signature configs")
+    base_sigs = storage.read_table(f"{base_runs[0]}/signatures")
+    for r in base_runs[1:]:
+        base_sigs = base_sigs.union(storage.read_table(f"{r}/signatures"))
+    base_clusters = storage.read_table(f"{base_runs[-1]}/clusters")
+
+    delta_sigs = run.run_stage(
+        "signatures", lambda: kit["sig"](delta_input_path, id_col), ["input"])
+
+    def build_and_verify() -> ray.data.Dataset:
+        db = kit["buckets"](delta_sigs).materialize()
+        keys_ref = ray.put(_collect_keys(db))
+        bb = kit["buckets"](base_sigs).map_batches(
+            _KeepMatchingBuckets(keys_ref), batch_format="pyarrow")
+        deduped = lsh.dedupe_edges(
+            lsh.edges_from_buckets(db.union(bb), kit["edge_cfg"]))
+        delta_ids = pc.unique(pa.concat_tables(
+            list(delta_sigs.select_columns(["image_id"])
+                 .iter_batches(batch_format="pyarrow", batch_size=None)),
+            promote_options="default")["image_id"]
+            .combine_chunks().cast(pa.string()))
+        cand = deduped.map_batches(_TouchesDelta(ray.put(delta_ids)),
+                                   batch_format="pyarrow")
+        return kit["verify"](cand, delta_sigs.union(base_sigs))
+
+    vedges = run.run_stage("verified_edges", build_and_verify, ["signatures"])
+
+    all_edges = vedges.union(_base_star_edges(base_clusters))
+    if run.is_complete("clusters"):
+        labels = None
+    else:
+        labels = checkpointed_components(run, all_edges.materialize(), cfg)
+    ids = base_clusters.select_columns(["image_id"]).union(
+        delta_sigs.select_columns(["image_id"]))
+    run.run_stage("clusters",
+                  lambda: finalize_clusters(ids, labels, cfg), ["labels"])
+    return _modal_metrics(run, cfg)

@@ -221,3 +221,62 @@ def test_chained_text_ingest_matches_full_run(ray_session, tmp_path):
         .sort_values("image_id").reset_index(drop=True)
     assert (inc["image_id"].values == full["image_id"].values).all()
     assert (inc["cluster_id"].values == full["cluster_id"].values).all()
+
+
+@pytest.mark.parametrize("kind", ["video", "audio"])
+def test_modal_ingest_matches_full_run(ray_session, tmp_path, kind):
+    """Video/audio delta ingested against a checkpointed modal base run
+    yields EXACTLY the clusters of (a) a from-scratch checkpointed run over
+    base+delta and (b) the lazy video/audio_dedup_clusters pipeline, while
+    decoding only the delta."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.audio_dedup import audio_dedup_clusters
+    from deduplication_ray.pipelines.incremental import (
+        ingest_delta_modal, run_modal_pipeline)
+    from deduplication_ray.pipelines.video_dedup import video_dedup_clusters
+    from deduplication_ray.sources import fixtures, storage
+
+    gen = (fixtures.generate_videos if kind == "video"
+           else fixtures.generate_audios)
+    fix = tmp_path / "fix"
+    gen(str(fix), 200, seed=7)
+    tbl = pads.dataset(
+        [f"{fix}/data/{f}" for f in os.listdir(f"{fix}/data")
+         if f.endswith(".parquet")]).to_table()
+    mask = pa.array([i % 5 == 0 for i in range(tbl.num_rows)])
+    parts = {"base": tbl.filter(pa.compute.invert(mask)),
+             "delta": tbl.filter(mask), "full": tbl}
+    for name, t in parts.items():
+        d = tmp_path / name
+        os.makedirs(d)
+        step = (t.num_rows + 1) // 2
+        for i in range(2):
+            pq.write_table(t.slice(i * step, step), f"{d}/part-{i}.parquet")
+
+    cfg = DedupConfig(num_partitions=4)
+    p = lambda n: str(tmp_path / n)  # noqa: E731
+    run_modal_pipeline(p("base"), p("base_run"), cfg, kind=kind)
+    metrics = ingest_delta_modal(p("base_run"), p("delta"), p("inc_run"),
+                                 cfg, kind=kind)
+    run_modal_pipeline(p("full"), p("full_run"), cfg, kind=kind)
+
+    inc = storage.read_table(f"{tmp_path}/inc_run/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    full = storage.read_table(f"{tmp_path}/full_run/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert (inc["image_id"].values == full["image_id"].values).all()
+    assert (inc["cluster_id"].values == full["cluster_id"].values).all()
+    # delta-bounded: the ingest signature checkpoint holds ONLY delta rows
+    assert metrics["rows"]["signatures"] == parts["delta"].num_rows
+
+    # the checkpointed DAG equals the lazy pipeline on the same input
+    lazy_fn = (video_dedup_clusters if kind == "video"
+               else audio_dedup_clusters)
+    id_col = "video_id" if kind == "video" else "audio_id"
+    lazy = lazy_fn(storage.read_table(p("full")), cfg).to_pandas() \
+        .rename(columns={id_col: "image_id"}) \
+        .sort_values("image_id").reset_index(drop=True)
+    lazy["image_id"] = lazy["image_id"].astype(str)
+    assert (lazy["image_id"].values == full["image_id"].values).all()
+    assert (lazy["cluster_id"].astype(str).values
+            == full["cluster_id"].values).all()
