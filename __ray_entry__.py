@@ -225,6 +225,55 @@ def _modal_incremental_query(kind: str):
     return q
 
 
+def _embedding_incremental_query(sf_dir: str):
+    """Incremental SEMANTIC (embedding) ingest: a vector delta with planted
+    near-identical cross pairs deduplicated against a checkpointed embedding
+    base run (``run_modal_pipeline(kind='embedding')``). Rows-only check;
+    exact equality with a from-scratch run is asserted in
+    tests/test_incremental.py::test_embedding_ingest_matches_full_run."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import (
+        ingest_delta_modal, run_modal_pipeline)
+    from deduplication_ray.sources import storage
+
+    cfg = DedupConfig(num_partitions=8)
+    n, d = 1000, 64
+    root = f"/tmp/dedup_ray_embinc_{FIXTURE_SEED}_{n}_{cfg.config_hash()}"
+    if not os.path.exists(f"{root}/split_done"):
+        rng = np.random.default_rng(FIXTURE_SEED)
+        m = rng.standard_normal((n, d)).astype(np.float32)
+        for i in range(60):  # rows 2i+1 near-identical to 2i
+            m[2 * i + 1] = m[2 * i] + rng.standard_normal(d).astype(
+                np.float32) * 0.01
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in m],
+                                  type=pa.list_(pa.float32())),
+        })
+        is_delta = np.zeros(n, bool)
+        is_delta[[2 * i + 1 for i in range(30)]] = True  # cross-side pairs
+        is_delta[800:] = True
+        for name, t in (("base", tbl.filter(pa.array(~is_delta))),
+                        ("delta", tbl.filter(pa.array(is_delta)))):
+            os.makedirs(f"{root}/{name}", exist_ok=True)
+            step = (t.num_rows + 1) // 2
+            for i in range(2):
+                pq.write_table(t.slice(i * step, step),
+                               f"{root}/{name}/part-{i}.parquet")
+        open(f"{root}/split_done", "w").close()
+    run_modal_pipeline(f"{root}/base", f"{root}/base_run", cfg,
+                       kind="embedding")
+    ingest_delta_modal(f"{root}/base_run", f"{root}/delta", f"{root}/inc_run",
+                       cfg, kind="embedding")
+    return storage.read_table(f"{root}/inc_run/clusters")
+
+
 def _nonempty_or_typed_table(ds):
     """Dataset.to_pandas() on an EMPTY dataset yields a column-less frame,
     which would fail the driver's schema compare; hand back a typed empty
@@ -345,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dedup_clusters": _audio_fixture_query,
         "video_dedup_incremental": _modal_incremental_query("video"),
         "audio_dedup_incremental": _modal_incremental_query("audio"),
+        "embedding_dedup_incremental": _embedding_incremental_query,
     }
 
 

@@ -64,12 +64,14 @@ def main(argv: list[str] | None = None) -> int:
         s = sub.add_parser(verb, help="execute (or resume) the dedup DAG")
         s.add_argument("--input", required=True, help="parquet table dir/file")
         s.add_argument("--out", required=True, help="run (checkpoint) dir")
-        s.add_argument("--mode", choices=("image", "text", "video", "audio"),
+        s.add_argument("--mode",
+                       choices=("image", "text", "video", "audio",
+                                "embedding"),
                        default="image",
                        help="'text' runs the checkpointed caption-only "
                             "engine over a (doc_id, text) table; 'video' / "
-                            "'audio' run the checkpointed modal engines "
-                            "over (video_id|audio_id, bytes) tables")
+                            "'audio' / 'embedding' run the checkpointed "
+                            "modal engines over (id, bytes|vector) tables")
         s.add_argument("--num-cpus", type=int, default=None)
         for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
                   "bucket_cap", "substring_min_len", "num_partitions"):
@@ -89,11 +91,13 @@ def main(argv: list[str] | None = None) -> int:
                         "and never touches base media)")
     s.add_argument("--delta-input", required=True, help="delta parquet table dir")
     s.add_argument("--out", required=True, help="run dir for the ingest")
-    s.add_argument("--mode", choices=("image", "text", "video", "audio"),
+    s.add_argument("--mode",
+                   choices=("image", "text", "video", "audio", "embedding"),
                    default="image",
                    help="'text' ingests (doc_id, text) tables against a "
-                        "run_text_pipeline base; 'video'/'audio' ingest "
-                        "modal deltas against a run_modal_pipeline base")
+                        "run_text_pipeline base; 'video'/'audio'/'embedding' "
+                        "ingest modal deltas against a run_modal_pipeline "
+                        "base")
     s.add_argument("--num-cpus", type=int, default=None)
     for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
               "bucket_cap", "substring_min_len", "num_partitions"):
@@ -199,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(metrics))
             ray.shutdown()
             return 0
-        if mode in ("video", "audio"):
+        if mode in ("video", "audio", "embedding"):
             from deduplication_ray.pipelines.incremental import (
                 run_modal_pipeline)
 
@@ -227,7 +231,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "ingest":
         ray = _session(args.num_cpus)
-        if args.mode in ("video", "audio"):
+        if args.mode in ("video", "audio", "embedding"):
             from deduplication_ray.pipelines.incremental import (
                 ingest_delta_modal)
 

@@ -105,6 +105,16 @@ class DedupConfig:
     audio_max_offset: int = 8       # alignment search radius in hops
                                     # (bounds detectable head trims)
 
+    # --- embedding (semantic) near-dup ---
+    emb_cos_min: float = 0.98     # exact-cosine verification threshold for
+                                  # the checkpointed/incremental embedding
+                                  # dedup path (candidates from SimHash
+                                  # multi-index bands, Hamming-gated at
+                                  # emb_hamming_t)
+    emb_hamming_t: int = 20       # generous SimHash radius for embedding
+                                  # candidates: cos >= 0.98 pairs can sit at
+                                  # Hamming ~8-12; exact cosine is the gate
+
     # --- union-find (T12) ---
     max_rounds: int = 12          # hash-min propagation round cap (O(log n) expected)
 

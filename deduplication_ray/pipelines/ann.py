@@ -352,6 +352,80 @@ def _embedding_dup_pairs_exact(
                           concurrency=(1, 4))
 
 
+class EmbSig:
+    """(id, embedding) rows -> the embedding signature table
+    (image_id, simhash, vec): 64-bit sign-random-projection SimHash over the
+    NORMALIZED vector (bucketing key) plus the normalized vector itself as a
+    packed f64 blob (exact-cosine verification payload). ``pad`` zero-pads
+    ids to 12 digits so lexicographic min == numeric min through the
+    string-keyed union-find (the checkpointed/incremental path)."""
+
+    def __init__(self, cfg: DedupConfig, id_col: str = "vec_id",
+                 pad: bool = False):
+        self.cfg = cfg
+        self.id_col = id_col
+        self.pad = pad
+        self.planes = None  # built lazily at first batch (needs dim)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = _normalize(_emb_matrix(t))
+        if self.planes is None:
+            self.planes = H.make_simhash_planes(64, m.shape[1], self.cfg.seed)
+        sh = H.simhash_from_features(m, self.planes)
+        ids = t[self.id_col].cast(pa.string())
+        if self.pad:
+            ids = pc.utf8_lpad(ids, 12, "0")
+        return pa.table({
+            "image_id": ids,
+            "simhash": pa.array(H.bitcast_u64_to_i64(sh), pa.int64()),
+            "vec": H.pack_u64_rows(m.astype(np.float64).view(np.uint64)),
+        })
+
+
+def explode_emb_bands(t: pa.Table) -> pa.Table:
+    """Embedding signature rows -> 4 x 16-bit SimHash multi-index bucket
+    rows (shared lsh schema; ``sh`` carries the hash for the at-emission
+    Hamming gate)."""
+    from deduplication_ray.stages import lsh
+
+    sh = H.bitcast_i64_to_u64(t["simhash"].to_numpy())
+    band, bucket = lsh._hash16_bands(sh, lsh.BAND_SIMHASH)
+    n = t.num_rows
+    return pa.table({
+        "band": band.astype(np.int64),
+        "bucket": bucket,
+        "salt": np.zeros(n * 4, dtype=np.int64),
+        "image_id": pa.array(np.repeat(t["image_id"].to_pandas().to_numpy(), 4)),
+        "ph": np.zeros(n * 4, dtype=np.int64),
+        "sh": np.repeat(t["simhash"].to_numpy(), 4),
+    })
+
+
+def verify_embedding_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
+                           cfg: DedupConfig,
+                           cos_min: float) -> ray.data.Dataset:
+    """Candidate (src, dst) kept iff EXACT cosine >= cos_min (vectors
+    attached from the signature table; one batched dot product). Output
+    (src, dst, kind) — ids as they appear in the signature table."""
+    from deduplication_ray.stages import verify as _v
+
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string()),
+                             "kind": pa.array([], pa.string())})
+        va = _unpack_f32(t["vec_src"])
+        vb = _unpack_f32(t["vec_dst"])
+        cos = (va * vb).sum(axis=1)
+        return t.select(["src", "dst", "kind"]).filter(
+            pa.array(cos >= cos_min))
+
+    attached = _v.attach_signatures(edges, sigs, cfg, cols=["vec"])
+    return attached.map_batches(check, batch_format="pyarrow")
+
+
 EXACT_PAIRS_LIMIT = 200_000  # vectors; above this the LSH path takes over
 
 
@@ -373,7 +447,7 @@ def embedding_dup_pairs(
     salting), with candidates verified by exact cosine via a signature join
     carrying the normalized vector as a binary blob.
     """
-    from deduplication_ray.stages import lsh, verify as _v  # shared machinery
+    from deduplication_ray.stages import lsh  # shared machinery
 
     # generous early-filter radius: cos >= 0.98 pairs can sit at simhash
     # Hamming ~8-12; exact cosine check below is the real gate
@@ -382,50 +456,16 @@ def embedding_dup_pairs(
     if ds.count() <= exact_limit:
         return _embedding_dup_pairs_exact(ds, id_col, cos_min)
 
-    class EmbSig:
-        def __init__(self):
-            self.planes = None  # built lazily at first batch (needs dim)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(t))
-            if self.planes is None:
-                self.planes = H.make_simhash_planes(64, m.shape[1], cfg.seed)
-            sh = H.simhash_from_features(m, self.planes)
-            return pa.table({
-                "image_id": t[id_col].cast(pa.string()),
-                "simhash": pa.array(H.bitcast_u64_to_i64(sh), pa.int64()),
-                "vec": H.pack_u64_rows(m.astype(np.float64).view(np.uint64)),
-            })
-
     sigs = ds.map_batches(
-        EmbSig, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+        EmbSig, fn_constructor_kwargs={"cfg": cfg, "id_col": id_col},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
     ).materialize()
 
-    def explode(t: pa.Table) -> pa.Table:
-        sh = H.bitcast_i64_to_u64(t["simhash"].to_numpy())
-        band, bucket = lsh._hash16_bands(sh, lsh.BAND_SIMHASH)
-        n = t.num_rows
-        return pa.table({
-            "band": band.astype(np.int64),
-            "bucket": bucket,
-            "salt": np.zeros(n * 4, dtype=np.int64),
-            "image_id": pa.array(np.repeat(t["image_id"].to_pandas().to_numpy(), 4)),
-            "ph": np.zeros(n * 4, dtype=np.int64),
-            "sh": np.repeat(t["simhash"].to_numpy(), 4),
-        })
-
-    buckets = sigs.map_batches(explode, batch_format="pyarrow")
+    buckets = sigs.map_batches(explode_emb_bands, batch_format="pyarrow")
     edges = lsh.dedupe_edges(lsh.edges_from_buckets(buckets, cfg))
+    verified = verify_embedding_edges(edges, sigs, cfg, cos_min)
 
-    def check(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"src": pa.array([], pa.int64()),
-                             "dst": pa.array([], pa.int64())})
-        va = _unpack_f32(t["vec_src"])
-        vb = _unpack_f32(t["vec_dst"])
-        cos = (va * vb).sum(axis=1)
-        keep = cos >= cos_min
-        t = t.filter(pa.array(keep))
+    def to_int_pairs(t: pa.Table) -> pa.Table:
         # integer (src,dst) with src < dst NUMERICALLY — the edge machinery
         # ordered the string ids lexicographically, which differs for
         # variable-width numerals, and the SQL oracle compares on ints
@@ -433,8 +473,7 @@ def embedding_dup_pairs(
         b = t["dst"].cast(pa.int64()).to_numpy()
         return pa.table({"src": np.minimum(a, b), "dst": np.maximum(a, b)})
 
-    attached = _v.attach_signatures(edges, sigs, cfg, cols=["vec"])
-    return attached.map_batches(check, batch_format="pyarrow")
+    return verified.map_batches(to_int_pairs, batch_format="pyarrow")
 
 
 def embedding_dup_pairs_sql(cos_min: float = 0.98) -> str:

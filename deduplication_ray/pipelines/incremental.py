@@ -341,11 +341,12 @@ def ingest_delta(
 # ------------------------------------------------- video / audio modalities
 
 def _modal_kit(kind: str, cfg: DedupConfig) -> dict:
-    """Modality plumbing for the checkpointed + incremental video/audio
-    paths: signature fn, bucket-stream fn, the config used for PAIRING
-    (video swaps the pHash Hamming gate for its frame radius, exactly as
-    ``video_dedup_clusters`` does) and the verification fn. Candidate and
-    verify semantics are the lazy pipelines' own functions — one
+    """Modality plumbing for the checkpointed + incremental video/audio/
+    embedding paths: signature fn, bucket-stream fn, the config used for
+    PAIRING (video swaps the pHash Hamming gate for its frame radius,
+    embeddings swap in the generous ``emb_hamming_t`` SimHash radius —
+    exactly as the lazy pipelines do) and the verification fn. Candidate
+    and verify semantics are the lazy pipelines' own functions — one
     implementation, so the plans cannot drift."""
     import dataclasses
 
@@ -376,7 +377,26 @@ def _modal_kit(kind: str, cfg: DedupConfig) -> dict:
                 edges, sigs, cfg),
             "id_col": "audio_id",
         }
-    raise ValueError(f"unknown modal kind {kind!r} (expected video|audio)")
+    if kind == "embedding":
+        from deduplication_ray.pipelines import ann
+
+        return {
+            # ids zero-padded to 12 digits so lexicographic min == numeric
+            # min through the string-keyed union-find
+            "sig": lambda path, id_col: storage.read_table(
+                path, columns=[id_col, "embedding"]).map_batches(
+                    ann.EmbSig(cfg, id_col, pad=True),
+                    batch_format="pyarrow", batch_size=4096),
+            "buckets": lambda sigs: sigs.map_batches(
+                ann.explode_emb_bands, batch_format="pyarrow"),
+            "edge_cfg": dataclasses.replace(
+                cfg, simhash_hamming_t=cfg.emb_hamming_t),
+            "verify": lambda edges, sigs: ann.verify_embedding_edges(
+                edges, sigs, cfg, cfg.emb_cos_min),
+            "id_col": "vec_id",
+        }
+    raise ValueError(
+        f"unknown modal kind {kind!r} (expected video|audio|embedding)")
 
 
 def _modal_metrics(run: CheckpointedRun, cfg: DedupConfig) -> dict:
@@ -400,8 +420,8 @@ def run_modal_pipeline(input_path: str, run_dir: str,
                        cfg: DedupConfig | None = None, kind: str = "video",
                        id_col: str | None = None,
                        strict_resume: bool = False) -> dict:
-    """Checkpointed video/audio dedup run — the base-run producer for
-    ``ingest_delta_modal``, mirroring ``run_text_pipeline``: signatures,
+    """Checkpointed video/audio/embedding dedup run — the base-run producer
+    for ``ingest_delta_modal``, mirroring ``run_text_pipeline``: signatures,
     edges, verified_edges and per-round union-find labels all persist under
     ``run_dir`` with config-hash lineage; clusters are written in the
     engine-canonical (image_id, cluster_id) shape. Same DAG as the lazy
@@ -446,7 +466,7 @@ def ingest_delta_modal(
     kind: str = "video",
     id_col: str | None = None,
 ) -> dict:
-    """Delta-bounded video/audio ingest against finished
+    """Delta-bounded video/audio/embedding ingest against finished
     ``run_modal_pipeline`` base runs — the modal twin of ``ingest_delta``:
 
     - decode/DCT/FFT runs on DELTA rows only; base frame signatures come

@@ -280,3 +280,61 @@ def test_modal_ingest_matches_full_run(ray_session, tmp_path, kind):
     assert (lazy["image_id"].values == full["image_id"].values).all()
     assert (lazy["cluster_id"].astype(str).values
             == full["cluster_id"].values).all()
+
+
+def test_embedding_ingest_matches_full_run(ray_session, tmp_path):
+    """Semantic (embedding) delta ingested against a checkpointed embedding
+    base run equals the from-scratch run over base+delta, and recovers the
+    planted near-identical pairs — including base<->delta cross pairs."""
+    import numpy as np
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import (
+        ingest_delta_modal, run_modal_pipeline)
+    from deduplication_ray.sources import storage
+
+    rng = np.random.default_rng(11)
+    n, d = 600, 64
+    base_m = rng.standard_normal((n, d)).astype(np.float32)
+    for i in range(40):  # rows 2i+1 near-identical to 2i
+        base_m[2 * i + 1] = (base_m[2 * i]
+                             + rng.standard_normal(d).astype(np.float32) * 0.01)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in base_m],
+                              type=pa.list_(pa.float32())),
+    })
+    # delta = every odd planted partner of the first 20 pairs plus a tail
+    # slice: cross-side (base<->delta) links must be found by the ingest
+    is_delta = np.zeros(n, bool)
+    is_delta[[2 * i + 1 for i in range(20)]] = True
+    is_delta[500:] = True
+    parts = {"base": tbl.filter(pa.array(~is_delta)),
+             "delta": tbl.filter(pa.array(is_delta)), "full": tbl}
+    for name, t in parts.items():
+        dd = tmp_path / name
+        os.makedirs(dd)
+        step = (t.num_rows + 1) // 2
+        for i in range(2):
+            pq.write_table(t.slice(i * step, step), f"{dd}/part-{i}.parquet")
+
+    cfg = DedupConfig(num_partitions=4)
+    p = lambda s: str(tmp_path / s)  # noqa: E731
+    run_modal_pipeline(p("base"), p("base_run"), cfg, kind="embedding")
+    metrics = ingest_delta_modal(p("base_run"), p("delta"), p("inc_run"),
+                                 cfg, kind="embedding")
+    run_modal_pipeline(p("full"), p("full_run"), cfg, kind="embedding")
+
+    inc = storage.read_table(f"{tmp_path}/inc_run/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    full = storage.read_table(f"{tmp_path}/full_run/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert (inc["image_id"].values == full["image_id"].values).all()
+    assert (inc["cluster_id"].values == full["cluster_id"].values).all()
+    assert metrics["rows"]["signatures"] == parts["delta"].num_rows
+
+    # every planted pair clusters together (ids are 12-digit zero-padded)
+    lab = dict(zip(inc["image_id"], inc["cluster_id"]))
+    pad = lambda i: str(i).zfill(12)  # noqa: E731
+    hits = sum(lab[pad(2 * i)] == lab[pad(2 * i + 1)] for i in range(40))
+    assert hits >= 38, hits
