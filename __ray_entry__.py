@@ -377,6 +377,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": docops.q_lang_stratified_sample,  # src_cap
         "top_terms": docops.q_top_terms,                 # kernel: topk_sources
         "doc_word_repetition": docops.q_doc_word_repetition,  # doc_stats kin
+        "events_moving_window": R.q_events_moving_window,  # kernel: events_lag
+        "doc_passage_dedup": docops.q_doc_passage_dedup,  # chunks+exact_dedup
+        "doc_bm25_topk": docops.q_doc_bm25_topk,         # kernel: top_terms
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": lambda sf: ann.embedding_kmeans_cells(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
@@ -454,6 +457,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_word_repetition": docops.Q_DOC_WORD_REPETITION_SQL,
         "top_terms": docops.top_terms_sql(),
         "lang_stratified_sample": docops.lang_stratified_sample_sql(),
+        "events_moving_window": R.Q_EVENTS_MOVING_WINDOW_SQL,
+        "doc_passage_dedup": docops.doc_passage_dedup_sql(),
+        "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_quality": docops.Q_DOC_QUALITY_SQL,

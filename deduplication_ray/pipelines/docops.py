@@ -852,6 +852,122 @@ ORDER BY df DESC, tok LIMIT {k}
 """
 
 
+# ----------------------------------------------------------- BM25 keyword search
+
+# fixed keyword query for the driver-checked search operator; terms chosen
+# from the synthetic vocabulary with deliberately spread document
+# frequencies ('dup' is rare, 'window'/'spark' are near-stopwords) so the
+# IDF weighting actually orders the result
+_BM25_TERMS = ("dup", "spark", "window")
+
+
+def q_doc_bm25_topk(sf_dir: str, k: int = 10):
+    """Distributed BM25 keyword search: top-k documents for a fixed query,
+    scored with the classic Okapi shape (Robertson & Spärck Jones; public)
+    at k1 = 6/5, b = 3/4 — but with the log-IDF replaced by the rational RSJ
+    odds (N - df + 0.5) / (df + 0.5) and every quantity kept in int64, so
+    floor-milli scores are bit-identical between Ray and the SQL oracle
+    (a float log() would hash differently across engines).
+
+    Per term: score_milli += (1000 * (2N - 2df + 1) * 22 * tf * A)
+                          // ((2df + 1) * (10 * tf * A + 3 * A + 9 * dl))
+    which is exactly idf_odds * tf(k1+1) / (tf + k1(1 - b + b*dl/avgdl))
+    scaled by 1000 with avgdl fixed to the integer A = L // N.
+
+    Scale plan — two linear passes, no corpus shuffle: (1) a stats pass
+    reduces each block to ONE row (doc count, token count, per-term df
+    partials) and the driver sums #blocks rows into (N, L, df); (2) a
+    scoring pass recomputes tf/dl per batch from the flat token array
+    (vectorized bincount per query term — |Q| kernels, not |rows| loops)
+    and keeps a per-block top-k, so the driver merge is k x #blocks rows.
+    The query side is broadcast by closure — a real search engine would
+    ray.put a term table; at |Q| = 3 the constants travel with the task."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        counts = offs[1:] - offs[:-1]
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        out = {"n_docs": pa.array([t.num_rows], pa.int64()),
+               "n_tokens": pa.array([int(offs[-1])], pa.int64())}
+        for i, term in enumerate(_BM25_TERMS):
+            mask = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            out[f"df_{i}"] = pa.array([int(np.unique(row[mask]).size)],
+                                      pa.int64())
+        return pa.table(out)
+
+    st = (ds.map_batches(stats_partial, batch_format="pyarrow")
+          .to_pandas().sum())  # #blocks rows -> one
+    N, L = int(st["n_docs"]), int(st["n_tokens"])
+    A = max(L // max(N, 1), 1)
+    dfs = [int(st[f"df_{i}"]) for i in range(len(_BM25_TERMS))]
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        dl = offs[1:] - offs[:-1]
+        row = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+        total = np.zeros(len(dl), np.int64)
+        hit = np.zeros(len(dl), bool)
+        for df, term in zip(dfs, _BM25_TERMS):
+            mask = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(row[mask], minlength=len(dl)).astype(np.int64)
+            num = 1000 * (2 * N - 2 * df + 1) * 22 * tf * A
+            den = (2 * df + 1) * (10 * tf * A + 3 * A + 9 * dl)
+            total += num // den
+            hit |= tf > 0
+        out = pa.table({"doc_id": t["doc_id"],
+                        "score_milli": pa.array(total, pa.int64())})
+        return out.filter(pa.array(hit))
+
+    def topk(t: pa.Table) -> pa.Table:
+        df_ = (t.to_pandas()
+               .sort_values(["score_milli", "doc_id"],
+                            ascending=[False, True]).head(k))
+        return pa.Table.from_pandas(df_, preserve_index=False)
+
+    cand = (ds.map_batches(score, batch_format="pyarrow")
+            .map_batches(topk, batch_format="pyarrow").to_pandas())
+    out = (cand.sort_values(["score_milli", "doc_id"],
+                            ascending=[False, True]).head(k)
+           .reset_index(drop=True)[["doc_id", "score_milli"]])
+    out["score_milli"] = out["score_milli"].astype("int64")
+    return out
+
+
+def doc_bm25_topk_sql(k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id,
+         CAST(length(string_split_regex(lower(trim(text)), '\\s+'))
+              AS BIGINT) AS dl
+  FROM documents
+), a AS (
+  SELECT n, greatest(l // greatest(n, 1), 1) AS a
+  FROM (SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT sum(dl) FROM dl) AS l)
+), df AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE tok IN ({terms}) GROUP BY tok
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ({terms}) GROUP BY 1, 2
+)
+SELECT tf.doc_id AS doc_id,
+       CAST(sum((1000 * (2 * a.n - 2 * df.df + 1) * 22 * tf.tf * a.a)
+            // ((2 * df.df + 1)
+                * (10 * tf.tf * a.a + 3 * a.a + 9 * dl.dl)))
+            AS BIGINT) AS score_milli
+FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN a
+GROUP BY 1
+ORDER BY score_milli DESC, tf.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------------------ language-stratified sampling
 
 # per-language keep rates as exact u32 thresholds (floor(rate * 2^32)):
@@ -1035,6 +1151,75 @@ SELECT doc_id, chunk_idx,
        array_to_string(toks[CAST(chunk_idx * {max_words} + 1 AS BIGINT)
                             :CAST(least(n, (chunk_idx + 1) * {max_words}) AS BIGINT)], ' ') AS chunk_text
 FROM spans
+"""
+
+
+# ------------------------------------------------------------ passage dedup
+
+_PASSAGE_WORDS = 32     # passage = fixed 32-word chunk (boilerplate unit)
+_CHUNK_IDX_BITS = 20    # rep key = doc_id * 2^20 + chunk_idx (exact in int64)
+
+
+def q_doc_passage_dedup(sf_dir: str):
+    """Passage-level exact dedup: split every document into fixed 32-word
+    passages and collapse byte-identical passages ACROSS the corpus to one
+    representative — the sub-document dedup step (boilerplate headers,
+    licence blocks, quoted chunks) that whole-document dedup cannot see.
+    Output: one row per distinct passage text with its representative
+    (min (doc_id, chunk_idx) lexicographic, as the packed int64
+    ``doc_id * 2^20 + chunk_idx`` both engines minimize) and the copy count.
+
+    Scale plan: the chunk expansion is ``q_doc_chunks``'s vectorized
+    flat_map (no per-doc loop); the only shuffle is the groupby over
+    passage text — the reference's R8 content-identity shuffle at passage
+    granularity (dictionary.c:49-78 generalized). The min-key and count
+    aggregates both combine associatively, so Ray pre-aggregates per block
+    before the exchange; at 100 TB you'd group on a 128-bit content hash
+    instead, but the representative's text must cross the wire either way
+    because it IS the output."""
+    from ray.data.aggregate import Count, Min
+
+    chunks = q_doc_chunks(sf_dir, max_words=_PASSAGE_WORDS)
+
+    def pack(t: pa.Table) -> pa.Table:
+        key = (t["doc_id"].to_numpy() * (1 << _CHUNK_IDX_BITS)
+               + t["chunk_idx"].to_numpy())
+        return pa.table({"chunk_text": t["chunk_text"],
+                         "key": pa.array(key, pa.int64())})
+
+    agg = (chunks.map_batches(pack, batch_format="pyarrow")
+           .groupby("chunk_text")
+           .aggregate(Min("key", alias_name="rep_key"),
+                      Count(alias_name="n_copies")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        key = t["rep_key"].to_numpy()
+        return pa.table({
+            "chunk_text": t["chunk_text"],
+            "rep_doc_id": pa.array(key >> _CHUNK_IDX_BITS, pa.int64()),
+            "rep_chunk_idx": pa.array(key & ((1 << _CHUNK_IDX_BITS) - 1),
+                                      pa.int64()),
+            "n_copies": t["n_copies"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def doc_passage_dedup_sql() -> str:
+    chunks = doc_chunks_sql(_PASSAGE_WORDS).strip()
+    return f"""
+WITH chunks AS ({chunks}),
+agg AS (
+  SELECT chunk_text,
+         min(doc_id * {1 << _CHUNK_IDX_BITS} + chunk_idx) AS rep_key,
+         count(*) AS n_copies
+  FROM chunks GROUP BY chunk_text
+)
+SELECT chunk_text,
+       CAST(rep_key // {1 << _CHUNK_IDX_BITS} AS BIGINT) AS rep_doc_id,
+       CAST(rep_key % {1 << _CHUNK_IDX_BITS} AS BIGINT) AS rep_chunk_idx,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM agg
 """
 
 

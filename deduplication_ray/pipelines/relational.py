@@ -1173,6 +1173,64 @@ FROM events
 """
 
 
+# ------------------------------------------------- bounded sliding row frame
+
+def q_events_moving_window(sf_dir: str, preceding: int = 3,
+                           num_buckets: int = 32):
+    """Per-user BOUNDED sliding row frame (ROWS BETWEEN ``preceding``
+    PRECEDING AND CURRENT ROW): windowed value sum + frame size per event —
+    the moving-average building block, and the one ROWS-frame shape the
+    running-total operator (unbounded frame) doesn't cover.
+
+    Scale shape identical to sessionize/lag/running-total: one hash shuffle
+    co-locating each user's rows, then ONE vectorized pass per bucket —
+    segment-aware cumulative sums where each row's frame start is
+    ``max(pos - preceding, segment_start)``, so the whole bucket is two
+    array subtractions regardless of user cardinality. Sum and count are
+    emitted as exact integer cents (float mean would hash differently
+    across engines); mean = win_sum_cents / win_n for the consumer."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def moving(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        csum0 = np.concatenate([[0], np.cumsum(cents)])
+        uid = g["user_id"].to_numpy()
+        pos = np.arange(n, dtype=np.int64)
+        new = np.concatenate([[True], uid[1:] != uid[:-1]]) if n else \
+            np.zeros(0, bool)
+        seg_start = np.zeros(n, dtype=np.int64)
+        seg_start[new] = pos[new]
+        seg_start = np.maximum.accumulate(seg_start)
+        start = np.maximum(pos - preceding, seg_start)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "win_sum_cents": csum0[pos + 1] - csum0[start],
+            "win_n": pos - start + 1,
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(moving, batch_format="pandas")
+
+
+Q_EVENTS_MOVING_WINDOW_SQL = """
+SELECT event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS win_sum_cents,
+       CAST(count(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ------------------------------------------------- semi-structured JSON props
 
 def q_events_props_agg(sf_dir: str):

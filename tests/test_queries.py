@@ -70,6 +70,7 @@ SQL_CHECKED = [
     "doc_token_estimate", "semi_join_bloom", "dedup_keep_first_index",
     "distinct_orderkeys_hll", "distinct_orders_per_flag_hll",
     "grouped_quantiles_sketch",
+    "events_moving_window", "doc_passage_dedup", "doc_bm25_topk",
 ]
 
 
