@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_keep_best": docops.q_doc_dedup_keep_best,
         "doc_simhash_pairs": docops.q_doc_simhash_pairs,
         "doc_fingerprints": docops.q_doc_fingerprints,
+        "doc_model_score": docops.q_doc_model_score,
         "top_terms_sketch": docops.q_top_terms_sketch,
         "lsh_bucket_stats": docops.q_lsh_bucket_stats,
         "image_dedup_clusters": _img_fixture_query,

@@ -852,6 +852,65 @@ ORDER BY df DESC, tok LIMIT {k}
 """
 
 
+# ------------------------------------------------------ model-inference scoring
+
+class _DocClassifier:
+    """Batched MODEL INFERENCE as a stateful actor stage — the
+    fasttext-shaped quality/topic classifier slot of a training-data
+    curation pipeline.
+
+    The model is a deterministic stand-in (no model binaries ship in this
+    sandbox): a linear layer over 2^16 hashed char-trigram buckets whose
+    float32 weights derive from ``seed`` via SplitMix64. The Ray-side
+    contract is the real thing and is what the tests pin down: weights
+    materialize ONCE per actor in ``__init__`` (the slot where a production
+    run reads the .bin from shared storage — never per batch), and
+    inference is one weight gather + per-row segment reduce per batch
+    (``np.add.reduceat`` — exact per-row sums independent of batch
+    composition, so output is partition-invariant; no per-row Python)."""
+
+    N_BUCKETS = 1 << 16
+    N_CLASSES = 4
+    LABELS = np.array(["hi", "mid", "low", "junk"])
+
+    def __init__(self, seed: int = 42):
+        idx = np.arange(self.N_BUCKETS * self.N_CLASSES, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = H.splitmix64(
+                idx + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+        self.w = ((h >> np.uint64(40)).astype(np.float64)
+                  / np.float64(1 << 24) - 0.5) \
+            .reshape(self.N_BUCKETS, self.N_CLASSES)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hashes, offs = H.shingle_window_hashes(t["text"], 3)
+        b = (hashes % np.uint64(self.N_BUCKETS)).astype(np.int64)
+        contrib = self.w[b]                              # (n_grams, C)
+        sums = np.add.reduceat(contrib, offs[:-1], axis=0)
+        n_grams = (offs[1:] - offs[:-1]).astype(np.float64)
+        logits = sums / np.maximum(n_grams, 1.0)[:, None]  # mean pool
+        best = np.argmax(logits, axis=1)                 # first-max-wins
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "label": pa.array(self.LABELS[best]),
+            "score_milli": pa.array(
+                np.floor(np.max(logits, axis=1) * 1000.0).astype(np.int64)),
+        })
+
+
+def q_doc_model_score(sf_dir: str):
+    """Model-inference scoring pass: every document classified by a linear
+    hashed-trigram model running as an autoscaling ACTOR POOL
+    (``map_batches(_DocClassifier, concurrency=(1, 4))`` — construct-once,
+    score-per-batch). Rows-only driver check (a learned scorer has no ANSI
+    SQL form); tests assert exact parity with a serial single-process
+    oracle and invariance to partition count."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        _DocClassifier, fn_constructor_kwargs={"seed": 42},
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
+
+
 # ----------------------------------------------------------- BM25 keyword search
 
 # fixed keyword query for the driver-checked search operator; terms chosen

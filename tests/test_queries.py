@@ -201,6 +201,32 @@ def test_rows_only_queries_execute(entry_mod):
         assert len(df.columns) >= 1 or len(df) == 0
 
 
+def test_model_score_matches_serial_and_partition_invariant(ray_session):
+    """The actor-pool inference stage must emit EXACTLY what one serial
+    pass over the whole table emits (construct-once weights, per-row
+    reduceat — nothing may depend on batch composition), at any partition
+    count, and the labels must be non-degenerate."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deduplication_ray.pipelines.docops import (_DocClassifier,
+                                                    q_doc_model_score)
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"])
+    serial = _canon(_DocClassifier(seed=42)(tbl).to_pandas())
+
+    dist = _canon(_to_pandas(q_doc_model_score(SF_DIR)))
+    pd.testing.assert_frame_equal(dist, serial, check_dtype=False)
+
+    repart = ray.data.from_arrow(tbl).repartition(7).map_batches(
+        _DocClassifier, fn_constructor_kwargs={"seed": 42},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 2))
+    pd.testing.assert_frame_equal(_canon(_to_pandas(repart)), serial,
+                                  check_dtype=False)
+    assert serial["label"].nunique() >= 2  # scorer is not vacuous
+
+
 def test_entry_runs(entry_mod):
     r = entry_mod.entry()
     df = _to_pandas(r)
