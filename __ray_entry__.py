@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": docops.q_top_terms,                 # kernel: topk_sources
         "doc_word_repetition": docops.q_doc_word_repetition,  # doc_stats kin
         "events_moving_window": R.q_events_moving_window,  # kernel: events_lag
+        "events_daily_gapfill": R.q_events_daily_gapfill,  # sessionize kin
         "doc_passage_dedup": docops.q_doc_passage_dedup,  # chunks+exact_dedup
         "doc_bm25_topk": docops.q_doc_bm25_topk,         # kernel: top_terms
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
@@ -459,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": docops.top_terms_sql(),
         "lang_stratified_sample": docops.lang_stratified_sample_sql(),
         "events_moving_window": R.Q_EVENTS_MOVING_WINDOW_SQL,
+        "events_daily_gapfill": R.Q_EVENTS_DAILY_GAPFILL_SQL,
         "doc_passage_dedup": docops.doc_passage_dedup_sql(),
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly

@@ -24,6 +24,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from deduplication_ray.functions import hashing as H
 from deduplication_ray.sources import storage
 
 
@@ -1228,6 +1229,79 @@ SELECT event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------- time-series gap fill
+
+def q_events_daily_gapfill(sf_dir: str, num_buckets: int = 32):
+    """Per-user daily event counts DENSIFIED over each user's observed
+    [first_day, last_day] span, missing days zero-filled — the
+    resample/gap-fill operator time-series feature pipelines need and Ray
+    Data lacks (a groupby can only emit observed keys).
+
+    Scale shape: per-batch Arrow hash-agg partials collapse events to
+    (user, day, n) rows BEFORE the only shuffle (a user-hash bucket
+    groupby); inside each bucket one vectorized pass over all its users
+    densifies via np.repeat + per-segment aranges and scatters observed
+    counts into the grid — no per-user Python. Output size is the sum of
+    user spans: a production run over years-long histories would cap the
+    span or emit gap runs instead; the shape (partial agg, one shuffle,
+    segment arithmetic) is the 100 TB plan either way."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))  # epoch days
+        g = (pa.table({"user_id": t["user_id"],
+                       "day": pa.array(day, pa.int64())})
+             .group_by(["user_id", "day"]).aggregate([("day", "count")]))
+        u = g["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return pa.table({
+            "user_id": g["user_id"], "day": g["day"],
+            "n": g["day_count"].cast(pa.int64()),
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["user_id", "day"], sort=True)["n"].sum()
+             .reset_index())  # merge cross-batch partials; sorted by user,day
+        uid = g["user_id"].to_numpy()
+        day = g["day"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        new = np.concatenate([[True], uid[1:] != uid[:-1]]) if len(g) else \
+            np.zeros(0, bool)
+        lo = day[new]
+        seg_bounds = np.flatnonzero(new)
+        seg_end = np.concatenate([seg_bounds[1:] - 1, [len(uid) - 1]]) \
+            if len(g) else np.empty(0, np.int64)
+        spans = day[seg_end] - lo + 1
+        out_n = np.zeros(int(spans.sum()), np.int64)
+        seg_offset = np.concatenate([[0], np.cumsum(spans)[:-1]])
+        seg_idx = np.cumsum(new) - 1
+        out_n[seg_offset[seg_idx] + (day - lo[seg_idx])] = n
+        return pd.DataFrame({
+            "user_id": np.repeat(uid[new], spans),
+            "day": np.repeat(lo, spans) + H._ranges(spans),
+            "n_events": out_n,
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(densify, batch_format="pandas")
+
+
+Q_EVENTS_DAILY_GAPFILL_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+  FROM d GROUP BY user_id
+)
+SELECT g.user_id, g.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day
 """
 
 

@@ -71,6 +71,7 @@ SQL_CHECKED = [
     "distinct_orderkeys_hll", "distinct_orders_per_flag_hll",
     "grouped_quantiles_sketch",
     "events_moving_window", "doc_passage_dedup", "doc_bm25_topk",
+    "events_daily_gapfill",
 ]
 
 
