@@ -274,6 +274,51 @@ def _embedding_incremental_query(sf_dir: str):
     return storage.read_table(f"{root}/inc_run/clusters")
 
 
+def _img_merge_query(sf_dir: str):
+    """Merge of two independently deduplicated halves of the image fixture
+    (``merge_runs``: signatures from both checkpoints, only cross-run pairs
+    verified, no media re-decode), returning the full clusters table.
+    Rows-only check; exact equality with a from-scratch run is asserted in
+    tests/test_incremental.py::test_merge_runs_matches_full_run."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import run_pipeline
+    from deduplication_ray.pipelines.incremental import merge_runs
+    from deduplication_ray.sources import fixtures, storage
+
+    n = TINY_FIXTURE_ROWS
+    cfg = DedupConfig(num_partitions=8)
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    root = f"/tmp/dedup_ray_merge_{FIXTURE_SEED}_{n}_{cfg.config_hash()}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
+    if not os.path.exists(f"{root}/split_done"):
+        tbl = pads.dataset(
+            [f"{fix_dir}/data/{f}" for f in os.listdir(f"{fix_dir}/data")
+             if f.endswith(".parquet")]).to_table()
+        mask = pa.array([i % 2 == 0 for i in range(tbl.num_rows)])
+        for name, t in (("a", tbl.filter(mask)),
+                        ("b", tbl.filter(pa.compute.invert(mask)))):
+            shutil.rmtree(f"{root}/{name}", ignore_errors=True)
+            os.makedirs(f"{root}/{name}")
+            step = (t.num_rows + 1) // 2
+            for i in range(2):
+                pq.write_table(t.slice(i * step, step),
+                               f"{root}/{name}/part-{i}.parquet")
+        open(f"{root}/split_done", "w").close()
+    run_pipeline(f"{root}/a", f"{root}/run_a", cfg)
+    run_pipeline(f"{root}/b", f"{root}/run_b", cfg)
+    merge_runs(f"{root}/run_a", f"{root}/a", f"{root}/run_b", f"{root}/b",
+               f"{root}/merged", cfg)
+    return storage.read_table(f"{root}/merged/clusters")
+
+
 def _nonempty_or_typed_table(ds):
     """Dataset.to_pandas() on an EMPTY dataset yields a column-less frame,
     which would fail the driver's schema compare; hand back a typed empty
@@ -394,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_bucket_stats": docops.q_lsh_bucket_stats,
         "image_dedup_clusters": _img_fixture_query,
         "image_dedup_incremental": _img_incremental_query,
+        "image_dedup_merge": _img_merge_query,
         "text_dedup_incremental": _text_incremental_query,
         "video_dedup_clusters": _video_fixture_query,
         "audio_dedup_clusters": _audio_fixture_query,

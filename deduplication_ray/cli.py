@@ -104,6 +104,23 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument(f"--{f.replace('_', '-')}", type=int, default=None,
                        dest=f)
 
+    s = sub.add_parser("merge", help="merge two finished dedup runs into one "
+                                     "clusters table (no media re-decode: "
+                                     "signatures come from both checkpoints; "
+                                     "only cross-run pairs are verified)")
+    s.add_argument("--run-a", required=True, help="first finished run dir")
+    s.add_argument("--input-a", required=True, help="first input table dir")
+    s.add_argument("--run-b", required=True,
+                   help="second finished run dir (pass the SMALLER run here)")
+    s.add_argument("--input-b", required=True, help="second input table dir")
+    s.add_argument("--out", required=True, help="run dir for the merge")
+    s.add_argument("--mode", choices=("image", "text"), default="image")
+    s.add_argument("--num-cpus", type=int, default=None)
+    for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
+              "bucket_cap", "substring_min_len", "num_partitions"):
+        s.add_argument(f"--{f.replace('_', '-')}", type=int, default=None,
+                       dest=f)
+
     s = sub.add_parser("curate", help="end-to-end training-data curation: "
                                       "decontaminate -> quality gate -> "
                                       "dedup keep-best -> split -> chunk -> "
@@ -248,6 +265,17 @@ def main(argv: list[str] | None = None) -> int:
                                    args.base_input.split(","),
                                    args.delta_input, args.out,
                                    _cfg_from_args(args), mode=args.mode)
+        print(json.dumps(metrics))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "merge":
+        ray = _session(args.num_cpus)
+        from deduplication_ray.pipelines.incremental import merge_runs
+
+        metrics = merge_runs(args.run_a, args.input_a, args.run_b,
+                             args.input_b, args.out, _cfg_from_args(args),
+                             mode=args.mode)
         print(json.dumps(metrics))
         ray.shutdown()
         return 0

@@ -338,6 +338,183 @@ def ingest_delta(
     return metrics
 
 
+class _CrossesSides:
+    """Keep only edges linking the two runs (exactly ONE endpoint in the
+    broadcast B-side id set): A-A and B-B pairs were adjudicated by their
+    own runs — their connectivity re-enters as trusted star edges — so only
+    cross pairs need verification."""
+
+    def __init__(self, ids_ref):
+        self.ref = ids_ref
+        self._set = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._set is None:
+            self._set = ray.get(self.ref)
+        if t.num_rows == 0:
+            return t
+        s = pc.is_in(t["src"].cast(pa.string()), value_set=self._set)
+        d = pc.is_in(t["dst"].cast(pa.string()), value_set=self._set)
+        return t.filter(pc.xor(s, d))
+
+
+def merge_runs(
+    run_a_dir: str,
+    input_a: str,
+    run_b_dir: str,
+    input_b: str,
+    out_run_dir: str,
+    cfg: DedupConfig | None = None,
+    mode: str = "image",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Merge TWO finished dedup runs into one clusters table WITHOUT
+    re-decoding any media — the "two crawls deduplicated independently, now
+    union the corpora" operator (the reference analog: concatenating two
+    DDP1 dictionaries and re-pointing ids, ``compressor.c:269-290``, done
+    distributed and content-aware).
+
+    Both sides' signatures come straight from their run checkpoints (the
+    expensive decode/MinHash work is never repeated; only the narrow
+    caption columns are re-read for the substring L-gram family). Candidate
+    generation mirrors ``ingest_delta`` with run B playing the delta: B's
+    occupied bucket keys are collected (bounded by |B| x bands — pass the
+    SMALLER run as B) and broadcast, A's re-keyed bucket stream is filtered
+    to the co-occupied buckets, and edge generation sees the full bucket
+    content for every shared bucket (so salting decisions match a
+    from-scratch run). Only CROSS edges (exactly one endpoint in B) are
+    verified; within-A / within-B connectivity enters as trusted star edges
+    from each run's clusters checkpoint. Result equals the from-scratch run
+    over A+B (asserted in tests/test_incremental.py) provided the two runs
+    share a DedupConfig (guarded) and have disjoint ids."""
+    from deduplication_ray.pipelines.image_dedup import (
+        checkpointed_components, finalize_clusters)
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    cfg = cfg or DedupConfig()
+    if cfg.substring_rendezvous != "grams" or cfg.use_suffix_array:
+        raise ValueError(
+            "merge_runs supports the default exact-gram substring "
+            f"rendezvous only (got rendezvous={cfg.substring_rendezvous!r}, "
+            f"use_suffix_array={cfg.use_suffix_array}); run the full "
+            "pipeline for these configs")
+    apply_context_tuning()
+    run = CheckpointedRun(out_run_dir, cfg)
+
+    if mode == "text":
+        from deduplication_ray.pipelines.text_dedup import as_engine_table
+
+        def caps_of(path):
+            return as_engine_table(
+                storage.read_table(path, columns=[id_col, text_col]),
+                id_col, text_col)
+
+        exact_key = ("cap_hash",)
+        attach_cols = ["minhash"]
+        has_pixels = False
+    else:
+        def caps_of(path):
+            return storage.read_table(path, columns=["image_id", "caption"])
+
+        exact_key = ("ck1", "ck2")
+        attach_cols = None
+        has_pixels = True
+
+    for r in (run_a_dir, run_b_dir):
+        m = storage.read_manifest(f"{r}/signatures") or {}
+        got = m.get("config_hash")
+        if got is not None and got != cfg.config_hash():
+            raise ValueError(
+                f"run {r} signatures were written under config {got}, but "
+                f"this merge runs config {cfg.config_hash()}; signatures "
+                "from different configs are not comparable")
+
+    sigs_a = storage.read_table(f"{run_a_dir}/signatures")
+    sigs_b = storage.read_table(f"{run_b_dir}/signatures")
+    clusters_a = storage.read_table(f"{run_a_dir}/clusters")
+    clusters_b = storage.read_table(f"{run_b_dir}/clusters")
+
+    def exact_key_u64(t: pa.Table) -> np.ndarray:
+        if len(exact_key) == 2:
+            return H.hash_u64_pair(
+                t[exact_key[0]].to_numpy().view(np.uint64),
+                t[exact_key[1]].to_numpy().view(np.uint64))
+        return t[exact_key[0]].to_numpy().view(np.uint64)
+
+    def build_and_verify() -> ray.data.Dataset:
+        sb = _bucket_stream(sigs_b, caps_of(input_b), cfg).materialize()
+        keys_ref = ray.put(_collect_keys(sb))
+        sa = _bucket_stream(sigs_a, caps_of(input_a), cfg).map_batches(
+            _KeepMatchingBuckets(keys_ref), batch_format="pyarrow")
+
+        # exact family, B-bounded: only A rows whose 128-bit content key
+        # matches some B row enter the ck groupby
+        b_lean = pa.concat_tables(
+            list(sigs_b.select_columns(["image_id", *exact_key])
+                 .iter_batches(batch_format="pyarrow", batch_size=None)),
+            promote_options="default")
+        b_ids = pc.unique(
+            b_lean["image_id"].combine_chunks().cast(pa.string()))
+        ids_ref = ray.put(b_ids)
+        bck = np.unique(exact_key_u64(b_lean))
+        ck_ref = ray.put(bck)
+
+        class MatchingCk:
+            def __init__(self):
+                self._keys = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._keys is None:
+                    self._keys = ray.get(ck_ref)
+                ks = self._keys
+                if t.num_rows == 0 or len(ks) == 0:
+                    return t.slice(0, 0)
+                k = exact_key_u64(t)
+                pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
+                return t.filter(pa.array(ks[pos] == k))
+
+        a_ck_hits = sigs_a.map_batches(MatchingCk(), batch_format="pyarrow")
+        edges = lsh.edges_from_buckets(sb.union(sa), cfg).union(
+            lsh.exact_edges(sigs_b.union(a_ck_hits), cfg, key=exact_key))
+        cross = lsh.dedupe_edges(edges).map_batches(
+            _CrossesSides(ids_ref), batch_format="pyarrow")
+        attached = verify.attach_signatures(
+            cross, sigs_a.union(sigs_b), cfg, cols=attach_cols)
+        return verify.verify_edges(attached, cfg, has_pixels=has_pixels)
+
+    vedges = run.run_stage("verified_edges", build_and_verify, ["input"])
+
+    def all_edges() -> ray.data.Dataset:
+        return vedges.union(_base_star_edges(clusters_a)) \
+            .union(_base_star_edges(clusters_b))
+
+    if run.is_complete("clusters"):
+        labels = None
+    else:
+        labels = checkpointed_components(run, all_edges().materialize(), cfg)
+
+    ids = clusters_a.select_columns(["image_id"]).union(
+        clusters_b.select_columns(["image_id"]))
+    run.run_stage(
+        "clusters", lambda: finalize_clusters(ids, labels, cfg), ["labels"])
+
+    metrics = {
+        "config_hash": cfg.config_hash(),
+        "stages_executed": run.executed,
+        "stages_resumed": run.skipped,
+        "stage_seconds": run.timings,
+        "rows": {
+            s: (storage.read_manifest(run.stage_dir(s)) or {}).get("rows")
+            for s in ("verified_edges", "clusters")
+        },
+    }
+    storage.write_manifest(run.run_dir, {"stage": "run", "complete": True,
+                                         "config_hash": cfg.config_hash(),
+                                         "metrics": metrics})
+    return metrics
+
+
 # ------------------------------------------------- video / audio modalities
 
 def _modal_kit(kind: str, cfg: DedupConfig) -> dict:

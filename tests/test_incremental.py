@@ -338,3 +338,91 @@ def test_embedding_ingest_matches_full_run(ray_session, tmp_path):
     pad = lambda i: str(i).zfill(12)  # noqa: E731
     hits = sum(lab[pad(2 * i)] == lab[pad(2 * i + 1)] for i in range(40))
     assert hits >= 38, hits
+
+
+def test_merge_runs_matches_full_run(ray_session, tiny_fixture, tiny_run):
+    """Two independently deduplicated halves merged via merge_runs equal the
+    from-scratch run over the whole fixture — with NO signature recompute
+    (the merge run dir has no signatures stage; both sides' signatures come
+    from their checkpoints)."""
+    from deduplication_ray.pipelines import image_dedup
+    from deduplication_ray.pipelines.incremental import merge_runs
+
+    full_dir, cfg, _ = tiny_run
+    root = "/tmp/dedup_ray_merge_test"
+    shutil.rmtree(root, ignore_errors=True)
+
+    tbl = pads.dataset(
+        [f"{tiny_fixture}/data/{f}" for f in os.listdir(f"{tiny_fixture}/data")
+         if f.endswith(".parquet")]).to_table()
+    # round-robin split scatters planted cluster members across both sides,
+    # so real cross-run duplicate pairs exist
+    idx = pa.array([i % 2 == 0 for i in range(tbl.num_rows)])
+    for name, t in (("a", tbl.filter(idx)),
+                    ("b", tbl.filter(pa.compute.invert(idx)))):
+        os.makedirs(f"{root}/{name}")
+        step = (t.num_rows + 2) // 3
+        for i in range(3):
+            pq.write_table(t.slice(i * step, step),
+                           f"{root}/{name}/part-{i}.parquet")
+
+    image_dedup.run_pipeline(f"{root}/a", f"{root}/run_a", cfg)
+    image_dedup.run_pipeline(f"{root}/b", f"{root}/run_b", cfg)
+    metrics = merge_runs(f"{root}/run_a", f"{root}/a",
+                         f"{root}/run_b", f"{root}/b",
+                         f"{root}/merged", cfg)
+
+    full = (load_parquet_dir(f"{full_dir}/clusters")
+            .sort_values("image_id").reset_index(drop=True))
+    merged = (load_parquet_dir(f"{root}/merged/clusters")
+              .sort_values("image_id").reset_index(drop=True))
+    assert (merged["image_id"].values == full["image_id"].values).all()
+    mismatch = (merged["cluster_id"].values != full["cluster_id"].values).sum()
+    assert mismatch == 0, f"{mismatch}/{len(full)} assignments differ"
+
+    # no decode happened: the merge checkpoints only edges + clusters
+    assert not os.path.exists(f"{root}/merged/signatures")
+    assert metrics["rows"]["verified_edges"] is not None
+
+    # re-invocation resumes every stage
+    m2 = merge_runs(f"{root}/run_a", f"{root}/a", f"{root}/run_b",
+                    f"{root}/b", f"{root}/merged", cfg)
+    assert m2["stages_executed"] == []
+
+
+def test_merge_runs_text_mode(ray_session, tmp_path):
+    """Text-mode merge: two halves of the documents table deduplicated
+    separately, merged == from-scratch text run."""
+    import pyarrow.compute as pc
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import merge_runs
+    from deduplication_ray.pipelines.text_dedup import run_text_pipeline
+    from deduplication_ray.sources import storage
+
+    cfg = DedupConfig(num_partitions=4, sa_batch_size=1024)
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet") \
+        .select(["doc_id", "text"])
+    is_a = pc.equal(pc.bit_wise_and(src["doc_id"], 1), 0)
+    parts = {"a": src.filter(is_a), "b": src.filter(pc.invert(is_a)),
+             "full": src}
+    for name, t in parts.items():
+        os.makedirs(tmp_path / name)
+        step = (t.num_rows + 1) // 2
+        for i in range(2):
+            pq.write_table(t.slice(i * step, step),
+                           f"{tmp_path}/{name}/part-{i}.parquet")
+
+    p = lambda s: str(tmp_path / s)  # noqa: E731
+    run_text_pipeline(p("a"), p("run_a"), cfg)
+    run_text_pipeline(p("b"), p("run_b"), cfg)
+    merge_runs(p("run_a"), p("a"), p("run_b"), p("b"), p("merged"), cfg,
+               mode="text")
+    run_text_pipeline(p("full"), p("run_full"), cfg)
+
+    merged = storage.read_table(p("merged") + "/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    full = storage.read_table(p("run_full") + "/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert (merged["image_id"].values == full["image_id"].values).all()
+    assert (merged["cluster_id"].values == full["cluster_id"].values).all()
