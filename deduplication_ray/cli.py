@@ -109,12 +109,17 @@ def main(argv: list[str] | None = None) -> int:
                                      "signatures come from both checkpoints; "
                                      "only cross-run pairs are verified)")
     s.add_argument("--run-a", required=True, help="first finished run dir")
-    s.add_argument("--input-a", required=True, help="first input table dir")
+    s.add_argument("--input-a", default=None,
+                   help="first input table dir (required for image/text — "
+                        "the caption substring family re-reads text; modal "
+                        "merges read only the run dirs)")
     s.add_argument("--run-b", required=True,
                    help="second finished run dir (pass the SMALLER run here)")
-    s.add_argument("--input-b", required=True, help="second input table dir")
+    s.add_argument("--input-b", default=None, help="second input table dir")
     s.add_argument("--out", required=True, help="run dir for the merge")
-    s.add_argument("--mode", choices=("image", "text"), default="image")
+    s.add_argument("--mode",
+                   choices=("image", "text", "video", "audio", "embedding"),
+                   default="image")
     s.add_argument("--num-cpus", type=int, default=None)
     for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
               "bucket_cap", "substring_min_len", "num_partitions"):
@@ -271,11 +276,21 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "merge":
         ray = _session(args.num_cpus)
-        from deduplication_ray.pipelines.incremental import merge_runs
+        if args.mode in ("video", "audio", "embedding"):
+            from deduplication_ray.pipelines.incremental import (
+                merge_runs_modal)
 
-        metrics = merge_runs(args.run_a, args.input_a, args.run_b,
-                             args.input_b, args.out, _cfg_from_args(args),
-                             mode=args.mode)
+            metrics = merge_runs_modal(args.run_a, args.run_b, args.out,
+                                       _cfg_from_args(args), kind=args.mode)
+        else:
+            from deduplication_ray.pipelines.incremental import merge_runs
+
+            if not (args.input_a and args.input_b):
+                raise SystemExit("--input-a/--input-b are required for "
+                                 f"mode={args.mode}")
+            metrics = merge_runs(args.run_a, args.input_a, args.run_b,
+                                 args.input_b, args.out,
+                                 _cfg_from_args(args), mode=args.mode)
         print(json.dumps(metrics))
         ray.shutdown()
         return 0

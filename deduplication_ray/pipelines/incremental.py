@@ -635,6 +635,76 @@ def run_modal_pipeline(input_path: str, run_dir: str,
     return _modal_metrics(run, cfg)
 
 
+def merge_runs_modal(
+    run_a_dir: str,
+    run_b_dir: str,
+    out_run_dir: str,
+    cfg: DedupConfig | None = None,
+    kind: str = "video",
+) -> dict:
+    """Merge two finished ``run_modal_pipeline`` runs (video / audio /
+    embedding) into one clusters table — the modal twin of ``merge_runs``,
+    and the cheapest of the family: modal candidates need no raw media at
+    all (signatures come from both checkpoints; the substring caption
+    family does not exist here), so the merge reads ONLY the two run dirs.
+    Run B's occupied bucket keys bound the candidate space (pass the
+    smaller run as B); only CROSS-run edges are verified; within-run
+    connectivity enters as trusted star edges from both clusters
+    checkpoints. Result equals a from-scratch run over A+B
+    (tests/test_incremental.py::test_modal_merge_matches_full_run)."""
+    from deduplication_ray.pipelines.image_dedup import (
+        checkpointed_components, finalize_clusters)
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    cfg = cfg or DedupConfig()
+    kit = _modal_kit(kind, cfg)
+    apply_context_tuning()
+    run = CheckpointedRun(out_run_dir, cfg)
+
+    for r in (run_a_dir, run_b_dir):  # config guard
+        m = storage.read_manifest(f"{r}/signatures") or {}
+        got = m.get("config_hash")
+        if got is not None and got != cfg.config_hash():
+            raise ValueError(
+                f"run {r} signatures were written under config {got}, but "
+                f"this merge runs config {cfg.config_hash()}; signatures "
+                "from different configs are not comparable")
+    sigs_a = storage.read_table(f"{run_a_dir}/signatures")
+    sigs_b = storage.read_table(f"{run_b_dir}/signatures")
+    clusters_a = storage.read_table(f"{run_a_dir}/clusters")
+    clusters_b = storage.read_table(f"{run_b_dir}/clusters")
+
+    def build_and_verify() -> ray.data.Dataset:
+        sb = kit["buckets"](sigs_b).materialize()
+        keys_ref = ray.put(_collect_keys(sb))
+        sa = kit["buckets"](sigs_a).map_batches(
+            _KeepMatchingBuckets(keys_ref), batch_format="pyarrow")
+        deduped = lsh.dedupe_edges(
+            lsh.edges_from_buckets(sb.union(sa), kit["edge_cfg"]))
+        b_ids = pc.unique(pa.concat_tables(
+            list(sigs_b.select_columns(["image_id"])
+                 .iter_batches(batch_format="pyarrow", batch_size=None)),
+            promote_options="default")["image_id"]
+            .combine_chunks().cast(pa.string()))
+        cross = deduped.map_batches(_CrossesSides(ray.put(b_ids)),
+                                    batch_format="pyarrow")
+        return kit["verify"](cross, sigs_a.union(sigs_b))
+
+    vedges = run.run_stage("verified_edges", build_and_verify, ["input"])
+
+    all_edges = vedges.union(_base_star_edges(clusters_a)) \
+        .union(_base_star_edges(clusters_b))
+    if run.is_complete("clusters"):
+        labels = None
+    else:
+        labels = checkpointed_components(run, all_edges.materialize(), cfg)
+    ids = clusters_a.select_columns(["image_id"]).union(
+        clusters_b.select_columns(["image_id"]))
+    run.run_stage("clusters",
+                  lambda: finalize_clusters(ids, labels, cfg), ["labels"])
+    return _modal_metrics(run, cfg)
+
+
 def ingest_delta_modal(
     base_run_dir: str | list[str],
     delta_input_path: str,

@@ -426,3 +426,61 @@ def test_merge_runs_text_mode(ray_session, tmp_path):
         .sort_values("image_id").reset_index(drop=True)
     assert (merged["image_id"].values == full["image_id"].values).all()
     assert (merged["cluster_id"].values == full["cluster_id"].values).all()
+
+
+@pytest.mark.parametrize("kind", ["video", "embedding"])
+def test_modal_merge_matches_full_run(ray_session, tmp_path, kind):
+    """Two finished modal runs merged via merge_runs_modal equal the
+    from-scratch run over both halves — reading ONLY the two run dirs (no
+    media, no signature recompute)."""
+    import numpy as np
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import (
+        merge_runs_modal, run_modal_pipeline)
+    from deduplication_ray.sources import fixtures, storage
+
+    if kind == "video":
+        fix = tmp_path / "fix"
+        fixtures.generate_videos(str(fix), 200, seed=9)
+        tbl = pads.dataset(
+            [f"{fix}/data/{f}" for f in os.listdir(f"{fix}/data")
+             if f.endswith(".parquet")]).to_table()
+    else:
+        n, d = 500, 64
+        rng = np.random.default_rng(9)
+        m = rng.standard_normal((n, d)).astype(np.float32)
+        for i in range(40):  # rows 2i+1 near-identical to 2i
+            m[2 * i + 1] = (m[2 * i]
+                            + rng.standard_normal(d).astype(np.float32) * 0.01)
+        tbl = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in m],
+                                  type=pa.list_(pa.float32())),
+        })
+    # round-robin split scatters planted duplicate pairs across both sides
+    mask = pa.array([i % 2 == 0 for i in range(tbl.num_rows)])
+    parts = {"a": tbl.filter(mask), "b": tbl.filter(pa.compute.invert(mask)),
+             "full": tbl}
+    for name, t in parts.items():
+        d_ = tmp_path / name
+        os.makedirs(d_)
+        step = (t.num_rows + 1) // 2
+        for i in range(2):
+            pq.write_table(t.slice(i * step, step), f"{d_}/part-{i}.parquet")
+
+    cfg = DedupConfig(num_partitions=4)
+    p = lambda s: str(tmp_path / s)  # noqa: E731
+    run_modal_pipeline(p("a"), p("run_a"), cfg, kind=kind)
+    run_modal_pipeline(p("b"), p("run_b"), cfg, kind=kind)
+    merge_runs_modal(p("run_a"), p("run_b"), p("merged"), cfg, kind=kind)
+    run_modal_pipeline(p("full"), p("full_run"), cfg, kind=kind)
+
+    merged = storage.read_table(p("merged") + "/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    full = storage.read_table(p("full_run") + "/clusters").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert (merged["image_id"].values == full["image_id"].values).all()
+    assert (merged["cluster_id"].values == full["cluster_id"].values).all()
+    # the merge re-decoded nothing: no signatures stage in the merged run
+    assert not os.path.exists(p("merged") + "/signatures")
