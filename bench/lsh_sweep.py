@@ -67,6 +67,9 @@ def main() -> None:
         fixtures.generate(fix_dir, n, seed=42)
     truth = storage.read_table(f"{fix_dir}/truth").to_pandas()
 
+    # probe BEFORE the timed loop so the stamp describes the window the
+    # wall_sec values were measured in (host bandwidth swings within hours)
+    probe = host_health_probe()
     rows = []
     for num_perm, bands, rpb in GRID:
         cfg = DedupConfig(num_perm=num_perm, bands=bands, rows_per_band=rpb,
@@ -97,7 +100,6 @@ def main() -> None:
         })
         print(json.dumps(rows[-1]))
 
-    probe = host_health_probe()
     for r in rows:
         r.update(probe)
     with open(out_csv, "w", newline="") as f:

@@ -275,8 +275,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "merge":
+        modal = args.mode in ("video", "audio", "embedding")
+        if not modal and not (args.input_a and args.input_b):
+            # validate BEFORE booting a Ray session — the check needs nothing
+            # from it
+            raise SystemExit("--input-a/--input-b are required for "
+                             f"mode={args.mode}")
         ray = _session(args.num_cpus)
-        if args.mode in ("video", "audio", "embedding"):
+        if modal:
             from deduplication_ray.pipelines.incremental import (
                 merge_runs_modal)
 
@@ -285,9 +291,6 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from deduplication_ray.pipelines.incremental import merge_runs
 
-            if not (args.input_a and args.input_b):
-                raise SystemExit("--input-a/--input-b are required for "
-                                 f"mode={args.mode}")
             metrics = merge_runs(args.run_a, args.input_a, args.run_b,
                                  args.input_b, args.out,
                                  _cfg_from_args(args), mode=args.mode)

@@ -376,6 +376,16 @@ class EmbSig:
         sh = H.simhash_from_features(m, self.planes)
         ids = t[self.id_col].cast(pa.string())
         if self.pad:
+            # the padded key must preserve numeric order lexicographically:
+            # an id wider than the pad (or negative) would silently elect a
+            # wrong (non-numeric-min) representative — refuse loudly
+            width = pc.max(pc.utf8_length(ids)).as_py() or 0
+            if width > 12 or bool(pc.any(
+                    pc.starts_with(ids, "-")).as_py()):
+                raise ValueError(
+                    f"{self.id_col} values must be non-negative and at most "
+                    "12 digits for the zero-padded union-find key "
+                    f"(saw width {width}); renumber ids or widen the pad")
             ids = pc.utf8_lpad(ids, 12, "0")
         return pa.table({
             "image_id": ids,

@@ -960,6 +960,16 @@ def q_doc_bm25_topk(sf_dir: str, k: int = 10):
     N, L = int(st["n_docs"]), int(st["n_tokens"])
     A = max(L // max(N, 1), 1)
     dfs = [int(st[f"df_{i}"]) for i in range(len(_BM25_TERMS))]
+    # overflow guard: the per-term numerator is 1000*(2N-2df+1)*22*tf*A with
+    # tf <= dl; DuckDB BIGINT arithmetic ERRORS on overflow, so a silent
+    # numpy int64 wrap would diverge from the oracle exactly at the scale
+    # the plan targets. tf_cap is checked per batch below; fail loudly here
+    # if even tf=1 is unsafe.
+    tf_cap = (2**63 - 1) // max(1000 * (2 * N + 1) * 22 * A, 1)
+    if tf_cap < 1:
+        raise ValueError(
+            f"BM25 integer scores would overflow int64 at N={N}, avgdl={A}; "
+            "reduce the milli scale or shard the corpus")
 
     def score(t: pa.Table) -> pa.Table:
         flat, offs = _tokens_flat(t["text"])
@@ -970,6 +980,11 @@ def q_doc_bm25_topk(sf_dir: str, k: int = 10):
         for df, term in zip(dfs, _BM25_TERMS):
             mask = pc.equal(flat, term).to_numpy(zero_copy_only=False)
             tf = np.bincount(row[mask], minlength=len(dl)).astype(np.int64)
+            if len(tf) and int(tf.max()) > tf_cap:
+                raise ValueError(
+                    f"BM25 integer score would overflow int64 (tf="
+                    f"{int(tf.max())} > cap {tf_cap} at N={N}, avgdl={A}); "
+                    "reduce the milli scale or shard the corpus")
             num = 1000 * (2 * N - 2 * df + 1) * 22 * tf * A
             den = (2 * df + 1) * (10 * tf * A + 3 * A + 9 * dl)
             total += num // den

@@ -86,12 +86,15 @@ def _collect_keys(buckets: ray.data.Dataset) -> np.ndarray:
     return np.unique(allk.view(np.uint64))
 
 
-class _KeepMatchingBuckets:
-    """Filter a bucket stream to rows whose (band, bucket) key is in the
-    broadcast sorted key set (plasma-local after first fetch per node)."""
+class _MatchingKeys:
+    """Filter a stream to rows whose u64 key (``key_fn`` over the batch) is
+    in the broadcast sorted key set (plasma-local after first fetch per
+    node). ``key_fn`` defaults to the (band, bucket) composite — pass the
+    mode's exact-content-key fn to bound the exact-dup family instead."""
 
-    def __init__(self, ref):
+    def __init__(self, ref, key_fn=None):
         self.ref = ref
+        self.key_fn = key_fn or _bucket_key
         self._keys = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -100,18 +103,23 @@ class _KeepMatchingBuckets:
         ks = self._keys
         if t.num_rows == 0 or len(ks) == 0:
             return t.slice(0, 0)
-        k = _bucket_key(t)
+        k = self.key_fn(t)
         pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
         return t.filter(pa.array(ks[pos] == k))
 
 
-class _TouchesDelta:
-    """Drop edges linking two BASE ids: old-old pairs were adjudicated by
-    the base run (their connectivity re-enters as trusted star edges), so
-    only edges touching at least one delta id proceed to verification."""
+class _SideFilter:
+    """Filter edges by endpoint membership in a broadcast id set.
 
-    def __init__(self, ids_ref):
+    ``mode='touches'`` (ingest): keep edges with >= 1 endpoint in the delta
+    set — old-old pairs were adjudicated by the base run (their connectivity
+    re-enters as trusted star edges). ``mode='crosses'`` (merge): keep edges
+    with EXACTLY one endpoint in the B set — within-A and within-B pairs
+    were adjudicated by their own runs."""
+
+    def __init__(self, ids_ref, mode: str = "touches"):
         self.ref = ids_ref
+        self.mode = mode
         self._set = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -119,10 +127,129 @@ class _TouchesDelta:
             self._set = ray.get(self.ref)
         if t.num_rows == 0:
             return t
-        hit = pc.or_(
-            pc.is_in(t["src"].cast(pa.string()), value_set=self._set),
-            pc.is_in(t["dst"].cast(pa.string()), value_set=self._set))
-        return t.filter(hit)
+        s = pc.is_in(t["src"].cast(pa.string()), value_set=self._set)
+        d = pc.is_in(t["dst"].cast(pa.string()), value_set=self._set)
+        return t.filter(pc.xor(s, d) if self.mode == "crosses"
+                        else pc.or_(s, d))
+
+
+def _check_sig_config(run_dirs, cfg: DedupConfig, what: str) -> None:
+    """Signatures computed under a different shingle/band/hash config are
+    not comparable — mixing them would silently produce wrong buckets and
+    edges. Refuse loudly instead."""
+    for r in run_dirs:
+        m = storage.read_manifest(f"{r}/signatures") or {}
+        got = m.get("config_hash")
+        if got is not None and got != cfg.config_hash():
+            raise ValueError(
+                f"run {r} signatures were written under config {got}, but "
+                f"this {what} runs config {cfg.config_hash()}; signatures "
+                "from different configs are not comparable — re-run with "
+                "the same DedupConfig")
+
+
+def _check_gram_rendezvous(cfg: DedupConfig, what: str) -> None:
+    """The delta-bounded edge plans reproduce the full run's edges ONLY for
+    the default exact L-gram rendezvous: winnow candidates need the
+    split_and_verify_substring pass and the opt-in suffix-array family is a
+    whole extra edge source — running anyway would SILENTLY drop clusters
+    the full run finds."""
+    if cfg.substring_rendezvous != "grams" or cfg.use_suffix_array:
+        raise ValueError(
+            f"{what} supports the default exact-gram substring rendezvous "
+            f"only (got rendezvous={cfg.substring_rendezvous!r}, "
+            f"use_suffix_array={cfg.use_suffix_array}); run the full "
+            "pipeline for these configs")
+
+
+def _collect_ids(sigs: ray.data.Dataset):
+    """Distinct image_id strings of a signature table (bounded driver
+    collect — callers pass the SMALLER side)."""
+    return pc.unique(pa.concat_tables(
+        list(sigs.select_columns(["image_id"])
+             .iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default")["image_id"].combine_chunks()
+        .cast(pa.string()))
+
+
+def _assert_disjoint_ids(sigs_a: ray.data.Dataset, ids_ref,
+                         what: str) -> None:
+    """Merging requires globally unique ids: an id present on BOTH sides
+    would make the XOR cross filter drop genuine cross edges and fan out
+    the signature joins — a silently corrupt clusters table. Counted with
+    one distributed narrow pass (no driver collect of the A side)."""
+    class CountHits:
+        def __init__(self):
+            self._set = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._set is None:
+                self._set = ray.get(ids_ref)
+            n = pc.sum(pc.is_in(t["image_id"].cast(pa.string()),
+                                value_set=self._set)).as_py() or 0
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+    hits = sum(
+        b["n"].to_pylist()[0] if b.num_rows else 0
+        for b in sigs_a.select_columns(["image_id"])
+        .map_batches(CountHits(), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    if hits:
+        raise ValueError(
+            f"{what} requires disjoint ids between the two runs, but "
+            f"{hits} id(s) appear on both sides; renumber one corpus "
+            "(e.g. prefix ids per source) before merging")
+
+
+def _engine_mode_kit(mode: str, cfg: DedupConfig, id_col: str,
+                     text_col: str) -> dict:
+    """Image/text mode plumbing shared by ``ingest_delta`` and
+    ``merge_runs``: signature fn, caption source, exact-dup key (+ its u64
+    form) and verification flags. Mode changes nothing else — the
+    delta-bounding machinery is identical."""
+    if mode == "text":
+        from deduplication_ray.pipelines.text_dedup import (
+            as_engine_table, text_signatures)
+
+        def sig_fn(path):
+            ds = storage.read_table(path, columns=[id_col, text_col])
+            return text_signatures(as_engine_table(ds, id_col, text_col),
+                                   cfg, "image_id", "caption")
+
+        def caps_of(path):
+            return as_engine_table(
+                storage.read_table(path, columns=[id_col, text_col]),
+                id_col, text_col)
+
+        exact_key = ("cap_hash",)
+        attach_cols = ["minhash"]
+        has_pixels = False
+    elif mode == "image":
+        from deduplication_ray.pipelines.image_dedup import (
+            compute_signatures)
+
+        def sig_fn(path):
+            return compute_signatures(storage.read_table(path), cfg)
+
+        def caps_of(path):
+            return storage.read_table(path, columns=["image_id", "caption"])
+
+        exact_key = ("ck1", "ck2")
+        attach_cols = None
+        has_pixels = True
+    else:
+        raise ValueError(f"unknown mode {mode!r} (expected image|text)")
+
+    def exact_key_u64(t: pa.Table) -> np.ndarray:
+        if len(exact_key) == 2:
+            return H.hash_u64_pair(
+                t[exact_key[0]].to_numpy().view(np.uint64),
+                t[exact_key[1]].to_numpy().view(np.uint64))
+        return t[exact_key[0]].to_numpy().view(np.uint64)
+
+    return {"sig_fn": sig_fn, "caps_of": caps_of, "exact_key": exact_key,
+            "exact_key_u64": exact_key_u64, "attach_cols": attach_cols,
+            "has_pixels": has_pixels}
 
 
 def _base_star_edges(clusters: ray.data.Dataset) -> ray.data.Dataset:
@@ -168,78 +295,24 @@ def ingest_delta(
     the signature function, the exact-dup key (single cap_hash vs the
     128-bit (ck1, ck2) content pair) and the verification families — the
     delta-bounding machinery is identical."""
-    from deduplication_ray.pipelines.image_dedup import (
-        compute_signatures, finalize_clusters)
+    from deduplication_ray.pipelines.image_dedup import finalize_clusters
     from deduplication_ray.stages.tuning import apply_context_tuning
 
     cfg = cfg or DedupConfig()
-    # the ingest edge plan reproduces the full run's edges ONLY for the
-    # default exact L-gram rendezvous: winnow candidates need the
-    # split_and_verify_substring pass and the opt-in suffix-array family is
-    # a whole extra edge source — neither is wired into the delta-bounded
-    # plan, and running anyway would SILENTLY drop clusters the full run
-    # finds. Refuse loudly instead (applies to both modes).
-    if cfg.substring_rendezvous != "grams" or cfg.use_suffix_array:
-        raise ValueError(
-            "incremental ingest supports the default exact-gram substring "
-            f"rendezvous only (got rendezvous={cfg.substring_rendezvous!r}, "
-            f"use_suffix_array={cfg.use_suffix_array}); run the full "
-            "pipeline for these configs")
+    _check_gram_rendezvous(cfg, "incremental ingest")
     apply_context_tuning()
     run = CheckpointedRun(out_run_dir, cfg)
 
-    if mode == "text":
-        from deduplication_ray.pipelines.text_dedup import (
-            as_engine_table, text_signatures)
-
-        def sig_fn(path):
-            ds = storage.read_table(path, columns=[id_col, text_col])
-            return text_signatures(as_engine_table(ds, id_col, text_col),
-                                   cfg, "image_id", "caption")
-
-        def caps_of(path):
-            return as_engine_table(
-                storage.read_table(path, columns=[id_col, text_col]),
-                id_col, text_col)
-
-        exact_key = ("cap_hash",)
-        attach_cols = ["minhash"]
-        has_pixels = False
-    else:
-        def sig_fn(path):
-            return compute_signatures(storage.read_table(path), cfg)
-
-        def caps_of(path):
-            return storage.read_table(path, columns=["image_id", "caption"])
-
-        exact_key = ("ck1", "ck2")
-        attach_cols = None
-        has_pixels = True
-
-    def exact_key_u64(t: pa.Table) -> np.ndarray:
-        if len(exact_key) == 2:
-            return H.hash_u64_pair(
-                t[exact_key[0]].to_numpy().view(np.uint64),
-                t[exact_key[1]].to_numpy().view(np.uint64))
-        return t[exact_key[0]].to_numpy().view(np.uint64)
+    kit = _engine_mode_kit(mode, cfg, id_col, text_col)
+    sig_fn, caps_of = kit["sig_fn"], kit["caps_of"]
+    exact_key, exact_key_u64 = kit["exact_key"], kit["exact_key_u64"]
+    attach_cols, has_pixels = kit["attach_cols"], kit["has_pixels"]
 
     base_runs = ([base_run_dir] if isinstance(base_run_dir, str)
                  else list(base_run_dir))
     base_inputs = ([base_input_path] if isinstance(base_input_path, str)
                    else list(base_input_path))
-    # config guard: signatures computed under a different shingle/band/hash
-    # config are NOT comparable — mixing them would silently produce wrong
-    # buckets/edges. Refuse loudly instead.
-    for r in base_runs:
-        m = storage.read_manifest(f"{r}/signatures") or {}
-        got = m.get("config_hash")
-        if got is not None and got != cfg.config_hash():
-            raise ValueError(
-                f"base run {r} signatures were written under config {got}, "
-                f"but this ingest runs config {cfg.config_hash()}; "
-                "re-run the base with the same DedupConfig (or pass that "
-                "config here) — incremental ingest cannot mix signature "
-                "configs")
+    _check_sig_config(base_runs, cfg, "incremental ingest")
     base_sigs = storage.read_table(f"{base_runs[0]}/signatures")
     for r in base_runs[1:]:
         base_sigs = base_sigs.union(storage.read_table(f"{r}/signatures"))
@@ -264,7 +337,7 @@ def ingest_delta(
         db = _bucket_stream(delta_sigs, delta_caps(), cfg).materialize()
         keys_ref = ray.put(_collect_keys(db))
         bb = _bucket_stream(base_sigs, base_caps(), cfg).map_batches(
-            _KeepMatchingBuckets(keys_ref), batch_format="pyarrow")
+            _MatchingKeys(keys_ref), batch_format="pyarrow")
 
         # exact family, delta-bounded too: only base rows whose 128-bit
         # content key matches some delta row enter the ck groupby
@@ -275,30 +348,16 @@ def ingest_delta(
         delta_ids = pc.unique(
             delta_lean["image_id"].combine_chunks().cast(pa.string()))
         ids_ref = ray.put(delta_ids)
-        dck = np.unique(exact_key_u64(delta_lean))
-        ck_ref = ray.put(dck)
+        ck_ref = ray.put(np.unique(exact_key_u64(delta_lean)))
 
-        class MatchingCk:
-            def __init__(self):
-                self._keys = None
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if self._keys is None:
-                    self._keys = ray.get(ck_ref)
-                ks = self._keys
-                if t.num_rows == 0 or len(ks) == 0:
-                    return t.slice(0, 0)
-                k = exact_key_u64(t)
-                pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
-                return t.filter(pa.array(ks[pos] == k))
-
-        base_ck_hits = base_sigs.map_batches(MatchingCk(),
-                                             batch_format="pyarrow")
+        base_ck_hits = base_sigs.map_batches(
+            _MatchingKeys(ck_ref, key_fn=exact_key_u64),
+            batch_format="pyarrow")
         edges = lsh.edges_from_buckets(db.union(bb), cfg).union(
             lsh.exact_edges(delta_sigs.union(base_ck_hits), cfg,
                             key=exact_key))
         deduped = lsh.dedupe_edges(edges)
-        cand = deduped.map_batches(_TouchesDelta(ids_ref),
+        cand = deduped.map_batches(_SideFilter(ids_ref, mode="touches"),
                                    batch_format="pyarrow")
         attached = verify.attach_signatures(
             cand, delta_sigs.union(base_sigs), cfg, cols=attach_cols)
@@ -338,26 +397,6 @@ def ingest_delta(
     return metrics
 
 
-class _CrossesSides:
-    """Keep only edges linking the two runs (exactly ONE endpoint in the
-    broadcast B-side id set): A-A and B-B pairs were adjudicated by their
-    own runs — their connectivity re-enters as trusted star edges — so only
-    cross pairs need verification."""
-
-    def __init__(self, ids_ref):
-        self.ref = ids_ref
-        self._set = None
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        if self._set is None:
-            self._set = ray.get(self.ref)
-        if t.num_rows == 0:
-            return t
-        s = pc.is_in(t["src"].cast(pa.string()), value_set=self._set)
-        d = pc.is_in(t["dst"].cast(pa.string()), value_set=self._set)
-        return t.filter(pc.xor(s, d))
-
-
 def merge_runs(
     run_a_dir: str,
     input_a: str,
@@ -386,67 +425,36 @@ def merge_runs(
     from-scratch run). Only CROSS edges (exactly one endpoint in B) are
     verified; within-A / within-B connectivity enters as trusted star edges
     from each run's clusters checkpoint. Result equals the from-scratch run
-    over A+B (asserted in tests/test_incremental.py) provided the two runs
-    share a DedupConfig (guarded) and have disjoint ids."""
+    over A+B (asserted in tests/test_incremental.py); both preconditions —
+    a shared DedupConfig and disjoint ids between the runs — are guarded
+    with loud errors."""
     from deduplication_ray.pipelines.image_dedup import (
         checkpointed_components, finalize_clusters)
     from deduplication_ray.stages.tuning import apply_context_tuning
 
     cfg = cfg or DedupConfig()
-    if cfg.substring_rendezvous != "grams" or cfg.use_suffix_array:
-        raise ValueError(
-            "merge_runs supports the default exact-gram substring "
-            f"rendezvous only (got rendezvous={cfg.substring_rendezvous!r}, "
-            f"use_suffix_array={cfg.use_suffix_array}); run the full "
-            "pipeline for these configs")
+    _check_gram_rendezvous(cfg, "merge_runs")
     apply_context_tuning()
     run = CheckpointedRun(out_run_dir, cfg)
 
-    if mode == "text":
-        from deduplication_ray.pipelines.text_dedup import as_engine_table
+    kit = _engine_mode_kit(mode, cfg, id_col, text_col)
+    caps_of, exact_key = kit["caps_of"], kit["exact_key"]
+    exact_key_u64 = kit["exact_key_u64"]
 
-        def caps_of(path):
-            return as_engine_table(
-                storage.read_table(path, columns=[id_col, text_col]),
-                id_col, text_col)
-
-        exact_key = ("cap_hash",)
-        attach_cols = ["minhash"]
-        has_pixels = False
-    else:
-        def caps_of(path):
-            return storage.read_table(path, columns=["image_id", "caption"])
-
-        exact_key = ("ck1", "ck2")
-        attach_cols = None
-        has_pixels = True
-
-    for r in (run_a_dir, run_b_dir):
-        m = storage.read_manifest(f"{r}/signatures") or {}
-        got = m.get("config_hash")
-        if got is not None and got != cfg.config_hash():
-            raise ValueError(
-                f"run {r} signatures were written under config {got}, but "
-                f"this merge runs config {cfg.config_hash()}; signatures "
-                "from different configs are not comparable")
-
+    _check_sig_config((run_a_dir, run_b_dir), cfg, "merge")
     sigs_a = storage.read_table(f"{run_a_dir}/signatures")
     sigs_b = storage.read_table(f"{run_b_dir}/signatures")
     clusters_a = storage.read_table(f"{run_a_dir}/clusters")
     clusters_b = storage.read_table(f"{run_b_dir}/clusters")
 
-    def exact_key_u64(t: pa.Table) -> np.ndarray:
-        if len(exact_key) == 2:
-            return H.hash_u64_pair(
-                t[exact_key[0]].to_numpy().view(np.uint64),
-                t[exact_key[1]].to_numpy().view(np.uint64))
-        return t[exact_key[0]].to_numpy().view(np.uint64)
+    ids_ref = ray.put(_collect_ids(sigs_b))
+    _assert_disjoint_ids(sigs_a, ids_ref, "merge_runs")
 
     def build_and_verify() -> ray.data.Dataset:
         sb = _bucket_stream(sigs_b, caps_of(input_b), cfg).materialize()
         keys_ref = ray.put(_collect_keys(sb))
         sa = _bucket_stream(sigs_a, caps_of(input_a), cfg).map_batches(
-            _KeepMatchingBuckets(keys_ref), batch_format="pyarrow")
+            _MatchingKeys(keys_ref), batch_format="pyarrow")
 
         # exact family, B-bounded: only A rows whose 128-bit content key
         # matches some B row enter the ck groupby
@@ -454,34 +462,19 @@ def merge_runs(
             list(sigs_b.select_columns(["image_id", *exact_key])
                  .iter_batches(batch_format="pyarrow", batch_size=None)),
             promote_options="default")
-        b_ids = pc.unique(
-            b_lean["image_id"].combine_chunks().cast(pa.string()))
-        ids_ref = ray.put(b_ids)
-        bck = np.unique(exact_key_u64(b_lean))
-        ck_ref = ray.put(bck)
+        ck_ref = ray.put(np.unique(exact_key_u64(b_lean)))
 
-        class MatchingCk:
-            def __init__(self):
-                self._keys = None
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if self._keys is None:
-                    self._keys = ray.get(ck_ref)
-                ks = self._keys
-                if t.num_rows == 0 or len(ks) == 0:
-                    return t.slice(0, 0)
-                k = exact_key_u64(t)
-                pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
-                return t.filter(pa.array(ks[pos] == k))
-
-        a_ck_hits = sigs_a.map_batches(MatchingCk(), batch_format="pyarrow")
+        a_ck_hits = sigs_a.map_batches(
+            _MatchingKeys(ck_ref, key_fn=exact_key_u64),
+            batch_format="pyarrow")
         edges = lsh.edges_from_buckets(sb.union(sa), cfg).union(
             lsh.exact_edges(sigs_b.union(a_ck_hits), cfg, key=exact_key))
         cross = lsh.dedupe_edges(edges).map_batches(
-            _CrossesSides(ids_ref), batch_format="pyarrow")
+            _SideFilter(ids_ref, mode="crosses"), batch_format="pyarrow")
         attached = verify.attach_signatures(
-            cross, sigs_a.union(sigs_b), cfg, cols=attach_cols)
-        return verify.verify_edges(attached, cfg, has_pixels=has_pixels)
+            cross, sigs_a.union(sigs_b), cfg, cols=kit["attach_cols"])
+        return verify.verify_edges(attached, cfg,
+                                   has_pixels=kit["has_pixels"])
 
     vedges = run.run_stage("verified_edges", build_and_verify, ["input"])
 
@@ -661,32 +654,23 @@ def merge_runs_modal(
     apply_context_tuning()
     run = CheckpointedRun(out_run_dir, cfg)
 
-    for r in (run_a_dir, run_b_dir):  # config guard
-        m = storage.read_manifest(f"{r}/signatures") or {}
-        got = m.get("config_hash")
-        if got is not None and got != cfg.config_hash():
-            raise ValueError(
-                f"run {r} signatures were written under config {got}, but "
-                f"this merge runs config {cfg.config_hash()}; signatures "
-                "from different configs are not comparable")
+    _check_sig_config((run_a_dir, run_b_dir), cfg, "merge")
     sigs_a = storage.read_table(f"{run_a_dir}/signatures")
     sigs_b = storage.read_table(f"{run_b_dir}/signatures")
     clusters_a = storage.read_table(f"{run_a_dir}/clusters")
     clusters_b = storage.read_table(f"{run_b_dir}/clusters")
 
+    ids_ref = ray.put(_collect_ids(sigs_b))
+    _assert_disjoint_ids(sigs_a, ids_ref, "merge_runs_modal")
+
     def build_and_verify() -> ray.data.Dataset:
         sb = kit["buckets"](sigs_b).materialize()
         keys_ref = ray.put(_collect_keys(sb))
         sa = kit["buckets"](sigs_a).map_batches(
-            _KeepMatchingBuckets(keys_ref), batch_format="pyarrow")
+            _MatchingKeys(keys_ref), batch_format="pyarrow")
         deduped = lsh.dedupe_edges(
             lsh.edges_from_buckets(sb.union(sa), kit["edge_cfg"]))
-        b_ids = pc.unique(pa.concat_tables(
-            list(sigs_b.select_columns(["image_id"])
-                 .iter_batches(batch_format="pyarrow", batch_size=None)),
-            promote_options="default")["image_id"]
-            .combine_chunks().cast(pa.string()))
-        cross = deduped.map_batches(_CrossesSides(ray.put(b_ids)),
+        cross = deduped.map_batches(_SideFilter(ids_ref, mode="crosses"),
                                     batch_format="pyarrow")
         return kit["verify"](cross, sigs_a.union(sigs_b))
 
@@ -722,8 +706,9 @@ def ingest_delta_modal(
     - base signatures are re-keyed into bucket rows (pure hash math, no
       media bytes) and filtered to DELTA-OCCUPIED buckets via the broadcast
       sorted-key probe,
-    - old-old edges are dropped (``_TouchesDelta``); base connectivity
-      re-enters as trusted star edges from the base clusters checkpoint,
+    - old-old edges are dropped (``_SideFilter(mode='touches')``); base
+      connectivity re-enters as trusted star edges from the base clusters
+      checkpoint,
     - result equals a from-scratch run over base+delta (asserted in
       tests/test_incremental.py), by the same argument as the image mode:
       delta-occupied buckets see identical membership hence identical
@@ -741,14 +726,7 @@ def ingest_delta_modal(
 
     base_runs = ([base_run_dir] if isinstance(base_run_dir, str)
                  else list(base_run_dir))
-    for r in base_runs:  # config guard — signatures are config-specific
-        m = storage.read_manifest(f"{r}/signatures") or {}
-        got = m.get("config_hash")
-        if got is not None and got != cfg.config_hash():
-            raise ValueError(
-                f"base run {r} signatures were written under config {got}, "
-                f"but this ingest runs config {cfg.config_hash()}; "
-                "incremental ingest cannot mix signature configs")
+    _check_sig_config(base_runs, cfg, "incremental ingest")
     base_sigs = storage.read_table(f"{base_runs[0]}/signatures")
     for r in base_runs[1:]:
         base_sigs = base_sigs.union(storage.read_table(f"{r}/signatures"))
@@ -761,15 +739,11 @@ def ingest_delta_modal(
         db = kit["buckets"](delta_sigs).materialize()
         keys_ref = ray.put(_collect_keys(db))
         bb = kit["buckets"](base_sigs).map_batches(
-            _KeepMatchingBuckets(keys_ref), batch_format="pyarrow")
+            _MatchingKeys(keys_ref), batch_format="pyarrow")
         deduped = lsh.dedupe_edges(
             lsh.edges_from_buckets(db.union(bb), kit["edge_cfg"]))
-        delta_ids = pc.unique(pa.concat_tables(
-            list(delta_sigs.select_columns(["image_id"])
-                 .iter_batches(batch_format="pyarrow", batch_size=None)),
-            promote_options="default")["image_id"]
-            .combine_chunks().cast(pa.string()))
-        cand = deduped.map_batches(_TouchesDelta(ray.put(delta_ids)),
+        ids_ref = ray.put(_collect_ids(delta_sigs))
+        cand = deduped.map_batches(_SideFilter(ids_ref, mode="touches"),
                                    batch_format="pyarrow")
         return kit["verify"](cand, delta_sigs.union(base_sigs))
 

@@ -138,7 +138,7 @@ def test_ingest_refuses_mismatched_base_config(ray_session, incremental_run,
     other = DedupConfig(num_partitions=cfg.num_partitions,
                         sig_concurrency=cfg.sig_concurrency,
                         shingle_k=cfg.shingle_k + 1)
-    with pytest.raises(ValueError, match="cannot mix signature configs"):
+    with pytest.raises(ValueError, match="not comparable"):
         ingest_delta(BASE_RUN, SPLIT_BASE, SPLIT_DELTA,
                      "/tmp/dedup_ray_inc_badcfg", other)
 
@@ -484,3 +484,32 @@ def test_modal_merge_matches_full_run(ray_session, tmp_path, kind):
     assert (merged["cluster_id"].values == full["cluster_id"].values).all()
     # the merge re-decoded nothing: no signatures stage in the merged run
     assert not os.path.exists(p("merged") + "/signatures")
+
+
+def test_merge_runs_refuses_overlapping_ids(ray_session, tmp_path):
+    """Merging two runs that share ids must fail loudly (overlap silently
+    corrupts the XOR cross filter and signature joins)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import (
+        merge_runs_modal, run_modal_pipeline)
+
+    n, d = 60, 16
+    rng = np.random.default_rng(3)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),  # SAME ids on both sides
+        "embedding": pa.array(
+            [v.tolist() for v in rng.standard_normal((n, d)).astype(
+                np.float32)], type=pa.list_(pa.float32())),
+    })
+    cfg = DedupConfig(num_partitions=2)
+    for name in ("a", "b"):
+        os.makedirs(tmp_path / name)
+        pq.write_table(tbl, f"{tmp_path}/{name}/part-0.parquet")
+        run_modal_pipeline(str(tmp_path / name), str(tmp_path / f"run_{name}"),
+                           cfg, kind="embedding")
+    with _pytest.raises(ValueError, match="disjoint ids"):
+        merge_runs_modal(str(tmp_path / "run_a"), str(tmp_path / "run_b"),
+                         str(tmp_path / "merged"), cfg, kind="embedding")
