@@ -363,7 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": R.q_semi_join,
         # dedup operators (SQL-checked where exact)
         "exact_dedup_docs": R.q_exact_dedup_docs,
-        "dedup_keep_first": R.q_dedup_keep_first,
+        "doc_boilerplate_scrub": docops.q_doc_boilerplate_scrub,
         "doc_stats": docops.q_doc_stats,
         "charset_jaccard_pairs": docops.q_charset_jaccard_pairs,
         "events_asof_orders": R.q_events_asof_orders,
@@ -415,7 +415,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tier 2: oracle-backed, semantics duplicated in-window --------
         # (pytest value-hash-checks these vs DuckDB every run)
         "semi_join_bloom": R.q_semi_join_bloom,          # oracle == semi_join
+        "dedup_keep_first": R.q_dedup_keep_first,     # kin: exact_dedup_docs
         "dedup_keep_first_index": R.q_dedup_keep_first_index,  # == keep_first
+        "events_dedup_window": R.q_events_dedup_window,  # kernel: events_lag
         "orders_cube": R.q_orders_cube,                  # kernel: orders_rollup
         "events_running_total": R.q_events_running_total,  # kernel: events_lag
         "doc_weighted_sample": docops.q_doc_weighted_sample,  # doc_uniform_
@@ -428,9 +430,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_topk": docops.q_doc_bm25_topk,         # kernel: top_terms
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": lambda sf: ann.embedding_kmeans_cells(sf),
+        "embedding_kmeans_refine": lambda sf: ann.embedding_kmeans_refine(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
         "ann_topk_ivf": lambda sf: ann.ivf_topk(sf),
         "doc_lsh_dedup": docops.q_doc_lsh_dedup,
+        "doc_tier_dedup": docops.q_doc_tier_dedup,
         "doc_dedup_keep_best": docops.q_doc_dedup_keep_best,
         "doc_simhash_pairs": docops.q_doc_simhash_pairs,
         "doc_fingerprints": docops.q_doc_fingerprints,
@@ -508,6 +512,8 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_window": R.Q_EVENTS_MOVING_WINDOW_SQL,
         "events_daily_gapfill": R.Q_EVENTS_DAILY_GAPFILL_SQL,
         "doc_passage_dedup": docops.doc_passage_dedup_sql(),
+        "doc_boilerplate_scrub": docops.doc_boilerplate_scrub_sql(),
+        "events_dedup_window": R.events_dedup_window_sql(),
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

@@ -317,32 +317,39 @@ def run_scaling() -> dict:
             res["perf"] = _parse_perf(out.stderr)
         return res
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism; override with GRAFT_SCALE_LO/HI (e.g. 4 vs 16) to
+    # evidence scaling under a host-bandwidth-capped window, where 32 local
+    # workers saturate shared memory bandwidth that 4N real nodes would not
+    # share (each cluster node has its own memory bus)
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     r_lo, r_hi = one(lo), one(hi)
     t_lo = r_lo["queries"]["image_dedup"]
     t_hi = r_hi["queries"]["image_dedup"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (image dedup pipeline, 8 vs 32 cpus)",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "images_per_sec_8": r_lo["images_per_sec"],
-        "images_per_sec_32": r_hi["images_per_sec"],
+        "metric": f"scaling efficiency (image dedup pipeline, {lo} vs {hi} cpus)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"images_per_sec_{lo}": r_lo["images_per_sec"],
+        f"images_per_sec_{hi}": r_hi["images_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "img_rows": IMG_ROWS,
-        "total_sec_8": r_lo["value"],
-        "total_sec_32": r_hi["value"],
-        "peak_rss_mb_8": r_lo.get("peak_rss_mb"),
-        "peak_rss_mb_32": r_hi.get("peak_rss_mb"),
-        "text_docs_per_sec_8": r_lo.get("text_docs_per_sec"),
-        "text_docs_per_sec_32": r_hi.get("text_docs_per_sec"),
-        "image_busy_cores_8": r_lo.get("image_busy_cores"),
-        "image_busy_cores_32": r_hi.get("image_busy_cores"),
-        "host_probe_8": {k: r_lo.get(k) for k in
-                         ("host_mem_gbps", "host_sort_units")},
-        "host_probe_32": {k: r_hi.get(k) for k in
-                          ("host_mem_gbps", "host_sort_units")},
-        **({"perf_8": r_lo.get("perf"), "perf_32": r_hi.get("perf")}
+        f"total_sec_{lo}": r_lo["value"],
+        f"total_sec_{hi}": r_hi["value"],
+        f"peak_rss_mb_{lo}": r_lo.get("peak_rss_mb"),
+        f"peak_rss_mb_{hi}": r_hi.get("peak_rss_mb"),
+        f"text_docs_per_sec_{lo}": r_lo.get("text_docs_per_sec"),
+        f"text_docs_per_sec_{hi}": r_hi.get("text_docs_per_sec"),
+        f"image_busy_cores_{lo}": r_lo.get("image_busy_cores"),
+        f"image_busy_cores_{hi}": r_hi.get("image_busy_cores"),
+        f"host_probe_{lo}": {k: r_lo.get(k) for k in
+                             ("host_mem_gbps", "host_sort_units")},
+        f"host_probe_{hi}": {k: r_hi.get(k) for k in
+                             ("host_mem_gbps", "host_sort_units")},
+        **({f"perf_{lo}": r_lo.get("perf"), f"perf_{hi}": r_hi.get("perf")}
            if _perf_cmd() else {}),
     }
 

@@ -620,3 +620,115 @@ WITH RECURSIVE pairs AS (
 SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM comp GROUP BY node
 """
+
+
+# ---------------------------------------------------------- distributed Lloyd
+
+def kmeans_refine_centroids(ds: "ray.data.Dataset", init: np.ndarray,
+                            iters: int = 5) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd refinement over the FULL corpus — the iterative
+    primitive the sample-trained ``_kmeans_cosine`` model feeds into when
+    the bounded sample can't represent the whole distribution.
+
+    Per round: one stateless map_batches pass assigns every vector to its
+    argmax-cosine centroid and emits per-batch PARTIAL (cell, count,
+    vector-sum, sim-sum) moments — k rows per block, reduced on the driver
+    (k x d doubles total, never the corpus). New centroid = renormalized
+    mean (``_kmeans_cosine``'s exact update rule); empty cells keep their
+    old centroid. Wire cost per round: k x (d+2) doubles per block — the
+    same mergeable-partial shape as the sketch kit, so 100 TB costs
+    #blocks x k rows per round, not a shuffle of the data.
+
+    ``ds`` must yield columns (id, embedding); it should be the narrow
+    projection, materialized once by the caller if re-scanning the source
+    per round is more expensive than object-store residency.
+
+    Returns (centroids, per-round mean-cosine "inertia" trace — the
+    monotone convergence signal tests assert on).
+    """
+    cents = init.astype(np.float64).copy()
+    k, d = cents.shape
+    trace: list[float] = []
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(_emb_matrix(t).astype(np.float64))
+            sims = m @ c.T
+            cell = sims.argmax(axis=1)
+            best = sims[np.arange(len(cell)), cell]
+            order = np.argsort(cell, kind="stable")
+            sc = cell[order]
+            uniq, starts = np.unique(sc, return_index=True)
+            seg = np.add.reduceat(m[order], starts, axis=0)
+            sums = np.zeros((k, d))
+            sums[uniq] = seg
+            cnt = np.bincount(cell, minlength=k).astype(np.int64)
+            sim_sum = np.zeros(k)
+            np.add.at(sim_sum, cell, best)
+            from deduplication_ray.functions import hashing as H
+            return pa.table({
+                "cell": pa.array(np.arange(k, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "sim_sum": pa.array(sim_sum),
+                "vec": H.pack_u64_rows(sums.view(np.uint64)),
+            })
+
+        parts = pa.concat_tables(
+            list(ds.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None)),
+            promote_options="default")
+        cell = parts["cell"].to_numpy()
+        cnt = np.zeros(k, dtype=np.int64)
+        np.add.at(cnt, cell, parts["cnt"].to_numpy())
+        sim_tot = np.zeros(k)
+        np.add.at(sim_tot, cell, parts["sim_sum"].to_numpy())
+        from deduplication_ray.functions import hashing as H
+        vecs = H.unpack_u64_rows(parts["vec"], d).view(np.float64)
+        sums = np.zeros((k, d))
+        np.add.at(sums, cell, vecs)
+        trace.append(float(sim_tot.sum() / max(cnt.sum(), 1)))
+        nonempty = cnt > 0
+        norms = np.linalg.norm(sums, axis=1)
+        upd = nonempty & (norms > 1e-12)
+        cents[upd] = sums[upd] / norms[upd, None]
+    return cents, trace
+
+
+def embedding_kmeans_refine(
+    sf_dir: str,
+    n_centroids: int = 16,
+    iters: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """``embedding_kmeans_cells`` with the centroid model REFINED by
+    distributed Lloyd rounds over the full corpus (``kmeans_refine_centroids``)
+    instead of trusting the bounded-sample fit — the assignment pass is the
+    same stateless broadcast matmul. Rows-only check; serial-parity,
+    partition-invariance and monotone-inertia are asserted in
+    tests/test_ann.py."""
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet",
+                            columns=[id_col, "embedding"])
+
+    st = _bounded_head(ds, id_col, 4096)
+    sample = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in st["embedding"]]))
+    init = _kmeans_cosine(sample, n_centroids)
+    cents, _trace = kmeans_refine_centroids(ds, init, iters=iters)
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_emb_matrix(t).astype(np.float64))
+        sims = m @ c.T
+        cell = sims.argmax(axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            "cell": pa.array(cell.astype(np.int64)),
+            "sim_milli": pa.array(
+                np.floor(sims.max(axis=1) * 1000.0).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1183,30 +1183,40 @@ def q_doc_chunks(sf_dir: str, max_words: int = 64, ds=None):
     ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
 
     def chunk(t: pa.Table) -> pa.Table:
-        flat, offs = _tokens_flat(t["text"])
-        counts = offs[1:] - offs[:-1]
-        n_chunks = np.maximum((counts + max_words - 1) // max_words, 1)
-        doc_rep = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
-        # chunk k of doc d spans flat[offs[d] + k*W : min(offs[d]+(k+1)*W, offs[d+1])]
-        chunk_idx = H._ranges(n_chunks)
-        starts = offs[:-1][doc_rep] + chunk_idx * max_words
-        ends = np.minimum(starts + max_words, offs[1:][doc_rep])
-        # rebuild one list<string> array over the flat tokens, then join
-        lens = ends - starts
-        # gather token indices for every chunk in one arange trick
-        tok_idx = np.repeat(starts, lens) + H._ranges(lens)
-        toks = flat.take(pa.array(tok_idx, pa.int64()))
-        loffs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-        lst = pa.ListArray.from_arrays(pa.array(loffs), toks)
-        joined = pc.binary_join(lst, " ")
-        return pa.table({
-            "doc_id": t["doc_id"].take(pa.array(doc_rep, pa.int64())),
-            "chunk_idx": pa.array(chunk_idx, pa.int64()),
-            "n_words": pa.array(lens, pa.int64()),
-            "chunk_text": joined,
-        })
+        return _chunk_batch(t, max_words)[0]
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def _chunk_batch(t: pa.Table, max_words: int) -> tuple[pa.Table, np.ndarray]:
+    """Vectorized fixed-window chunk expansion shared by ``q_doc_chunks``,
+    passage dedup and the boilerplate scrub: one flat tokenization per batch,
+    arithmetic chunk boundaries, a single list-array rebuild — no per-doc
+    Python loop. Returns (chunk table, per-chunk row index into ``t``); the
+    chunk table is emitted doc-major with ascending ``chunk_idx``."""
+    flat, offs = _tokens_flat(t["text"])
+    counts = offs[1:] - offs[:-1]
+    n_chunks = np.maximum((counts + max_words - 1) // max_words, 1)
+    doc_rep = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
+    # chunk k of doc d spans flat[offs[d] + k*W : min(offs[d]+(k+1)*W, offs[d+1])]
+    chunk_idx = H._ranges(n_chunks)
+    starts = offs[:-1][doc_rep] + chunk_idx * max_words
+    ends = np.minimum(starts + max_words, offs[1:][doc_rep])
+    # rebuild one list<string> array over the flat tokens, then join
+    lens = ends - starts
+    # gather token indices for every chunk in one arange trick
+    tok_idx = np.repeat(starts, lens) + H._ranges(lens)
+    toks = flat.take(pa.array(tok_idx, pa.int64()))
+    loffs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(loffs), toks)
+    joined = pc.binary_join(lst, " ")
+    tbl = pa.table({
+        "doc_id": t["doc_id"].take(pa.array(doc_rep, pa.int64())),
+        "chunk_idx": pa.array(chunk_idx, pa.int64()),
+        "n_words": pa.array(lens, pa.int64()),
+        "chunk_text": joined,
+    })
+    return tbl, doc_rep
 
 
 def doc_chunks_sql(max_words: int = 64) -> str:
@@ -1966,3 +1976,177 @@ def q_lsh_bucket_stats(sf_dir: str, ds=None):
             "n_over_cap": int(n[sz > cfg.bucket_cap].sum()),
         })
     return pd.DataFrame(rows).sort_values("band").reset_index(drop=True)
+
+
+# ------------------------------------------------- boilerplate line scrub
+
+def q_doc_boilerplate_scrub(sf_dir: str, words_per_line: int = 8,
+                            df_cap: int = 2, ds=None):
+    """Line-level boilerplate removal (the CCNet / RefinedWeb line-dedup
+    step): drop every "line" that occurs in MORE than ``df_cap`` distinct
+    documents and rewrite each document from its surviving lines — the
+    sub-document scrub that kills navigation chrome, licence banners and
+    cookie notices that whole-document dedup can't see. The synthetic corpus
+    has no newlines, so a "line" here is a fixed ``words_per_line``-word
+    segment (the same unit as passage dedup); on a real crawl you'd split on
+    '\\n' — only the segmentation kernel changes.
+
+    Output: one row per input document — ``clean_text`` (kept lines joined,
+    '' if fully scrubbed), kept/dropped line counts.
+
+    Scale plan (three passes, none shuffles document text):
+    1. line-DF: each document is ONE row, so per-batch distinct (line, doc)
+       pairs are globally distinct — per-batch Arrow group_by partials sum
+       to the exact corpus DF through one bounded groupby(line) whose wire
+       cost is the distinct-line vocabulary, not the corpus;
+    2. the hot set (DF > cap) IS the boilerplate — small by construction —
+       collected once and broadcast via ``ray.put`` (decontaminate's
+       pattern: object-store-shared per node, never re-shipped per batch);
+    3. rewrite: stateless ``map_batches`` — re-chunk, vectorized ``is_in``
+       mask, one list-array rebuild per batch. No doc-side shuffle at all;
+       the reference's content-identity index (dictionary.c:49-78) applied
+       at line granularity with a frequency threshold.
+    """
+    from ray.data.aggregate import Sum
+
+    docs = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+    W = words_per_line
+
+    def seg_df_partial(t: pa.Table) -> pa.Table:
+        ct, _ = _chunk_batch(t, W)
+        g = (pa.table({"seg": ct["chunk_text"], "doc_id": ct["doc_id"]})
+             .group_by(["seg", "doc_id"]).aggregate([])
+             .group_by("seg").aggregate([("doc_id", "count")]))
+        return pa.table({"seg": g["seg"],
+                         "n": g["doc_id_count"].cast(pa.int64())})
+
+    df = (docs.map_batches(seg_df_partial, batch_format="pyarrow")
+          .groupby("seg").aggregate(Sum("n", alias_name="df")))
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["df"], df_cap)).select(["seg"])
+
+    hot = pa.concat_tables(
+        list(df.map_batches(only_hot, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default")
+    hot_set = hot["seg"].combine_chunks()
+    ref = ray.put(hot_set)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ct, doc_rep = _chunk_batch(t, W)
+        hot_mask = pc.is_in(ct["chunk_text"], value_set=ray.get(ref)) \
+            .to_numpy(zero_copy_only=False)
+        keep = ~hot_mask
+        n = t.num_rows
+        kept_per_doc = np.bincount(doc_rep[keep], minlength=n)
+        # chunks are doc-major with ascending chunk_idx: the kept
+        # subsequence is already in rebuild order
+        kept_txt = ct["chunk_text"].filter(pa.array(keep)).combine_chunks()
+        loffs = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(loffs), kept_txt)
+        clean = pc.binary_join(lst, " ")
+        total_per_doc = np.bincount(doc_rep, minlength=n)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": clean,
+            "n_kept": pa.array(kept_per_doc.astype(np.int64)),
+            "n_dropped": pa.array(
+                (total_per_doc - kept_per_doc).astype(np.int64)),
+        })
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def doc_boilerplate_scrub_sql(words_per_line: int = 8,
+                              df_cap: int = 2) -> str:
+    chunks = doc_chunks_sql(words_per_line).strip()
+    return f"""
+WITH chunks AS ({chunks}),
+df AS (
+  SELECT chunk_text AS seg, count(DISTINCT doc_id) AS df
+  FROM chunks GROUP BY 1
+)
+SELECT c.doc_id,
+       coalesce(string_agg(c.chunk_text, ' ' ORDER BY c.chunk_idx)
+                FILTER (f.df <= {df_cap}), '') AS clean_text,
+       CAST(count(*) FILTER (f.df <= {df_cap}) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (f.df > {df_cap}) AS BIGINT) AS n_dropped
+FROM chunks c JOIN df f ON c.chunk_text = f.seg
+GROUP BY c.doc_id
+"""
+
+
+# ------------------------------------------------------ tiered dedup funnel
+
+def q_doc_tier_dedup(sf_dir: str, words_per_line: int = 8, df_cap: int = 2,
+                     ds=None):
+    """TIERED dedup funnel — the production shape (FineWeb / RefinedWeb,
+    public): cheap exact tiers first so each costlier tier sees only
+    survivors, with per-tier attrition reported:
+
+      tier 1  EXACT       collapse byte-identical documents to the min-id
+                          representative (the reference's R8 at document
+                          granularity);
+      tier 2  SCRUB       line-level boilerplate removal over the exact
+                          survivors (``q_doc_boilerplate_scrub``); documents
+                          scrubbed to EMPTY are dropped — and scrubbing
+                          FIRST means two docs differing only in chrome
+                          become identical inputs to the near-dup tier;
+      tier 3  NEAR-DUP    full MinHash-LSH + substring + union-find engine
+                          over the SCRUBBED text; keep each cluster's min
+                          doc_id.
+
+    Output: one row per tier — (tier, tier_name, docs_in, docs_out) — the
+    attrition report a data-curation run publishes. Rows-only check (tier 3
+    is iterative); funnel invariants (monotone attrition, tier-1 parity
+    with ``exact_dedup_docs``, cross-tier consistency on planted
+    boilerplate near-dups) are asserted in
+    tests/test_queries.py::test_tier_dedup_funnel.
+
+    Scale plan: every tier is an operator this engine already ships — the
+    funnel adds only bounded id-set lookup joins between tiers (broadcast
+    below ``cfg.broadcast_limit``); no tier re-reads dropped documents'
+    text, and the report itself is four rows."""
+    from ray.data.aggregate import Min
+
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8, sa_batch_size=1024)
+    docs = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+    n_in = docs.count()
+
+    # tier 1: exact — min doc_id per identical text
+    reps = (docs.groupby("text")
+            .aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id"]).materialize())
+    n_exact = reps.count()
+    survivors = lookup_join(docs, reps, on=["doc_id"], cfg=cfg)
+
+    # tier 2: boilerplate scrub over exact survivors; empty docs drop out
+    scrubbed = q_doc_boilerplate_scrub(
+        sf_dir, words_per_line=words_per_line, df_cap=df_cap, ds=survivors)
+    scrubbed = scrubbed.filter(expr="n_kept > 0") \
+        .select_columns(["doc_id", "clean_text"]) \
+        .rename_columns({"clean_text": "text"}).materialize()
+    n_scrub = scrubbed.count()
+
+    # tier 3: near-dup over the scrubbed text, min-id representative
+    clusters = text_dedup_clusters(scrubbed, cfg)
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "cluster_id": t["cluster_id"].cast(pa.int64())})
+
+    n_near = (clusters.map_batches(ids_only, batch_format="pyarrow")
+              .groupby("cluster_id")
+              .aggregate(Min("doc_id", alias_name="doc_id"))
+              .count())
+
+    return pd.DataFrame({
+        "tier": [1, 2, 3],
+        "tier_name": ["exact", "boilerplate_scrub", "near_dup"],
+        "docs_in": [n_in, n_exact, n_scrub],
+        "docs_out": [n_exact, n_scrub, n_near],
+    })

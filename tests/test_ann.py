@@ -109,3 +109,55 @@ def test_embedding_kmeans_cells_deterministic_and_consistent(ray_session):
     assert len(a) == len(a["vec_id"].unique())
     assert a["cell"].between(0, 15).all()
     assert a["cell"].nunique() >= 4
+
+
+def test_kmeans_refine_matches_serial_and_improves(ray_session):
+    """The distributed Lloyd rounds (per-batch moment partials, driver
+    combine) must reproduce a SERIAL full-corpus Lloyd with the same init
+    and update rule — centroids allclose, identical assignments — and the
+    mean-cosine trace must be non-decreasing (Lloyd's monotonicity)."""
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.pipelines.ann import (_bounded_head,
+                                                 _kmeans_cosine, _normalize,
+                                                 embedding_kmeans_refine,
+                                                 kmeans_refine_centroids)
+    from deduplication_ray.sources import storage
+
+    sf = "/root/testdata/sf0.001"
+    iters, k = 4, 16
+    tbl = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    x = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                             for v in tbl["embedding"].to_pylist()]))[order]
+    init = _kmeans_cosine(x[:4096], k)
+
+    # serial Lloyd, same update rule
+    c = init.astype(np.float64).copy()
+    traces = []
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        traces.append(float(sims.max(axis=1).mean()))
+        for j in range(k):
+            sel = x[assign == j]
+            if len(sel):
+                m = sel.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    c[j] = m / n
+
+    ds = storage.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    dist_c, trace = kmeans_refine_centroids(ds, init, iters=iters)
+    np.testing.assert_allclose(dist_c, c, atol=1e-9)
+    np.testing.assert_allclose(trace, traces, atol=1e-9)
+    # Lloyd monotonicity: mean best-cosine never decreases across rounds
+    assert all(b >= a - 1e-12 for a, b in zip(trace, trace[1:]))
+
+    out = embedding_kmeans_refine(sf, n_centroids=k, iters=iters) \
+        .to_pandas().sort_values("vec_id")
+    serial_assign = (x @ c.T).argmax(axis=1)
+    assert (out["cell"].to_numpy() == serial_assign).all()
+    assert out["cell"].nunique() >= 4

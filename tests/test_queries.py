@@ -698,3 +698,69 @@ def test_dedup_index_streaming_gate(ray_session):
     dump = _ray.get(shard.dump.remote()).to_pydict()
     state = dict(zip(zip(dump["key1"], dump["key2"]), dump["id"]))
     assert state == {(10, -10): 5, (20, -20): 2, (30, -30): 7, (40, -40): 9}
+
+
+def test_boilerplate_scrub_removes_planted_lines(ray_session):
+    """Non-vacuity: a planted 8-word boilerplate segment shared by many docs
+    must be scrubbed from EVERY document (df > cap), while each document's
+    unique tail survives verbatim."""
+    import ray.data
+
+    from deduplication_ray.pipelines.docops import q_doc_boilerplate_scrub
+
+    boiler = "subscribe to our newsletter for all cookie updates"
+    rows = [{"doc_id": i,
+             "text": f"{boiler} unique payload number {i} for document {i}"}
+            for i in range(6)]
+    rows.append({"doc_id": 99, "text": boiler})  # fully-boilerplate doc
+    ds = ray.data.from_items(rows)
+    out = q_doc_boilerplate_scrub("", words_per_line=8, df_cap=2, ds=ds) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out["n_dropped"] >= 1).all()
+    full = out[out["doc_id"] == 99].iloc[0]
+    assert full["clean_text"] == "" and full["n_kept"] == 0
+    for _, r in out[out["doc_id"] != 99].iterrows():
+        assert boiler not in r["clean_text"]
+        assert f"unique payload number {r['doc_id']}" in r["clean_text"]
+
+
+def test_tier_dedup_funnel(ray_session):
+    """Funnel invariants on a planted corpus: the exact tier collapses the
+    byte-identical pair; the scrub tier drops the all-boilerplate doc; and
+    two docs that differ ONLY in boilerplate chrome — invisible to exact
+    dedup — become identical after the scrub and are merged by the near-dup
+    tier. Attrition is monotone and the tiers chain (docs_in[t] ==
+    docs_out[t-1])."""
+    import ray.data
+
+    from deduplication_ray.pipelines.docops import q_doc_tier_dedup
+
+    b1 = "subscribe to our newsletter for all cookie updates"
+    b2 = "accept cookies to continue reading this premium article"
+    payload = "the actual document content both articles share here today"
+    rows = [
+        {"doc_id": 0, "text": f"{b1} {payload}"},          # chrome b1 + X
+        {"doc_id": 1, "text": f"{b2} {payload}"},          # chrome b2 + X
+        {"doc_id": 2, "text": "totally unique document two alpha"},
+        {"doc_id": 3, "text": "totally unique document two alpha"},  # exact dup of 2
+        {"doc_id": 4, "text": b1},                          # pure boilerplate
+        # df support so b1/b2 cross df_cap=2 (tails mutually dissimilar so
+        # only the planted 0/1 pair merges at the near-dup tier)
+        {"doc_id": 5, "text": f"{b1} quartz penguin lattice forty governs maple river stone"},
+        {"doc_id": 6, "text": f"{b2} velvet compass thunder eleven oranges drift candle spoon"},
+        {"doc_id": 7, "text": f"{b1} gamma harbor pencil sixteen walrus ribbon meadow flask"},
+        {"doc_id": 8, "text": f"{b2} indigo turbine saddle ninety lemon copper anchor quill"},
+    ]
+    ds = ray.data.from_items(rows)
+    rep = q_doc_tier_dedup("", ds=ds).sort_values("tier").reset_index(drop=True)
+
+    assert list(rep["tier_name"]) == ["exact", "boilerplate_scrub", "near_dup"]
+    # tiers chain and attrition is monotone
+    assert list(rep["docs_in"][1:]) == list(rep["docs_out"][:-1])
+    assert (rep["docs_out"] <= rep["docs_in"]).all()
+    # tier 1: 9 docs -> 8 (doc 3 is an exact dup of doc 2)
+    assert rep.loc[0, "docs_in"] == 9 and rep.loc[0, "docs_out"] == 8
+    # tier 2: doc 4 is pure boilerplate -> scrubbed empty -> dropped
+    assert rep.loc[1, "docs_out"] == 7
+    # tier 3: docs 0 and 1 are identical after the scrub -> one cluster
+    assert rep.loc[2, "docs_out"] == 6
