@@ -52,20 +52,37 @@ class ComputeSignatures:
         cfg = self.cfg
         n = batch.num_rows
 
-        # ---- pixel path: decode each payload once (real per-row compute:
-        # zlib inflate), batch the math (resize matmuls + one batched DCT).
+        # ---- pixel path: decode each DISTINCT payload once (real per-row
+        # compute: zlib inflate), batch the math (resize matmuls + one
+        # batched DCT). Web crawls are full of byte-identical images, so the
+        # batch-local dictionary probe (the reference's dict_find,
+        # dictionary.c:49-59, keyed by hash instead of memcmp) skips
+        # re-decoding repeats; cross-batch dedup would shuffle pixel
+        # payloads, which this engine never does (SURVEY §7.5 'wide rows').
         fmts = batch["fmt"].to_pylist()
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
+        bk = H.hash_bytes_array(batch["bytes"])
         payloads = batch["bytes"].combine_chunks() if isinstance(batch["bytes"], pa.ChunkedArray) else batch["bytes"]
         # zero-copy slices into the Arrow value buffer (as_py() copied every
         # payload); decode itself (zlib inflate) is inherently per-row
         pbuf, poffs = H._arrow_flat_buffer(payloads)
+        # decode identity = (payload, fmt, w, h): same key -> same gray plane
+        dk = (bk ^ H.hash_bytes_array(batch["fmt"])
+              ^ (ws.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              ^ (hs.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+        uniq_rows = np.sort(np.unique(dk, return_index=True)[1])
         grays = np.empty((n, cfg.phash_size, cfg.phash_size), dtype=np.float32)
-        for i in range(n):
+        for i in uniq_rows:
             img = C.decode_image(pbuf[poffs[i]:poffs[i + 1]],
                                  fmts[i], int(ws[i]), int(hs[i]))
             grays[i] = C.resize_area(C.to_grayscale(img), cfg.phash_size)
+        if len(uniq_rows) < n:
+            # scatter each repeat its representative's plane
+            rep_of = {k: i for i, k in zip(uniq_rows, dk[uniq_rows])}
+            dup_rows = np.setdiff1d(np.arange(n), uniq_rows,
+                                    assume_unique=True)
+            grays[dup_rows] = grays[[rep_of[k] for k in dk[dup_rows]]]
         phash = C.phash64_batch(grays, cfg.phash_size, cfg.phash_lowfreq)
         feats = C.simhash_features(grays)
         simhash = H.simhash_from_features(feats, self.planes)
@@ -78,12 +95,11 @@ class ComputeSignatures:
         shingles, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
         sig = H.minhash_signatures(shingles, offs, self.mh_a, self.mh_b)
 
-        # ---- exact content key: 128 bits = hash(bytes), hash(norm caption) as
-        # two int64 join keys. Exactness contract (the memcmp analog,
-        # dictionary.c:53): 128 bits make same-key-different-content pairs
-        # vanishingly unlikely at 10^12 rows.
-        bk = H.hash_bytes_array(batch["bytes"])
-
+        # ---- exact content key: 128 bits = hash(bytes) (bk, computed above
+        # for the decode probe), hash(norm caption) as two int64 join keys.
+        # Exactness contract (the memcmp analog, dictionary.c:53): 128 bits
+        # make same-key-different-content pairs vanishingly unlikely at
+        # 10^12 rows.
         return pa.table(
             {
                 "image_id": batch["image_id"],

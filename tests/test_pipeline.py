@@ -280,3 +280,36 @@ def test_salting_path_on_oversized_bucket(ray_session):
     assert len(hot_clusters) == 1
     bg = clusters[~clusters["doc_id"].isin(hot_ids)]
     assert bg["cluster_id"].nunique() == n_bg
+
+
+def test_signature_decode_probe_scatter(tiny_fixture, ray_session):
+    """The batch-local distinct-decode probe (decode once per distinct
+    (payload, fmt, w, h), scatter to repeats) must emit BIT-IDENTICAL
+    signatures to the same rows processed without repeats — repeats get
+    their representative's plane, uniques are untouched."""
+    import pyarrow as pa
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.stages.signatures import ComputeSignatures
+
+    tbl = pads.dataset(
+        [f"{tiny_fixture}/data/{f}" for f in os.listdir(f"{tiny_fixture}/data")
+         if f.endswith(".parquet")]).to_table().slice(0, 40)
+    # append shuffled repeats of the first 15 rows: plenty of in-batch dups
+    rep = tbl.slice(0, 15).take(pa.array([7, 2, 11, 0, 14, 3, 9, 1, 12, 5]))
+    dup = pa.concat_tables([tbl, rep])
+
+    sig = ComputeSignatures(DedupConfig(num_partitions=4))
+    out_dup, out_ref = sig(dup), sig(tbl)
+
+    cols = ["phash", "simhash", "minhash", "ck1", "ck2"]
+    # the unique prefix is untouched by the scatter
+    for c in cols:
+        assert out_dup.slice(0, 40)[c].equals(out_ref[c]), c
+    # every repeat carries its original's exact signatures
+    ids_ref = {i: r for i, r in enumerate(out_ref.to_pylist())}
+    for j, src in enumerate([7, 2, 11, 0, 14, 3, 9, 1, 12, 5]):
+        got = out_dup.slice(40 + j, 1).to_pylist()[0]
+        want = ids_ref[src]
+        for c in cols:
+            assert got[c] == want[c], (c, j, src)
