@@ -127,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
                        dest=f)
 
     s = sub.add_parser("curate", help="end-to-end training-data curation: "
-                                      "decontaminate -> quality gate -> "
+                                      "decontaminate -> quality gate -> scrub -> "
                                       "dedup keep-best -> split -> chunk -> "
                                       "partitioned parquet")
     s.add_argument("--sf-dir", required=True,

@@ -8,14 +8,18 @@ would compose them):
      held-out eval slice (docops.q_doc_decontaminate)
   2. QUALITY GATE               — keep docs at/above the global median
      quality (docops.q_docs_above_median_quality)
-  3. NEAR-DUP DEDUP             — full MinHash-LSH + substring + union-find
-     engine; keep each cluster's highest-quality member
-     (docops.q_doc_dedup_keep_best)
-  4. SPLIT                      — deterministic 80/10/10 train/val/test by
+  3. BOILERPLATE SCRUB          — line-level corpus-frequency scrub of the
+     survivors' text; docs scrubbed to empty are dropped, and the LATER
+     tiers (near-dup, chunk) see the CLEAN text, so chrome-only near-dups
+     merge (docops.q_doc_boilerplate_scrub)
+  4. NEAR-DUP DEDUP             — full MinHash-LSH + substring + union-find
+     engine over the scrubbed text; keep each cluster's highest-quality
+     member (docops.q_doc_dedup_keep_best's policy)
+  5. SPLIT                      — deterministic 80/10/10 train/val/test by
      id hash (docops.q_doc_split)
-  5. CHUNK                      — fixed 64-word chunks with stable
-     (doc_id, chunk_idx) ids (docops.q_doc_chunks)
-  6. WRITE                      — parquet partitioned by split (one
+  6. CHUNK                      — fixed 64-word chunks of the SCRUBBED text
+     with stable (doc_id, chunk_idx) ids (docops.q_doc_chunks)
+  7. WRITE                      — parquet partitioned by split (one
      directory per split, resumable consumers can read splits
      independently)
 
@@ -60,11 +64,20 @@ def curate_documents(sf_dir: str, out_dir: str,
     kept_ids = _keep(clean_ids, quality_ids, cfg).materialize()
     n_quality = kept_ids.count()
 
-    # 3. near-dup dedup over the survivors only: build the text table once,
-    # cluster it, keep each cluster's best-quality member
+    # 3. boilerplate scrub over the survivors' text; empty docs drop out.
+    # Every later tier reads the SCRUBBED text (chrome-only near-dups now
+    # merge, and chunks never contain boilerplate).
+    survivors = _keep(docops._docs(sf_dir, ["doc_id", "text"]), kept_ids, cfg)
+    docs = (docops.q_doc_boilerplate_scrub(sf_dir, ds=survivors)
+            .filter(expr="n_kept > 0")
+            .select_columns(["doc_id", "clean_text"])
+            .rename_columns({"clean_text": "text"}).materialize())
+    n_scrub = docs.count()
+
+    # 4. near-dup dedup over the scrubbed survivors: cluster, keep each
+    # cluster's best-quality member
     from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
 
-    docs = _keep(docops._docs(sf_dir, ["doc_id", "text"]), kept_ids, cfg)
     clusters = text_dedup_clusters(docs, cfg)
     clusters = clusters.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
@@ -104,13 +117,12 @@ def curate_documents(sf_dir: str, out_dir: str,
                ).materialize()
     n_dedup = rep_ids.count()
 
-    # 4. split assignment for the survivors only
+    # 5. split assignment for the survivors only
     kept_split = docops.q_doc_split(sf_dir, ds=rep_ids)
 
-    # 5. chunk the SURVIVOR text only (no wasted pass over dropped docs),
-    # attach the split
-    survivors = _keep(docops._docs(sf_dir, ["doc_id", "text"]), rep_ids, cfg)
-    chunks = docops.q_doc_chunks(sf_dir, ds=survivors)
+    # 6. chunk the SCRUBBED survivor text only (no wasted pass over dropped
+    # docs, no boilerplate in chunks), attach the split
+    chunks = docops.q_doc_chunks(sf_dir, ds=_keep(docs, rep_ids, cfg))
     out = lookup_join(chunks, kept_split, on=["doc_id"], cfg=cfg)
     out = out.map_batches(
         lambda t: pa.table({
@@ -131,6 +143,7 @@ def curate_documents(sf_dir: str, out_dir: str,
         "docs_total": int(total),
         "after_decontaminate": int(n_clean),
         "after_quality_gate": int(n_quality),
+        "after_scrub": int(n_scrub),
         "after_dedup": int(n_dedup),
         "chunks_written": int(n_chunks),
         "out_dir": out_dir,

@@ -1,5 +1,5 @@
-"""End-to-end curation chain: decontaminate -> quality gate -> dedup
-keep-best -> split -> chunk -> partitioned write."""
+"""End-to-end curation chain: decontaminate -> quality gate -> boilerplate
+scrub -> dedup keep-best -> split -> chunk -> partitioned write."""
 
 import os
 import shutil
@@ -16,7 +16,8 @@ def test_curate_documents_funnel(ray_session, tmp_path):
 
     # monotone funnel
     assert (m["docs_total"] >= m["after_decontaminate"]
-            >= m["after_quality_gate"] >= m["after_dedup"] > 0)
+            >= m["after_quality_gate"] >= m["after_scrub"]
+            >= m["after_dedup"] > 0)
     assert m["chunks_written"] >= m["after_dedup"]
 
     frames = []
