@@ -2150,3 +2150,129 @@ def q_doc_tier_dedup(sf_dir: str, words_per_line: int = 8, df_cap: int = 2,
         "docs_in": [n_in, n_exact, n_scrub],
         "docs_out": [n_exact, n_scrub, n_near],
     })
+
+
+# ----------------------------------------------------- model TRAINING loop
+
+_TRAIN_BUCKETS = 1 << 14
+
+
+def _presence_features(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Binary hashed-trigram presence features, fully vectorized: distinct
+    (row, bucket) pairs via one composite-key unique over the whole batch —
+    no per-doc loop. Returns (bucket ids, row ids), row-major sorted."""
+    hashes, offs = H.shingle_window_hashes(t["text"], 3)
+    bt = (hashes % np.uint64(_TRAIN_BUCKETS)).astype(np.int64)
+    row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                       offs[1:] - offs[:-1])
+    comp = np.unique(row_of * _TRAIN_BUCKETS + bt)
+    return comp % _TRAIN_BUCKETS, comp // _TRAIN_BUCKETS
+
+
+def _marker_labels(t: pa.Table, marker: str) -> np.ndarray:
+    """y = 1 iff the document contains ``marker`` as a whitespace token —
+    the deterministic weak-label stand-in for gold labels (the label source
+    is the pluggable part of a production trainer)."""
+    padded = pc.binary_join_element_wise(
+        pa.array([" "] * t.num_rows), t["text"], pa.array([" "] * t.num_rows), "")
+    return pc.match_substring(padded, f" {marker} ") \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def train_doc_classifier(ds, marker: str = "dup", iters: int = 40,
+                         lr: float = 50.0) -> tuple[np.ndarray, float, list]:
+    """Distributed full-batch logistic-regression TRAINING — the
+    counterpart of ``q_doc_model_score``'s inference stage: fit the
+    fasttext-shaped hashed-trigram classifier ON the corpus with the same
+    mergeable-moment pattern as the Lloyd refiner (``ann.kmeans_refine_
+    centroids``). Per round, each batch emits a DENSE gradient partial
+    (2^14 float64 = 128 KB) plus (loss, correct, n) scalars; the driver
+    sums partials (model-sized, never corpus-sized) and steps. Per-round
+    wire cost: #blocks x 128 KB — no shuffle, corpus text never moves.
+
+    Returns (weights, bias, per-round [loss, accuracy] trace)."""
+    w = np.zeros(_TRAIN_BUCKETS)
+    # bias init at the base-rate logit: one cheap counting pass
+    def _count(t: pa.Table) -> pa.Table:
+        y = _marker_labels(t, marker)
+        return pa.table({"pos": pa.array([float(y.sum())]),
+                         "n": pa.array([float(len(y))])})
+    cnt = pa.concat_tables(
+        list(ds.map_batches(_count, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default")
+    pos = sum(cnt["pos"].to_pylist()); n_total = sum(cnt["n"].to_pylist())
+    rate = pos / max(n_total, 1.0)
+    bias = float(np.log((rate + 1e-9) / (1 - rate + 1e-9)))
+
+    trace: list[list[float]] = []
+    for _ in range(iters):
+        wref = ray.put((w, bias))
+
+        def partial(t: pa.Table) -> pa.Table:
+            cw, cb = ray.get(wref)
+            b, row = _presence_features(t)
+            y = _marker_labels(t, marker)
+            z = np.zeros(t.num_rows)
+            np.add.at(z, row, cw[b])
+            z = np.clip(z + cb, -30.0, 30.0)
+            p = 1.0 / (1.0 + np.exp(-z))
+            grad = np.zeros(_TRAIN_BUCKETS)
+            np.add.at(grad, b, (p - y)[row])
+            loss = float(-(y * np.log(p + 1e-12)
+                           + (1 - y) * np.log(1 - p + 1e-12)).sum())
+            acc = float(((p > 0.5) == (y > 0.5)).sum())
+            return pa.table({
+                "grad": H.pack_u64_rows(grad[None, :].view(np.uint64)),
+                "gbias": pa.array([float((p - y).sum())]),
+                "loss": pa.array([loss]),
+                "correct": pa.array([acc]),
+                "n": pa.array([float(t.num_rows)]),
+            })
+
+        parts = pa.concat_tables(
+            list(ds.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None)),
+            promote_options="default")
+        grad = H.unpack_u64_rows(parts["grad"], _TRAIN_BUCKETS) \
+            .view(np.float64).sum(axis=0)
+        nb = sum(parts["n"].to_pylist())
+        # MEAN gradient: the step is corpus-size invariant (grad partials
+        # are sums, so the 1/N belongs here, after the driver combine)
+        w -= lr * grad / max(nb, 1.0)
+        bias -= lr * sum(parts["gbias"].to_pylist()) / max(nb, 1.0)
+        trace.append([sum(parts["loss"].to_pylist()) / max(nb, 1.0),
+                      sum(parts["correct"].to_pylist()) / max(nb, 1.0)])
+    return w, bias, trace
+
+
+def q_doc_train_classifier(sf_dir: str, marker: str = "dup",
+                           iters: int = 40, lr: float = 50.0, ds=None):
+    """TRAIN the hashed-trigram document classifier on the corpus
+    (distributed full-batch logistic regression, ``train_doc_classifier``),
+    then score every document with the fitted model — the end-to-end
+    train-then-apply loop of a quality-classifier curation stage. Output:
+    (doc_id, y, p_milli, predicted, correct). Rows-only check (an iterative
+    learner has no ANSI SQL form); serial-parity, above-baseline accuracy
+    and monotone-loss tests in tests/test_queries.py."""
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+    w, bias, trace = train_doc_classifier(ds, marker, iters, lr)
+    wref = ray.put((w, bias))
+
+    def score(t: pa.Table) -> pa.Table:
+        cw, cb = ray.get(wref)
+        b, row = _presence_features(t)
+        y = _marker_labels(t, marker)
+        z = np.zeros(t.num_rows)
+        np.add.at(z, row, cw[b])
+        z = np.clip(z + cb, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "y": pa.array((y > 0.5)),
+            "p_milli": pa.array(np.floor(p * 1000.0).astype(np.int64)),
+            "predicted": pa.array(p > 0.5),
+            "correct": pa.array((p > 0.5) == (y > 0.5)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
