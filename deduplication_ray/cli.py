@@ -140,6 +140,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dest", required=True, help="directory for the rebuilt table")
     s.add_argument("--num-cpus", type=int, default=None)
 
+    s = sub.add_parser("compact", help="table maintenance: rewrite a "
+                                       "fragmented table directory into "
+                                       "~target-row part files")
+    s.add_argument("--input", required=True, help="table directory to compact")
+    s.add_argument("--out", required=True, help="output table directory")
+    s.add_argument("--target-rows", type=int, default=1_000_000)
+    s.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("compress", help="reference-conformant DDP1 encode")
     s.add_argument("width", type=int)
     s.add_argument("block", type=int)
@@ -248,6 +256,15 @@ def main(argv: list[str] | None = None) -> int:
         from deduplication_ray.pipelines.curate import curate_documents
 
         print(json.dumps(curate_documents(args.sf_dir, args.out)))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "compact":
+        ray = _session(args.num_cpus)
+        from deduplication_ray.sources.storage import compact_table
+
+        print(json.dumps(compact_table(args.input, args.out,
+                                       target_rows_per_file=args.target_rows)))
         ray.shutdown()
         return 0
 

@@ -184,3 +184,28 @@ def dataset_files(path: str) -> list[str]:
         for f in os.listdir(path)
         if f.endswith(exts) and not f.startswith(("_", "."))
     )
+
+
+def compact_table(path: str, out_path: str,
+                  target_rows_per_file: int = 1_000_000) -> dict[str, int]:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    100 TB dataset needs: checkpointed runs, incremental ingests and
+    per-split writes accumulate thousands of tiny part files, and every
+    downstream scan then pays per-file open/metadata cost. Rewrite the
+    table into ceil(rows / target) files of ~target rows each.
+
+    Scale shape: one streaming read -> ``repartition(target_num_blocks)``
+    (a metadata-only exchange when blocks merely coalesce; never a
+    key shuffle) -> one native-format write. Content is preserved
+    row-for-row (order is NOT part of the table contract — every consumer
+    in this engine keys by explicit id columns, SURVEY §2.1 R12/R13).
+    Writes to ``out_path`` (commit-by-rename to self-replace safely) and
+    returns {files_in, files_out, rows}."""
+    files_in = len(dataset_files(path))
+    ds = read_table(path)
+    rows = ds.count()
+    n_files = max(1, -(-rows // target_rows_per_file))
+    write_table(ds.repartition(n_files), out_path)
+    return {"files_in": files_in,
+            "files_out": len(dataset_files(out_path)),
+            "rows": int(rows)}

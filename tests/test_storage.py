@@ -92,3 +92,30 @@ def test_set_format_rejects_unregistered():
     with pytest.raises(ValueError, match="not registered"):
         storage.set_format("lance")
     assert storage.FORMAT == "parquet"
+
+
+def test_compact_table_merges_small_files(ray_session, tmp_path):
+    """64 tiny part files -> a handful of ~target-row files with the exact
+    same multiset of rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.sources import storage
+
+    src = tmp_path / "frag"
+    src.mkdir()
+    for i in range(64):
+        pq.write_table(pa.table({
+            "id": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+            "v": pa.array([f"r{j}" for j in range(i * 10, i * 10 + 10)]),
+        }), str(src / f"part-{i:03d}.parquet"))
+
+    out = tmp_path / "compact"
+    rep = storage.compact_table(str(src), str(out), target_rows_per_file=200)
+    assert rep == {"files_in": 64, "files_out": rep["files_out"], "rows": 640}
+    assert rep["files_out"] <= 4
+    a = storage.read_table(str(src)).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    b = storage.read_table(str(out)).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert a.equals(b)
