@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans_refine": lambda sf: ann.embedding_kmeans_refine(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
         "ann_topk_ivf": lambda sf: ann.ivf_topk(sf),
+        "ann_topk_pq": lambda sf: ann.pq_topk(sf),
         "doc_lsh_dedup": docops.q_doc_lsh_dedup,
         "doc_tier_dedup": docops.q_doc_tier_dedup,
         "doc_dedup_keep_best": docops.q_doc_dedup_keep_best,

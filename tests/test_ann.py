@@ -161,3 +161,20 @@ def test_kmeans_refine_matches_serial_and_improves(ray_session):
     serial_assign = (x @ c.T).argmax(axis=1)
     assert (out["cell"].to_numpy() == serial_assign).all()
     assert out["cell"].nunique() >= 4
+
+
+def test_pq_topk_recall_on_planted(emb_dir):
+    """The PQ/ADC scan (8-byte codes, LUT gathers only) must recover the
+    rank-1 neighbor of every planted near-identical query: quantizing a
+    vector and its tiny perturbation yields (nearly) the same codes."""
+    from deduplication_ray.pipelines.ann import brute_force_topk, pq_topk
+
+    d, base = emb_dir
+    exact = brute_force_topk(d, n_queries=5, k=3).to_pandas()
+    approx = pq_topk(d, n_queries=5, k=3).to_pandas()
+    assert approx["recall_vs_brute"].iloc[0] >= 0.5
+    for q in exact.q_id.unique():
+        top1 = exact[(exact.q_id == q) & (exact['rank'] == 1)].n_id.iloc[0]
+        got = set(approx[approx.q_id == q].n_id)
+        if int(q) % 2 == 0 and int(q) < 80:  # planted near-identical partner
+            assert top1 in got, (q, top1, got)
