@@ -2026,11 +2026,11 @@ def q_doc_boilerplate_scrub(sf_dir: str, words_per_line: int = 8,
     def only_hot(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t["df"], df_cap)).select(["seg"])
 
-    hot = pa.concat_tables(
-        list(df.map_batches(only_hot, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow", batch_size=None)),
-        promote_options="default")
-    hot_set = hot["seg"].combine_chunks()
+    hot_tbls = list(df.map_batches(only_hot, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow", batch_size=None))
+    hot_set = (pa.concat_tables(hot_tbls, promote_options="default")["seg"]
+               .combine_chunks() if hot_tbls
+               else pa.array([], pa.string()))
     ref = ray.put(hot_set)
 
     def scrub(t: pa.Table) -> pa.Table:
@@ -2197,10 +2197,11 @@ def train_doc_classifier(ds, marker: str = "dup", iters: int = 40,
         y = _marker_labels(t, marker)
         return pa.table({"pos": pa.array([float(y.sum())]),
                          "n": pa.array([float(len(y))])})
-    cnt = pa.concat_tables(
-        list(ds.map_batches(_count, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow", batch_size=None)),
-        promote_options="default")
+    cnt_tbls = list(ds.map_batches(_count, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not cnt_tbls:                       # zero-row corpus: nothing to fit
+        return w, 0.0, []
+    cnt = pa.concat_tables(cnt_tbls, promote_options="default")
     pos = sum(cnt["pos"].to_pylist()); n_total = sum(cnt["n"].to_pylist())
     rate = pos / max(n_total, 1.0)
     bias = float(np.log((rate + 1e-9) / (1 - rate + 1e-9)))

@@ -669,10 +669,18 @@ def test_queries_survive_empty_tables(ray_session, tmp_path):
         ("top_terms_sketch", docops.q_top_terms_sketch),
         ("lsh_bucket_stats", docops.q_lsh_bucket_stats),
         ("doc_lsh_dedup", docops.q_doc_lsh_dedup),  # full text engine, 0 docs
+        ("doc_boilerplate_scrub", docops.q_doc_boilerplate_scrub),
     ]:
         out = fn(empty_sf)
         df = _to_pandas(out)
         assert len(df) == 0, (name, len(df))
+
+    # report-shaped / model-shaped ops: fixed-size outputs, must not raise
+    rep = docops.q_doc_tier_dedup(empty_sf)
+    assert list(rep["docs_out"]) == [0, 0, 0]
+    w, bias, trace = docops.train_doc_classifier(
+        docops._docs(empty_sf, ["doc_id", "text"]), iters=2)
+    assert trace == [] and bias == 0.0
 
 
 def test_dedup_index_streaming_gate(ray_session):
