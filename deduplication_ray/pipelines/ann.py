@@ -252,6 +252,7 @@ def ivf_topk(
     table: str = "embeddings",
     id_col: str = "vec_id",
     with_recall: bool = True,
+    refine_iters: int = 0,
 ) -> "pa.Table":
     """IVF approximate top-k — the inverted-file scale path alongside
     ``lsh_topk``: a spherical k-means centroid model (trained on a bounded
@@ -259,6 +260,10 @@ def ivf_topk(
     probes only its ``nprobe`` nearest cells, so a batch scores only rows
     whose cell is probed by some query. Candidate volume ~ nprobe/n_centroids
     of the corpus. Recall vs ``brute_force_topk`` emitted as a column.
+    ``refine_iters > 0`` refines the sample-trained centroids with that many
+    distributed Lloyd rounds over the FULL corpus
+    (``kmeans_refine_centroids``) before partitioning — the quality path
+    when the bounded sample misrepresents the distribution.
     """
     ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
 
@@ -268,6 +273,8 @@ def ivf_topk(
     sample = _normalize(np.stack(
         [np.asarray(v, dtype=np.float64) for v in st["embedding"]]))
     cents = _kmeans_cosine(sample, n_centroids)
+    if refine_iters > 0:
+        cents, _ = kmeans_refine_centroids(ds, cents, iters=refine_iters)
 
     qt = st.head(n_queries)
     q_ids = qt[id_col].to_numpy()

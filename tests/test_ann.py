@@ -88,11 +88,15 @@ def test_ivf_topk_recall_on_planted(emb_dir):
     d, base = emb_dir
     exact = brute_force_topk(d, n_queries=5, k=3).to_pandas()
     approx = ivf_topk(d, n_queries=5, k=3, with_recall=False).to_pandas()
+    refined = ivf_topk(d, n_queries=5, k=3, with_recall=False,
+                       refine_iters=3).to_pandas()
     for q in exact.q_id.unique():
         top1 = exact[(exact.q_id == q) & (exact['rank'] == 1)].n_id.iloc[0]
         got = set(approx[approx.q_id == q].n_id)
         if int(q) % 2 == 0 and int(q) < 80:  # planted near-identical partner
             assert top1 in got, (q, top1, got)
+            got_r = set(refined[refined.q_id == q].n_id)
+            assert top1 in got_r, ("refined", q, top1, got_r)
 
 
 def test_embedding_kmeans_cells_deterministic_and_consistent(ray_session):
