@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": lambda sf: ann.embedding_kmeans_cells(sf),
         "embedding_kmeans_refine": lambda sf: ann.embedding_kmeans_refine(sf),
+        "embedding_semdedup": lambda sf: ann.embedding_semdedup(sf),
         "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
         "ann_topk_ivf": lambda sf: ann.ivf_topk(sf),
         "ann_topk_pq": lambda sf: ann.pq_topk(sf),

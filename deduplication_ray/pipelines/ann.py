@@ -874,3 +874,82 @@ def pq_topk(
     mine["recall_vs_brute"] = round(hits / max(len(bset), 1), 4)
     return pa.Table.from_pandas(mine.reset_index(drop=True),
                                 preserve_index=False)
+
+
+# ------------------------------------------------------------- SemDeDup
+
+def embedding_semdedup(
+    sf_dir: str,
+    tau: float = 0.9,
+    n_centroids: int = 16,
+    refine_iters: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", 2023 — public):
+    cluster the corpus into k-means cells, then WITHIN each cell drop all
+    but one member of every cosine-``tau`` duplicate group. Cell-bounding
+    makes the quadratic step tractable: pairwise similarity runs per cell,
+    never across the corpus (the paper's core trick — and its known
+    limitation: a dup pair straddling a cell boundary is missed).
+
+    Scale plan: centroids = bounded-sample fit + ``refine_iters``
+    distributed Lloyd rounds; ONE shuffle co-locates each cell's vectors
+    (groupby(cell) — d floats per row; at 100 TB you'd ship PQ codes
+    instead, ``pq_topk``'s encode pass); per cell one (n_c x n_c) matmul +
+    vectorized min-label propagation (converges in O(log n_c) rounds).
+    Representative = min id per duplicate component (deterministic at any
+    parallelism). Output: (vec_id, cell, dup_group, keep)."""
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet",
+                            columns=[id_col, "embedding"])
+
+    st = _bounded_head(ds, id_col, 4096)
+    if len(st) == 0:
+        return ds.map_batches(
+            lambda t: pa.table({id_col: pa.array([], pa.int64()),
+                                "cell": pa.array([], pa.int64()),
+                                "dup_group": pa.array([], pa.int64()),
+                                "keep": pa.array([], pa.bool_())}),
+            batch_format="pyarrow")
+    sample = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in st["embedding"]]))
+    cents = _kmeans_cosine(sample, n_centroids)
+    if refine_iters > 0:
+        cents, _ = kmeans_refine_centroids(ds, cents, iters=refine_iters)
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_emb_matrix(t).astype(np.float64))
+        cell = (m @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({id_col: t[id_col], "embedding": t["embedding"],
+                         "cell": pa.array(cell)})
+
+    def cell_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in g["embedding"].to_numpy()[order]]))
+        n = len(ids)
+        adj = (m @ m.T) >= tau          # reflexive: self-sim == 1 >= tau
+        # vectorized min-label propagation over the cell's dup graph
+        labels = np.arange(n)
+        while True:
+            nxt = np.where(adj, labels[None, :], n).min(axis=1)
+            if (nxt == labels).all():
+                break
+            labels = nxt
+        group_min_id = ids[labels]      # label is an index of a min element?
+        # labels converge to the component's min INDEX; ids sorted ascending
+        # so min index == min id of the component
+        return pd.DataFrame({
+            id_col: ids,
+            "cell": g["cell"].to_numpy()[order],
+            "dup_group": group_min_id,
+            "keep": ids == group_min_id,
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+            .groupby("cell").map_groups(cell_dedup, batch_format="pandas"))

@@ -182,3 +182,28 @@ def test_pq_topk_recall_on_planted(emb_dir):
         got = set(approx[approx.q_id == q].n_id)
         if int(q) % 2 == 0 and int(q) < 80:  # planted near-identical partner
             assert top1 in got, (q, top1, got)
+
+
+def test_embedding_semdedup_drops_planted_pairs(emb_dir):
+    """Within-cell cosine dedup must collapse (almost) every planted
+    near-identical pair to its min-id member — a pair is only missed if
+    quantization put its two ends in different cells (the documented
+    SemDeDup boundary limitation) — and must never drop an unplanted row
+    (random 64-d gaussians sit far below tau)."""
+    from deduplication_ray.pipelines.ann import embedding_semdedup
+
+    d, base = emb_dir
+    out = embedding_semdedup(d, tau=0.9).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == 600
+    planted_dropped = sum(
+        bool(out.loc[out.vec_id == 2 * i + 1, "keep"].iloc[0] == False
+             and out.loc[out.vec_id == 2 * i, "keep"].iloc[0])
+        for i in range(40))
+    assert planted_dropped >= 36, planted_dropped  # >= 90% of planted pairs
+    # unplanted rows (ids >= 80) are all kept
+    unplanted = out[out.vec_id >= 80]
+    assert unplanted["keep"].all()
+    # dup_group is the component min id; kept rows head their own group
+    kept = out[out.keep]
+    assert (kept["dup_group"] == kept["vec_id"]).all()
