@@ -393,7 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": docops.q_doc_pack_sequences,
         "doc_uniform_sample": docops.q_doc_uniform_sample,
         "doc_fuzzy_decontaminate": docops.q_doc_fuzzy_decontaminate,
-        "doc_token_estimate": docops.q_doc_token_estimate,
+        "doc_validate": docops.q_doc_validate,
         "doc_split": docops.q_doc_split,
         "docs_above_median_quality": docops.q_docs_above_median_quality,
         "doc_decontaminate": docops.q_doc_decontaminate,
@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_gapfill": R.q_events_daily_gapfill,  # sessionize kin
         "doc_passage_dedup": docops.q_doc_passage_dedup,  # chunks+exact_dedup
         "doc_bm25_topk": docops.q_doc_bm25_topk,         # kernel: top_terms
+        "doc_token_estimate": docops.q_doc_token_estimate,  # doc_stats kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": lambda sf: ann.embedding_kmeans_cells(sf),
         "embedding_kmeans_refine": lambda sf: ann.embedding_kmeans_refine(sf),
@@ -516,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_gapfill": R.Q_EVENTS_DAILY_GAPFILL_SQL,
         "doc_passage_dedup": docops.doc_passage_dedup_sql(),
         "doc_boilerplate_scrub": docops.doc_boilerplate_scrub_sql(),
+        "doc_validate": docops.Q_DOC_VALIDATE_SQL,
         "events_dedup_window": R.events_dedup_window_sql(),
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly

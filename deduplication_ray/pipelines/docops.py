@@ -2277,3 +2277,86 @@ def q_doc_train_classifier(sf_dir: str, marker: str = "dup",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- data validation
+
+_VALID_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_doc_validate(sf_dir: str, ds=None):
+    """Data-quality VALIDATION pass — the constraint-check gate a pipeline
+    runs before training on (or publishing) a table: one row per rule with
+    its exact violation count. Rules: primary-key uniqueness, the n_chars
+    column's consistency with the text it describes, lang within the known
+    set, text non-empty.
+
+    Scale plan: the three row-local rules are per-batch counter partials
+    (one pass, no shuffle, 4 ints per block on the wire); key uniqueness is
+    the exact distinct count — per-batch unique partials into one
+    groupby(doc_id) whose wire cost is the narrow int64 key column (the
+    same shape as the exact side of ``distinct_orderkeys_hll``; at 10^12
+    rows you'd accept the HLL bound instead). Report is |rules| rows."""
+    from ray.data.aggregate import Sum
+
+    docs = ds if ds is not None else _docs(
+        sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_chars_bad = pc.sum(pc.cast(pc.not_equal(
+            t["n_chars"], pc.utf8_length(t["text"])), pa.int64())).as_py() or 0
+        lang_bad = pc.sum(pc.cast(pc.invert(pc.is_in(
+            t["lang"], value_set=pa.array(_VALID_LANGS))),
+            pa.int64())).as_py() or 0
+        empty = pc.sum(pc.cast(pc.equal(
+            pc.utf8_length(t["text"]), 0), pa.int64())).as_py() or 0
+        return pa.table({
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "n_chars_bad": pa.array([int(n_chars_bad)], pa.int64()),
+            "lang_bad": pa.array([int(lang_bad)], pa.int64()),
+            "empty": pa.array([int(empty)], pa.int64()),
+        })
+
+    parts = list(docs.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    tot = {k: 0 for k in ("n_rows", "n_chars_bad", "lang_bad", "empty")}
+    for p in parts:
+        for k in tot:
+            tot[k] += p[k][0].as_py()
+
+    # exact distinct doc_id count, distributed (per-batch unique partials)
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.unique(t["doc_id"].combine_chunks())})
+
+    from ray.data.aggregate import Count
+
+    n_distinct = (docs.select_columns(["doc_id"])
+                  .map_batches(uniq, batch_format="pyarrow")
+                  .groupby("doc_id").aggregate(Count())  # distinct across batches
+                  .count())
+
+    return pd.DataFrame({
+        "rule": ["doc_id_unique", "lang_known", "n_chars_consistent",
+                 "text_nonempty"],
+        "violations": [tot["n_rows"] - int(n_distinct), tot["lang_bad"],
+                       tot["n_chars_bad"], tot["empty"]],
+    }).astype({"violations": "int64"})
+
+
+Q_DOC_VALIDATE_SQL = f"""
+SELECT 'doc_id_unique' AS rule,
+       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS violations
+FROM documents
+UNION ALL
+SELECT 'lang_known',
+       CAST(count(*) FILTER (lang NOT IN {_VALID_LANGS!r}) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars_consistent',
+       CAST(count(*) FILTER (n_chars <> length(text)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'text_nonempty',
+       CAST(count(*) FILTER (length(text) = 0) AS BIGINT)
+FROM documents
+"""

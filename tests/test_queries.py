@@ -46,33 +46,15 @@ def _to_pandas(res):
     return res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
 
 
-SQL_CHECKED = [
-    "q1_pricing_summary", "broadcast_join", "top_revenue_orders", "sort_limit",
-    "sessionize", "filter_agg", "distinct_pairs", "topk_sources",
-    "events_window", "semi_join", "exact_dedup_docs", "dedup_keep_first",
-    "doc_stats", "charset_jaccard_pairs", "ann_topk",
-    "embedding_dup_pairs", "events_asof_orders", "ngram_jaccard_pairs",
-    "events_sliding_window",
-    "doc_quality", "doc_langid",
-    "grouped_topn", "anti_join", "grouped_quantiles",
-    "orders_rollup", "doc_split", "docs_above_median_quality",
-    "doc_decontaminate", "source_cap_sample", "doc_word_repetition",
-    "top_terms",
-    "events_type_pivot", "events_lag", "daily_purchase_error_join",
-    "lang_stratified_sample",
-    "events_value_rank", "ngram_containment_pairs", "doc_redact_pii",
-    "doc_chunks", "doc_global_shuffle",
-    "ensemble_dup_pairs", "signup_purchase_funnel",
-    "orders_cube", "events_running_total",
-    "embedding_dup_clusters",
-    "events_props_agg", "doc_pack_sequences", "revenue_by_nation",
-    "doc_uniform_sample", "doc_weighted_sample", "doc_fuzzy_decontaminate",
-    "doc_token_estimate", "semi_join_bloom", "dedup_keep_first_index",
-    "distinct_orderkeys_hll", "distinct_orders_per_flag_hll",
-    "grouped_quantiles_sketch",
-    "events_moving_window", "doc_passage_dedup", "doc_bm25_topk",
-    "events_daily_gapfill",
-]
+# every oracle-backed query gets a value-hash check — derived from the
+# registry itself so a new oracle entry can never silently skip testing
+def _sql_checked():
+    import __ray_entry__ as _E
+
+    return sorted(_E.oracle_sql())
+
+
+SQL_CHECKED = _sql_checked()
 
 
 def test_shuffle_join_full_outer_semantics(ray_session):
@@ -828,3 +810,26 @@ def test_train_classifier_learns_and_matches_serial(ray_session):
     out = q_doc_train_classifier(sf, marker, iters, lr).to_pandas()
     assert len(out) == n
     assert out["correct"].mean() >= baseline + 0.02
+
+
+def test_doc_validate_counts_planted_violations(ray_session):
+    """Non-vacuity for the validation pass (the sf tables are clean, so the
+    driver row is all zeros): planted duplicates, unknown langs, wrong
+    n_chars and empty texts must each be counted exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from deduplication_ray.pipelines.docops import q_doc_validate
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 2, 3, 4, 5, 5, 5], pa.int64()),
+        "text": pa.array(["abc", "", "de", "fgh", "", "xy", "xy", "z"]),
+        "lang": pa.array(["en", "xx", "fr", "yy", "en", "zz", "de", "en"]),
+        "n_chars": pa.array([3, 0, 99, 3, 1, 2, 2, 1], pa.int64()),
+    })
+    out = q_doc_validate("", ds=ray.data.from_arrow(rows)) \
+        .set_index("rule")["violations"].to_dict()
+    # 8 rows, 5 distinct ids -> 3 dup rows; 3 unknown langs; n_chars wrong
+    # for rows (99 vs 2) and (1 vs 0); 2 empty texts
+    assert out == {"doc_id_unique": 3, "lang_known": 3,
+                   "n_chars_consistent": 2, "text_nonempty": 2}, out
