@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_passage_dedup": docops.q_doc_passage_dedup,  # chunks+exact_dedup
         "doc_bm25_topk": docops.q_doc_bm25_topk,         # kernel: top_terms
         "doc_token_estimate": docops.q_doc_token_estimate,  # doc_stats kin
+        "source_dup_stats": docops.q_source_dup_stats,  # exact_dedup kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": lambda sf: ann.embedding_kmeans_cells(sf),
         "embedding_kmeans_refine": lambda sf: ann.embedding_kmeans_refine(sf),
@@ -518,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_passage_dedup": docops.doc_passage_dedup_sql(),
         "doc_boilerplate_scrub": docops.doc_boilerplate_scrub_sql(),
         "doc_validate": docops.Q_DOC_VALIDATE_SQL,
+        "source_dup_stats": docops.Q_SOURCE_DUP_STATS_SQL,
         "events_dedup_window": R.events_dedup_window_sql(),
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly

@@ -140,6 +140,13 @@ class DedupConfig:
     local_uf_limit: int = 2_000_000   # verified edges <= this -> one-pass
                                         # local union-find; above -> the
                                         # distributed hash-min rounds
+    skip_undecodable: bool = False    # True -> a payload that fails decode is
+                                        # DROPPED from the signature stage
+                                        # (logged per batch) instead of
+                                        # killing the run — at web scale some
+                                        # fraction of crawled bytes is always
+                                        # corrupt; False (default) keeps the
+                                        # strict fail-fast contract
 
     def config_hash(self) -> str:
         """Stable hash over every field — stamped into checkpoint manifests."""

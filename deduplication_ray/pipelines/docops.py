@@ -2360,3 +2360,66 @@ SELECT 'text_nonempty',
        CAST(count(*) FILTER (length(text) = 0) AS BIGINT)
 FROM documents
 """
+
+
+# ------------------------------------------------- per-source dup-rate report
+
+def q_source_dup_stats(sf_dir: str, ds=None):
+    """Per-source duplication report — the operational signal behind crawl
+    curation ("which hosts are boilerplate farms"): for every source, the
+    document count, distinct-text count and exact duplicate rate in integer
+    milli units.
+
+    Scale plan: one groupby((source, text)) — the exact-dedup shuffle the
+    engine already does, pre-aggregated per batch by Arrow group_by — then
+    per-batch (source, n_docs, n_distinct) partials into a |sources|-bounded
+    groupby. At 10^12 rows you'd group on a 128-bit content hash; text
+    itself keeps DuckDB value-hash parity here."""
+    from ray.data.aggregate import Sum
+
+    docs = ds if ds is not None else _docs(sf_dir, ["source", "text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["source", "text"])
+             .group_by(["source", "text"]).aggregate([("text", "count")]))
+        return pa.table({"source": g["source"], "text": g["text"],
+                         "n": g["text_count"].cast(pa.int64())})
+
+    per_text = (docs.map_batches(pair_partial, batch_format="pyarrow")
+                .groupby(["source", "text"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    def source_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n", "sum"), ("n", "count")])
+        return pa.table({"source": g["source"],
+                         "n_docs": g["n_sum"].cast(pa.int64()),
+                         "n_distinct": g["n_count"].cast(pa.int64())})
+
+    agg = (per_text.map_batches(source_partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_distinct", alias_name="n_distinct")))
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy()
+        d = t["n_distinct"].to_numpy()
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["n_docs"].cast(pa.int64()),
+            "n_distinct": t["n_distinct"].cast(pa.int64()),
+            "dup_rate_milli": pa.array(((n - d) * 1000) // np.maximum(n, 1),
+                                       pa.int64()),
+        })
+
+    return agg.map_batches(rate, batch_format="pyarrow")
+
+
+Q_SOURCE_DUP_STATS_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+       CAST((count(*) - count(DISTINCT text)) * 1000 // count(*) AS BIGINT)
+           AS dup_rate_milli
+FROM documents
+GROUP BY source
+"""

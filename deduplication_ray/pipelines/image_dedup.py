@@ -243,8 +243,13 @@ def run_pipeline(
         labels = checkpointed_components(
             run, vedges, cfg, edge_rows=_edge_rows(run, vedges))
 
-    ids = storage.read_table(input_path, columns=["image_id"]) if input_ds is None \
-        else input_ds.select_columns(["image_id"])
+    if cfg.skip_undecodable:
+        # dropped-undecodable rows must not resurface as singleton clusters:
+        # the id universe is what SURVIVED the signature stage
+        ids = sigs.select_columns(["image_id"])
+    else:
+        ids = storage.read_table(input_path, columns=["image_id"]) \
+            if input_ds is None else input_ds.select_columns(["image_id"])
     clusters = run.run_stage(
         "clusters", lambda: finalize_clusters(ids, labels, cfg), ["labels"]
     )

@@ -72,11 +72,26 @@ class ComputeSignatures:
               ^ (ws.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
               ^ (hs.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
         uniq_rows = np.sort(np.unique(dk, return_index=True)[1])
-        grays = np.empty((n, cfg.phash_size, cfg.phash_size), dtype=np.float32)
+        grays = np.zeros((n, cfg.phash_size, cfg.phash_size), dtype=np.float32)
+        bad = np.zeros(n, dtype=bool)
         for i in uniq_rows:
-            img = C.decode_image(pbuf[poffs[i]:poffs[i + 1]],
-                                 fmts[i], int(ws[i]), int(hs[i]))
-            grays[i] = C.resize_area(C.to_grayscale(img), cfg.phash_size)
+            try:
+                img = C.decode_image(pbuf[poffs[i]:poffs[i + 1]],
+                                     fmts[i], int(ws[i]), int(hs[i]))
+                grays[i] = C.resize_area(C.to_grayscale(img), cfg.phash_size)
+            except Exception:
+                # at web scale some crawled bytes are always corrupt; the
+                # strict default keeps the reference's fail-fast contract
+                if not cfg.skip_undecodable:
+                    raise
+                bad[i] = True
+        if bad.any():
+            bad = np.isin(dk, dk[bad])  # repeats of a bad payload drop too
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skip_undecodable: dropping %d/%d rows that failed decode",
+                int(bad.sum()), n)
         if len(uniq_rows) < n:
             # scatter each repeat its representative's plane
             rep_of = {k: i for i, k in zip(uniq_rows, dk[uniq_rows])}
@@ -100,7 +115,7 @@ class ComputeSignatures:
         # Exactness contract (the memcmp analog, dictionary.c:53): 128 bits
         # make same-key-different-content pairs vanishingly unlikely at
         # 10^12 rows.
-        return pa.table(
+        out = pa.table(
             {
                 "image_id": batch["image_id"],
                 "ck1": pa.array(H.bitcast_u64_to_i64(bk), pa.int64()),
@@ -112,6 +127,7 @@ class ComputeSignatures:
                 "minhash": H.pack_u64_rows(sig),
             }
         )
+        return out.filter(pa.array(~bad)) if bad.any() else out
 
 
 class CaptionSignatures:

@@ -313,3 +313,39 @@ def test_signature_decode_probe_scatter(tiny_fixture, ray_session):
         want = ids_ref[src]
         for c in cols:
             assert got[c] == want[c], (c, j, src)
+
+
+def test_skip_undecodable_drops_corrupt_rows(tiny_fixture, ray_session,
+                                             tmp_path):
+    """Corrupt payloads: the strict default fails fast; with
+    cfg.skip_undecodable the pipeline completes and exactly the corrupt
+    rows (and nothing else) are absent from the clusters output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import run_pipeline
+    from deduplication_ray.sources import storage
+
+    tbl = pads.dataset(
+        [f"{tiny_fixture}/data/{f}" for f in os.listdir(f"{tiny_fixture}/data")
+         if f.endswith(".parquet")]).to_table().slice(0, 120)
+    cols = {c: tbl[c].to_pylist() for c in tbl.column_names}
+    corrupt_ids = set()
+    for i in (5, 50, 99):
+        cols["bytes"][i] = b"\x00corrupt"
+        corrupt_ids.add(cols["image_id"][i])
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pq.write_table(pa.table(cols, schema=tbl.schema), f"{data}/part-0.parquet")
+
+    with _pytest.raises(Exception):
+        run_pipeline(data, str(tmp_path / "run_strict"),
+                     DedupConfig(num_partitions=4))
+
+    cfg = DedupConfig(num_partitions=4, skip_undecodable=True)
+    run_pipeline(data, str(tmp_path / "run_skip"), cfg)
+    got = set(storage.read_table(str(tmp_path / "run_skip") + "/clusters")
+              .to_pandas()["image_id"])
+    assert got == set(cols["image_id"]) - corrupt_ids

@@ -833,3 +833,23 @@ def test_doc_validate_counts_planted_violations(ray_session):
     # for rows (99 vs 2) and (1 vs 0); 2 empty texts
     assert out == {"doc_id_unique": 3, "lang_known": 3,
                    "n_chars_consistent": 2, "text_nonempty": 2}, out
+
+
+def test_source_dup_stats_counts_planted_dups(ray_session):
+    """Non-vacuity (the sf corpus has no exact text dups): a source with
+    planted copies must report the exact integer-milli dup rate."""
+    import pyarrow as pa
+    import ray.data
+
+    from deduplication_ray.pipelines.docops import q_source_dup_stats
+
+    rows = pa.table({
+        "source": pa.array(["a"] * 4 + ["b"] * 3),
+        "text": pa.array(["x", "x", "x", "y", "p", "q", "r"]),
+    })
+    out = q_source_dup_stats("", ds=ray.data.from_arrow(rows)) \
+        .to_pandas().set_index("source")
+    assert out.loc["a"].to_dict() == {"n_docs": 4, "n_distinct": 2,
+                                      "dup_rate_milli": 500}
+    assert out.loc["b"].to_dict() == {"n_docs": 3, "n_distinct": 3,
+                                      "dup_rate_milli": 0}
