@@ -182,6 +182,11 @@ def _modal_incremental_query(kind: str):
     check; exact equality with a from-scratch run is asserted in
     tests/test_incremental.py::test_modal_ingest_matches_full_run."""
     def q(sf_dir: str):
+        """Incremental modal ingest on the video/audio fixture: dedup an
+        every-5th-row delta against a checkpointed base run
+        (``run_modal_pipeline``) — delta-only decode, base signatures
+        re-keyed, base star edges. Rows-only check; exact equality with a
+        from-scratch run is asserted in tests/test_incremental.py."""
         import os
         import shutil
 
@@ -319,6 +324,17 @@ def _img_merge_query(sf_dir: str):
     return storage.read_table(f"{root}/merged/clusters")
 
 
+def _embedding_dup_pairs_query(sf_dir: str):
+    """Semantic near-dup pairs: embedding cosine >= 0.45 over the aligned
+    embeddings table — SQL-checked against the exact O(n^2) cosine join
+    (cos_min low enough that real pairs exist at every sf, so the check is
+    non-trivial; size-dispatched LSH path above EXACT_PAIRS_LIMIT)."""
+    from deduplication_ray.pipelines import ann
+
+    return _nonempty_or_typed_table(ann.embedding_dup_pairs(sf_dir,
+                                                            cos_min=0.45))
+
+
 def _nonempty_or_typed_table(ds):
     """Dataset.to_pandas() on an EMPTY dataset yields a column-less frame,
     which would fail the driver's schema compare; hand back a typed empty
@@ -401,14 +417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": docops.q_doc_langid,
         "doc_quality": docops.q_doc_quality,
         # similarity search / semantic dedup
-        "ann_topk": lambda sf: ann.brute_force_topk(sf),
-        # cos_min=0.45 on the synthetic tables: low enough that real pairs
-        # exist at every sf (max pairwise sim ~0.5), so the oracle check is
-        # non-trivial; the exact broadcast-matmul path reproduces the SQL
-        # exactly at any threshold
-        "embedding_dup_pairs": lambda sf: _nonempty_or_typed_table(
-            ann.embedding_dup_pairs(sf, cos_min=0.45)),
-        "embedding_dup_clusters": lambda sf: ann.embedding_dup_clusters(sf),
+        "ann_topk": ann.brute_force_topk,
+        "embedding_dup_pairs": _embedding_dup_pairs_query,
+        "embedding_dup_clusters": ann.embedding_dup_clusters,
         "ngram_jaccard_pairs": docops.q_ngram_jaccard_pairs,
         "ensemble_dup_pairs": docops.q_ensemble_dup_pairs,
         "signup_purchase_funnel": R.q_signup_purchase_funnel,
@@ -431,12 +442,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_estimate": docops.q_doc_token_estimate,  # doc_stats kin
         "source_dup_stats": docops.q_source_dup_stats,  # exact_dedup kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
-        "embedding_kmeans_cells": lambda sf: ann.embedding_kmeans_cells(sf),
-        "embedding_kmeans_refine": lambda sf: ann.embedding_kmeans_refine(sf),
-        "embedding_semdedup": lambda sf: ann.embedding_semdedup(sf),
-        "ann_topk_lsh": lambda sf: ann.lsh_topk(sf),
-        "ann_topk_ivf": lambda sf: ann.ivf_topk(sf),
-        "ann_topk_pq": lambda sf: ann.pq_topk(sf),
+        "embedding_kmeans_cells": ann.embedding_kmeans_cells,
+        "embedding_kmeans_refine": ann.embedding_kmeans_refine,
+        "embedding_semdedup": ann.embedding_semdedup,
+        "ann_topk_lsh": ann.lsh_topk,
+        "ann_topk_ivf": ann.ivf_topk,
+        "ann_topk_pq": ann.pq_topk,
         "doc_lsh_dedup": docops.q_doc_lsh_dedup,
         "doc_tier_dedup": docops.q_doc_tier_dedup,
         "doc_dedup_keep_best": docops.q_doc_dedup_keep_best,

@@ -251,6 +251,8 @@ ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
 # ---------------------------------------------------------------- sort / limit
 
 def q_sort_limit(sf_dir: str):
+    """Global ORDER BY ... LIMIT k: Ray's distributed range sort feeding a
+    bounded limit — top-10 orders by total price."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
@@ -264,6 +266,9 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 # ---------------------------------------------------------------- filter + agg
 
 def q_filter_agg(sf_dir: str):
+    """Filtered groupby-aggregate in exact integer cents; the quantity
+    predicate is pushed INTO the parquet scan (row-group pruning), so
+    filtered rows never leave storage."""
     # predicate pushed to the parquet scan: row groups whose max quantity
     # is <= 45 are never read off storage
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"],
@@ -309,6 +314,8 @@ Q_DISTINCT_PAIRS_SQL = "SELECT DISTINCT lang, source FROM documents"
 # ---------------------------------------------------------------- top-k groups
 
 def q_topk_sources(sf_dir: str):
+    """Top-k groups by count: pre-aggregated groupby (partials combine
+    before the exchange) then a bounded sort+limit over |sources| rows."""
     ds = _read(sf_dir, "documents", ["source"])
     g = ds.groupby("source").aggregate(Count(alias_name="n_docs"))
     return g.sort(["n_docs", "source"], descending=[True, False]).limit(5)
