@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_topk": docops.q_doc_bm25_topk,         # kernel: top_terms
         "doc_token_estimate": docops.q_doc_token_estimate,  # doc_stats kin
         "source_dup_stats": docops.q_source_dup_stats,  # exact_dedup kin
+        "doc_version_diff": docops.q_doc_version_diff,  # shuffle-join kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -531,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_scrub": docops.doc_boilerplate_scrub_sql(),
         "doc_validate": docops.Q_DOC_VALIDATE_SQL,
         "source_dup_stats": docops.Q_SOURCE_DUP_STATS_SQL,
+        "doc_version_diff": docops.Q_DOC_VERSION_DIFF_SQL,
         "events_dedup_window": R.events_dedup_window_sql(),
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly

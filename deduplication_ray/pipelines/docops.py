@@ -2423,3 +2423,82 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+# ---------------------------------------------------- corpus snapshot diff
+
+_DIFF_OLD_MOD = 7    # "old" snapshot = doc_id % 7 != 0
+_DIFF_NEW_MOD = 5    # "new" snapshot = doc_id % 5 != 0
+_DIFF_EDIT_MOD = 11  # docs edited between snapshots: doc_id % 11 == 0
+
+
+def q_doc_version_diff(sf_dir: str):
+    """Corpus snapshot DIFF — the "what changed since the last crawl"
+    report that drives incremental reprocessing: per doc_id, whether it was
+    ``added``, ``removed``, ``changed`` (same id, different text) or
+    ``unchanged`` between two versions. The two snapshots are derived
+    deterministically from the one test table (old = id % 7 != 0, new =
+    id % 5 != 0 with ids % 11 == 0 rewritten) so DuckDB mirrors them
+    exactly; in production they are two table directories.
+
+    Scale plan: one hash-co-partitioned FULL OUTER ``shuffle_join`` on
+    doc_id (``stages/join`` — neither snapshot is broadcast), status
+    decided vectorized per bucket. At 100 TB you'd diff 128-bit content
+    hashes instead of raw text so the exchange carries 24 bytes/row."""
+    from deduplication_ray.stages.join import shuffle_join
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def old_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        m = (ids % _DIFF_OLD_MOD) != 0
+        t = t.filter(pa.array(m))
+        return pa.table({"doc_id": t["doc_id"], "old_text": t["text"]})
+
+    def new_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        m = (ids % _DIFF_NEW_MOD) != 0
+        t = t.filter(pa.array(m))
+        ids = t["doc_id"].to_numpy()
+        edited = (ids % _DIFF_EDIT_MOD) == 0
+        txt = pc.binary_join_element_wise(
+            t["text"],
+            pa.array(np.where(edited, " v2", ""), pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "new_text": txt})
+
+    old = ds.map_batches(old_side, batch_format="pyarrow")
+    new = ds.map_batches(new_side, batch_format="pyarrow")
+    j = shuffle_join(old, new, on=["doc_id"], how="full outer")
+
+    def status(t: pa.Table) -> pa.Table:
+        o = t["old_text"]
+        n_ = t["new_text"]
+        o_null = pc.is_null(o).to_numpy(zero_copy_only=False)
+        n_null = pc.is_null(n_).to_numpy(zero_copy_only=False)
+        same = pc.equal(o, n_).fill_null(False).to_numpy(zero_copy_only=False)
+        st = np.where(o_null, "added",
+                      np.where(n_null, "removed",
+                               np.where(same, "unchanged", "changed")))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "status": pa.array(st, pa.string())})
+
+    return j.map_batches(status, batch_format="pyarrow")
+
+
+Q_DOC_VERSION_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, text AS old_text FROM documents
+  WHERE doc_id % {_DIFF_OLD_MOD} <> 0
+), new AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % {_DIFF_EDIT_MOD} = 0
+                      THEN ' v2' ELSE '' END AS new_text
+  FROM documents WHERE doc_id % {_DIFF_NEW_MOD} <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_text <> n.new_text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
