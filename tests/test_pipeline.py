@@ -349,3 +349,23 @@ def test_skip_undecodable_drops_corrupt_rows(tiny_fixture, ray_session,
     got = set(storage.read_table(str(tmp_path / "run_skip") + "/clusters")
               .to_pandas()["image_id"])
     assert got == set(cols["image_id"]) - corrupt_ids
+
+
+def test_image_pipeline_deterministic_across_partitioning(tiny_fixture,
+                                                          ray_session,
+                                                          tmp_path):
+    """North-rule determinism: the same input at different partition counts
+    must produce byte-identical cluster assignments (representative = min
+    image_id, never 'first seen' — SURVEY §7.5)."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import run_pipeline
+    from deduplication_ray.sources import storage
+
+    outs = []
+    for npart in (4, 16):
+        cfg = DedupConfig(num_partitions=npart)
+        run = str(tmp_path / f"run_p{npart}")
+        run_pipeline(f"{tiny_fixture}/data", run, cfg)
+        outs.append(storage.read_table(f"{run}/clusters").to_pandas()
+                    .sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
