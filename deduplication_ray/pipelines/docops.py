@@ -750,6 +750,114 @@ WHERE rn <= {k}
 """
 
 
+# ------------------------------------------- token-budget mixture sampling
+
+# target mixture in exact permille of each source's token mass: overrides
+# express a NON-uniform mix (downweight src0, upweight src1), everything
+# else gets the default share — integer permille so budget arithmetic is
+# exact on both the Ray and the DuckDB side (no float-floor edge cases)
+_MIX_DEFAULT_PERMILLE = 400
+_MIX_OVERRIDES = {"src0": 100, "src1": 800}
+
+
+def q_doc_token_budget_mix(sf_dir: str,
+                           permille: int = _MIX_DEFAULT_PERMILLE,
+                           overrides: dict[str, int] | None = None):
+    """Token-budget mixture realization (the Pile-style "mix sources to
+    target shares" step): downsample every source to a per-source TOKEN
+    budget — (total_source_tokens * share_permille) // 1000 — by greedily
+    keeping hash-ordered documents while the tokens kept BEFORE each doc
+    stay under the budget (one overshoot doc allowed: standard greedy
+    fill). Non-uniform shares per source express a target mixture; unlike
+    ``source_cap_sample`` (row quota) the unit is TOKENS, which is what a
+    training run actually budgets.
+
+    Scale plan (text never shuffles): (1) per-source token totals —
+    per-batch Arrow group_by partials into one |sources|-row groupby,
+    collected driver-side (bounded dimension table) and broadcast via
+    ``ray.put``; (2) per-batch prune: a doc's GLOBAL prefix sum within its
+    source is >= its in-batch prefix sum, so any doc past the budget inside
+    its own batch is past it globally — each block ships at most one
+    budget's worth of (doc_id, source, h, n_tokens) rows per source
+    (k x num_blocks-shaped wire cost, the cap sampler's bound); (3) exact
+    greedy fill per source via ``groupby(source).map_groups`` over those
+    bounded partials. Hash order makes the selection partition-invariant.
+    """
+    from ray.data.aggregate import Sum
+
+    from deduplication_ray.functions.text import token_count
+
+    ov = _MIX_OVERRIDES if overrides is None else overrides
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"source": t["source"],
+                      "n": token_count(t["text"]).cast(pa.int64())}) \
+            .group_by("source").aggregate([("n", "sum")])
+        return pa.table({"source": g["source"],
+                         "n": g["n_sum"].cast(pa.int64())})
+
+    totals = (ds.map_batches(tok_partial, batch_format="pyarrow")
+              .groupby("source").aggregate(Sum("n", alias_name="total")))
+    budget: dict[str, int] = {}
+    for b in totals.iter_batches(batch_format="pyarrow"):
+        for s, tot in zip(b["source"].to_pylist(), b["total"].to_pylist()):
+            budget[s] = (int(tot) * ov.get(s, permille)) // 1000
+    ref = ray.put(budget)
+
+    def _greedy_keep(df: pd.DataFrame, bud: dict[str, int]) -> np.ndarray:
+        prev = (df.groupby("source", sort=False)["n_tokens"].cumsum()
+                - df["n_tokens"]).to_numpy()
+        lim = df["source"].map(bud).fillna(0).astype(np.int64).to_numpy()
+        return prev < lim
+
+    def prune(t: pa.Table) -> pa.Table:
+        bud = ray.get(ref)
+        ids = t["doc_id"].to_numpy()
+        h = ((ids.astype(np.uint64) % np.uint64(2**31))
+             * np.uint64(_SPLIT_MULT)) % np.uint64(_SPLIT_MOD)
+        df = pd.DataFrame({
+            "doc_id": ids,
+            "source": t["source"].to_pandas().to_numpy(),
+            "n_tokens": token_count(t["text"]).to_numpy().astype(np.int64),
+            "h": h.astype(np.int64),
+        }).sort_values(["source", "h", "doc_id"])
+        return pa.Table.from_pandas(df[_greedy_keep(df, bud)],
+                                    preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"])
+        keep = _greedy_keep(g, ray.get(ref))
+        return g[keep][["doc_id", "source", "n_tokens"]]
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("source").map_groups(final, batch_format="pandas"))
+
+
+def doc_token_budget_mix_sql(permille: int = _MIX_DEFAULT_PERMILLE,
+                             overrides: dict[str, int] | None = None) -> str:
+    ov = _MIX_OVERRIDES if overrides is None else overrides
+    case = " ".join(f"WHEN '{s}' THEN {p}" for s, p in sorted(ov.items()))
+    share = f"(CASE source {case} ELSE {permille} END)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         ((doc_id % 2147483648) * {_SPLIT_MULT}) % {_SPLIT_MOD} AS h
+  FROM documents),
+b AS (
+  SELECT source, (SUM(n_tokens) * {share}) // 1000 AS budget
+  FROM t GROUP BY source),
+c AS (
+  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+         COALESCE(SUM(t.n_tokens) OVER (
+           PARTITION BY t.source ORDER BY t.h, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t JOIN b USING (source))
+SELECT doc_id, source, n_tokens FROM c WHERE prev < budget
+"""
+
+
 # --------------------------------------------------- word-repetition quality
 
 def q_doc_word_repetition(sf_dir: str):

@@ -36,3 +36,32 @@ def test_curate_documents_funnel(ray_session, tmp_path):
     assert not allc.duplicated(["doc_id", "chunk_idx"]).any()
     # train split dominates under the 80/10/10 hash rule
     assert len(frames[0]) > len(frames[1]) and len(frames[0]) > len(frames[2])
+
+
+def test_token_budget_mix_greedy_fill(ray_session):
+    """Per-source greedy token fill: tokens kept before the last kept doc
+    stay under the budget, the full budget is reached (overshoot <= one
+    doc), and non-uniform shares produce the ordered keep-fractions
+    src0 (10%) < default (40%) < src1 (80%)."""
+    import duckdb
+
+    from deduplication_ray.functions.text import token_count
+    from deduplication_ray.pipelines import docops
+
+    sf = "/root/testdata/sf0.001"
+    kept = docops.q_doc_token_budget_mix(sf).to_pandas()
+
+    totals = duckdb.sql(
+        f"SELECT source, SUM(length(string_split_regex(trim(text), '\\s+')))"
+        f"  AS tot FROM read_parquet('{sf}/documents.parquet') GROUP BY 1"
+    ).df().set_index("source")["tot"]
+
+    frac = {}
+    for src, g in kept.groupby("source"):
+        permille = docops._MIX_OVERRIDES.get(src, docops._MIX_DEFAULT_PERMILLE)
+        budget = (int(totals[src]) * permille) // 1000
+        toks = g["n_tokens"].to_numpy()
+        assert toks.sum() - toks.max() < budget  # no doc is pure overshoot
+        assert toks.sum() >= budget              # budget actually reached
+        frac[src] = toks.sum() / totals[src]
+    assert frac["src0"] < 0.25 < frac["src2"] < 0.6 < frac["src1"]
