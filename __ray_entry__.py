@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_stats": docops.q_source_dup_stats,  # exact_dedup kin
         "doc_version_diff": docops.q_doc_version_diff,  # shuffle-join kin
         "doc_token_budget_mix": docops.q_doc_token_budget_mix,  # src_cap kin
+        "source_overlap_matrix": docops.q_source_overlap_matrix,  # top_terms kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -535,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "source_dup_stats": docops.Q_SOURCE_DUP_STATS_SQL,
         "doc_version_diff": docops.Q_DOC_VERSION_DIFF_SQL,
         "doc_token_budget_mix": docops.doc_token_budget_mix_sql(),
+        "source_overlap_matrix": docops.Q_SOURCE_OVERLAP_MATRIX_SQL,
         "events_dedup_window": R.events_dedup_window_sql(),
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly

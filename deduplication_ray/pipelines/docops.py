@@ -2533,6 +2533,133 @@ GROUP BY source
 """
 
 
+# ------------------------------------------------- source overlap matrix
+
+def q_source_overlap_matrix(sf_dir: str):
+    """Source-overlap matrix — exact pairwise Jaccard between each source's
+    DISTINCT whitespace-token vocabulary, in integer milli units: the
+    crawl-curation report that finds mirror hosts / syndication networks
+    (two sources sharing most of their vocabulary are the same site twice),
+    which whole-document dedup only discovers pair-by-pair.
+
+    Scale plan (document text never shuffles):
+    1. distinct (source, token): per-batch composite-key Arrow group_by
+       partials, then ONE groupby over the source x vocab stream — wire
+       cost is each source's distinct vocabulary, not the corpus
+       (``top_terms``' shuffle shape);
+    2. intersection counts: hash-partition the distinct pairs by TOKEN so
+       every token's source list is co-located, then a vectorized
+       run-pairing kernel per partition (sort by token, emit (src_a <
+       src_b) at every offset-diagonal d = 1..k_max — <= |sources| full-
+       array numpy passes, never a per-token Python loop). Per-token fanout
+       is C(k, 2), k = sources containing it; at web scale cap k with a
+       document-frequency ceiling — a token present in EVERY host carries
+       no pair signal (not needed at |S| = 20);
+    3. the |S|^2-bounded groupby sums pair increments; |S|-row vocabulary
+       sizes broadcast via ``ray.put`` turn intersections into Jaccard.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+    n_parts = 16
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim(t["text"].combine_chunks()
+                               if isinstance(t["text"], pa.ChunkedArray)
+                               else t["text"], " ")
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        lens = pc.list_value_length(toks).to_numpy()
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False), lens)
+        g = (pa.table({"source": pa.array(src, pa.string()),
+                       "tok": pc.list_flatten(toks)})
+             .group_by(["source", "tok"]).aggregate([]))
+        return g
+
+    dt = (ds.map_batches(tok_partial, batch_format="pyarrow")
+          .groupby(["source", "tok"]).aggregate(Count(alias_name="c"))
+          .drop_columns(["c"]).materialize())
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("tok", "count")])
+        return pa.table({"source": g["source"],
+                         "n": g["tok_count"].cast(pa.int64())})
+
+    sizes: dict[str, int] = {}
+    for b in (dt.map_batches(size_partial, batch_format="pyarrow")
+              .groupby("source").aggregate(Sum("n", alias_name="n"))
+              .iter_batches(batch_format="pyarrow")):
+        for s, n in zip(b["source"].to_pylist(), b["n"].to_pylist()):
+            sizes[s] = int(n)
+    size_ref = ray.put(sizes)
+
+    def part_of(t: pa.Table) -> pa.Table:
+        hp = H.hash_bytes_array(t["tok"].combine_chunks()
+                                if isinstance(t["tok"], pa.ChunkedArray)
+                                else t["tok"])
+        return t.append_column(
+            "part", pa.array((hp % np.uint64(n_parts)).astype(np.int64)))
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        tok_codes, _ = pd.factorize(g["tok"].to_numpy(), sort=False)
+        src = g["source"].to_numpy()
+        order = np.lexsort((src, tok_codes))
+        rid, src = tok_codes[order], src[order]
+        out_a, out_b = [], []
+        d = 1
+        while True:
+            same = rid[d:] == rid[:-d] if d < len(rid) else np.array([], bool)
+            if not same.any():
+                break
+            out_a.append(src[:-d][same])
+            out_b.append(src[d:][same])
+            d += 1
+        if not out_a:
+            return pd.DataFrame({"src_a": pd.Series([], dtype=str),
+                                 "src_b": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return (pd.DataFrame({"src_a": a, "src_b": b})
+                .groupby(["src_a", "src_b"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    inter = (dt.map_batches(part_of, batch_format="pyarrow")
+             .groupby("part").map_groups(pair_part, batch_format="pandas")
+             .groupby(["src_a", "src_b"]).aggregate(Sum("n",
+                                                        alias_name="inter")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sz = ray.get(size_ref)
+        na = np.array([sz[s] for s in t["src_a"].to_pylist()], np.int64)
+        nb = np.array([sz[s] for s in t["src_b"].to_pylist()], np.int64)
+        ix = t["inter"].to_numpy().astype(np.int64)
+        return pa.table({
+            "src_a": t["src_a"], "src_b": t["src_b"],
+            "inter": pa.array(ix),
+            "jaccard_milli": pa.array(ix * 1000 // (na + nb - ix)),
+        })
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+Q_SOURCE_OVERLAP_MATRIX_SQL = """
+WITH dt AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents)),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY source),
+ix AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(COUNT(*) AS BIGINT) AS inter
+       FROM dt a JOIN dt b ON a.tok = b.tok AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT ix.src_a, ix.src_b, ix.inter,
+       ix.inter * 1000 // (sa.n + sb.n - ix.inter) AS jaccard_milli
+FROM ix
+JOIN sz sa ON sa.source = ix.src_a
+JOIN sz sb ON sb.source = ix.src_b
+"""
+
+
 # ---------------------------------------------------- corpus snapshot diff
 
 _DIFF_OLD_MOD = 7    # "old" snapshot = doc_id % 7 != 0
