@@ -151,6 +151,44 @@ def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
     _BACKENDS[FORMAT].writer(ds, path, **kwargs)
 
 
+def write_partitioned(ds: ray.data.Dataset, path: str,
+                      by: list[str], **kwargs) -> None:
+    """Hive-style key-partitioned sink: one ``<col>=<value>/`` directory
+    tree per partition key — the resumable-output layout the 100 TB brief
+    asks for (a failed downstream consumer re-reads ONLY the key ranges it
+    missed, and a re-run can skip finished partitions by directory).
+    Parquet-only (the native columnar format); each partition directory
+    holds ordinary part files readable by :func:`read_partition` or any
+    engine that understands hive layout."""
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path, partition_cols=list(by), **kwargs)
+
+
+def read_partition(path: str, columns: list[str] | None = None,
+                   **keys: Any) -> ray.data.Dataset:
+    """Pruned read of ONE hive partition: touches only the
+    ``<col>=<value>/`` subtree (zero bytes read outside it) and re-attaches
+    the partition-key columns, which hive layout stores in the directory
+    name rather than the files."""
+    sub = os.path.join(path, *(f"{k}={v}" for k, v in keys.items()))
+    # ray.data.read_parquet infers hive partitioning from the path and
+    # re-attaches the key columns itself; the fallback below covers
+    # registered formats whose reader does not
+    ds = read_table(sub, columns=list(columns) if columns else None)
+    have = set(ds.schema().names)
+    missing = {k: v for k, v in keys.items()
+               if k not in have and (columns is None or k in columns)}
+    if not missing:
+        return ds
+
+    def attach(t: pa.Table) -> pa.Table:
+        for k, v in missing.items():
+            t = t.append_column(k, pa.array([v] * t.num_rows))
+        return t
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def write_manifest(path: str, manifest: dict[str, Any]) -> None:
     """Atomic manifest commit: write-tmp-then-rename, so a crash mid-write
     never leaves a checkpoint that *looks* complete (the reference's failure

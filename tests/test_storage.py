@@ -119,3 +119,33 @@ def test_compact_table_merges_small_files(ray_session, tmp_path):
     b = storage.read_table(str(out)).to_pandas().sort_values("id") \
         .reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_partitioned_write_and_pruned_partition_read(ray_session, tmp_path):
+    """Hive-partitioned sink: directory-per-key layout on disk, and
+    read_partition returns exactly the full-read filter for that key while
+    touching only the partition's subtree."""
+    from deduplication_ray.sources import storage
+
+    docs = storage.read_table("/root/testdata/sf0.001/documents.parquet",
+                              columns=["doc_id", "lang", "text"])
+    out = str(tmp_path / "by_lang")
+    storage.write_partitioned(docs, out, by=["lang"])
+
+    full = docs.to_pandas()
+    langs = sorted(full["lang"].unique())
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == \
+        [f"lang={v}" for v in langs]
+
+    one = storage.read_partition(out, lang=langs[0]).to_pandas()
+    want = full[full["lang"] == langs[0]]
+    cols = ["doc_id", "lang", "text"]
+    assert (one[cols].sort_values("doc_id").reset_index(drop=True)
+            .equals(want[cols].sort_values("doc_id").reset_index(drop=True)))
+
+    # column pruning composes with partition pruning
+    pruned = storage.read_partition(out, columns=["doc_id", "lang"],
+                                    lang=langs[1]).to_pandas()
+    assert sorted(pruned.columns) == ["doc_id", "lang"]
+    assert set(pruned["lang"]) == {langs[1]}
+    assert len(pruned) == (full["lang"] == langs[1]).sum()
