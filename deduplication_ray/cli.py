@@ -171,6 +171,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="directory holding the parquet tables")
     s.add_argument("--dest", default=None,
                    help="write result parquet here instead of printing a preview")
+    s.add_argument("--partition-by", default=None, dest="partition_by",
+                   help="comma-separated result columns: write --dest as a "
+                        "hive-partitioned <col>=<value>/ tree (resumable "
+                        "consumption; see storage.write_partitioned)")
     s.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -198,6 +202,22 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         res = qs[args.name](args.sf_dir)
         if args.dest is not None:
+            if args.partition_by:
+                from deduplication_ray.sources import storage
+
+                if not hasattr(res, "write_parquet"):
+                    import ray.data as rd
+
+                    res = rd.from_pandas(res.to_pandas()
+                                         if hasattr(res, "to_pandas")
+                                         else res)
+                storage.write_partitioned(res, args.dest,
+                                          by=args.partition_by.split(","))
+                print(json.dumps({"query": args.name, "rows": res.count(),
+                                  "dest": args.dest,
+                                  "partition_by": args.partition_by}))
+                ray.shutdown()
+                return 0
             if hasattr(res, "write_parquet"):  # Dataset
                 res.write_parquet(args.dest)
                 n = res.count()
