@@ -149,3 +149,21 @@ def test_partitioned_write_and_pruned_partition_read(ray_session, tmp_path):
     assert sorted(pruned.columns) == ["doc_id", "lang"]
     assert set(pruned["lang"]) == {langs[1]}
     assert len(pruned) == (full["lang"] == langs[1]).sum()
+
+
+def test_nested_partition_write_and_read(ray_session, tmp_path):
+    from deduplication_ray.sources import storage
+
+    docs = storage.read_table("/root/testdata/sf0.001/documents.parquet",
+                              columns=["doc_id", "lang", "source", "n_chars"])
+    out = str(tmp_path / "by_lang_source")
+    storage.write_partitioned(docs, out, by=["lang", "source"])
+
+    full = docs.to_pandas()
+    lang = sorted(full["lang"].unique())[0]
+    src = sorted(full.loc[full["lang"] == lang, "source"].unique())[0]
+    got = storage.read_partition(out, lang=lang, source=src).to_pandas()
+    want = full[(full["lang"] == lang) & (full["source"] == src)]
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    assert (got[cols].sort_values("doc_id").reset_index(drop=True)
+            .equals(want[cols].sort_values("doc_id").reset_index(drop=True)))
