@@ -444,6 +444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_version_diff": docops.q_doc_version_diff,  # shuffle-join kin
         "doc_token_budget_mix": docops.q_doc_token_budget_mix,  # src_cap kin
         "source_overlap_matrix": docops.q_source_overlap_matrix,  # top_terms kin
+        "doc_gopher_rules": docops.q_doc_gopher_rules,  # word_repetition kin
+        "table_profile": docops.q_table_profile,        # doc_validate kin
+        "events_user_degree_hist": R.q_events_user_degree_hist,  # topk kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -538,6 +541,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_budget_mix": docops.doc_token_budget_mix_sql(),
         "source_overlap_matrix": docops.Q_SOURCE_OVERLAP_MATRIX_SQL,
         "events_dedup_window": R.events_dedup_window_sql(),
+        "doc_gopher_rules": docops.Q_DOC_GOPHER_RULES_SQL,
+        "table_profile": docops.table_profile_sql(),
+        "events_user_degree_hist": R.Q_EVENTS_USER_DEGREE_HIST_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

@@ -2737,3 +2737,192 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
             ELSE 'unchanged' END AS status
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
+
+
+# --------------------------------------------------- Gopher-style rule filter
+
+def q_doc_gopher_rules(sf_dir: str):
+    """Gopher-style rule-based quality filter (Rae et al., "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", 2021 —
+    public): per document, the cheap shape/repetition signals and the
+    combined keep flag, all in exact integer milli units so the DuckDB
+    oracle hash-compares bit-for-bit. Rules (thresholds calibrated so each
+    one is non-vacuous on this corpus):
+
+      r1  15 <= n_tokens <= 90
+      r2  4000 <= mean_tok_len_milli <= 6000
+      r3  stop_frac_milli <= 120   (stopword set {the, a})
+      r4  dup_frac_milli <= 600
+
+    Scale plan: ONE stateless vectorized ``map_batches`` — tokens are
+    flattened once per batch, every per-row sum is a bincount over the
+    flat row index; no shuffle, no state, no per-row Python."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rules(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        counts = offs[1:] - offs[:-1]
+        n_docs = len(counts)
+        row = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        tok_len = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        # bincount weight sums are float64 but exact far beyond any document
+        # size (< 2^53), so the int64 cast is lossless
+        sum_len = np.bincount(row, weights=tok_len,
+                              minlength=n_docs).astype(np.int64)
+        stop = pc.is_in(flat, value_set=pa.array(["the", "a"])) \
+            .to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(row, weights=stop.astype(np.float64),
+                             minlength=n_docs).astype(np.int64)
+        key = H.hash_u64_pair(row.astype(np.uint64), H.hash_bytes_array(flat))
+        first = np.unique(key, return_index=True)[1]
+        nuniq = np.bincount(row[first], minlength=n_docs).astype(np.int64)
+        denom = np.maximum(counts, 1)
+        mtl = (sum_len * 1000) // denom
+        stopf = (n_stop * 1000) // denom
+        dupf = ((counts - nuniq) * 1000) // denom
+        keep = ((counts >= 15) & (counts <= 90)
+                & (mtl >= 4000) & (mtl <= 6000)
+                & (stopf <= 120) & (dupf <= 600)).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(counts, pa.int64()),
+            "mean_tok_len_milli": pa.array(mtl, pa.int64()),
+            "stop_frac_milli": pa.array(stopf, pa.int64()),
+            "dup_frac_milli": pa.array(dupf, pa.int64()),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+Q_DOC_GOPHER_RULES_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(length(toks) AS BIGINT) AS n_tokens,
+         CAST((list_sum(list_transform(toks, x -> length(x))) * 1000)
+              // greatest(length(toks), 1) AS BIGINT) AS mean_tok_len_milli,
+         CAST((length(list_filter(toks, x -> x IN ('the', 'a'))) * 1000)
+              // greatest(length(toks), 1) AS BIGINT) AS stop_frac_milli,
+         CAST(((length(toks) - length(list_distinct(toks))) * 1000)
+              // greatest(length(toks), 1) AS BIGINT) AS dup_frac_milli
+  FROM w)
+SELECT *,
+       CAST(n_tokens BETWEEN 15 AND 90
+            AND mean_tok_len_milli BETWEEN 4000 AND 6000
+            AND stop_frac_milli <= 120
+            AND dup_frac_milli <= 600 AS BIGINT) AS keep
+FROM s
+"""
+
+
+# --------------------------------------------------- per-column table profile
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+_PROFILE_NUMERIC = ("doc_id", "n_chars")
+
+
+def q_table_profile(sf_dir: str):
+    """Per-column table PROFILE of the documents table — the ``describe``
+    operator a pipeline runs before trusting a new snapshot: per column,
+    row count, null count, exact distinct count, and (numeric columns)
+    min/max.
+
+    Scale plan: two bounded passes over one read. (a) count/null/min/max:
+    per-batch partials emit ONE row per column per block -> a
+    |columns|-row groupby — no data shuffle. (b) exact distinct: each
+    batch emits its DISTINCT (column, value-hash) pairs (64-bit content
+    hash — the same collision budget the dedup engine runs on) -> one
+    groupby bounded by the true distinct cardinality -> per-batch count
+    partials -> a second |columns|-row groupby. Only |columns|-row tables
+    ever reach the driver."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _docs(sf_dir, list(_PROFILE_COLS))
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        rows = {"col_name": [], "n_rows": [], "n_nulls": [],
+                "min_val": [], "max_val": []}
+        for c in _PROFILE_COLS:
+            col = t[c]
+            rows["col_name"].append(c)
+            rows["n_rows"].append(t.num_rows)
+            rows["n_nulls"].append(col.null_count)
+            if c in _PROFILE_NUMERIC and t.num_rows > 0:
+                rows["min_val"].append(pc.min(col).as_py())
+                rows["max_val"].append(pc.max(col).as_py())
+            else:
+                rows["min_val"].append(None)
+                rows["max_val"].append(None)
+        return pa.table({
+            "col_name": pa.array(rows["col_name"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+            "min_val": pa.array(rows["min_val"], pa.int64()),
+            "max_val": pa.array(rows["max_val"], pa.int64()),
+        })
+
+    base = (ds.map_batches(base_partial, batch_format="pyarrow")
+            .groupby("col_name")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("n_nulls", alias_name="n_nulls"),
+                       Min("min_val", alias_name="min_val"),
+                       Max("max_val", alias_name="max_val")))
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        names, hashes = [], []
+        for c in _PROFILE_COLS:
+            col = t[c]
+            if not pa.types.is_string(col.type):
+                col = col.cast(pa.string())
+            h = np.unique(H.hash_bytes_array(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col))
+            names.append(np.full(len(h), _PROFILE_COLS.index(c), np.int64))
+            hashes.append(h.astype(np.int64))
+        return pa.table({
+            "col_idx": pa.array(np.concatenate(names), pa.int64()),
+            "h": pa.array(np.concatenate(hashes), pa.int64()),
+        })
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("col_idx").aggregate([("col_idx", "count")])
+        idx = g["col_idx"].to_numpy()
+        return pa.table({
+            "col_name": pa.array([_PROFILE_COLS[i] for i in idx], pa.string()),
+            "n_distinct": g["col_idx_count"].cast(pa.int64()),
+        })
+
+    distinct = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+                .groupby(["col_idx", "h"]).aggregate(Count(alias_name="c"))
+                .map_batches(count_partial, batch_format="pyarrow")
+                .groupby("col_name")
+                .aggregate(Sum("n_distinct", alias_name="n_distinct")))
+
+    import pandas as pd
+
+    out = base.to_pandas().merge(distinct.to_pandas(), on="col_name")
+    out = out[["col_name", "n_rows", "n_nulls", "n_distinct",
+               "min_val", "max_val"]].sort_values("col_name")
+    # string columns carry NULL min/max; float64-with-NaN is exactly what
+    # DuckDB's CAST(NULL AS BIGINT) lands as in pandas, so mirror it
+    out["min_val"] = out["min_val"].astype("float64")
+    out["max_val"] = out["max_val"].astype("float64")
+    return out.reset_index(drop=True)
+
+
+def table_profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        mn = (f"CAST(MIN({c}) AS BIGINT)" if c in _PROFILE_NUMERIC
+              else "CAST(NULL AS BIGINT)")
+        mx = (f"CAST(MAX({c}) AS BIGINT)" if c in _PROFILE_NUMERIC
+              else "CAST(NULL AS BIGINT)")
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            f"  CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,\n"
+            f"  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"  {mn} AS min_val, {mx} AS max_val FROM documents")
+    return "\nUNION ALL\n".join(parts)

@@ -1848,3 +1848,43 @@ SELECT event_id,
                 FALSE) AS is_dup
 FROM events
 """
+
+
+# ---------------------------------------------------------- degree histogram
+
+def q_events_user_degree_hist(sf_dir: str):
+    """Count-of-counts report: the distribution of per-user event counts
+    (the degree histogram) — the skew-diagnosis primitive behind hot-key
+    detection, sessionization sizing and join-salting decisions (the same
+    signal ``lsh_bucket_stats`` reports for LSH buckets, here as a
+    SQL-checked operator over a real key column).
+
+    Scale plan: the raw stream collapses twice before anything is small —
+    per-batch ``(user_id, n)`` Arrow hash-agg partials feed ONE groupby-sum
+    bounded by |users| (never |events|), then per-batch histogram partials
+    feed a second groupby-sum bounded by |distinct degrees| (typically a
+    few hundred rows at any corpus size)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("user_id", "count")])
+        return pa.table({"user_id": g["user_id"],
+                         "n": g["user_id_count"].cast(pa.int64())})
+
+    per_user = (ds.map_batches(per_user_partial, batch_format="pyarrow")
+                .groupby("user_id").aggregate(Sum("n", alias_name="degree")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("degree").aggregate([("degree", "count")])
+        return pa.table({"degree": g["degree"].cast(pa.int64()),
+                         "n_users": g["degree_count"].cast(pa.int64())})
+
+    return (per_user.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("degree").aggregate(Sum("n_users", alias_name="n_users")))
+
+
+Q_EVENTS_USER_DEGREE_HIST_SQL = """
+SELECT CAST(cnt AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id)
+GROUP BY cnt
+"""
