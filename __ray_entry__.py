@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": docops.q_doc_simhash_pairs,
         "doc_fingerprints": docops.q_doc_fingerprints,
         "doc_model_score": docops.q_doc_model_score,
+        "doc_lm_score": docops.q_doc_lm_score,
         "doc_train_classifier": docops.q_doc_train_classifier,
         "top_terms_sketch": docops.q_top_terms_sketch,
         "lsh_bucket_stats": docops.q_lsh_bucket_stats,

@@ -2926,3 +2926,123 @@ def table_profile_sql() -> str:
             f"  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
             f"  {mn} AS min_val, {mx} AS max_val FROM documents")
     return "\nUNION ALL\n".join(parts)
+
+
+# --------------------------------------------------- char-trigram LM scoring
+
+def _trigram_codes(text_col) -> tuple[np.ndarray, np.ndarray]:
+    """All char-trigram codes (c1<<16 | c2<<8 | c3 over the lowered utf-8
+    bytes) in the batch plus per-row offsets into the code stream. Windows
+    never cross a row boundary. Zero-copy over the Arrow buffer."""
+    low = pc.utf8_lower(text_col)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    buf, offs = H._arrow_flat_buffer(low)
+    buf = buf[offs[0]: offs[-1]]
+    offs = offs - offs[0]
+    lens = offs[1:] - offs[:-1]
+    n_tri = np.maximum(lens - 2, 0)
+    tri_offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(n_tri, out=tri_offs[1:])
+    total = int(tri_offs[-1])
+    if total == 0:
+        return np.empty(0, np.int64), tri_offs
+    # global byte index of each trigram start: row starts repeated + ramp
+    starts = np.repeat(offs[:-1], n_tri) + (
+        np.arange(total) - np.repeat(tri_offs[:-1], n_tri))
+    b = buf.astype(np.int64)
+    codes = (b[starts] << 16) | (b[starts + 1] << 8) | b[starts + 2]
+    return codes, tri_offs
+
+
+def train_char_lm(ds: ray.data.Dataset) -> dict[str, np.ndarray]:
+    """Train an order-2 character language model (trigram counts) over the
+    corpus — the distributed form of the CCNet / KenLM quality-filter step
+    (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    from Web Crawl Data", 2020 — public; reference dictionary-build analog:
+    ``/root/reference/src/dictionary.c:61-78``, content-keyed counting
+    state, here realized as mergeable count partials instead of a mutable
+    dict).
+
+    Scale plan: per-batch ``np.unique`` partials (one row per DISTINCT
+    trigram per block) -> one groupby-sum bounded by the trigram vocabulary
+    (charset^3 — ~20k on this corpus, <= a few million for byte soup;
+    never corpus-sized) -> the model (sorted code + count arrays) collects
+    on the driver at vocabulary size and broadcasts once via ``ray.put``."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes, _ = _trigram_codes(t["text"])
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"tri": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("tri").aggregate(Sum("n", alias_name="n"))).to_pandas()
+    tri = g["tri"].to_numpy().astype(np.int64)
+    cnt = g["n"].to_numpy().astype(np.int64)
+    order = np.argsort(tri, kind="stable")
+    tri, cnt = tri[order], cnt[order]
+    # context counts: sum trigram counts per (c1, c2) prefix
+    ctx_all = tri >> 8
+    ctx, inv = np.unique(ctx_all, return_inverse=True)
+    ctx_cnt = np.bincount(inv, weights=cnt.astype(np.float64)) \
+        .astype(np.int64)
+    return {"tri": tri, "tri_cnt": cnt, "ctx": ctx, "ctx_cnt": ctx_cnt}
+
+
+def score_char_lm(table: pa.Table, model: dict[str, np.ndarray]) -> pa.Table:
+    """Bits-per-char of each document under the trigram model, add-one
+    smoothed over a 256-symbol alphabet, in exact integer micro units.
+    Deterministic and batch-composition-independent: each doc's sum runs
+    over its own trigram segment (reduceat), so any partitioning yields
+    bit-identical scores."""
+    def _gather_counts(keys: np.ndarray, sorted_keys: np.ndarray,
+                       counts: np.ndarray) -> np.ndarray:
+        if len(sorted_keys) == 0:
+            return np.zeros(len(keys), np.int64)
+        i = np.minimum(np.searchsorted(sorted_keys, keys),
+                       len(sorted_keys) - 1)
+        return np.where(sorted_keys[i] == keys, counts[i], 0)
+
+    codes, tri_offs = _trigram_codes(table["text"])
+    n_docs = table.num_rows
+    if len(codes):
+        tc = _gather_counts(codes, model["tri"], model["tri_cnt"])
+        cc = _gather_counts(codes >> 8, model["ctx"], model["ctx_cnt"])
+        bits = np.log2((cc + 256).astype(np.float64)) - \
+            np.log2((tc + 1).astype(np.float64))
+        # sentinel element keeps every offset a valid reduceat index (a
+        # trailing empty doc has offset == len(bits)); empty-doc slots get a
+        # junk single element from reduceat and are zeroed by the mask
+        bits_ext = np.append(bits, 0.0)
+        seg = np.add.reduceat(bits_ext, tri_offs[:-1])
+        seg[tri_offs[:-1] == tri_offs[1:]] = 0.0
+    else:
+        seg = np.zeros(n_docs)
+    n_tri = np.maximum(tri_offs[1:] - tri_offs[:-1], 1)
+    bpc_micro = np.floor(seg / n_tri * 1e6).astype(np.int64)
+    return pa.table({"doc_id": table["doc_id"],
+                     "bits_per_char_micro": pa.array(bpc_micro, pa.int64())})
+
+
+def q_doc_lm_score(sf_dir: str):
+    """Language-model quality scoring (the CCNet filter shape): train a
+    char-trigram LM on the corpus itself, then score every document with
+    its bits-per-char under the model — low = fluent/typical, high =
+    gibberish/outlier. Rows-only (an iterative train-then-apply op, not
+    ANSI-SQL-expressible); exact serial parity, partition invariance and
+    the planted-gibberish ordering are asserted in
+    tests/test_queries.py::test_lm_score_serial_parity_and_signal.
+
+    Scale plan: training is mergeable count partials bounded by the
+    trigram vocabulary; the model broadcasts once via ``ray.put``; scoring
+    is one stateless vectorized map_batches (two searchsorted gathers per
+    batch)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    model_ref = ray.put(train_char_lm(ds))
+
+    def score(t: pa.Table) -> pa.Table:
+        return score_char_lm(t, ray.get(model_ref))
+
+    return ds.map_batches(score, batch_format="pyarrow")

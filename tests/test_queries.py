@@ -853,3 +853,75 @@ def test_source_dup_stats_counts_planted_dups(ray_session):
                                       "dup_rate_milli": 500}
     assert out.loc["b"].to_dict() == {"n_docs": 3, "n_distinct": 3,
                                       "dup_rate_milli": 0}
+
+
+def test_lm_score_serial_parity_and_signal(ray_session):
+    """The distributed trigram-LM scorer must (a) exactly equal one serial
+    pass (train + score on the whole table at once), (b) be partition
+    invariant, and (c) actually carry the quality signal: gibberish docs
+    score strictly more bits-per-char than corpus-typical docs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deduplication_ray.pipelines.docops import (q_doc_lm_score,
+                                                    score_char_lm,
+                                                    train_char_lm)
+
+    dist = _canon(_to_pandas(q_doc_lm_score(SF_DIR)))
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"])
+    model = train_char_lm(ray.data.from_arrow(tbl))
+    serial = _canon(score_char_lm(tbl, model).to_pandas())
+    pd.testing.assert_frame_equal(dist, serial, check_dtype=False)
+
+    # partition invariance: 17 blocks vs default read layout
+    repart = _canon(_to_pandas(
+        ray.data.from_arrow(tbl).repartition(17).map_batches(
+            lambda t: score_char_lm(t, model), batch_format="pyarrow")))
+    pd.testing.assert_frame_equal(dist, repart, check_dtype=False)
+
+    # signal: plant gibberish rows, score under the corpus model
+    rng = np.random.default_rng(7)
+    gib = ["".join(chr(c) for c in rng.integers(33, 127, size=120))
+           for _ in range(20)]
+    planted = pa.table({
+        "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+        "text": pa.array(gib + [tbl["text"][i].as_py() for i in range(20)]),
+    })
+    sc = score_char_lm(planted, model).to_pandas()
+    gib_scores = sc["bits_per_char_micro"][:20].to_numpy()
+    real_scores = sc["bits_per_char_micro"][20:].to_numpy()
+    assert gib_scores.min() > real_scores.max(), \
+        (gib_scores.min(), real_scores.max())
+
+
+def test_trigram_codes_row_boundaries(ray_session):
+    """Trigram windows must never cross document boundaries, and empty /
+    short docs must contribute zero trigrams (incl. trailing empties —
+    the reduceat sentinel edge)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplication_ray.pipelines.docops import (_trigram_codes,
+                                                    score_char_lm,
+                                                    train_char_lm)
+    import ray.data
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(["abcd", "", "xy", "pqr"])})
+    codes, offs = _trigram_codes(t["text"])
+    assert list(offs) == [0, 2, 2, 2, 3]
+    def code(s):
+        return (ord(s[0]) << 16) | (ord(s[1]) << 8) | ord(s[2])
+    assert list(codes) == [code("abc"), code("bcd"), code("pqr")]
+
+    # trailing empty doc: last real trigram must still be counted
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array(["abc", ""])})
+    model = train_char_lm(ray.data.from_arrow(t2))
+    out = score_char_lm(t2, model).to_pandas()
+    assert out["bits_per_char_micro"][0] > 0  # 'abc' seen once: p=2/257ish
+    assert out["bits_per_char_micro"][1] == 0
