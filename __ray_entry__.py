@@ -353,10 +353,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     1. positions 1-50 — exactly 50 oracle-backed queries, one per distinct
        operator family, so the driver's CORRECTNESS window is 100% SQL-checked
        (no rows-only entry may sit inside the window);
-    2. positions 51-58 — oracle-backed queries whose SEMANTICS duplicate an
-       in-window entry (same oracle or same kernel; each is still value-hash
-       checked against DuckDB by tests/test_queries.py::test_query_matches_oracle);
-    3. positions 59+ — rows-only pipelines (iterative union-find, LSH banding
+    2. positions 51+ — oracle-backed queries whose SEMANTICS duplicate or
+       extend an in-window entry (same oracle or same kernel family; each is
+       still value-hash checked against DuckDB by
+       tests/test_queries.py::test_query_matches_oracle);
+    3. after every oracle-backed entry — rows-only pipelines (iterative
+       union-find, LSH banding
        — not ANSI-SQL-expressible), asserted vs planted truth in pytest.
 
     When adding a query: oracle-backed + novel semantics -> tier 1 (and move a
