@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_rules": docops.q_doc_gopher_rules,  # word_repetition kin
         "table_profile": docops.q_table_profile,        # doc_validate kin
         "events_user_degree_hist": R.q_events_user_degree_hist,  # topk kin
+        "minhash_jaccard_check": docops.q_minhash_jaccard_check,  # ngram kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -547,6 +548,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_rules": docops.Q_DOC_GOPHER_RULES_SQL,
         "table_profile": docops.table_profile_sql(),
         "events_user_degree_hist": R.Q_EVENTS_USER_DEGREE_HIST_SQL,
+        # MinHash-estimator verdict: oracle = exact pairs + constant TRUE
+        "minhash_jaccard_check": docops.minhash_jaccard_check_sql(),
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

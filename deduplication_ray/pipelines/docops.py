@@ -3046,3 +3046,70 @@ def q_doc_lm_score(sf_dir: str):
         return score_char_lm(t, ray.get(model_ref))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------- MinHash estimator verdict
+
+def q_minhash_jaccard_check(sf_dir: str, tau: float = 0.6):
+    """MinHash-estimator VERDICT: for every exact char-5-gram Jaccard pair
+    (the ``ngram_jaccard_pairs`` ground truth), re-estimate the Jaccard
+    from the P-permutation MinHash signatures the dedup engine actually
+    runs on (same ``cfg.seed``/``cfg.num_perm``/``cfg.shingle_k``) and
+    emit ``(src, dst, jaccard_milli, mh_within_bound)`` — TRUE iff the
+    estimate sits inside the 4.5-sigma binomial band (+1/P quantization
+    slack) around the true value. The DuckDB oracle recomputes the exact
+    pairs and emits constant TRUE, so a drifting MinHash implementation
+    fails the driver's value-hash: this SQL-checks the engine's core
+    similarity estimator against ground truth (the same verdict shape as
+    the HLL/quantile sketch checks).
+
+    Scale plan: inherits ``q_ngram_jaccard_pairs``'s size dispatch for the
+    pair set; the extra work is one signature pass over the docs plus two
+    broadcast lookup joins on the (bounded) pair list — no new shuffle."""
+    from deduplication_ray.stages.join import lookup_join
+    from deduplication_ray.stages.signatures import normalize_captions
+
+    cfg = DedupConfig(num_partitions=8)
+    pairs = q_ngram_jaccard_pairs(sf_dir, tau=tau)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    mh_a, mh_b = H.make_minhash_perms(cfg.num_perm, cfg.seed)
+    P = cfg.num_perm
+
+    def sig(t: pa.Table) -> pa.Table:
+        cap = normalize_captions(t["text"])
+        grams, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
+        mh = H.minhash_signatures(grams, offs, mh_a, mh_b)
+        return pa.table({"doc_id": t["doc_id"], "mh": H.pack_u64_rows(mh)})
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow",
+                          batch_size=cfg.text_batch_size).materialize()
+    e = lookup_join(pairs,
+                    sigs.rename_columns({"doc_id": "src", "mh": "mh_src"}),
+                    on=["src"], cfg=cfg)
+    e = lookup_join(e,
+                    sigs.rename_columns({"doc_id": "dst", "mh": "mh_dst"}),
+                    on=["dst"], cfg=cfg)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "jaccard_milli": pa.array([], pa.int64()),
+                             "mh_within_bound": pa.array([], pa.bool_())})
+        a = H.unpack_u64_rows(t["mh_src"], P)
+        b = H.unpack_u64_rows(t["mh_dst"], P)
+        est = (a == b).sum(axis=1) / P
+        j = t["jaccard_milli"].to_numpy().astype(np.float64) / 1000.0
+        sigma = np.sqrt(np.maximum(j * (1.0 - j), 0.0) / P)
+        ok = np.abs(est - j) <= 4.5 * sigma + 1.0 / P
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "jaccard_milli": t["jaccard_milli"],
+                         "mh_within_bound": pa.array(ok, pa.bool_())})
+
+    return e.map_batches(verdict, batch_format="pyarrow")
+
+
+def minhash_jaccard_check_sql(tau: float = 0.6, k: int = 5) -> str:
+    base = ngram_jaccard_pairs_sql(tau=tau, k=k)
+    return (f"SELECT src, dst, jaccard_milli, TRUE AS mh_within_bound "
+            f"FROM ({base})")
