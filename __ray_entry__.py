@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
         "embedding_semdedup": ann.embedding_semdedup,
+        "embedding_outliers": ann.embedding_outliers,
         "ann_topk_lsh": ann.lsh_topk,
         "ann_topk_ivf": ann.ivf_topk,
         "ann_topk_pq": ann.pq_topk,

@@ -953,3 +953,87 @@ def embedding_semdedup(
 
     return (ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
             .groupby("cell").map_groups(cell_dedup, batch_format="pandas"))
+
+
+# --------------------------------------------------------- outlier detection
+
+def embedding_outliers(
+    sf_dir: str,
+    n_centroids: int = 16,
+    frac_milli: int = 50,
+    refine_iters: int = 2,
+    sketch_k: int = 2048,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Embedding OUTLIER report — the "drop the weird tail" curation step
+    (mislabeled, corrupted, or off-distribution vectors): every vector's
+    cosine distance to its (Lloyd-refined) k-means centroid in exact
+    integer micro units, with the global top ``frac_milli``/1000 flagged.
+
+    Scale plan: the centroid model is the bounded-sample + distributed-
+    Lloyd fit (one broadcast, no shuffle); distances are one stateless
+    matmul pass; the flag threshold is the (1 - frac) quantile taken from
+    a MERGEABLE bottom-k uniform row sample (k smallest seeded id-hashes —
+    k x #blocks rows merge on the driver, never the corpus), so the
+    cut-off is deterministic at any partitioning and within the
+    O(1/sqrt(k)) rank band of exact. Rows-only (iterative k-means is not
+    SQL-expressible); planted-outlier recovery, partition invariance and
+    the flagged-fraction band are asserted in tests/test_ann.py."""
+    from deduplication_ray.functions import hashing as H
+
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet",
+                            columns=[id_col, "embedding"])
+
+    st = _bounded_head(ds, id_col, 4096)
+    sample = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in st["embedding"]]))
+    cents = _kmeans_cosine(sample, n_centroids)
+    if refine_iters:
+        cents, _ = kmeans_refine_centroids(ds, cents, iters=refine_iters)
+    ref = ray.put(cents)
+
+    def dists(t: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(t).astype(np.float64))
+        sims = m @ ray.get(ref).T
+        cell = sims.argmax(axis=1)
+        d = np.floor((1.0 - sims.max(axis=1)) * 1e6).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "cell": pa.array(cell.astype(np.int64)),
+            "dist_micro": pa.array(d),
+        })
+
+    scored = ds.map_batches(dists, batch_format="pyarrow").materialize()
+
+    # threshold from a bottom-k uniform sample (seeded id-hash order):
+    # mergeable partials, k x #blocks driver merge
+    def sample_partial(t: pa.Table) -> pa.Table:
+        u = H.splitmix64(t[id_col].to_numpy().astype(np.uint64)
+                         + np.uint64(0xA5A5))
+        k = min(sketch_k, t.num_rows)
+        idx = np.argpartition(u, k - 1)[:k] if t.num_rows > k else \
+            np.arange(t.num_rows)
+        return pa.table({
+            "u": pa.array(H.bitcast_u64_to_i64(u[idx]), pa.int64()),
+            "d": pa.array(t["dist_micro"].to_numpy()[idx], pa.int64()),
+        })
+
+    parts = scored.map_batches(sample_partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    order = np.argsort(parts["u"].to_numpy(), kind="stable")[:sketch_k]
+    samp = np.sort(parts["d"].to_numpy()[order])
+    if len(samp) == 0:
+        thr = np.int64(np.iinfo(np.int64).max)
+    else:
+        # rank of the (1 - frac) quantile within the uniform sample
+        r = min(len(samp) - 1,
+                max(0, int(np.ceil(len(samp) * (1000 - frac_milli) / 1000))))
+        thr = samp[r]
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_outlier",
+            pa.array(t["dist_micro"].to_numpy() >= thr, pa.bool_()))
+
+    return scored.map_batches(flag, batch_format="pyarrow")

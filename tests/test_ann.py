@@ -207,3 +207,49 @@ def test_embedding_semdedup_drops_planted_pairs(emb_dir):
     # dup_group is the component min id; kept rows head their own group
     kept = out[out.keep]
     assert (kept["dup_group"] == kept["vec_id"]).all()
+
+
+def test_embedding_outliers_flags_planted_tail(ray_session, tmp_path_factory):
+    """Outlier scoring: a corpus of three tight clusters plus a planted
+    far-out tail — every planted outlier must be flagged, the flagged
+    fraction must sit in the sketch's rank band around frac, and the
+    flag set must be invariant to the input's file layout."""
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.pipelines.ann import embedding_outliers
+
+    rng = np.random.default_rng(5)
+    n, d, n_out = 800, 32, 40
+    centers = rng.standard_normal((3, d)) * 4
+    base = (centers[rng.integers(0, 3, n - n_out)]
+            + rng.standard_normal((n - n_out, d)) * 0.05)
+    tail = rng.standard_normal((n_out, d)) * 4  # nowhere near any center
+    m = np.vstack([base, tail]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in m],
+                              type=pa.list_(pa.float32())),
+    })
+    d1 = tmp_path_factory.mktemp("out1")
+    pq.write_table(t, str(d1 / "embeddings.parquet"))
+    # same rows, different file layout (2 files, interleaved order)
+    d2 = tmp_path_factory.mktemp("out2")
+    import os
+    os.makedirs(str(d2 / "embeddings.parquet"))
+    pq.write_table(t.take(list(range(0, n, 2))),
+                   str(d2 / "embeddings.parquet" / "a.parquet"))
+    pq.write_table(t.take(list(range(1, n, 2))),
+                   str(d2 / "embeddings.parquet" / "b.parquet"))
+
+    frac = 60  # milli
+    out = embedding_outliers(str(d1), n_centroids=8, frac_milli=frac) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == n
+    planted = out[out.vec_id >= n - n_out]
+    assert planted["is_outlier"].all(), planted[~planted.is_outlier].head()
+    got_frac = out["is_outlier"].mean()
+    assert abs(got_frac - frac / 1000) < 0.03, got_frac
+
+    out2 = embedding_outliers(str(d2), n_centroids=8, frac_milli=frac) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
