@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": docops.q_table_profile,        # doc_validate kin
         "events_user_degree_hist": R.q_events_user_degree_hist,  # topk kin
         "minhash_jaccard_check": docops.q_minhash_jaccard_check,  # ngram kin
+        "events_session_stats": R.q_events_session_stats,  # sessionize kin
+        "source_lang_matrix": docops.q_source_lang_matrix,  # distinct_pairs kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -551,6 +553,8 @@ def oracle_sql() -> dict[str, str]:
         "events_user_degree_hist": R.Q_EVENTS_USER_DEGREE_HIST_SQL,
         # MinHash-estimator verdict: oracle = exact pairs + constant TRUE
         "minhash_jaccard_check": docops.minhash_jaccard_check_sql(),
+        "events_session_stats": R.Q_EVENTS_SESSION_STATS_SQL,
+        "source_lang_matrix": docops.Q_SOURCE_LANG_MATRIX_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

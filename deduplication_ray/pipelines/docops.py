@@ -3113,3 +3113,42 @@ def minhash_jaccard_check_sql(tau: float = 0.6, k: int = 5) -> str:
     base = ngram_jaccard_pairs_sql(tau=tau, k=k)
     return (f"SELECT src, dst, jaccard_milli, TRUE AS mh_within_bound "
             f"FROM ({base})")
+
+
+# --------------------------------------------------- corpus composition report
+
+def q_source_lang_matrix(sf_dir: str):
+    """Corpus COMPOSITION report: document count per (source, lang) with
+    each cell's integer-permille share of its source — the mixture table a
+    training-data pipeline prints before and after every curation step
+    (and the input to ``q_doc_token_budget_mix``'s share targets).
+
+    Scale plan: per-batch (source, lang) hash-agg partials -> one
+    groupby-sum bounded by |sources| x |langs| (a dimension table, never
+    corpus-sized) -> the bounded result computes per-source shares in one
+    driver pass (the same bounded-collect contract as ``top_terms``'s
+    final merge)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "n_docs": g["lang_count"].cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["source", "lang"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"))).to_pandas()
+    totals = agg.groupby("source")["n_docs"].transform("sum")
+    agg["share_permille"] = (agg["n_docs"] * 1000 // totals).astype("int64")
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    return agg.reset_index(drop=True)
+
+
+Q_SOURCE_LANG_MATRIX_SQL = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 1000 // sum(count(*)) OVER (PARTITION BY source)
+            AS BIGINT) AS share_permille
+FROM documents GROUP BY source, lang
+"""

@@ -1888,3 +1888,68 @@ SELECT CAST(cnt AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id)
 GROUP BY cnt
 """
+
+
+# ---------------------------------------------------------- session stats
+
+def q_events_session_stats(sf_dir: str, gap_minutes: int = 30,
+                           num_buckets: int = 32):
+    """Per-SESSION aggregate report: the session-level output the
+    ``sessionize`` assignment feeds (funnel/engagement analytics): for
+    every (user, session), event count, duration in seconds, and total
+    value in cents — exact integers on both sides.
+
+    Scale shape: identical to ``q_sessionize`` (one user-hash bucket
+    shuffle, one vectorized boundary-aware pass per bucket); the per-batch
+    pandas groupby emits one row per session, so output is bounded by
+    session cardinality, never event cardinality."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        cents = pc.round(pc.multiply(t["value"], pa.scalar(100.0))) \
+            .cast(pa.int64())
+        return (t.drop_columns(["value"])
+                .append_column("cents", cents)
+                .append_column("bucket", pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int64))))
+
+    def stats_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = (new_user | gap).cumsum()
+        start = sid.where(new_user).ffill()
+        g = g.assign(session_id=(sid - start).astype("int64"))
+        out = (g.groupby(["user_id", "session_id"], sort=False)
+               .agg(n_events=("ts", "size"),
+                    t0=("ts", "min"), t1=("ts", "max"),
+                    value_cents=("cents", "sum"))
+               .reset_index())
+        out["duration_sec"] = ((out["t1"] - out["t0"])
+                               // pd.Timedelta(seconds=1)).astype("int64")
+        out["value_cents"] = out["value_cents"].astype("int64")
+        return out[["user_id", "session_id", "n_events",
+                    "duration_sec", "value_cents"]]
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(stats_bucket, batch_format="pandas")
+
+
+Q_EVENTS_SESSION_STATS_SQL = """
+SELECT user_id, session_id, count(*) AS n_events,
+       CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000
+            AS BIGINT) AS duration_sec,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (
+  SELECT user_id, ts, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+    FROM events))
+GROUP BY user_id, session_id
+"""
