@@ -1953,3 +1953,77 @@ FROM (
     FROM events))
 GROUP BY user_id, session_id
 """
+
+
+# ---------------------------------------------------------- k-step funnel
+
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def q_events_funnel_steps(sf_dir: str, window_hours: int = 24,
+                          num_buckets: int = 32):
+    """Multi-step ORDERED funnel: for every user who did step 1, how many
+    of the steps signup -> view -> purchase they completed, where each
+    step must be the user's FIRST qualifying event strictly after the
+    previous step's time and within ``window_hours`` of it — the k-step
+    generalization of ``q_signup_purchase_funnel`` (conversion-path
+    analytics).
+
+    Scale shape: one user-hash bucket shuffle co-locates each user's
+    events; per bucket, one sort + (k-1) vectorized per-user min-reduce
+    passes (a groupby-min and a merge per step, never a per-user Python
+    loop). Output is one row per step-1 user."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    window = pd.Timedelta(hours=window_hours)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t_prev = (g[g.event_type == _FUNNEL_STEPS[0]]
+                  .groupby("user_id")["ts"].min())
+        users = t_prev.index.to_numpy()
+        steps_done = pd.Series(1, index=t_prev.index, dtype="int64")
+        for st in _FUNNEL_STEPS[1:]:
+            sub = g[g.event_type == st].merge(
+                t_prev.rename("t_prev"), left_on="user_id", right_index=True)
+            sub = sub[(sub.ts > sub.t_prev)
+                      & (sub.ts <= sub.t_prev + window)]
+            # t_next's users are a subset of t_prev's (the merge), so only
+            # users already at the previous step can advance
+            t_next = sub.groupby("user_id")["ts"].min()
+            steps_done.loc[t_next.index] += 1
+            t_prev = t_next
+        return pd.DataFrame({"user_id": users,
+                             "steps_completed": steps_done.to_numpy()})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(funnel_bucket, batch_format="pandas")
+
+
+Q_EVENTS_FUNNEL_STEPS_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(1 + CAST(s2.user_id IS NOT NULL AS INTEGER)
+              + CAST(s3.user_id IS NOT NULL AS INTEGER)
+            AS BIGINT) AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
