@@ -1037,3 +1037,82 @@ def embedding_outliers(
             pa.array(t["dist_micro"].to_numpy() >= thr, pa.bool_()))
 
     return scored.map_batches(flag, batch_format="pyarrow")
+
+
+# --------------------------------------------------- SimHash estimator verdict
+
+def q_simhash_angular_check(sf_dir: str, cos_min: float = 0.45,
+                            bits: int = 64):
+    """SimHash-estimator VERDICT — the angular twin of
+    ``docops.q_minhash_jaccard_check``: for every exact embedding
+    near-dup pair (the ``embedding_dup_pairs`` ground truth), estimate
+    the pair's angle from 64-bit sign-random-projection hashes (bit
+    agreement 1 - ham/bits estimates 1 - theta/pi, Charikar 2002 —
+    public) and emit ``(src, dst, sh_within_bound)`` — TRUE iff the
+    estimate sits inside the 4.5-sigma binomial band around the exact
+    angle. The oracle recomputes the exact pairs and emits constant TRUE,
+    so a drifting SimHash implementation fails the driver's value-hash.
+    No float crosses engines: the exact cosine is computed Ray-side only
+    to center the band; the compared columns are integers/booleans.
+
+    Scale plan: inherits ``embedding_dup_pairs``'s size dispatch; the
+    extra work is one hash pass over the vectors plus two broadcast
+    lookups on the (bounded) pair list."""
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
+    pairs = embedding_dup_pairs(sf_dir, cos_min=cos_min)
+    ds = storage.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    planes = H.make_simhash_planes(bits, _dim_of(ds), cfg.seed)
+    ref = ray.put(planes)
+
+    def sig(t: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(t).astype(np.float64))
+        sh = H.simhash_from_features(m, ray.get(ref))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "sh": pa.array(H.bitcast_u64_to_i64(sh), pa.int64()),
+            "vec": H.pack_u64_rows(m.view(np.uint64)),
+        })
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow").materialize()
+    e = lookup_join(pairs,
+                    sigs.rename_columns(
+                        {"vec_id": "src", "sh": "sh_a", "vec": "v_a"}),
+                    on=["src"], cfg=cfg)
+    e = lookup_join(e,
+                    sigs.rename_columns(
+                        {"vec_id": "dst", "sh": "sh_b", "vec": "v_b"}),
+                    on=["dst"], cfg=cfg)
+    d = _dim_of(ds)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "sh_within_bound": pa.array([], pa.bool_())})
+        va = H.unpack_u64_rows(t["v_a"], d).view(np.float64)
+        vb = H.unpack_u64_rows(t["v_b"], d).view(np.float64)
+        cos = np.clip((va * vb).sum(axis=1), -1.0, 1.0)
+        p = 1.0 - np.arccos(cos) / np.pi  # expected bit agreement
+        ham = H.hamming_distance_u64(
+            H.bitcast_i64_to_u64(t["sh_a"].to_numpy()),
+            H.bitcast_i64_to_u64(t["sh_b"].to_numpy()))
+        est = 1.0 - ham.astype(np.float64) / bits
+        sigma = np.sqrt(np.maximum(p * (1.0 - p), 0.0) / bits)
+        ok = np.abs(est - p) <= 4.5 * sigma + 1.0 / bits
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "sh_within_bound": pa.array(ok, pa.bool_())})
+
+    return e.map_batches(verdict, batch_format="pyarrow")
+
+
+def _dim_of(ds: "ray.data.Dataset") -> int:
+    t = ds.limit(1).take_batch(batch_format="pyarrow")
+    return len(t["embedding"][0])
+
+
+def simhash_angular_check_sql(cos_min: float = 0.45) -> str:
+    return (f"SELECT src, dst, TRUE AS sh_within_bound "
+            f"FROM ({embedding_dup_pairs_sql(cos_min)})")
