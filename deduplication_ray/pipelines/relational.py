@@ -2027,3 +2027,64 @@ SELECT s1.user_id,
             AS BIGINT) AS steps_completed
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
+
+
+# ---------------------------------------------------------- retention cohorts
+
+def q_events_retention_cohorts(sf_dir: str, num_buckets: int = 32):
+    """Cohort RETENTION matrix — the classic product-analytics report: users
+    cohorted by the DAY of their first event; cell (cohort_day,
+    day_offset) counts the cohort's users active that many days later
+    (day granularity: the testdata events span 30 days).
+
+    Scale shape: one user-hash bucket shuffle co-locates each user's
+    events (per-user first-week is exact in one vectorized pass per
+    bucket); each bucket emits DISTINCT (cohort, offset, user) collapsed
+    to per-bucket cell counts, so the final groupby-sum is bounded by
+    |days|^2 cells, never events."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({
+            "user_id": t["user_id"], "day": day,
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d0 = g.groupby("user_id")["day"].transform("min")
+        doff = ((g["day"] - d0) // pd.Timedelta(days=1)).astype("int64")
+        cell = pd.DataFrame({
+            "cohort_day": d0.dt.strftime("%Y-%m-%d"),
+            "day_offset": doff,
+            "user_id": g["user_id"],
+        }).drop_duplicates()
+        out = (cell.groupby(["cohort_day", "day_offset"], sort=False)
+               .size().rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(cohort_bucket, batch_format="pandas")
+            .groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+Q_EVENTS_RETENTION_COHORTS_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS d0
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.d0,
+         date_diff('day', f.d0, date_trunc('day', e.ts)) AS doff
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
+       CAST(doff AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act GROUP BY 1, 2
+"""
