@@ -2088,3 +2088,73 @@ SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
        CAST(count(*) AS BIGINT) AS n_users
 FROM act GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------- decile bucketing
+
+def q_orders_price_deciles(sf_dir: str):
+    """Exact VALUE-quantile bucketing (ntile-by-value): every order labeled
+    with its global price decile 1..10, cut at the exact
+    quantile_disc(0.1..0.9) points — the feature-binning / stratification
+    primitive (deterministic under ties, unlike row-number NTILE).
+
+    Scale shape: the same distributed-CDF trick as ``grouped_quantiles``
+    — per-batch value-count partials over integer cents, one groupby-sum
+    bounded by the distinct-value cardinality, a driver-side CDF walk
+    picks the nine cutpoints (DuckDB ``quantile_disc``:
+    ``sorted_v[floor(p*(n-1))]``), and the broadcast cutpoints drive one
+    stateless vectorized searchsorted pass. For continuous domains at
+    10^12 rows the bottom-k sketch variant (``grouped_quantiles_sketch``)
+    is the bounded-cardinality fallback."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents_t(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "cents": pc.round(pc.multiply(t["o_totalprice"],
+                                          pa.scalar(100.0))).cast(pa.int64()),
+        })
+
+    c = ds.map_batches(cents_t, batch_format="pyarrow").materialize()
+
+    def vcount(t: pa.Table) -> pa.Table:
+        g = t.group_by("cents").aggregate([("cents", "count")])
+        return pa.table({"cents": g["cents"],
+                         "cnt": g["cents_count"].cast(pa.int64())})
+
+    agg = (c.map_batches(vcount, batch_format="pyarrow", batch_size=None)
+           .groupby("cents").aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas().sort_values("cents"))
+    v = agg["cents"].to_numpy()
+    cum = np.cumsum(agg["cnt"].to_numpy())
+    n = int(cum[-1])
+    cuts = np.array([
+        v[np.searchsorted(cum, int(np.floor(d / 10 * (n - 1))), side="right")]
+        for d in range(1, 10)], dtype=np.int64)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy()
+        # decile = 1 + #cutpoints strictly below the value; a tie AT a
+        # cutpoint stays in the lower bucket (matches the SQL's > test)
+        dec = 1 + np.searchsorted(cuts, cents, side="left")
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "decile": pa.array(dec.astype(np.int64))})
+
+    return c.map_batches(bucketize, batch_format="pyarrow")
+
+
+_DECILE_SUM = " + ".join(
+    f"CAST(cents > qs[{d}] AS INTEGER)" for d in range(1, 10))
+Q_ORDERS_PRICE_DECILES_SQL = f"""
+WITH c AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), q AS (
+  SELECT quantile_disc(cents,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM c
+)
+SELECT o_orderkey, CAST(1 + {_DECILE_SUM} AS BIGINT) AS decile
+FROM c, q
+"""
