@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_angular_check": ann.q_simhash_angular_check,  # emb_pairs kin
         "events_retention_cohorts": R.q_events_retention_cohorts,  # window kin
         "orders_price_deciles": R.q_orders_price_deciles,  # quantiles kin
+        "events_value_outliers": R.q_events_value_outliers,  # lag kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -563,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_angular_check": ann.simhash_angular_check_sql(0.45),
         "events_retention_cohorts": R.Q_EVENTS_RETENTION_COHORTS_SQL,
         "orders_price_deciles": R.Q_ORDERS_PRICE_DECILES_SQL,
+        "events_value_outliers": R.Q_EVENTS_VALUE_OUTLIERS_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

@@ -2158,3 +2158,66 @@ WITH c AS (
 SELECT o_orderkey, CAST(1 + {_DECILE_SUM} AS BIGINT) AS decile
 FROM c, q
 """
+
+
+# ---------------------------------------------------------- z-score anomalies
+
+def q_events_value_outliers(sf_dir: str, z: int = 3, num_buckets: int = 32):
+    """Per-user VALUE anomaly flags — the z-score outlier detector, in
+    EXACT integer arithmetic so the DuckDB oracle hash-compares with no
+    float crossing engines: with per-user S = sum(cents), Q = sum(cents²),
+    n = count, event x is an outlier iff
+
+        (n·x - S)² > z² · (n·Q - S²)
+
+    which is |x - mean| > z·sigma (population sigma) multiplied through by
+    n² — pure int64 at these magnitudes (cents ~1e4, n ~1e2).
+
+    Scale shape: per-user moments are per-batch (user, n, S, Q) hash-agg
+    partials -> one |users|-bounded groupby-sum; flags are one stateless
+    pass with the moments looked up via the bucket co-location (same
+    user-hash shuffle as sessionize)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        cents = pc.round(pc.multiply(t["value"], pa.scalar(100.0))) \
+            .cast(pa.int64())
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "cents": cents,
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["cents"].to_numpy().astype(np.int64)
+        grp = g.groupby("user_id")["cents"]
+        n = grp.transform("size").to_numpy().astype(np.int64)
+        s = grp.transform("sum").to_numpy().astype(np.int64)
+        q = (g["cents"] ** 2).groupby(g["user_id"]).transform("sum") \
+            .to_numpy().astype(np.int64)
+        lhs = (n * x - s) ** 2
+        rhs = z * z * (n * q - s * s)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "is_outlier": lhs > rhs})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(flag_bucket, batch_format="pandas")
+
+
+Q_EVENTS_VALUE_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS q
+  FROM c GROUP BY user_id
+)
+SELECT c.event_id,
+       (m.n * c.cents - m.s) * (m.n * c.cents - m.s) > 9 * (m.n * m.q - m.s * m.s)
+           AS is_outlier
+FROM c JOIN m USING (user_id)
+"""
