@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention_cohorts": R.q_events_retention_cohorts,  # window kin
         "orders_price_deciles": R.q_orders_price_deciles,  # quantiles kin
         "events_value_outliers": R.q_events_value_outliers,  # lag kin
+        "doc_pii_stats": docops.q_doc_pii_stats,  # redact_pii kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -565,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_cohorts": R.Q_EVENTS_RETENTION_COHORTS_SQL,
         "orders_price_deciles": R.Q_ORDERS_PRICE_DECILES_SQL,
         "events_value_outliers": R.Q_EVENTS_VALUE_OUTLIERS_SQL,
+        "doc_pii_stats": docops.doc_pii_stats_sql(),
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

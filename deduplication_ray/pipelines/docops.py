@@ -3152,3 +3152,68 @@ SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
             AS BIGINT) AS share_permille
 FROM documents GROUP BY source, lang
 """
+
+
+# --------------------------------------------------- corpus PII audit report
+
+def q_doc_pii_stats(sf_dir: str, ds=None):
+    """Corpus PII AUDIT — the compliance report a pipeline publishes before
+    releasing a corpus: per source, documents scanned, documents containing
+    each PII class (email / phone / long number), and total hits, using the
+    SAME compiled-RE2 patterns the redaction pass applies (so the report
+    and the scrubber can never disagree about what counts as PII).
+
+    Scale plan: one stateless map_batches computing per-batch (source,
+    counters) partials -> a |sources|-bounded groupby-sum; document text
+    never shuffles."""
+    from ray.data.aggregate import Sum
+
+    if ds is None:
+        ds = _docs(sf_dir, ["source", "text"])
+    names = ("email", "phone", "longnum")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"source": t["source"], "n_docs": pa.array(
+            np.ones(t.num_rows, np.int64))}
+        total = np.zeros(t.num_rows, np.int64)
+        for (pat, _), nm in zip(_PII_PATTERNS, names):
+            c = pc.count_substring_regex(t["text"], pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[f"docs_with_{nm}"] = pa.array((c > 0).astype(np.int64))
+            total += c
+        cols["total_hits"] = pa.array(total)
+        g = pa.table(cols).group_by("source").aggregate(
+            [("n_docs", "sum"), ("total_hits", "sum")]
+            + [(f"docs_with_{nm}", "sum") for nm in names])
+        return pa.table({
+            "source": g["source"],
+            "n_docs": g["n_docs_sum"].cast(pa.int64()),
+            **{f"docs_with_{nm}": g[f"docs_with_{nm}_sum"].cast(pa.int64())
+               for nm in names},
+            "total_hits": g["total_hits_sum"].cast(pa.int64()),
+        })
+
+    aggs = [Sum("n_docs", alias_name="n_docs")] + \
+        [Sum(f"docs_with_{nm}", alias_name=f"docs_with_{nm}")
+         for nm in names] + [Sum("total_hits", alias_name="total_hits")]
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("source").aggregate(*aggs))
+
+
+def doc_pii_stats_sql() -> str:
+    names = ("email", "phone", "longnum")
+    per_doc, sums = [], []
+    for (pat, _), nm in zip(_PII_PATTERNS, names):
+        sql_pat = pat.replace("'", "''")
+        per_doc.append(
+            f"length(regexp_extract_all(text, '{sql_pat}')) AS c_{nm}")
+        sums.append(f"CAST(sum(CASE WHEN c_{nm} > 0 THEN 1 ELSE 0 END) "
+                    f"AS BIGINT) AS docs_with_{nm}")
+    return f"""
+WITH d AS (SELECT source, {', '.join(per_doc)} FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       {', '.join(sums)},
+       CAST(sum({' + '.join('c_' + nm for nm in names)}) AS BIGINT)
+           AS total_hits
+FROM d GROUP BY source
+"""

@@ -925,3 +925,31 @@ def test_trigram_codes_row_boundaries(ray_session):
     out = score_char_lm(t2, model).to_pandas()
     assert out["bits_per_char_micro"][0] > 0  # 'abc' seen once: p=2/257ish
     assert out["bits_per_char_micro"][1] == 0
+
+
+def test_doc_pii_stats_counts_planted_pii(ray_session):
+    """Non-vacuity (the sf corpus contains no PII, so the corpus-level hash
+    check is zeros): planted PII-shaped strings must be counted per source
+    and per class, and a doc with two hits counts once in docs_with_*."""
+    import pyarrow as pa
+    import ray.data
+
+    from deduplication_ray.pipelines.docops import q_doc_pii_stats
+
+    rows = pa.table({
+        "source": pa.array(["a", "a", "a", "b"]),
+        "text": pa.array([
+            "reach me at bob@example.com or sue@test.org",  # 2 emails, 1 doc
+            "call 555-867-5309 now",                        # 1 phone
+            "plain text",                                    # nothing
+            "card 4111111111111111 on file",                 # 1 longnum
+        ]),
+    })
+    out = q_doc_pii_stats("", ds=ray.data.from_arrow(rows)) \
+        .to_pandas().set_index("source")
+    assert out.loc["a"].to_dict() == {
+        "n_docs": 3, "docs_with_email": 1, "docs_with_phone": 1,
+        "docs_with_longnum": 0, "total_hits": 3}
+    assert out.loc["b"].to_dict() == {
+        "n_docs": 1, "docs_with_email": 0, "docs_with_phone": 0,
+        "docs_with_longnum": 1, "total_hits": 1}
