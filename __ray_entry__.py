@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann.lsh_topk,
         "ann_topk_ivf": ann.ivf_topk,
         "ann_topk_pq": ann.pq_topk,
+        "ann_topk_ivfpq": ann.ivfpq_topk,
         "doc_lsh_dedup": docops.q_doc_lsh_dedup,
         "doc_tier_dedup": docops.q_doc_tier_dedup,
         "doc_dedup_keep_best": docops.q_doc_dedup_keep_best,

@@ -1116,3 +1116,133 @@ def _dim_of(ds: "ray.data.Dataset") -> int:
 def simhash_angular_check_sql(cos_min: float = 0.45) -> str:
     return (f"SELECT src, dst, TRUE AS sh_within_bound "
             f"FROM ({embedding_dup_pairs_sql(cos_min)})")
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def ivfpq_topk(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 16,
+    m_subs: int = 8,
+    n_cents: int = 256,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    with_recall: bool = True,
+) -> "pa.Table":
+    """IVF-PQ approximate top-k — the canonical web-scale ANN layout
+    (Jégou et al. 2011's IVFADC): the IVF coarse quantizer bounds WHICH
+    rows are scanned (nprobe/n_centroids of the corpus) and PQ bounds
+    WHAT is scanned (8 residual bytes per vector instead of 256 float
+    bytes at d=64). sim(q, x) decomposes as q·c(x) + q·r(x): the first
+    term is one centroid-table gather, the second an asymmetric-distance
+    LUT sum over the RESIDUAL codebooks (trained on sample residuals, so
+    codes spend their 8 bits on within-cell variation, not on what the
+    coarse quantizer already encodes).
+
+    Two stages, like ``pq_topk``: ENCODE drops the embedding column —
+    only (id, cell, codes) cross to the scan; SCAN reconstructs nothing.
+    All models train on the bounded deterministic sample and broadcast
+    once via ``ray.put``."""
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet",
+                            columns=[id_col, "embedding"])
+
+    st = _bounded_head(ds, id_col, 4096)
+    sample = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in st["embedding"]]))
+    cents = _kmeans_cosine(sample, n_centroids)
+    s_cell = (sample @ cents.T).argmax(axis=1)
+    books = pq_train(sample - cents[s_cell], m_subs, n_cents)
+    ds_ = books.shape[2]
+
+    qt = st.head(n_queries)
+    q_ids = qt[id_col].to_numpy().astype(np.int64)
+    qm = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qt["embedding"]]))
+    npb = min(nprobe, len(cents))
+    probed = np.sort(np.unique(np.argsort(-(qm @ cents.T),
+                                          axis=1)[:, :npb]))
+    # per-subspace residual LUTs: lut[j][qi, code] = q_sub . book_j[code]
+    luts = np.stack([qm[:, j * ds_:(j + 1) * ds_] @ books[j].T
+                     for j in range(m_subs)])
+    qc = qm @ cents.T  # (nq, n_centroids): the q.c(x) term per cell
+    eref = ray.put((cents, books))
+    sref = ray.put((q_ids, luts, qc, probed))
+
+    def encode(t: pa.Table) -> pa.Table:
+        cents_, books_ = ray.get(eref)
+        m = _normalize(_emb_matrix(t).astype(np.float64))
+        cell = (m @ cents_.T).argmax(axis=1)
+        res = m - cents_[cell]
+        codes = np.empty((t.num_rows, m_subs), dtype=np.uint8)
+        for j in range(m_subs):
+            sub = res[:, j * ds_:(j + 1) * ds_]
+            d2 = (-2.0 * (sub @ books_[j].T)
+                  + (books_[j] ** 2).sum(axis=1)[None, :])
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        offsets = pa.array(
+            np.arange(t.num_rows + 1, dtype=np.int32) * m_subs)
+        blob = pa.BinaryArray.from_buffers(
+            pa.binary(), t.num_rows,
+            [None, offsets.buffers()[1],
+             pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            "cell": pa.array(cell.astype(np.int64)),
+            "codes": blob,
+        })
+
+    class Scan:
+        def __init__(self):
+            self.state = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.state is None:
+                self.state = ray.get(sref)
+            qids_, luts_, qc_, probed_ = self.state
+            cell = t["cell"].to_numpy()
+            hit = np.isin(cell, probed_)
+            empty = pa.table({"q_id": pa.array([], pa.int64()),
+                              "n_id": pa.array([], pa.int64()),
+                              "sim": pa.array([], pa.float64())})
+            if not hit.any():
+                return empty
+            ids = t[id_col].to_numpy()[hit].astype(np.int64)
+            cell = cell[hit]
+            buf, offs = H._arrow_flat_buffer(t["codes"].combine_chunks())
+            codes = np.frombuffer(
+                buf[offs[0]:offs[0] + t.num_rows * m_subs],
+                dtype=np.uint8).reshape(t.num_rows, m_subs)[hit]
+            sims = qc_[:, cell].copy()               # (nq, n_hit)
+            for j in range(m_subs):
+                sims += luts_[j][:, codes[:, j]]
+            kk = min(k + 1, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids_)):
+                s = sims[qi]
+                part = (np.argpartition(-s, kk - 1)[:kk]
+                        if kk < len(s) else np.arange(len(s)))
+                out_q.append(np.full(len(part), qids_[qi], dtype=np.int64))
+                out_n.append(ids[part])
+                out_s.append(s[part])
+            return pa.table({
+                "q_id": np.concatenate(out_q),
+                "n_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s).astype(np.float64),
+            })
+
+    codes = ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)
+    partials = codes.map_batches(Scan(), batch_format="pyarrow",
+                                 batch_size=4096)
+    out = _distributed_topk(partials, k)
+    if not with_recall:
+        return out
+    mine = out.to_pandas()
+    brute = brute_force_topk(sf_dir, n_queries, k, table, id_col).to_pandas()
+    bset = set(zip(brute["q_id"], brute["n_id"]))
+    hits = len(set(zip(mine["q_id"], mine["n_id"])) & bset)
+    mine["recall_vs_brute"] = round(hits / max(len(bset), 1), 4)
+    return pa.Table.from_pandas(mine.reset_index(drop=True),
+                                preserve_index=False)

@@ -253,3 +253,22 @@ def test_embedding_outliers_flags_planted_tail(ray_session, tmp_path_factory):
     out2 = embedding_outliers(str(d2), n_centroids=8, frac_milli=frac) \
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_ivfpq_topk_recall_on_planted(emb_dir):
+    """IVF-PQ (coarse cells bound WHAT rows are scanned, residual PQ bounds
+    WHAT bytes are scanned) must recover the rank-1 neighbor of every
+    planted near-identical query that shares its partner's probed cell,
+    and overall recall must beat plain PQ's floor."""
+    from deduplication_ray.pipelines.ann import brute_force_topk, ivfpq_topk
+
+    d, base = emb_dir
+    exact = brute_force_topk(d, n_queries=5, k=3).to_pandas()
+    approx = ivfpq_topk(d, n_queries=5, k=3, n_centroids=16,
+                        nprobe=8).to_pandas()
+    assert approx["recall_vs_brute"].iloc[0] >= 0.5
+    for q in exact.q_id.unique():
+        top1 = exact[(exact.q_id == q) & (exact['rank'] == 1)].n_id.iloc[0]
+        got = set(approx[approx.q_id == q].n_id)
+        if int(q) % 2 == 0 and int(q) < 80:  # planted near-identical partner
+            assert top1 in got, (q, top1, got)
