@@ -155,11 +155,18 @@ def lsh_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     with_recall: bool = True,
+    multiprobe: int = 1,
 ) -> "pa.Table":
     """LSH-bucketed approximate top-k — the scale path (SURVEY T-inventory
     'IVF/LSH-bucketed variant'): score ONLY corpus rows that share a SimHash
     multi-index band with the query, instead of the full matmul. Recall vs
     ``brute_force_topk`` is measured in tests; sub-linear candidate volume.
+
+    ``multiprobe=1`` additionally probes every Hamming-1 neighbor of each
+    query band (multi-probe LSH, Lv et al., VLDB 2007 — public): 4+64
+    buckets per query instead of 4, on the QUERY side only — corpus-side
+    bucket emission is unchanged, so recall rises at zero extra shuffle
+    cost (the candidate set of multiprobe=0 is always a subset).
     """
     from deduplication_ray.stages.lsh import _hash16_bands
 
@@ -170,7 +177,19 @@ def lsh_topk(
     planes = H.make_simhash_planes(64, qm.shape[1], seed)
     q_sh = H.simhash_from_features(qm.astype(np.float32), planes)
     _, q_buckets = _hash16_bands(q_sh, 2000)
-    q_bucket_set = np.unique(q_buckets)
+    probes = [q_buckets]
+    if multiprobe:
+        # Hamming-1 probes: flip each of the 16 bits of each band chunk and
+        # re-hash with EXACTLY _hash16_bands' band-mixing formula
+        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]
+        chunks = (q_sh[:, None] >> shifts) & np.uint64(0xFFFF)  # (Q, 4)
+        mixer = ((np.arange(4, dtype=np.uint64) + np.uint64(2000))
+                 * np.uint64(0x9E3779B97F4A7C15))[None, :]
+        for b in range(16):
+            with np.errstate(over="ignore"):
+                probes.append(H.bitcast_u64_to_i64(
+                    H.splitmix64((chunks ^ np.uint64(1 << b)) + mixer)).ravel())
+    q_bucket_set = np.unique(np.concatenate(probes))
     ref = ray.put((q_ids, qm, planes, np.sort(q_bucket_set)))
 
     class BucketTopK:

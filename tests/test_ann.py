@@ -272,3 +272,14 @@ def test_ivfpq_topk_recall_on_planted(emb_dir):
         got = set(approx[approx.q_id == q].n_id)
         if int(q) % 2 == 0 and int(q) < 80:  # planted near-identical partner
             assert top1 in got, (q, top1, got)
+
+
+def test_lsh_topk_multiprobe_supersets_recall(emb_dir):
+    """Multi-probe (Hamming-1 query-side probes) must never lose a
+    candidate the single-probe path had — recall is monotone in probes."""
+    from deduplication_ray.pipelines.ann import lsh_topk
+
+    d, base = emb_dir
+    r0 = lsh_topk(d, n_queries=5, k=3, multiprobe=0).to_pandas()
+    r1 = lsh_topk(d, n_queries=5, k=3, multiprobe=1).to_pandas()
+    assert r1["recall_vs_brute"].iloc[0] >= r0["recall_vs_brute"].iloc[0]
