@@ -44,3 +44,63 @@ def test_word_grams_match_python_reference(rows, n):
         for j in range(len(toks) - n + 1):
             want.setdefault(i, []).append(" ".join(toks[j:j + n]))
     assert got == want
+
+
+# ---------------------------------------------------------------- new kernels
+
+trigram_texts = st.lists(
+    st.text(alphabet=st.sampled_from("abc XY.!\t\n01"), max_size=30),
+    min_size=0, max_size=10)
+
+
+@settings(max_examples=200, deadline=None)
+@given(trigram_texts)
+def test_trigram_codes_match_python_reference(rows):
+    from deduplication_ray.pipelines.docops import _trigram_codes
+
+    codes, offs = _trigram_codes(pa.array(rows, pa.string()))
+    got = [list(codes[offs[i]:offs[i + 1]]) for i in range(len(rows))]
+    want = []
+    for s in rows:
+        b = s.lower().encode("utf-8")
+        want.append([(b[i] << 16) | (b[i + 1] << 8) | b[i + 2]
+                     for i in range(max(len(b) - 2, 0))])
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=5))
+def test_zscore_integer_algebra_matches_float(values, z):
+    """The integer identity (n·x−S)² > z²(nQ−S²) must agree with the float
+    |x−mean| > z·sigma_pop test wherever the float test is numerically
+    unambiguous (exact integer algebra can only disagree within float
+    rounding of the boundary)."""
+    x = np.asarray(values, dtype=np.int64)
+    n = np.int64(len(x))
+    s = x.sum(dtype=np.int64)
+    q = (x.astype(object) ** 2).sum()  # exact python ints, no overflow
+    lhs = (int(n) * x.astype(object) - int(s)) ** 2
+    rhs = int(z) * int(z) * (int(n) * int(q) - int(s) ** 2)
+    got = np.array([bool(l > rhs) for l in lhs])
+    mean = x.mean()
+    sigma = x.std()  # population
+    ref = np.abs(x - mean) > z * sigma
+    margin = np.abs(np.abs(x - mean) - z * sigma)
+    unambiguous = margin > 1e-6 * max(abs(mean), sigma, 1.0)
+    assert (got[unambiguous] == ref[unambiguous]).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=0, max_size=40))
+def test_pack_unpack_u64_roundtrip(vals):
+    from deduplication_ray.functions import hashing as H
+
+    if len(vals) % 4:
+        vals = vals + [0] * (4 - len(vals) % 4)
+    m = np.asarray(vals, dtype=np.uint64).reshape(-1, 4)
+    packed = H.pack_u64_rows(m)
+    out = H.unpack_u64_rows(packed, 4)
+    assert (out == m).all()
