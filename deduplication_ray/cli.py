@@ -176,6 +176,9 @@ def main(argv: list[str] | None = None) -> int:
                         "hive-partitioned <col>=<value>/ tree (resumable "
                         "consumption; see storage.write_partitioned)")
     s.add_argument("--num-cpus", type=int, default=None)
+    s.add_argument("--stats", action="store_true",
+                   help="print Ray Data per-operator execution stats after "
+                        "the run (wall time, rows, bytes per stage)")
 
     args = p.parse_args(argv)
 
@@ -238,6 +241,8 @@ def main(argv: list[str] | None = None) -> int:
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             print(df.head(20).to_string())
             print(json.dumps({"query": args.name, "rows": len(df)}))
+        if args.stats and hasattr(res, "stats"):
+            print(res.stats())
         ray.shutdown()
         return 0
 
