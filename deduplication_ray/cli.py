@@ -164,6 +164,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--num-cpus", type=int, default=None)
 
+    s = sub.add_parser("delete", help="propagate an id deletion list through "
+                                      "a finished run (no media recompute; "
+                                      "see incremental.delete_ids)")
+    s.add_argument("--base-run", required=True, help="finished run dir")
+    s.add_argument("--base-input", default=None,
+                   help="input table dir (enables representative rebuild)")
+    s.add_argument("--ids", required=True,
+                   help="comma-separated ids, or @FILE with one id per line")
+    s.add_argument("--out", required=True, help="output run dir")
+    s.add_argument("--id-col", default="image_id")
+    s.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("query", help="run a registered pipeline over a table dir")
     s.add_argument("name", nargs="?", default=None,
                    help="query name (omit to list all)")
@@ -290,6 +302,22 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(compact_table(args.input, args.out,
                                        target_rows_per_file=args.target_rows)))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "delete":
+        ray = _session(args.num_cpus)
+        from deduplication_ray.config import DedupConfig
+        from deduplication_ray.pipelines.incremental import delete_ids
+
+        if args.ids.startswith("@"):
+            with open(args.ids[1:]) as f:
+                ids = [ln.strip() for ln in f if ln.strip()]
+        else:
+            ids = args.ids.split(",")
+        metrics = delete_ids(args.base_run, args.base_input, ids, args.out,
+                             DedupConfig(), id_col=args.id_col)
+        print(json.dumps(metrics))
         ray.shutdown()
         return 0
 

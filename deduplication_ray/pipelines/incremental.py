@@ -759,3 +759,119 @@ def ingest_delta_modal(
     run.run_stage("clusters",
                   lambda: finalize_clusters(ids, labels, cfg), ["labels"])
     return _modal_metrics(run, cfg)
+
+
+def delete_ids(
+    base_run: str,
+    base_input: str | None,
+    deleted,
+    out_run: str,
+    cfg: DedupConfig | None = None,
+    id_col: str = "image_id",
+) -> dict:
+    """Deletion propagation — the "right to be forgotten" maintenance op a
+    100 TB dedup system needs: remove a list of ids from a FINISHED run's
+    outputs without re-decoding or re-verifying anything. Signatures and
+    cluster memberships are filtered by a broadcast id set; every cluster's
+    label is re-elected as the min SURVIVING member (the same ordering the
+    union-find used, so untouched clusters keep their label bit-for-bit);
+    representative rows are rebuilt with one lookup join against the input
+    table (the only pass that touches payload bytes).
+
+    Semantics: RETAINED-EDGE — verified duplicate pairs stay merged even
+    when the member that bridged them is deleted (the pairs were true when
+    observed; deletion removes rows, not evidence). A caller wanting
+    re-split semantics re-runs the pipeline on the reduced input instead.
+
+    Writes a fresh checkpointed run at ``out_run`` (signatures / clusters /
+    representatives with lineage manifests) that downstream ``ingest_delta``
+    / ``merge_runs`` accept as a base, so deleted ids cannot resurface.
+    """
+    import pyarrow as pa
+
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+    from deduplication_ray.stages.join import lookup_join
+    from deduplication_ray.state.checkpoint import CheckpointedRun
+
+    cfg = cfg or DedupConfig()
+    dels = pa.array(sorted({str(x) for x in deleted}), pa.string())
+    dref = ray.put(dels)
+    run = CheckpointedRun(out_run, cfg)
+
+    def drop_deleted(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t[id_col].cast(pa.string()),
+                                  value_set=ray.get(dref)))
+        return t.filter(keep)
+
+    sigs = storage.read_table(f"{base_run}/signatures")
+    run.run_stage(
+        "signatures",
+        lambda: sigs.map_batches(drop_deleted, batch_format="pyarrow"),
+        ["input"])
+
+    clusters = storage.read_table(f"{base_run}/clusters")
+
+    def relabel() -> ray.data.Dataset:
+        surv = clusters.map_batches(drop_deleted,
+                                    batch_format="pyarrow").materialize()
+        schema = pa.schema([("cluster_id", pa.string()),
+                            ("new_id", pa.string())])
+
+        def red(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            out = (df.groupby("cluster_id", sort=False)[id_col].min()
+                   .rename("new_id").reset_index())
+            return pa.Table.from_pandas(out, preserve_index=False) \
+                .cast(schema)
+
+        newlab = hash_grouped_reduce(
+            surv,
+            lambda t: H.hash_bytes_array(
+                t["cluster_id"].combine_chunks().cast(pa.string())),
+            red, cfg.num_partitions)
+        j = lookup_join(surv, newlab, on=["cluster_id"], cfg=cfg)
+        return j.map_batches(
+            lambda t: pa.table({id_col: t[id_col].cast(pa.string()),
+                                "cluster_id": t["new_id"].cast(pa.string())}),
+            batch_format="pyarrow")
+
+    clusters_out = run.run_stage("clusters", relabel, ["signatures"])
+
+    if base_input is not None:
+        def reps() -> ray.data.Dataset:
+            schema = pa.schema([("cluster_id", pa.string()),
+                                ("cluster_size", pa.int64())])
+
+            def red(t: pa.Table) -> pa.Table:
+                df = t.to_pandas()
+                out = (df.groupby("cluster_id", sort=False).size()
+                       .rename("cluster_size").reset_index())
+                return pa.Table.from_pandas(out, preserve_index=False) \
+                    .cast(schema)
+
+            sizes = hash_grouped_reduce(
+                clusters_out.select_columns(["cluster_id"]),
+                lambda t: H.hash_bytes_array(
+                    t["cluster_id"].combine_chunks().cast(pa.string())),
+                red, cfg.num_partitions) \
+                .rename_columns({"cluster_id": id_col})
+            full = storage.read_table(base_input)
+            return lookup_join(full, sizes, on=[id_col], cfg=cfg)
+
+        run.run_stage("representatives", reps, ["clusters"])
+
+    metrics = {
+        "config_hash": cfg.config_hash(),
+        "deleted_ids": len(dels),
+        "stages_executed": run.executed,
+        "stage_seconds": run.timings,
+        "rows": {
+            s: (storage.read_manifest(run.stage_dir(s)) or {}).get("rows")
+            for s in ("signatures", "clusters", "representatives")
+        },
+    }
+    storage.write_manifest(run.run_dir, {"stage": "run", "complete": True,
+                                         "config_hash": cfg.config_hash(),
+                                         "metrics": metrics})
+    return metrics

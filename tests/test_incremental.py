@@ -513,3 +513,61 @@ def test_merge_runs_refuses_overlapping_ids(ray_session, tmp_path):
     with _pytest.raises(ValueError, match="disjoint ids"):
         merge_runs_modal(str(tmp_path / "run_a"), str(tmp_path / "run_b"),
                          str(tmp_path / "merged"), cfg, kind="embedding")
+
+
+def test_delete_ids_propagates_deletion(ray_session, tiny_fixture, tiny_run,
+                                        tmp_path):
+    """Deletion propagation: no deleted id survives in any output stage;
+    surviving membership PARTITION is unchanged (retained-edge semantics);
+    every new label is its cluster's min surviving member; representatives
+    cover exactly the new cluster heads with survivor counts."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import delete_ids
+    from deduplication_ray.sources import storage
+
+    run_dir, _, _ = tiny_run
+    cfg = DedupConfig(num_partitions=4)
+    orig = storage.read_table(f"{run_dir}/clusters").to_pandas()
+
+    sizes = orig.groupby("cluster_id").size()
+    multi = sizes[sizes > 1].index.tolist()
+    assert len(multi) >= 5, "fixture must contain multi-member clusters"
+    # delete: 3 cluster HEADS (labels die), 3 non-head members, 3 singletons
+    heads = multi[:3]
+    nonheads = [orig[(orig.cluster_id == c) & (orig.image_id != c)]
+                .image_id.iloc[0] for c in multi[3:6]]
+    singles = sizes[sizes == 1].index.tolist()[:3]
+    deleted = set(heads) | set(nonheads) | set(singles)
+
+    out = str(tmp_path / "del_run")
+    m = delete_ids(run_dir, f"{tiny_fixture}/data", deleted, out, cfg)
+    assert m["deleted_ids"] == len(deleted)
+
+    new = storage.read_table(f"{out}/clusters").to_pandas()
+    # (a) exact survivor id set, nothing deleted anywhere
+    assert set(new.image_id) == set(orig.image_id) - deleted
+    assert not (set(new.image_id) | set(new.cluster_id)) & deleted
+    sigs = storage.read_table(f"{out}/signatures").to_pandas()
+    assert not set(sigs.image_id) & deleted
+    assert set(sigs.image_id) == set(orig.image_id) - deleted
+
+    # (b) membership partition unchanged on survivors
+    surv = orig[~orig.image_id.isin(deleted)]
+    want = {c: frozenset(g.image_id) for c, g in surv.groupby("cluster_id")}
+    got = {c: frozenset(g.image_id) for c, g in new.groupby("cluster_id")}
+    assert set(want.values()) == set(got.values())
+
+    # (c) every label is the min surviving member; untouched clusters keep
+    # their label bit-for-bit
+    for c, members in got.items():
+        assert c == min(members)
+    untouched = surv[~surv.cluster_id.isin(deleted)]
+    merged = untouched.merge(new, on="image_id", suffixes=("_old", "_new"))
+    assert (merged.cluster_id_old == merged.cluster_id_new).all()
+
+    # (d) representatives = exactly the new heads, with survivor counts
+    reps = storage.read_table(f"{out}/representatives").to_pandas()
+    assert set(reps.image_id) == set(new.cluster_id)
+    rep_sizes = dict(zip(reps.image_id, reps.cluster_size))
+    for c, members in got.items():
+        assert rep_sizes[c] == len(members)
