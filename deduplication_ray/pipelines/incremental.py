@@ -786,6 +786,12 @@ def delete_ids(
     Writes a fresh checkpointed run at ``out_run`` (signatures / clusters /
     representatives with lineage manifests) that downstream ``ingest_delta``
     / ``merge_runs`` accept as a base, so deleted ids cannot resurface.
+
+    Works on image AND text runs (per-stage id columns are resolved from
+    each checkpoint's schema). The representative rebuild joins the input
+    on the cluster-label column and therefore needs a string-typed id
+    column (the image fixture's shape); text callers pass
+    ``base_input=None`` — text runs keep no representative payloads.
     """
     import pyarrow as pa
 
@@ -800,7 +806,11 @@ def delete_ids(
     run = CheckpointedRun(out_run, cfg)
 
     def drop_deleted(t: pa.Table) -> pa.Table:
-        keep = pc.invert(pc.is_in(t[id_col].cast(pa.string()),
+        # per-stage id column: text runs carry the engine-canonical
+        # "image_id" in signatures but "doc_id" in clusters
+        col = id_col if id_col in t.column_names else (
+            "image_id" if "image_id" in t.column_names else "doc_id")
+        keep = pc.invert(pc.is_in(t[col].cast(pa.string()),
                                   value_set=ray.get(dref)))
         return t.filter(keep)
 
@@ -811,6 +821,9 @@ def delete_ids(
         ["input"])
 
     clusters = storage.read_table(f"{base_run}/clusters")
+    member_col = (id_col if id_col in clusters.schema().names
+                  else ("image_id" if "image_id" in clusters.schema().names
+                        else "doc_id"))
 
     def relabel() -> ray.data.Dataset:
         surv = clusters.map_batches(drop_deleted,
@@ -820,7 +833,7 @@ def delete_ids(
 
         def red(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
-            out = (df.groupby("cluster_id", sort=False)[id_col].min()
+            out = (df.groupby("cluster_id", sort=False)[member_col].min()
                    .rename("new_id").reset_index())
             return pa.Table.from_pandas(out, preserve_index=False) \
                 .cast(schema)
@@ -832,7 +845,7 @@ def delete_ids(
             red, cfg.num_partitions)
         j = lookup_join(surv, newlab, on=["cluster_id"], cfg=cfg)
         return j.map_batches(
-            lambda t: pa.table({id_col: t[id_col].cast(pa.string()),
+            lambda t: pa.table({member_col: t[member_col].cast(pa.string()),
                                 "cluster_id": t["new_id"].cast(pa.string())}),
             batch_format="pyarrow")
 
@@ -855,9 +868,9 @@ def delete_ids(
                 lambda t: H.hash_bytes_array(
                     t["cluster_id"].combine_chunks().cast(pa.string())),
                 red, cfg.num_partitions) \
-                .rename_columns({"cluster_id": id_col})
+                .rename_columns({"cluster_id": member_col})
             full = storage.read_table(base_input)
-            return lookup_join(full, sizes, on=[id_col], cfg=cfg)
+            return lookup_join(full, sizes, on=[member_col], cfg=cfg)
 
         run.run_stage("representatives", reps, ["clusters"])
 

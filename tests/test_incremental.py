@@ -571,3 +571,39 @@ def test_delete_ids_propagates_deletion(ray_session, tiny_fixture, tiny_run,
     rep_sizes = dict(zip(reps.image_id, reps.cluster_size))
     for c, members in got.items():
         assert rep_sizes[c] == len(members)
+
+
+def test_delete_ids_text_mode(ray_session, tmp_path):
+    """Deletion propagation on a TEXT run (checkpoints carry the
+    engine-canonical image_id column): survivors only, partition
+    unchanged, labels re-elected."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import delete_ids
+    from deduplication_ray.pipelines.text_dedup import run_text_pipeline
+    from deduplication_ray.sources import storage
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"]).slice(0, 150)
+    d_in = str(tmp_path / "docs")
+    import os
+    os.makedirs(d_in)
+    pq.write_table(src, f"{d_in}/part-0.parquet")
+    cfg = DedupConfig(num_partitions=4, sa_batch_size=1024)
+    base = str(tmp_path / "base_run")
+    run_text_pipeline(d_in, base, cfg)
+
+    orig = storage.read_table(f"{base}/clusters").to_pandas()
+    deleted = set(orig.image_id.iloc[:10])  # engine-canonical string ids
+    out = str(tmp_path / "out_run")
+    delete_ids(base, None, deleted, out, cfg)
+
+    new = storage.read_table(f"{out}/clusters").to_pandas()
+    assert set(new.image_id) == set(orig.image_id) - deleted
+    surv = orig[~orig.image_id.isin(deleted)]
+    want = {frozenset(g.image_id) for _, g in surv.groupby("cluster_id")}
+    got = {frozenset(g.image_id) for _, g in new.groupby("cluster_id")}
+    assert want == got
+    for c, g in new.groupby("cluster_id"):
+        assert c == min(g.image_id)
+    sigs = storage.read_table(f"{out}/signatures").to_pandas()
+    assert not set(sigs.image_id) & deleted
