@@ -607,3 +607,46 @@ def test_delete_ids_text_mode(ray_session, tmp_path):
         assert c == min(g.image_id)
     sigs = storage.read_table(f"{out}/signatures").to_pandas()
     assert not set(sigs.image_id) & deleted
+
+
+def test_delete_then_ingest_never_resurrects(ray_session, tiny_fixture,
+                                             tiny_run, tmp_path):
+    """Composition contract: a deletion-propagated run is a valid ingest
+    base, and deleted ids can never resurface in the ingest output — even
+    though the (unfiltered) original input is passed as base_input: the id
+    universe comes from the filtered clusters/signatures checkpoints, and
+    edges touching deleted ids drop at signature attach."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.incremental import delete_ids, ingest_delta
+    from deduplication_ray.sources import storage
+
+    run_dir, _, _ = tiny_run
+    cfg = DedupConfig(num_partitions=4, sig_concurrency=2)
+    orig = storage.read_table(f"{run_dir}/clusters").to_pandas()
+    deleted = set(orig.image_id.iloc[10:25])
+
+    del_run = str(tmp_path / "del_run")
+    delete_ids(run_dir, f"{tiny_fixture}/data", deleted, del_run, cfg)
+
+    # delta = 40 fresh rows, remapped into a DISTINCT id namespace (the
+    # fixture generator reuses img_%09d ids, which would collide)
+    from deduplication_ray.sources import fixtures
+    gen_dir = str(tmp_path / "gen")
+    fixtures.generate(gen_dir, 40, seed=7)
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    t = pads.dataset(gen_dir + "/data").to_table()
+    t = t.set_column(t.column_names.index("image_id"), "image_id",
+                     pc.replace_substring(t["image_id"], "img_", "new_"))
+    delta_dir = str(tmp_path / "delta")
+    os.makedirs(delta_dir)
+    pq.write_table(t, f"{delta_dir}/part-0.parquet")
+
+    out = str(tmp_path / "ingested")
+    ingest_delta(del_run, f"{tiny_fixture}/data", delta_dir, out, cfg)
+    final = storage.read_table(f"{out}/clusters").to_pandas()
+    assert not set(final.image_id) & deleted
+    assert not set(final.cluster_id) & deleted
+    delta_ids = set(storage.read_table(delta_dir, columns=["image_id"])
+                    .to_pandas().image_id)
+    assert set(final.image_id) == (set(orig.image_id) - deleted) | delta_ids
