@@ -458,11 +458,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_deciles": R.q_orders_price_deciles,  # quantiles kin
         "events_value_outliers": R.q_events_value_outliers,  # lag kin
         "doc_pii_stats": docops.q_doc_pii_stats,  # redact_pii kin
+        "events_orders_salted_join": R.q_events_orders_salted_join,  # join kin
+        "lineitem_flag_overlap_kmv": R.q_lineitem_flag_overlap_kmv,  # HLL kin
+        "doc_upsert": docops.q_doc_upsert,  # version_diff kin (MERGE INTO)
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
         "embedding_semdedup": ann.embedding_semdedup,
         "embedding_outliers": ann.embedding_outliers,
+        "dup_graph_pagerank": ann.dup_graph_pagerank,
         "ann_topk_lsh": ann.lsh_topk,
         "ann_topk_ivf": ann.ivf_topk,
         "ann_topk_pq": ann.pq_topk,
@@ -475,6 +479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_model_score": docops.q_doc_model_score,
         "doc_lm_score": docops.q_doc_lm_score,
         "doc_train_classifier": docops.q_doc_train_classifier,
+        "doc_train_bpe": docops.q_doc_train_bpe,
+        "doc_bpe_tokenize": docops.q_doc_bpe_tokenize,
         "top_terms_sketch": docops.q_top_terms_sketch,
         "lsh_bucket_stats": docops.q_lsh_bucket_stats,
         "image_dedup_clusters": _img_fixture_query,
@@ -568,6 +574,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_deciles": R.Q_ORDERS_PRICE_DECILES_SQL,
         "events_value_outliers": R.Q_EVENTS_VALUE_OUTLIERS_SQL,
         "doc_pii_stats": docops.doc_pii_stats_sql(),
+        # salted join == unsalted join by construction: oracle is the plain join
+        "events_orders_salted_join": R.Q_EVENTS_ORDERS_SALTED_JOIN_SQL,
+        # KMV verdict: oracle = exact overlap + constant TRUE
+        "lineitem_flag_overlap_kmv": R.Q_LINEITEM_FLAG_OVERLAP_KMV_SQL,
+        "doc_upsert": docops.Q_DOC_UPSERT_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

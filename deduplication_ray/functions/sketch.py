@@ -61,6 +61,41 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+# ------------------------------------------------- KMV (bottom-k) sketch
+
+def kmv_update(state: np.ndarray, hashes: np.ndarray, k: int) -> np.ndarray:
+    """Fold u64 hashes into a bottom-k sketch (the k smallest DISTINCT hash
+    values seen so far; Bar-Yossef et al. 2002). Vectorized: one concat +
+    unique per call. Returns the new state (sorted ascending, len <= k)."""
+    merged = np.unique(np.concatenate([state, hashes.astype(np.uint64)]))
+    return merged[:k]
+
+
+def kmv_merge(a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    """Union of two bottom-k sketches = bottom-k of the merged hash sets —
+    associative/commutative, so per-block partials combine in any order."""
+    return np.unique(np.concatenate([a, b]))[:k]
+
+
+def kmv_estimate(state: np.ndarray, k: int) -> float:
+    """Distinct-count estimate: (k-1) / (kth smallest hash / 2^64). Below k
+    observed values the sketch IS the exact distinct set."""
+    if len(state) < k:
+        return float(len(state))
+    return (k - 1) / (float(state[k - 1]) / 2.0 ** 64)
+
+
+def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
+    """Jaccard estimate of the two underlying sets: fraction of the union
+    sketch's bottom-k that appears in BOTH input sketches (the union sketch
+    is a uniform bottom-k sample of A u B; Beyer et al. 2007)."""
+    u = kmv_merge(a, b, k)
+    if len(u) == 0:
+        return 0.0
+    both = np.isin(u, a) & np.isin(u, b)
+    return float(both.sum()) / float(len(u))
+
+
 # ------------------------------------------------------------- Bloom filter
 
 def bloom_init(n_bits: int) -> np.ndarray:

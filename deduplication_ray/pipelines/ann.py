@@ -1265,3 +1265,101 @@ def ivfpq_topk(
     mine["recall_vs_brute"] = round(hits / max(len(bset), 1), 4)
     return pa.Table.from_pandas(mine.reset_index(drop=True),
                                 preserve_index=False)
+
+
+# --------------------------------------------------- dup-graph PageRank
+
+def dup_graph_pagerank(sf_dir: str, iters: int = 8, cos_min: float = 0.45,
+                       table: str = "embeddings", id_col: str = "vec_id",
+                       total_mass: int = 10 ** 12) -> "ray.data.Dataset":
+    """PageRank centrality over the semantic near-duplicate graph — ranks
+    the "template hubs" of a dup cluster (pages many near-copies point at
+    through similarity edges), the signal behind boilerplate-hub discovery
+    and representative election by centrality instead of min-id.
+
+    FIXED-POINT integer PageRank (Page et al. 1999; damping 85/100,
+    uniform teleport): ranks live in integer mass units (initial mass
+    ``total_mass // n`` per node), each edge carries
+    ``(85 * rank_u) // (100 * deg_u)``, floors included — every quantity is
+    an int64, so per-iteration sums are associative and the result is
+    bit-identical at ANY partitioning (the repo's no-floats-cross-engines
+    discipline applied to an iterative numeric algorithm). Mass lost to
+    floors/isolated nodes is not renormalized — documented semantics, not
+    drift.
+
+    Scale shape per iteration: attach ranks to the static (u, v, deg) edge
+    table (size-dispatched ``lookup_join`` — broadcast at test scale, the
+    hash-co-partitioned join at 10^12 edges), one vectorized contribution
+    map, one groupby(dst)-sum bounded by |nodes|, one left-join back onto
+    the node set. No driver materialization of ranks.
+
+    Rows-only query (iterative; not ANSI-SQL-expressible): exact serial
+    parity and partition invariance are asserted in
+    tests/test_ann.py::test_dup_graph_pagerank_serial_parity."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
+    pairs = embedding_dup_pairs(sf_dir, cos_min=cos_min, table=table,
+                                id_col=id_col)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["src"].cast(pa.int64()).to_numpy()
+        b = t["dst"].cast(pa.int64()).to_numpy()
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    degrees = edges.groupby("u").count()
+
+    def deg_col(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["u"], "deg": t["count()"].cast(pa.int64())})
+
+    edges_deg = lookup_join(
+        edges, degrees.map_batches(deg_col, batch_format="pyarrow"),
+        on=["u"], cfg=cfg).materialize()
+
+    nodes = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col]) \
+        .map_batches(lambda t: pa.table({"v": t[id_col].cast(pa.int64())}),
+                     batch_format="pyarrow").materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda t: pa.table({id_col: t["v"],
+                                "rank_mass": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    r0 = total_mass // n
+    base = (15 * r0) // 100
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table({"u": t["v"],
+                            "rank_mass": pa.array(
+                                np.full(t.num_rows, r0, np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        with_rank = lookup_join(edges_deg, ranks, on=["u"], cfg=cfg)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t["rank_mass"].to_numpy()
+            d = t["deg"].to_numpy()
+            return pa.table({"v": t["v"],
+                             "c": pa.array((85 * r) // (100 * d))})
+
+        inc = with_rank.map_batches(contrib, batch_format="pyarrow") \
+            .groupby("v").aggregate(Sum("c", alias_name="c"))
+        joined = lookup_join(nodes, inc, on=["v"], cfg=cfg, how="left")
+
+        def apply(t: pa.Table) -> pa.Table:
+            c = pc.fill_null(t["c"], 0).cast(pa.int64())
+            return pa.table({"u": t["v"],
+                             "rank_mass": pc.add(c, pa.scalar(base,
+                                                              pa.int64()))})
+
+        ranks = joined.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({id_col: t["u"], "rank_mass": t["rank_mass"]}),
+        batch_format="pyarrow")

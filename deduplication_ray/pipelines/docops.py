@@ -3217,3 +3217,271 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            AS total_hits
 FROM d GROUP BY source
 """
+
+
+# ------------------------------------------------------ BPE tokenizer training
+
+def corpus_word_counts(ds: ray.data.Dataset,
+                       vocab_cap: int = 30000) -> tuple[list[str], np.ndarray]:
+    """Corpus WORD-FREQUENCY table, distributed: per-batch ``np.unique``
+    partials (one row per distinct token per block) -> one groupby-sum
+    bounded by the word vocabulary, never corpus-sized -> per-block partial
+    top-``vocab_cap`` -> tiny driver merge. This is the exact shape
+    SentencePiece / HF tokenizers train from (merges are learned from word
+    counts, not the raw stream). The heavy-tail cap bounds driver memory at
+    web scale (Zipf tail words contribute ~nothing to pair counts and still
+    tokenize fine at apply time); ties break lexicographically so the cap
+    is deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_flat(t["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        toks = toks[toks != ""]
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table({"tok": pa.array(u, pa.string()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("tok").aggregate(Sum("n", alias_name="n")))
+
+    def topcap(t: pa.Table) -> pa.Table:
+        df_ = (t.to_pandas().sort_values(["n", "tok"], ascending=[False, True])
+               .head(vocab_cap))
+        return pa.Table.from_pandas(df_, preserve_index=False)
+
+    cand = agg.map_batches(topcap, batch_format="pyarrow").to_pandas()
+    cand = (cand.sort_values(["n", "tok"], ascending=[False, True])
+            .head(vocab_cap).reset_index(drop=True))
+    return cand["tok"].tolist(), cand["n"].to_numpy().astype(np.int64)
+
+
+def _bpe_apply_merge(s: tuple, left: str, right: str, new: str) -> tuple:
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if i < n - 1 and s[i] == left and s[i + 1] == right:
+            out.append(new)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_merge_loop(words: list[str], counts: np.ndarray,
+                   num_merges: int) -> list[tuple[str, str]]:
+    """Deterministic BPE merge loop over a word-frequency table (Sennrich
+    et al. 2016, "Neural Machine Translation of Rare Words with Subword
+    Units" — public; learn_bpe): per round the highest-total-count adjacent
+    symbol pair wins, ties broken by the lexicographically smallest
+    (left, right), so the merge table is a pure function of the word-count
+    table. Incremental maintenance: only words containing the winning pair
+    are re-scanned (pair -> word-index inverted lists), the classic fast
+    variant — the loop never re-walks the whole vocabulary."""
+    from collections import defaultdict
+
+    syms: list[tuple] = [tuple(w) for w in words]
+    pair_n: dict = defaultdict(int)
+    pair_w: dict = defaultdict(set)
+    for i, s in enumerate(syms):
+        c = int(counts[i])
+        for p in zip(s, s[1:]):
+            pair_n[p] += c
+            pair_w[p].add(i)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_n:
+            break
+        best = min(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_n[best] <= 0:
+            break
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        for i in sorted(pair_w[best]):
+            s, c = syms[i], int(counts[i])
+            for p in zip(s, s[1:]):
+                pair_n[p] -= c
+                pair_w[p].discard(i)
+                if pair_n[p] <= 0:
+                    pair_n.pop(p, None)
+                    pair_w.pop(p, None)
+            s = _bpe_apply_merge(s, best[0], best[1], new_sym)
+            syms[i] = s
+            for p in zip(s, s[1:]):
+                pair_n[p] += c
+                pair_w[p].add(i)
+    return merges
+
+
+def bpe_token_count(word: str, ranks: dict, merge_at: list,
+                    cache: dict) -> int:
+    """Number of BPE tokens ``word`` encodes to under the trained merge
+    table: repeatedly apply the LOWEST-RANK applicable merge (the standard
+    greedy BPE encoder). Memoized per distinct word — each batch pays the
+    loop once per unique word, not once per occurrence."""
+    got = cache.get(word)
+    if got is not None:
+        return got
+    s = tuple(word)
+    while len(s) > 1:
+        best_rank = None
+        for p in zip(s, s[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        left, right = merge_at[best_rank]
+        s = _bpe_apply_merge(s, left, right, left + right)
+    cache[word] = len(s)
+    return len(s)
+
+
+def q_doc_train_bpe(sf_dir: str, num_merges: int = 200,
+                    vocab_cap: int = 30000):
+    """Distributed BPE tokenizer TRAINING — the vocabulary-construction step
+    of an LLM data pipeline. Rows-only (an iterative argmax loop, not
+    ANSI-SQL-expressible); exact end-to-end parity with an independent
+    serial implementation plus partition invariance are asserted in
+    tests/test_bpe.py.
+
+    Scale plan: the only distributed work is the word-count pass
+    (vocabulary-bounded groupby-sum, per-block partial top-k); the merge
+    loop itself runs on the capped driver-side table — the standard
+    architecture (HF tokenizers / SentencePiece train exactly this way)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    words, counts = corpus_word_counts(ds, vocab_cap)
+    merges = bpe_merge_loop(words, counts, num_merges)
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "merged": [m[0] + m[1] for m in merges],
+    })
+
+
+def q_doc_bpe_tokenize(sf_dir: str, num_merges: int = 200,
+                       vocab_cap: int = 30000):
+    """BPE tokenization APPLY pass: train the merge table (above), broadcast
+    it once via ``ray.put``, then one stateless map_batches encodes every
+    document — per batch the encoder loop runs once per DISTINCT word
+    (np.unique + inverse-index scatter), and per-doc totals come from one
+    ``np.add.reduceat`` over the flat token array. Output: (doc_id,
+    n_words, n_bpe_tokens). Rows-only; serial parity + the
+    chars >= tokens >= words compression invariants are asserted in
+    tests/test_bpe.py."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    merges = bpe_merge_loop(*corpus_word_counts(ds, vocab_cap), num_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    ref = ray.put((ranks, merges))
+
+    class Encode:
+        def __init__(self):
+            self.ranks, self.merges = ray.get(ref)
+            self.cache: dict = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, offs = _tokens_flat(t["text"])
+            toks = flat.to_numpy(zero_copy_only=False)
+            nonempty = toks != ""
+            u, inv = np.unique(toks, return_inverse=True)
+            per_u = np.array([bpe_token_count(w, self.ranks, self.merges,
+                                              self.cache) if w else 0
+                              for w in u], dtype=np.int64)
+            per_tok = per_u[inv]
+            per_tok[~nonempty] = 0
+            ext = np.append(per_tok, 0)
+            wext = np.append(nonempty.astype(np.int64), 0)
+            starts = np.minimum(offs[:-1], len(per_tok))
+            n_tok = np.add.reduceat(ext, starts)
+            n_w = np.add.reduceat(wext, starts)
+            empty = offs[1:] == offs[:-1]
+            n_tok[empty] = 0
+            n_w[empty] = 0
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_w.astype(np.int64)),
+                "n_bpe_tokens": pa.array(n_tok.astype(np.int64)),
+            })
+
+    return ds.map_batches(Encode, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+# ------------------------------------------------------- keyed upsert (merge)
+
+def q_doc_upsert(sf_dir: str, num_partitions: int = 16):
+    """Keyed UPSERT / latest-writer-wins merge — the table-maintenance verb
+    behind incremental crawl refreshes (Delta/Iceberg MERGE INTO shape):
+    base = every document at version 1; delta = re-crawled rows (doc_id
+    divisible by 5, n_chars grew by 1000) at version 2 plus brand-new rows
+    (doc_id + 1,000,000 for doc_id divisible by 7); output = one row per
+    key at its highest version. Delta is DERIVED deterministically from the
+    documents table so the DuckDB oracle builds the identical inputs.
+
+    Scale shape: per-batch local argmax-by-version reduce first (np.lexsort
+    keep-last, so in-batch duplicates collapse before the wire), then ONE
+    hash-partitioned groupby(doc_id).map_groups picking the max-version
+    row — the classic combiner + single-shuffle merge; no driver
+    materialization."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "version": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_chars": t["n_chars"].cast(pa.int64()),
+        })
+
+    def delta(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        chars = t["n_chars"].to_numpy().astype(np.int64)
+        upd = ids % 5 == 0
+        new = ids % 7 == 0
+        out_id = np.concatenate([ids[upd], ids[new] + 1_000_000])
+        out_ch = np.concatenate([chars[upd] + 1000, chars[new]])
+        return pa.table({
+            "doc_id": pa.array(out_id),
+            "version": pa.array(np.full(len(out_id), 2, np.int64)),
+            "n_chars": pa.array(out_ch),
+        })
+
+    def local_latest(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        ver = t["version"].to_numpy()
+        order = np.lexsort((ver, ids))
+        ids_s = ids[order]
+        last = np.concatenate([ids_s[1:] != ids_s[:-1], [True]]) \
+            if len(ids_s) else np.zeros(0, bool)
+        return t.take(pa.array(order[last]))
+
+    def pick_latest(g: pa.Table) -> pa.Table:
+        i = int(pc.index(g["version"], pc.max(g["version"])).as_py())
+        return g.slice(i, 1)
+
+    unioned = ds.map_batches(base, batch_format="pyarrow") \
+        .union(ds.map_batches(delta, batch_format="pyarrow")) \
+        .map_batches(local_latest, batch_format="pyarrow")
+    return unioned.groupby("doc_id").map_groups(
+        pick_latest, batch_format="pyarrow")
+
+
+Q_DOC_UPSERT_SQL = """
+WITH base AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS version,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+), delta AS (
+  SELECT doc_id, CAST(2 AS BIGINT) AS version,
+         CAST(n_chars + 1000 AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, CAST(2 AS BIGINT), CAST(n_chars AS BIGINT)
+  FROM documents WHERE doc_id % 7 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta
+)
+SELECT doc_id, CAST(max(version) AS BIGINT) AS version,
+       CAST(max_by(n_chars, version) AS BIGINT) AS n_chars
+FROM u GROUP BY doc_id
+"""

@@ -2221,3 +2221,162 @@ SELECT c.event_id,
            AS is_outlier
 FROM c JOIN m USING (user_id)
 """
+
+
+# ----------------------------------------------------------- salted skew join
+
+def q_events_orders_salted_join(sf_dir: str, salt: int = 8,
+                                num_buckets: int = 32):
+    """events x orders on user_id = o_custkey via an explicitly SALTED
+    hash-partitioned join — the skew-defusal form for a large-large join
+    whose key distribution is hot (here every user is hot: 150 users x
+    ~67 events x ~100 orders each at sf0.01 -> ~96k joined rows from 10k+15k
+    inputs; an unsalted hash join puts each user's entire cross product in
+    one bucket).
+
+    Plan: left rows get a deterministic salt = splitmix64(event_id) mod S;
+    the right side is replicated S times (one copy per salt value); the join
+    runs hash-co-partitioned on (key, salt), so one hot key's work spreads
+    across S buckets instead of serializing in one. Right-side wire volume
+    multiplies by S — the correct tradeoff when the LEFT side is huge and
+    skewed and the right is the smaller big table (at true broadcast size
+    ``lookup_join`` wins instead). Same discipline as the LSH hot-bucket
+    salting (``stages/lsh.py``); result is provably identical to the
+    unsalted join, which the DuckDB oracle checks."""
+    from deduplication_ray.stages.join import shuffle_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        s = H.splitmix64(t["event_id"].to_numpy().astype(np.int64)
+                         .view(np.uint64)) % np.uint64(salt)
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "salt": pa.array(s.astype(np.int64))})
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cents = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))) \
+            .cast(pa.int64()).to_numpy()
+        cust = t["o_custkey"].to_numpy()
+        idx = np.repeat(np.arange(n), salt)
+        return pa.table({
+            "user_id": pa.array(cust[idx]),
+            "salt": pa.array(np.tile(np.arange(salt, dtype=np.int64), n)),
+            "cents": pa.array(cents[idx]),
+        })
+
+    joined = shuffle_join(
+        ev.map_batches(salt_left, batch_format="pyarrow"),
+        orders.map_batches(replicate_right, batch_format="pyarrow"),
+        on=["user_id", "salt"], how="inner", num_buckets=num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "cents": g["cents_sum"].cast(pa.int64()),
+                         "n": g["cents_count"].cast(pa.int64())})
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("n", alias_name="n_pairs"),
+                                         Sum("cents", alias_name="sum_cents"))
+
+
+Q_EVENTS_ORDERS_SALTED_JOIN_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events JOIN orders ON user_id = o_custkey
+GROUP BY event_type
+"""
+
+
+# ------------------------------------------------- KMV set-overlap verdict
+
+def q_lineitem_flag_overlap_kmv(sf_dir: str, k: int = 1024):
+    """KMV (bottom-k) sketch SET-INTERSECTION verdict: estimate
+    |orderkeys(R) ∩ orderkeys(A)| from two mergeable bottom-k sketches
+    (Bar-Yossef et al. 2002; Jaccard from the union sketch per Beyer et al.
+    2007: J = |bottom-k(A∪B) present in both| / |bottom-k(A∪B)|, intersection
+    = J * union estimate), then recompute the exact overlap DISTRIBUTED and
+    emit (exact_r, exact_a, exact_inter, kmv_within_bound) — the same
+    verdict form as the HLL checks, so the approximate answer value-hashes
+    against a deterministic TRUE-constant oracle.
+
+    Scale shape: sketch side = per-batch bottom-k partials (2 rows x k u64
+    per block, merged k-bounded on the driver — no shuffle); exact side =
+    per-batch unique (flag, key) pairs -> cardinality-bounded groupbys.
+    Bound: 4.5 sigma with sigma_J = sqrt(J(1-J)/k) plus the union
+    estimator's 4.5/sqrt(k) relative error — deterministic given the fixed
+    hash, holds at every sf."""
+    from deduplication_ray.functions import sketch as SK
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+               filter=(pc.field("l_returnflag") != "N"))
+
+    def sk_partial(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        keys = t["l_orderkey"].to_numpy()
+        out_f, out_s = [], []
+        for f in ("R", "A"):
+            sub = keys[flags == f]
+            if len(sub):
+                h = H.splitmix64(sub.astype(np.int64).view(np.uint64))
+                sk = SK.kmv_update(np.empty(0, np.uint64), h, k)
+                out_f.append(f)
+                out_s.append(sk.view(np.int64))
+        return pa.table({"flag": pa.array(out_f, pa.string()),
+                         "sk": pa.array([s.tolist() for s in out_s],
+                                        pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(sk_partial, batch_format="pyarrow").to_pandas()
+    sks = {"R": np.empty(0, np.uint64), "A": np.empty(0, np.uint64)}
+    for f, s in zip(parts["flag"], parts["sk"]):
+        sks[f] = SK.kmv_merge(sks[f], np.asarray(s, np.int64).view(np.uint64), k)
+
+    def uniq(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        keys = t["l_orderkey"].to_numpy()
+        order = np.lexsort((keys, flags))
+        f_s, k_s = flags[order], keys[order]
+        keep = np.concatenate([[True], (f_s[1:] != f_s[:-1])
+                               | (k_s[1:] != k_s[:-1])]) \
+            if len(f_s) else np.zeros(0, bool)
+        return pa.table({"flag": pa.array(f_s[keep]),
+                         "k": pa.array(k_s[keep])})
+
+    dedup = ds.map_batches(uniq, batch_format="pyarrow") \
+        .groupby(["flag", "k"]).count().materialize()
+    per_flag = dedup.groupby("flag").count().to_pandas() \
+        .set_index("flag")["count()"]
+    per_key = dedup.groupby("k").count().materialize()
+    n_union = per_key.count()
+    n_inter = per_key.map_batches(
+        lambda t: t.filter(pc.equal(t["count()"], 2)),
+        batch_format="pyarrow").count()
+
+    j_est = SK.kmv_jaccard(sks["R"], sks["A"], k)
+    union_est = SK.kmv_estimate(SK.kmv_merge(sks["R"], sks["A"], k), k)
+    inter_est = j_est * union_est
+    bound = 4.5 * (np.sqrt(max(j_est * (1 - j_est), 1e-9) / k)
+                   + 1.0 / np.sqrt(k)) * n_union
+    ok = abs(inter_est - n_inter) <= bound
+    return pd.DataFrame({
+        "exact_r": [int(per_flag.get("R", 0))],
+        "exact_a": [int(per_flag.get("A", 0))],
+        "exact_inter": [int(n_inter)],
+        "kmv_within_bound": [bool(ok)],
+    })
+
+
+Q_LINEITEM_FLAG_OVERLAP_KMV_SQL = """
+WITH a AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+     b AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_r,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_a,
+       CAST((SELECT count(*) FROM a JOIN b USING (l_orderkey)) AS BIGINT)
+           AS exact_inter,
+       TRUE AS kmv_within_bound
+"""

@@ -283,3 +283,38 @@ def test_lsh_topk_multiprobe_supersets_recall(emb_dir):
     r0 = lsh_topk(d, n_queries=5, k=3, multiprobe=0).to_pandas()
     r1 = lsh_topk(d, n_queries=5, k=3, multiprobe=1).to_pandas()
     assert r1["recall_vs_brute"].iloc[0] >= r0["recall_vs_brute"].iloc[0]
+
+
+def test_dup_graph_pagerank_serial_parity(emb_dir):
+    """Fixed-point integer PageRank must equal a serial numpy run of the
+    identical algorithm BIT-FOR-BIT (integer sums are associative, floor
+    divisions are per-edge), and hubs must outrank isolated nodes."""
+    from deduplication_ray.pipelines.ann import dup_graph_pagerank
+
+    d, base = emb_dir
+    cos_min, iters, total_mass = 0.45, 6, 10 ** 12
+    got = (dup_graph_pagerank(d, iters=iters, cos_min=cos_min,
+                              total_mass=total_mass)
+           .to_pandas().set_index("vec_id").sort_index())
+
+    m = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = m @ m.T
+    n = len(base)
+    iu, ju = np.triu_indices(n, k=1)
+    keep = sims[iu, ju] >= cos_min
+    src = np.concatenate([iu[keep], ju[keep]])
+    dst = np.concatenate([ju[keep], iu[keep]])
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    r0 = total_mass // n
+    bse = (15 * r0) // 100
+    rank = np.full(n, r0, dtype=np.int64)
+    for _ in range(iters):
+        contrib = (85 * rank[src]) // (100 * deg[src])
+        rank = bse + np.zeros(n, np.int64)
+        np.add.at(rank, dst, contrib)
+    assert (got["rank_mass"].to_numpy() == rank).all()
+    # planted pairs form 2-cliques: every paired node got real inbound mass,
+    # isolated nodes sit at the teleport floor
+    paired = rank[: 80]
+    assert (got.loc[np.arange(80), "rank_mass"].to_numpy() > bse).all()
+    assert int(got["rank_mass"].min()) == bse

@@ -242,6 +242,43 @@ def test_hll_merge_order_invariant():
     assert abs(est - 100_000) / 100_000 < 0.02, est
 
 
+def test_kmv_merge_invariance_and_estimates():
+    """KMV bottom-k: merge is order/partition-invariant; distinct-count,
+    Jaccard and intersection estimates land within the 4.5-sigma bounds the
+    verdict query relies on."""
+    import numpy as np
+
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.functions import sketch as SK
+
+    k = 1024
+    a_keys = np.arange(0, 30_000, dtype=np.uint64)
+    b_keys = np.arange(18_000, 48_000, dtype=np.uint64)  # overlap 12k
+    ha, hb = H.splitmix64(a_keys), H.splitmix64(b_keys)
+    a = SK.kmv_update(np.empty(0, np.uint64), ha, k)
+    parts = [SK.kmv_update(np.empty(0, np.uint64), c, k)
+             for c in np.array_split(ha, 5)]
+    merged = parts[2]
+    for p in (parts[0], parts[4], parts[1], parts[3]):
+        merged = SK.kmv_merge(merged, p, k)
+    assert (merged == a).all()
+
+    b = SK.kmv_update(np.empty(0, np.uint64), hb, k)
+    est_a = SK.kmv_estimate(a, k)
+    assert abs(est_a - 30_000) / 30_000 < 4.5 / np.sqrt(k)
+    j = SK.kmv_jaccard(a, b, k)
+    true_j = 12_000 / 48_000
+    assert abs(j - true_j) <= 4.5 * np.sqrt(true_j * (1 - true_j) / k)
+    union_est = SK.kmv_estimate(SK.kmv_merge(a, b, k), k)
+    inter_est = j * union_est
+    bound = 4.5 * (np.sqrt(j * (1 - j) / k) + 1 / np.sqrt(k)) * 48_000
+    assert abs(inter_est - 12_000) <= bound
+    # below-k sets are EXACT
+    tiny = SK.kmv_update(np.empty(0, np.uint64), H.splitmix64(
+        np.arange(100, dtype=np.uint64)), k)
+    assert SK.kmv_estimate(tiny, k) == 100.0
+
+
 def test_doc_dedup_keep_best_quality(entry_mod, con):
     """Every cluster keeps its highest-quality member (tie -> min doc_id);
     kept ids cover exactly the cluster set of the plain dedup."""
