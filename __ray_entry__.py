@@ -56,6 +56,35 @@ def _img_fixture_query(sf_dir: str):
     return storage.read_table(f"{run_dir}/clusters")
 
 
+def _img_dedup_eval_query(sf_dir: str):
+    """Cluster-quality report for the image pipeline vs the fixture's
+    PLANTED truth — the north rule's dup-pair recall >= 0.99 gate exposed
+    as a registered query (one row: pair counts from cluster-size
+    contingency, never materialized pair sets, plus integer-milli
+    recall/precision). Rows-only; the >= 0.99 recall assertion itself lives
+    in tests/test_pipeline.py::test_recall_and_precision_vs_truth."""
+    import pandas as pd
+
+    from deduplication_ray.pipelines.evaluate import pair_metrics
+    from deduplication_ray.sources import storage
+
+    pred = _img_fixture_query(sf_dir).to_pandas()
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    truth = storage.read_table(f"{fix_dir}/truth").to_pandas()
+    m = pair_metrics(pred[["image_id", "cluster_id"]], truth)
+    return pd.DataFrame([{
+        "rows": m["rows"],
+        "truth_pairs": m["truth_pairs"],
+        "pred_pairs": m["pred_pairs"],
+        "agree_pairs": m["agree_pairs"],
+        "recall_milli": int(m["recall"] * 1000),
+        "precision_milli": int(m["precision"] * 1000),
+        "truth_clusters": m["truth_clusters"],
+        "pred_clusters": m["pred_clusters"],
+    }])
+
+
 def _img_incremental_query(sf_dir: str):
     """Incremental ingest on the image fixture: dedup a 200-row delta against
     a finished 1000-row base run (base signatures/clusters reused from
@@ -461,6 +490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_salted_join": R.q_events_orders_salted_join,  # join kin
         "lineitem_flag_overlap_kmv": R.q_lineitem_flag_overlap_kmv,  # HLL kin
         "doc_upsert": docops.q_doc_upsert,  # version_diff kin (MERGE INTO)
+        "events_window_funcs": R.q_events_window_funcs,  # window kit kin
+        "user_type_string_agg": R.q_user_type_string_agg,  # collect kernel
+        "term_freq_cm_check": docops.q_term_freq_cm_check,  # sketch verdict
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -484,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_sketch": docops.q_top_terms_sketch,
         "lsh_bucket_stats": docops.q_lsh_bucket_stats,
         "image_dedup_clusters": _img_fixture_query,
+        "image_dedup_eval": _img_dedup_eval_query,
         "image_dedup_incremental": _img_incremental_query,
         "image_dedup_merge": _img_merge_query,
         "text_dedup_incremental": _text_incremental_query,
@@ -579,6 +612,10 @@ def oracle_sql() -> dict[str, str]:
         # KMV verdict: oracle = exact overlap + constant TRUE
         "lineitem_flag_overlap_kmv": R.Q_LINEITEM_FLAG_OVERLAP_KMV_SQL,
         "doc_upsert": docops.Q_DOC_UPSERT_SQL,
+        "events_window_funcs": R.Q_EVENTS_WINDOW_FUNCS_SQL,
+        "user_type_string_agg": R.Q_USER_TYPE_STRING_AGG_SQL,
+        # count-min verdict: oracle = exact top-k frequencies + constant TRUE
+        "term_freq_cm_check": docops.term_freq_cm_check_sql(),
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

@@ -96,6 +96,53 @@ def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
     return float(both.sum()) / float(len(u))
 
 
+# ------------------------------------------------------- count-min sketch
+
+def cm_init(width: int, depth: int = 4) -> np.ndarray:
+    """Empty count-min sketch (Cormode & Muthukrishnan 2005): depth x width
+    int64 counters. Mergeable by elementwise + — per-block partials combine
+    exactly, any order, any parallelism."""
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def _cm_cols(hashes: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """One column index per (row, key) via double hashing — shape
+    (depth, len). Same Kirsch-Mitzenmacher construction as the Bloom
+    filter."""
+    from deduplication_ray.functions import hashing as H
+
+    h1 = H.splitmix64(hashes.astype(np.uint64))
+    h2 = H.splitmix64(hashes.astype(np.uint64)
+                      ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(depth, dtype=np.uint64)
+    return ((h1[None, :] + i[:, None] * h2[None, :])
+            % np.uint64(width)).astype(np.int64)
+
+
+def cm_add(cm: np.ndarray, hashes: np.ndarray,
+           counts: np.ndarray | None = None) -> np.ndarray:
+    """Add each key ``counts`` times (default 1), vectorized in-place."""
+    depth, width = cm.shape
+    cols = _cm_cols(hashes, width, depth)
+    w = np.ones(len(hashes), np.int64) if counts is None \
+        else counts.astype(np.int64)
+    for r in range(depth):
+        np.add.at(cm[r], cols[r], w)
+    return cm
+
+
+def cm_query(cm: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over rows — NEVER undercounts, and
+    overcounts by at most eps*N (eps = e/width) with prob 1-delta
+    (delta = e^-depth)."""
+    depth, width = cm.shape
+    cols = _cm_cols(hashes, width, depth)
+    est = cm[0][cols[0]]
+    for r in range(1, depth):
+        est = np.minimum(est, cm[r][cols[r]])
+    return est
+
+
 # ------------------------------------------------------------- Bloom filter
 
 def bloom_init(n_bits: int) -> np.ndarray:

@@ -2380,3 +2380,114 @@ SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_r,
            AS exact_inter,
        TRUE AS kmv_within_bound
 """
+
+
+# ------------------------------------------------------ positional window kit
+
+def q_events_window_funcs(sf_dir: str, tiles: int = 4, num_buckets: int = 32):
+    """Positional window functions in one pass — NTILE(4), FIRST_VALUE and
+    LAST_VALUE over (PARTITION BY user_id ORDER BY cents, event_id) — the
+    remaining members of the window kit (rank/lag/moving/running forms are
+    separate queries). The (cents, event_id) order is a deterministic total
+    order, so every engine agrees; NTILE uses the exact SQL split (first
+    n mod t buckets get one extra row).
+
+    Scale shape: the same user-hash bucket shuffle as sessionize; per bucket
+    one lexsort + three vectorized transforms (integer position formula, a
+    per-user head/tail gather) — no per-row Python."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        cents = pc.round(pc.multiply(t["value"], pa.scalar(100.0))) \
+            .cast(pa.int64())
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "cents": cents,
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def window_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "cents", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)["cents"]
+        n = grp.transform("size").to_numpy().astype(np.int64)
+        pos = g.groupby("user_id", sort=False).cumcount() \
+            .to_numpy().astype(np.int64)
+        q, r = n // tiles, n % tiles
+        big = r * (q + 1)
+        small_q = np.maximum(q, 1)  # avoid div-by-zero when n < tiles
+        tile = np.where(pos < big, pos // np.maximum(q + 1, 1),
+                        r + (pos - big) // small_q) + 1
+        first = grp.transform("first").to_numpy().astype(np.int64)
+        last = grp.transform("last").to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "tile4": tile.astype(np.int64),
+            "first_cents": first,
+            "last_cents": last,
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(window_bucket, batch_format="pandas")
+
+
+Q_EVENTS_WINDOW_FUNCS_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       CAST(ntile(4) OVER w AS BIGINT) AS tile4,
+       first_value(cents) OVER w AS first_cents,
+       last_value(cents) OVER (PARTITION BY user_id ORDER BY cents, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_cents
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY cents, event_id)
+"""
+
+
+# ----------------------------------------------------- ordered group collect
+
+def q_user_type_string_agg(sf_dir: str, num_buckets: int = 32):
+    """Per-user ordered DISTINCT collect: the set of event types a user
+    generated, sorted and comma-joined — the collect_list/string_agg kernel
+    (deterministic because the collect is ordered, unlike a bare
+    collect_list).
+
+    Scale shape: per-batch distinct (user, type) partials shrink the stream
+    to <= |users| x |types| rows before the only shuffle (a two-key groupby
+    dedupe), then a user-bucket group pass joins each user's sorted types —
+    output rows are |users|-bounded."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        return g
+
+    dedup = ds.map_batches(uniq, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).count()
+
+    def join_types(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values("event_type").groupby("user_id", sort=True)
+               ["event_type"].agg(",".join).reset_index())
+        return out.rename(columns={"event_type": "types"})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    return dedup.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(join_types, batch_format="pandas")
+
+
+Q_USER_TYPE_STRING_AGG_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
+FROM d GROUP BY user_id
+"""

@@ -658,6 +658,42 @@ def test_bloom_filter_properties():
     assert (merged == whole).all()
 
 
+def test_count_min_properties():
+    """Count-min: estimates NEVER undercount; overcount bounded by eps*N
+    (eps = e/width) for a Zipf-ish stream; per-partition partials merge by
+    elementwise sum to the whole-stream sketch exactly."""
+    import numpy as np
+
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.functions import sketch as SK
+
+    rng = np.random.default_rng(7)
+    keys = rng.zipf(1.3, size=200_000).astype(np.uint64)  # heavy head
+    h = H.splitmix64(keys)
+    width, depth = 2048, 4
+    whole = SK.cm_add(SK.cm_init(width, depth), h)
+
+    uniq, exact = np.unique(h, return_counts=True)
+    est = SK.cm_query(whole, uniq)
+    assert (est >= exact).all()  # deterministic guarantee
+    n = len(keys)
+    eps_bound = np.e * n / width
+    over = est - exact
+    # the eps*N bound holds per-key w.p. 1 - e^-depth; with 4 rows it
+    # should hold for every key here, and the 3N/width verdict bound
+    # (used by term_freq_cm_check) must hold for the heavy hitters
+    assert (over <= eps_bound).mean() > 0.999, over.max()
+    top = np.argsort(exact)[-20:]
+    assert (over[top] <= (3 * n) // width).all()
+
+    parts = [SK.cm_add(SK.cm_init(width, depth), c)
+             for c in np.array_split(h, 6)]
+    merged = SK.cm_init(width, depth)
+    for p in parts:
+        merged += p
+    assert (merged == whole).all()
+
+
 def test_queries_survive_empty_tables(ray_session, tmp_path):
     """Zero-row inputs (with real schemas) must flow through representative
     operators without raising — the first failure mode of a resumed run
