@@ -493,6 +493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_funcs": R.q_events_window_funcs,  # window kit kin
         "user_type_string_agg": R.q_user_type_string_agg,  # collect kernel
         "term_freq_cm_check": docops.q_term_freq_cm_check,  # sketch verdict
+        "doc_span_dup_flags": docops.q_doc_span_dup_flags,  # C4 span filter
+        "edit_distance_pairs": docops.q_edit_distance_pairs,  # lev verify
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -616,6 +618,8 @@ def oracle_sql() -> dict[str, str]:
         "user_type_string_agg": R.Q_USER_TYPE_STRING_AGG_SQL,
         # count-min verdict: oracle = exact top-k frequencies + constant TRUE
         "term_freq_cm_check": docops.term_freq_cm_check_sql(),
+        "doc_span_dup_flags": docops.doc_span_dup_flags_sql(),
+        "edit_distance_pairs": docops.edit_distance_pairs_sql(),
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

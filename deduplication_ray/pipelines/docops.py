@@ -3562,3 +3562,223 @@ SELECT tok, CAST(count(*) AS BIGINT) AS tf, TRUE AS cm_within_bound
 FROM toks WHERE tok <> '' GROUP BY tok
 ORDER BY tf DESC, tok LIMIT {k}
 """
+
+
+# ------------------------------------------- duplicated-span annotation (C4)
+
+def q_doc_span_dup_flags(sf_dir: str, n: int = 8, drop_permille: int = 300,
+                         num_buckets: int = 64):
+    """C4/RefinedWeb-style duplicated-span annotation: for every document,
+    how many of its DISTINCT word n-grams also occur in at least one OTHER
+    document, the dup fraction in integer permille, and a keep flag
+    (dup fraction <= drop_permille) — the standard "drop documents made of
+    repeated boilerplate spans" filter, kept as an annotation so the caller
+    chooses drop vs weight.
+
+    Scale shape: per-batch distinct (gram-hash, doc) pairs (docs are whole
+    within a batch, so batch-level dedupe IS global dedupe); ONE bucket
+    shuffle keyed on gram hash where each bucket counts docs-per-gram
+    vectorized and emits |docs-in-bucket|-bounded per-doc partials; a
+    |docs| x |buckets|-bounded groupby-sum; per-doc gram totals never
+    shuffle (computed exactly at the scan) and join the dup counts via the
+    size-dispatched lookup join. Gram STRINGS never leave the scan stage —
+    only u64 hashes move."""
+    from ray.data.aggregate import Sum
+
+    from deduplication_ray.stages.join import lookup_join
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def gram_doc_pairs(t: pa.Table) -> pa.Table:
+        g, row = _word_grams(t["text"], n)
+        gh = H.hash_bytes_array(g)
+        d = t["doc_id"].to_numpy()[row]
+        order = np.lexsort((gh, d))
+        ghs, dss = gh[order], d[order]
+        keep = np.concatenate([[True], (ghs[1:] != ghs[:-1])
+                               | (dss[1:] != dss[:-1])]) \
+            if len(ghs) else np.zeros(0, bool)
+        gu, du = ghs[keep], dss[keep]
+        return pa.table({
+            "gh": pa.array(H.bitcast_u64_to_i64(gu), pa.int64()),
+            "doc_id": pa.array(du, pa.int64()),
+            "bucket": pa.array((gu % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def doc_totals(t: pa.Table) -> pa.Table:
+        g, row = _word_grams(t["text"], n)
+        gh = H.hash_bytes_array(g)
+        d = t["doc_id"].to_numpy()
+        # distinct grams per doc: dedupe (gram, doc) then bincount rows
+        order = np.lexsort((gh, row))
+        ghs, rs = gh[order], row[order]
+        keep = np.concatenate([[True], (ghs[1:] != ghs[:-1])
+                               | (rs[1:] != rs[:-1])]) \
+            if len(ghs) else np.zeros(0, bool)
+        per = np.bincount(rs[keep], minlength=t.num_rows)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "n_grams": pa.array(per.astype(np.int64))})
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        docs_per_gram = g.groupby("gh", sort=False)["doc_id"] \
+            .transform("size").to_numpy()
+        dup = (docs_per_gram >= 2).astype(np.int64)
+        out = (pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "nd": dup})
+               .groupby("doc_id", sort=False)["nd"].sum().reset_index())
+        return out
+
+    dups = (ds.map_batches(gram_doc_pairs, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_dups, batch_format="pandas")
+            .groupby("doc_id").aggregate(Sum("nd", alias_name="n_dup")))
+
+    totals = ds.map_batches(doc_totals, batch_format="pyarrow")
+    joined = lookup_join(totals, dups, on=["doc_id"],
+                         cfg=DedupConfig(), how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy()
+        nd = t["n_dup"].fill_null(0).cast(pa.int64()).to_numpy() \
+            if "n_dup" in t.column_names else np.zeros(len(ng), np.int64)
+        permille = np.where(ng > 0, (1000 * nd) // np.maximum(ng, 1), 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(ng.astype(np.int64)),
+            "n_dup": pa.array(nd.astype(np.int64)),
+            "dup_permille": pa.array(permille.astype(np.int64)),
+            "keep": pa.array(nd * 1000 <= drop_permille * ng),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_span_dup_flags_sql(n: int = 8, drop_permille: int = 300) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i + {n - 1} AS BIGINT)], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, length(w) - {n - 1})) AS t(i)
+), cnt AS (
+  SELECT g, count(*) AS ndocs FROM grams GROUP BY g
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM grams JOIN cnt USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams, COALESCE(n_dup, 0) AS n_dup,
+       CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0
+            ELSE (1000 * n_dup) // n_grams END AS dup_permille,
+       (COALESCE(n_dup, 0) * 1000 <= {drop_permille} * COALESCE(n_grams, 0))
+           AS keep
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+# --------------------------------------------- edit-distance near-dup pairs
+
+def q_edit_distance_pairs(sf_dir: str, n: int = 5, num_buckets: int = 64):
+    """Edit-distance-verified near-duplicate pairs: candidates = document
+    pairs sharing at least one word n-gram (the rendezvous that makes this
+    sub-quadratic — a pair within the distance budget shares many full
+    n-grams unless every edit is evenly spread, and then it fails the
+    budget anyway), verified by EXACT Levenshtein distance with
+    ``5 * lev <= 2 * max(len_a, len_b)`` (distance <= 40% of the longer
+    text, float-free). Emits (src, dst, lev, sim_milli) with
+    sim_milli = 1000 - 1000*lev // max_len.
+
+    Scale shape: gram strings die at the scan (u64 hashes shuffle); ONE
+    bucket shuffle keyed on gram hash generates pairs via a vectorized
+    self-merge per bucket; pairs dedupe through a (src, dst) groupby; texts
+    attach through the size-dispatched lookup join; the verify stage is the
+    pair-vectorized DP kernel (``functions.text.levenshtein_pairs``) — max_len
+    matrix iterations per batch, no per-pair Python. Texts are normalized
+    lower(trim) ASCII so byte distance == DuckDB's character distance."""
+    from deduplication_ray.stages.join import lookup_join
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def gram_doc_pairs(t: pa.Table) -> pa.Table:
+        g, row = _word_grams(t["text"], n)
+        gh = H.hash_bytes_array(g)
+        d = t["doc_id"].to_numpy()[row]
+        order = np.lexsort((gh, d))
+        ghs, dss = gh[order], d[order]
+        keep = np.concatenate([[True], (ghs[1:] != ghs[:-1])
+                               | (dss[1:] != dss[:-1])]) \
+            if len(ghs) else np.zeros(0, bool)
+        gu, du = ghs[keep], dss[keep]
+        return pa.table({
+            "gh": pa.array(H.bitcast_u64_to_i64(gu), pa.int64()),
+            "doc_id": pa.array(du, pa.int64()),
+            "bucket": pa.array((gu % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="gh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return m.rename(columns={"doc_id_x": "src", "doc_id_y": "dst"})
+
+    pairs = (ds.map_batches(gram_doc_pairs, batch_format="pyarrow")
+             .groupby("bucket").map_groups(bucket_pairs,
+                                           batch_format="pandas")
+             .groupby(["src", "dst"]).count())
+
+    def drop_count(t: pa.Table) -> pa.Table:
+        return t.select(["src", "dst"])
+
+    pairs = pairs.map_batches(drop_count, batch_format="pyarrow")
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "t": pc.utf8_lower(pc.utf8_trim(t["text"], " "))})
+
+    lean = ds.map_batches(norm, batch_format="pyarrow")
+    cfg = DedupConfig()
+    e = lookup_join(pairs, lean.rename_columns(
+        {"doc_id": "src", "t": "t_src"}), on=["src"], cfg=cfg)
+    e = lookup_join(e, lean.rename_columns(
+        {"doc_id": "dst", "t": "t_dst"}), on=["dst"], cfg=cfg)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"src": z, "dst": z, "lev": z, "sim_milli": z})
+        lev = T.levenshtein_pairs(t["t_src"], t["t_dst"])
+        la = pc.utf8_length(t["t_src"]).to_numpy().astype(np.int64)
+        lb = pc.utf8_length(t["t_dst"]).to_numpy().astype(np.int64)
+        ml = np.maximum(np.maximum(la, lb), 1)
+        keep = 5 * lev <= 2 * ml
+        sim = 1000 - (1000 * lev) // ml
+        k = pa.array(keep)
+        return pa.table({
+            "src": t["src"].filter(k), "dst": t["dst"].filter(k),
+            "lev": pa.array(lev[keep], pa.int64()),
+            "sim_milli": pa.array(sim[keep], pa.int64()),
+        })
+
+    return e.map_batches(verify, batch_format="pyarrow", batch_size=2048)
+
+
+def edit_distance_pairs_sql(n: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(trim(text)) AS t,
+         string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i + {n - 1} AS BIGINT)], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, length(w) - {n - 1})) AS t(i)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT c.src, c.dst, CAST(levenshtein(x.t, y.t) AS BIGINT) AS lev,
+       CAST(1000 - (1000 * levenshtein(x.t, y.t))
+            // greatest(length(x.t), length(y.t), 1) AS BIGINT) AS sim_milli
+FROM cand c JOIN toks x ON x.doc_id = c.src JOIN toks y ON y.doc_id = c.dst
+WHERE 5 * levenshtein(x.t, y.t) <= 2 * greatest(length(x.t), length(y.t))
+"""

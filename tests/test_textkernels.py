@@ -104,3 +104,51 @@ def test_pack_unpack_u64_roundtrip(vals):
     packed = H.pack_u64_rows(m)
     out = H.unpack_u64_rows(packed, 4)
     assert (out == m).all()
+
+
+def _py_levenshtein(s: str, t: str) -> int:
+    prev = list(range(len(t) + 1))
+    for i in range(1, len(s) + 1):
+        cur = [i] + [0] * len(t)
+        for j in range(1, len(t) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (s[i - 1] != t[j - 1]))
+        prev = cur
+    return prev[len(t)]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="abcde ", max_size=30),
+                          st.text(alphabet="abcde ", max_size=30)),
+                min_size=0, max_size=10))
+def test_levenshtein_pairs_matches_python_reference(pairs):
+    from deduplication_ray.functions.text import levenshtein_pairs
+
+    a = pa.array([p[0] for p in pairs], pa.string())
+    b = pa.array([p[1] for p in pairs], pa.string())
+    got = levenshtein_pairs(a, b)
+    want = np.array([_py_levenshtein(s, t) for s, t in pairs], np.int64)
+    assert got.shape == want.shape and (got == want).all()
+
+
+def test_levenshtein_pairs_sliced_chunked_and_duckdb_parity():
+    """Offset arithmetic survives sliced/chunked Arrow inputs, and byte
+    distance equals DuckDB's levenshtein on ASCII."""
+    import duckdb
+    import pandas as pd
+
+    from deduplication_ray.functions.text import levenshtein_pairs
+
+    rng = np.random.default_rng(11)
+    mk = lambda n: "".join(rng.choice(list("abcx y"), n))
+    pairs = [(mk(int(rng.integers(0, 50))), mk(int(rng.integers(0, 50))))
+             for _ in range(120)] + [("", ""), ("", "zz"), ("zz", "")]
+    a = pa.array([p[0] for p in pairs]); b = pa.array([p[1] for p in pairs])
+    whole = levenshtein_pairs(a, b)
+    ca = pa.chunked_array([a.slice(0, 41), a.slice(41)])
+    assert (levenshtein_pairs(ca, pa.chunked_array([b])) == whole).all()
+    assert (levenshtein_pairs(a.slice(7, 50), b.slice(7, 50))
+            == whole[7:57]).all()
+    df = pd.DataFrame({"s": [p[0] for p in pairs], "t": [p[1] for p in pairs]})
+    dk = duckdb.query("SELECT levenshtein(s, t) AS d FROM df").df()
+    assert (whole == dk["d"].to_numpy()).all()
