@@ -495,6 +495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_freq_cm_check": docops.q_term_freq_cm_check,  # sketch verdict
         "doc_span_dup_flags": docops.q_doc_span_dup_flags,  # C4 span filter
         "edit_distance_pairs": docops.q_edit_distance_pairs,  # lev verify
+        "q3_shipping_priority": R.q3_shipping_priority,  # join kin (TPC-H Q3)
+        "q18_big_orders": R.q18_big_orders,  # semi-join kin (TPC-H Q18)
+        "events_rolling_dau": R.q_events_rolling_dau,  # windowed distinct
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -620,6 +623,9 @@ def oracle_sql() -> dict[str, str]:
         "term_freq_cm_check": docops.term_freq_cm_check_sql(),
         "doc_span_dup_flags": docops.doc_span_dup_flags_sql(),
         "edit_distance_pairs": docops.edit_distance_pairs_sql(),
+        "q3_shipping_priority": R.Q3_SHIPPING_PRIORITY_SQL,
+        "q18_big_orders": R.Q18_BIG_ORDERS_SQL,
+        "events_rolling_dau": R.Q_EVENTS_ROLLING_DAU_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

@@ -2491,3 +2491,354 @@ WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
 FROM d GROUP BY user_id
 """
+
+
+# ------------------------------------------------- TPC-H Q3 (shipping priority)
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         k: int = 10, num_buckets: int = 32):
+    """TPC-H Q3 shape: top-k unshipped-revenue orders for ONE market segment
+    — a dimension semi-filter + big-big join + grouped top-k, composed from
+    this engine's three join strategies in their proper roles.
+
+    Scale plan: (1) the segment's custkeys are the small dimension side —
+    broadcast once via ray.put, probed with one searchsorted per orders
+    batch (no shuffle; the R17 small-side gather,
+    /root/reference/src/compressor.c:320-339); (2) lineitem revenue
+    collapses to one row per orderkey BEFORE any wire hop (in-batch
+    sum-by-key partial, then hash_grouped_reduce — group-per-row regime);
+    (3) the one unavoidable big-big edge (per-order revenue x filtered
+    orders) goes through the hash-co-partitioned shuffle_join, each row
+    crossing the wire exactly once; (4) the global top-k is per-block
+    partial top-k then one K*num_blocks-row final reduce — never a global
+    sort. Date predicates are pushed to the parquet scan on BOTH fact
+    reads, so dead rows never leave storage."""
+    import datetime
+
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+    from deduplication_ray.stages.join import shuffle_join
+
+    cut = datetime.datetime(1998, 6, 1)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                 filter=(pc.field("c_mktsegment") == segment))
+    ckeys_ref = ray.put(np.sort(_collect_int_column(cust, "c_custkey")))
+
+    class SemiCust:
+        def __init__(self):
+            self.keys = ray.get(ckeys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy()
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, ck)
+                pos[pos >= len(self.keys)] = 0
+                hit = self.keys[pos] == ck
+            else:
+                hit = np.zeros(len(ck), bool)
+            t = t.filter(pa.array(hit))
+            day = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+                   .astype(np.int64))
+            return pa.table({
+                "l_orderkey": t["o_orderkey"],
+                "o_orderdate_day": pa.array(day, pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            })
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < cut)
+    ).map_batches(SemiCust, batch_format="pyarrow", concurrency=(1, 4))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"],
+               filter=(pc.field("l_shipdate") > cut))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        r = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0))).cast(pa.int64()).to_numpy()
+        ks = t["l_orderkey"].to_numpy()
+        order = np.argsort(ks, kind="stable")
+        ks, r = ks[order], r[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]])) if len(ks) else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(ks[starts], pa.int64()),
+            "revenue_e4": pa.array(
+                np.add.reduceat(r, starts).astype(np.int64)
+                if len(starts) else np.empty(0, np.int64)),
+        })
+
+    li_rev = hash_grouped_reduce(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        key_hash=lambda t: H.splitmix64(
+            t["l_orderkey"].to_numpy().astype(np.uint64)),
+        reduce_fn=lambda t: rev_partial_merge(t),
+        num_parts=num_buckets,
+    )
+
+    joined = shuffle_join(li_rev, orders, on=["l_orderkey"], how="inner",
+                          num_buckets=num_buckets)
+
+    def ptop(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("revenue_e4", "descending"),
+                                            ("l_orderkey", "ascending")])
+        return t.take(idx[:k])
+
+    tbls = list(joined.map_batches(ptop, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(ptop, batch_format="pyarrow", batch_size=None)
+                .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tbls:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "revenue_e4": pa.array([], pa.int64()),
+                         "o_orderdate_day": pa.array([], pa.int64()),
+                         "o_orderpriority": pa.array([], pa.string())})
+    out = pa.concat_tables(tbls, promote_options="default")
+    idx = pc.sort_indices(out, sort_keys=[("revenue_e4", "descending"),
+                                          ("l_orderkey", "ascending")])
+    return out.take(idx[:k]).select(
+        ["l_orderkey", "revenue_e4", "o_orderdate_day", "o_orderpriority"])
+
+
+def rev_partial_merge(t: pa.Table) -> pa.Table:
+    """Merge per-batch (l_orderkey, revenue_e4) partials: one vectorized
+    sort + segmented sum per hash partition (group-per-row regime)."""
+    ks = t["l_orderkey"].to_numpy()
+    vs = t["revenue_e4"].to_numpy()
+    order = np.argsort(ks, kind="stable")
+    ks, vs = ks[order], vs[order]
+    if not len(ks):
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "revenue_e4": pa.array([], pa.int64())})
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    return pa.table({
+        "l_orderkey": pa.array(ks[starts], pa.int64()),
+        "revenue_e4": pa.array(np.add.reduceat(vs, starts).astype(np.int64)),
+    })
+
+
+Q3_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS o_orderdate_day,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate_day, o_orderpriority
+ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------- TPC-H Q18 (big-order customers)
+
+def q18_big_orders(sf_dir: str, qty_threshold: int = 270,
+                   num_buckets: int = 32):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, enriched with customer attributes — the groupby-HAVING
+    semi-join every "find the whales" analysis needs.
+
+    Scale plan: lineitem quantities collapse to one row per orderkey before
+    the wire (in-batch sum-by-key, then hash_grouped_reduce); the HAVING
+    filter keeps a selectivity-bounded keyset (~1% of orders at threshold
+    270 — the operator's own contract: a whale query returns few whales),
+    which broadcasts as a sorted array probed per orders batch; customer is
+    the small dimension side, broadcast once. If the threshold were ever
+    tuned to keep a non-broadcastable fraction, the orders edge drops into
+    shuffle_join unchanged — the HAVING output is already keyed by
+    orderkey."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q = pc.round(t["l_quantity"]).cast(pa.int64()).to_numpy()
+        ks = t["l_orderkey"].to_numpy()
+        order = np.argsort(ks, kind="stable")
+        ks, q = ks[order], q[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]])) if len(ks) else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(ks[starts], pa.int64()),
+            "total_qty": pa.array(
+                np.add.reduceat(q, starts).astype(np.int64)
+                if len(starts) else np.empty(0, np.int64)),
+        })
+
+    def qty_merge(t: pa.Table) -> pa.Table:
+        ks = t["l_orderkey"].to_numpy()
+        vs = t["total_qty"].to_numpy()
+        order = np.argsort(ks, kind="stable")
+        ks, vs = ks[order], vs[order]
+        if not len(ks):
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "total_qty": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        tot = np.add.reduceat(vs, starts).astype(np.int64)
+        keep = tot > qty_threshold
+        return pa.table({
+            "l_orderkey": pa.array(ks[starts][keep], pa.int64()),
+            "total_qty": pa.array(tot[keep]),
+        })
+
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+
+    big = hash_grouped_reduce(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        key_hash=lambda t: H.splitmix64(
+            t["l_orderkey"].to_numpy().astype(np.uint64)),
+        reduce_fn=qty_merge,
+        num_parts=num_buckets,
+    ).to_pandas()  # selectivity-bounded by the HAVING threshold
+
+    if "l_orderkey" not in big.columns:
+        big = pd.DataFrame({"l_orderkey": np.empty(0, np.int64),
+                            "total_qty": np.empty(0, np.int64)})
+    order = np.argsort(big["l_orderkey"].to_numpy(), kind="stable")
+    bkeys = big["l_orderkey"].to_numpy()[order]
+    bqty = big["total_qty"].to_numpy()[order]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    corder = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
+    ckeys = cust["c_custkey"].to_numpy()[corder]
+    cnames = cust["c_name"].to_numpy()[corder]
+
+    ref = ray.put((bkeys, bqty, ckeys, cnames))
+
+    class Enrich:
+        def __init__(self):
+            self.bkeys, self.bqty, self.ckeys, self.cnames = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ok_ = t["o_orderkey"].to_numpy()
+            if len(self.bkeys):
+                pos = np.searchsorted(self.bkeys, ok_)
+                pos[pos >= len(self.bkeys)] = 0
+                hit = self.bkeys[pos] == ok_
+            else:
+                pos = np.zeros(len(ok_), np.int64)
+                hit = np.zeros(len(ok_), bool)
+            t = t.filter(pa.array(hit))
+            pos = pos[hit]
+            ck = t["o_custkey"].to_numpy()
+            cpos = np.searchsorted(self.ckeys, ck)
+            cpos = np.clip(cpos, 0, max(len(self.ckeys) - 1, 0))
+            name = self.cnames[cpos] if len(self.ckeys) else \
+                np.empty(0, object)
+            day = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+                   .astype(np.int64))
+            cents = pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))).cast(pa.int64())
+            return pa.table({
+                "c_name": pa.array(name.tolist(), pa.string()),
+                "c_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate_day": pa.array(day, pa.int64()),
+                "price_cents": cents,
+                "total_qty": pa.array(self.bqty[pos], pa.int64()),
+            })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    return orders.map_batches(Enrich, batch_format="pyarrow",
+                              concurrency=(1, 4))
+
+
+Q18_BIG_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 270
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS o_orderdate_day,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       big.total_qty
+FROM big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+# ------------------------------------------------ rolling 7-day distinct users
+
+def q_events_rolling_dau(sf_dir: str, window_days: int = 7,
+                         num_buckets: int = 32):
+    """Rolling 7-day distinct active users per day (DAU-7) — the windowed
+    COUNT(DISTINCT) kernel, which no plain groupby can express because a
+    user must be counted once per WINDOW, not once per group.
+
+    Scale shape: per-batch distinct (user, activity-day) partials collapse
+    the event stream to <= |users| x |days| rows before the only shuffle (a
+    user-hash bucket groupby — a user's whole history lands in one bucket,
+    so per-day per-bucket distinct-user counts SUM exactly across buckets);
+    inside each bucket one vectorized pass expands each activity day to the
+    <= 7 window days it serves (np.repeat + tiled offsets), dedupes
+    (window-day, user), and emits per-day count partials. The driver merge
+    is num_buckets x (|days| + 7) rows — the same bounded k x #blocks
+    pattern as the bottom-k samplers, never the event stream."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64))
+        g = (pa.table({"user_id": t["user_id"],
+                       "day": pa.array(day, pa.int64())})
+             .group_by(["user_id", "day"]).aggregate([]))
+        u = g["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return g.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        uid = g["user_id"].to_numpy()
+        day = g["day"].to_numpy().astype(np.int64)
+        if not len(uid):
+            return pd.DataFrame({"day": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64),
+                                 "mx": np.empty(0, np.int64)})
+        mx = int(day.max())
+        w = window_days
+        wday = np.repeat(day, w) + np.tile(np.arange(w, dtype=np.int64),
+                                           len(day))
+        wuid = np.repeat(uid, w)
+        pairs = pd.DataFrame({"day": wday, "user_id": wuid}) \
+            .drop_duplicates(["day", "user_id"])
+        cnt = pairs.groupby("day", sort=True).size().reset_index(name="n")
+        cnt["n"] = cnt["n"].astype(np.int64)
+        cnt["mx"] = np.int64(mx)
+        return cnt
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()  # bounded: num_buckets x (|days| + window) rows
+    if "day" not in parts.columns or not len(parts):
+        return pd.DataFrame({"day": np.empty(0, np.int64),
+                             "dau7": np.empty(0, np.int64)})
+    mx = int(parts["mx"].max())
+    parts = parts[parts["day"] <= mx]
+    out = (parts.groupby("day", sort=True)["n"].sum().reset_index()
+           .rename(columns={"n": "dau7"}))
+    out["dau7"] = out["dau7"].astype(np.int64)
+    return out
+
+
+Q_EVENTS_ROLLING_DAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events
+), bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM du),
+grid AS (SELECT unnest(generate_series(mn, mx)) AS day FROM bounds)
+SELECT g.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS dau7
+FROM grid g JOIN du ON du.day BETWEEN g.day - 6 AND g.day
+GROUP BY g.day
+"""
