@@ -85,6 +85,29 @@ def _img_dedup_eval_query(sf_dir: str):
     }])
 
 
+def _img_rot_query(sf_dir: str):
+    """Orientation-invariant (dihedral) near-dup pairs over the image
+    fixture augmented with planted rotated/mirrored/transposed copies —
+    duplicates the standard pHash channel is blind to (a rot90 copy sits at
+    ~random Hamming distance). Rows-only; recall 1.0 on the planted pairs
+    and plain-pHash blindness are asserted in tests/test_orientation.py."""
+    import os
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines import orientation
+    from deduplication_ray.sources import fixtures, storage
+
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    rot_dir = f"/tmp/dedup_ray_rotfix_{FIXTURE_SEED}_{n}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
+    if not os.path.exists(os.path.join(rot_dir, "_manifest.json")):
+        fixtures.generate_rotated(fix_dir, rot_dir, stride=5)
+    cfg = DedupConfig(num_partitions=8)
+    return orientation.run_rot_dup(storage.read_table(f"{rot_dir}/data"), cfg)
+
+
 def _img_incremental_query(sf_dir: str):
     """Incremental ingest on the image fixture: dedup a 200-row delta against
     a finished 1000-row base run (base signatures/clusters reused from
@@ -522,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_bucket_stats": docops.q_lsh_bucket_stats,
         "image_dedup_clusters": _img_fixture_query,
         "image_dedup_eval": _img_dedup_eval_query,
+        "image_rot_dup_pairs": _img_rot_query,
         "image_dedup_incremental": _img_incremental_query,
         "image_dedup_merge": _img_merge_query,
         "text_dedup_incremental": _text_incremental_query,

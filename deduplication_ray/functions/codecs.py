@@ -243,11 +243,77 @@ def phash64_batch(stack: np.ndarray, size: int = 32, lowfreq: int = 8) -> np.nda
     d = dct_matrix(size)
     # batched matmul (einsum without optimize picks a naive O(n*S^4) loop)
     coefs = np.matmul(np.matmul(d, stack.astype(np.float32)), d.T)
-    block = coefs[:, :lowfreq, :lowfreq].reshape(len(stack), -1)
-    med = np.median(block[:, 1:], axis=1, keepdims=True)
-    bits = (block > med).astype(np.uint64)
-    w = np.uint64(1) << np.arange(lowfreq * lowfreq, dtype=np.uint64)
+    return _block_to_hash(coefs[:, :lowfreq, :lowfreq])
+
+
+def _block_to_hash(block: np.ndarray) -> np.ndarray:
+    """(n, L, L) low-frequency DCT blocks -> (n,) u64: bit = coef > median
+    (DC excluded from the median, standard pHash shape)."""
+    flat = block.reshape(len(block), -1)
+    med = np.median(flat[:, 1:], axis=1, keepdims=True)
+    bits = (flat > med).astype(np.uint64)
+    w = np.uint64(1) << np.arange(flat.shape[1], dtype=np.uint64)
     return (bits * w[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+# Dihedral-4 orientation group, indexed 0..7. ``dihedral_apply(img, k)`` is
+# the pixel-space transform; ``phash64_dihedral_batch`` produces the SAME
+# hashes from one DCT per image (see its docstring for the identities).
+DIHEDRAL_NAMES = ("identity", "fliplr", "flipud", "rot180",
+                  "transpose", "rot90", "rot270", "anti_transpose")
+
+
+def dihedral_apply(img: np.ndarray, k: int) -> np.ndarray:
+    """Apply the k-th dihedral-4 transform to an (h, w, ...) array.
+    k=5 is np.rot90 (counter-clockwise), k=6 is rot270."""
+    if k == 0:
+        return img
+    if k == 1:
+        return img[:, ::-1]
+    if k == 2:
+        return img[::-1]
+    if k == 3:
+        return img[::-1, ::-1]
+    if k == 4:
+        return img.swapaxes(0, 1)
+    if k == 5:
+        return img[:, ::-1].swapaxes(0, 1)
+    if k == 6:
+        return img[::-1].swapaxes(0, 1)
+    if k == 7:
+        return img[::-1, ::-1].swapaxes(0, 1)
+    raise ValueError(f"dihedral index out of range: {k}")
+
+
+def phash64_dihedral_batch(stack: np.ndarray, size: int = 32,
+                           lowfreq: int = 8) -> np.ndarray:
+    """All 8 dihedral-orientation pHashes from ONE DCT per image:
+    (n, S, S) resized grayscale -> (n, 8) u64, column k = pHash of
+    ``dihedral_apply(img, k)``.
+
+    Exact DCT-II identities make the other 7 orientations nearly free:
+    reversing a signal multiplies coefficient k by (-1)^k and transposing
+    the image transposes the coefficient matrix, so every orientation's
+    low-frequency block is a transpose + parity sign mask of the one
+    computed block — closed within the (L, L) block, no second DCT. (The
+    identities are exact in real arithmetic; float evaluation of the two
+    paths can differ by ~1e-6, flipping a bit only on a near-median tie, so
+    consumers treat cross-path equality as Hamming <= 1, never bitwise.)
+    Area resize commutes with all 8 transforms (square output, symmetric
+    box filter), so hashing the transformed RESIZED plane equals hashing
+    the resize of the transformed image."""
+    d = dct_matrix(size)
+    coefs = np.matmul(np.matmul(d, stack.astype(np.float32)), d.T)
+    blk = coefs[:, :lowfreq, :lowfreq]
+    bt = blk.swapaxes(1, 2)
+    su = ((-1.0) ** np.arange(lowfreq)).astype(np.float32)
+    mu, mv = su[None, :, None], su[None, None, :]
+    variants = (blk, blk * mv, blk * mu, blk * mu * mv,
+                bt, bt * mu, bt * mv, bt * mu * mv)
+    out = np.empty((len(stack), 8), dtype=np.uint64)
+    for k, v in enumerate(variants):
+        out[:, k] = _block_to_hash(v)
+    return out
 
 
 def simhash_features(gray_small: np.ndarray, tiles: int = 8) -> np.ndarray:

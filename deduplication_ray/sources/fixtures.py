@@ -319,6 +319,117 @@ def generate(out_dir: str, n_rows: int, seed: int = 42, num_files: int | None = 
                                      "num_files": num_files, "stage": "fixture"})
 
 
+def _rot_selection(image_ids: pa.Array | pa.ChunkedArray,
+                   stride: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic augmentation plan from ids alone: row i gets a dihedral
+    copy iff hash(id) % stride == 0, with orientation 1 + hash(id) % 7.
+    Pure function of the id so truth pairs derive without touching pixels."""
+    from deduplication_ray.functions import hashing as H
+
+    idh = H.hash_bytes_array(image_ids)
+    sel = (idh % np.uint64(stride)) == 0
+    k = 1 + (idh % np.uint64(7)).astype(np.int64)
+    return sel, k
+
+
+def rot_truth_pairs(image_ids, stride: int = 5) -> pd.DataFrame:
+    """Planted (orig, rotated-copy) pairs for ``generate_rotated``."""
+    arr = pa.array(list(image_ids), pa.string()) \
+        if not isinstance(image_ids, (pa.Array, pa.ChunkedArray)) else image_ids
+    sel, k = _rot_selection(arr, stride)
+    ids = np.asarray(arr.to_pylist(), dtype=object)[sel]
+    ks = k[sel]
+    return pd.DataFrame({
+        "id_a": ids,
+        "id_b": [f"rot{int(kk)}_of_{i}" for i, kk in zip(ids, ks)],
+        "orient": ks,
+    })
+
+
+class _RotAugment:
+    """map_batches task: pass every base row through and append one
+    dihedral-transformed copy for each selected row."""
+
+    def __init__(self, stride: int, phash_size: int = 32,
+                 phash_lowfreq: int = 8):
+        self.stride = stride
+        self.size = phash_size
+        self.lowfreq = phash_lowfreq
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from deduplication_ray.functions import hashing as H
+
+        sel, kk = _rot_selection(t["image_id"], self.stride)
+        rows = np.flatnonzero(sel)
+        if not len(rows):
+            return t
+        ids = t["image_id"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        ws = t["w"].to_numpy()
+        hs = t["h"].to_numpy()
+        caps = t["caption"].to_pylist()
+        payloads = t["bytes"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        pbuf, poffs = H._arrow_flat_buffer(payloads)
+        new = {c: [] for c in ("image_id", "bytes", "w", "h", "fmt",
+                               "caption")}
+        grays = np.empty((len(rows), self.size, self.size), np.float32)
+        for j, i in enumerate(rows):
+            k = int(kk[i])
+            img = C.decode_image(pbuf[poffs[i]:poffs[i + 1]],
+                                 fmts[i], int(ws[i]), int(hs[i]))
+            timg = np.ascontiguousarray(C.dihedral_apply(img, k))
+            data = C.encode_image(timg, fmts[i])
+            if fmts[i] == "qrgb":
+                timg = C.decode_qrgb(data)  # hash what a reader will decode
+            new["image_id"].append(f"rot{k}_of_{ids[i]}")
+            new["bytes"].append(data)
+            new["w"].append(int(timg.shape[1]))
+            new["h"].append(int(timg.shape[0]))
+            new["fmt"].append(fmts[i])
+            new["caption"].append(caps[i])
+            grays[j] = C.resize_area(C.to_grayscale(timg), self.size)
+        ph = C.phash64_batch(grays, self.size, self.lowfreq)
+        extra = pa.table({
+            "image_id": pa.array(new["image_id"], pa.string()),
+            "bytes": pa.array(new["bytes"], pa.binary()),
+            "w": pa.array(new["w"], pa.int32()),
+            "h": pa.array(new["h"], pa.int32()),
+            "fmt": pa.array(new["fmt"], pa.string()),
+            "caption": pa.array(new["caption"], pa.string()),
+            "phash": pa.array(bitcast_u64_to_i64(ph), pa.int64()),
+        })
+        return pa.concat_tables([t.select(extra.column_names), extra],
+                                promote_options="default")
+
+
+def generate_rotated(base_dir: str, out_dir: str, stride: int = 5) -> None:
+    """Augment a generated image fixture (``generate`` output at
+    ``base_dir``) with dihedral near-duplicates: every stride-th image (by
+    id hash) gains one rotated/mirrored/transposed copy. Writes the
+    augmented table to ``out_dir``/data and the planted (orig, copy) pairs
+    to ``out_dir``/truth_pairs. Requires an active Ray session."""
+    import os
+
+    import ray.data
+
+    from deduplication_ray.sources import storage
+
+    ds = storage.read_table(os.path.join(base_dir, "data"))
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    ds.map_batches(_RotAugment(stride), batch_size=512,
+                   batch_format="pyarrow").write_parquet(data_dir)
+    base_ids = storage.read_table(os.path.join(base_dir, "data"),
+                                  columns=["image_id"]).to_pandas()
+    pairs = rot_truth_pairs(base_ids["image_id"].tolist(), stride)
+    storage.write_arrow_table(pa.Table.from_pandas(pairs),
+                              os.path.join(out_dir, "truth_pairs"))
+    storage.write_manifest(out_dir, {"base": base_dir, "stride": stride,
+                                     "stage": "rot_fixture"})
+
+
 # ---------------------------------------------------------------- video fixture
 
 VIDEO_KINDS = ("unique", "exact", "reenc", "trim", "jitter")
