@@ -108,6 +108,29 @@ def _img_rot_query(sf_dir: str):
     return orientation.run_rot_dup(storage.read_table(f"{rot_dir}/data"), cfg)
 
 
+def _img_crop_query(sf_dir: str):
+    """Crop/pad-robust near-dup pairs over the image fixture augmented with
+    planted quadrant/center crops and pad-to-double copies — duplicates the
+    whole-image pHash channel cannot pair (resize normalizes scale, not
+    composition). Rows-only; recall 1.0 on planted pairs and plain-pHash
+    blindness are asserted in tests/test_cropdup.py."""
+    import os
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines import cropdup
+    from deduplication_ray.sources import fixtures, storage
+
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    crop_dir = f"/tmp/dedup_ray_cropfix_{FIXTURE_SEED}_{n}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
+    if not os.path.exists(os.path.join(crop_dir, "_manifest.json")):
+        fixtures.generate_cropped(fix_dir, crop_dir, stride=5)
+    cfg = DedupConfig(num_partitions=8)
+    return cropdup.run_crop_dup(storage.read_table(f"{crop_dir}/data"), cfg)
+
+
 def _img_incremental_query(sf_dir: str):
     """Incremental ingest on the image fixture: dedup a 200-row delta against
     a finished 1000-row base run (base signatures/clusters reused from
@@ -546,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_clusters": _img_fixture_query,
         "image_dedup_eval": _img_dedup_eval_query,
         "image_rot_dup_pairs": _img_rot_query,
+        "image_crop_dup_pairs": _img_crop_query,
         "image_dedup_incremental": _img_incremental_query,
         "image_dedup_merge": _img_merge_query,
         "text_dedup_incremental": _text_incremental_query,

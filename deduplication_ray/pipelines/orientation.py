@@ -25,9 +25,9 @@ Scale shape (mirrors the main image pipeline, ``image_dedup.py``):
   degrades to anchor-star pairs instead of quadratic emission.
 
 Verification uses the group structure: if B = g(A) + noise then B's
-orientation hashes are a permutation of A's, so comparing A's orientation-0
-hash against all 8 of B covers every relative orientation — 8 XORs per
-pair, not 64.
+orientation hashes are a permutation of A's, so the minimum Hamming over
+orientation pairs equals the minimum over RELATIVE orientations — one
+vectorized (pairs, 8, 8) popcount in the shared multihash machinery.
 
 Reference parity: generalizes the reference's exact-block identity probe
 (``/root/reference/src/dictionary.c:49-59``) to an identity that is
@@ -45,17 +45,16 @@ import ray.data
 from deduplication_ray.config import DedupConfig
 from deduplication_ray.functions import codecs as C
 from deduplication_ray.functions import hashing as H
-from deduplication_ray.stages.groupred import hash_grouped_reduce
+from deduplication_ray.pipelines.multihash import banded_multihash_pairs
 
 N_ORIENT = 8
-_BANDS_PER_HASH = 4  # 64-bit hash -> 4 x 16-bit bands (Hamming<=3 guarantee)
 
 
 class OrientationSignatures:
     """Actor-pool stage: decode pixels once, emit the 8 orientation pHashes.
 
-    Output: image_id, dh0..dh7 (int64 bitcast of u64 pHashes). The bytes
-    column dies here."""
+    Output: image_id, h0..h7 (int64 bitcast of u64 pHashes), valid (all-ones
+    bitmask). The bytes column dies here."""
 
     def __init__(self, cfg: DedupConfig):
         self.cfg = cfg
@@ -79,8 +78,9 @@ class OrientationSignatures:
         dh = C.phash64_dihedral_batch(grays, cfg.phash_size, cfg.phash_lowfreq)
         cols = {"image_id": batch["image_id"]}
         for k in range(N_ORIENT):
-            cols[f"dh{k}"] = pa.array(H.bitcast_u64_to_i64(dh[:, k]),
-                                      pa.int64())
+            cols[f"h{k}"] = pa.array(H.bitcast_u64_to_i64(dh[:, k]),
+                                     pa.int64())
+        cols["valid"] = pa.array(np.full(n, (1 << N_ORIENT) - 1, np.int64))
         return pa.table(cols)
 
 
@@ -98,89 +98,15 @@ def compute_orientation_signatures(ds: ray.data.Dataset,
 
 def rot_dup_pairs(sigs: ray.data.Dataset, cfg: DedupConfig,
                   max_hamming: int = 6) -> ray.data.Dataset:
-    """(image_id, dh0..dh7) signatures -> verified orientation-invariant
-    near-dup pairs (id_a, id_b, hamming), id_a < id_b lexicographically.
+    """(image_id, h0..h7, valid) signatures -> verified orientation-
+    invariant near-dup pairs (id_a, id_b, hamming), id_a < id_b.
 
-    hamming = min over relative orientations of popcount(a0 ^ bk)."""
-
-    def explode(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        ids = t["image_id"]
-        dh = np.stack([H.bitcast_i64_to_u64(t[f"dh{k}"].to_numpy())
-                       for k in range(N_ORIENT)], axis=1)  # (n, 8)
-        keys, rows = [], []
-        for k in range(N_ORIENT):
-            for b in range(_BANDS_PER_HASH):
-                bits = (dh[:, k] >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-                # band id folded into the key so band b of one hash never
-                # collides with band b' of another
-                keys.append(H.splitmix64(bits ^ np.uint64(
-                    0xA5A5_0000 + b)))
-                rows.append(np.arange(n, dtype=np.int64))
-        key = np.concatenate(keys)
-        row = np.concatenate(rows)
-        cols = {
-            "bkey": pa.array(H.bitcast_u64_to_i64(key), pa.int64()),
-            "image_id": ids.take(pa.array(row)),
-        }
-        for k in range(N_ORIENT):
-            cols[f"dh{k}"] = t[f"dh{k}"].take(pa.array(row))
-        return pa.table(cols)
-
-    def pair_bucket(g: pa.Table) -> pa.Table:
-        # rows sharing one 16-bit band value: dedupe ids, then all-pairs
-        # (bucket_cap-bounded: degrade to anchor-star above the cap, the
-        # same skew defusal as stages/lsh.py)
-        g = g.group_by(
-            ["image_id"] + [f"dh{k}" for k in range(N_ORIENT)]).aggregate([])
-        m = g.num_rows
-        if m < 2:
-            return _empty_pairs()
-        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
-        dh = np.stack([H.bitcast_i64_to_u64(g[f"dh{k}"].to_numpy())
-                       for k in range(N_ORIENT)], axis=1)
-        if m <= cfg.bucket_cap:
-            ia, ib = np.triu_indices(m, k=1)
-        else:
-            anchor = np.zeros(m - 1, dtype=np.int64)
-            ia, ib = anchor, np.arange(1, m, dtype=np.int64)
-        # min Hamming over relative orientations: a0 vs every bk
-        x = dh[ia, 0:1] ^ dh[ib, :]  # (pairs, 8)
-        ham = H.popcount64(x).min(axis=1).astype(np.int64)
-        keep = ham <= max_hamming
-        ia, ib, ham = ia[keep], ib[keep], ham[keep]
-        a, b = ids[ia], ids[ib]
-        swap = a > b
-        a[swap], b[swap] = b[swap], a[swap]
-        return pa.table({
-            "id_a": pa.array(a.tolist(), pa.string()),
-            "id_b": pa.array(b.tolist(), pa.string()),
-            "hamming": pa.array(ham),
-        })
-
-    def dedupe(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = t.to_pandas()
-        out = (df.groupby(["id_a", "id_b"], sort=True)["hamming"].min()
-               .reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    pairs = (sigs.map_batches(explode, batch_format="pyarrow")
-             .groupby("bkey").map_groups(pair_bucket, batch_format="pyarrow"))
-
-    def key_hash(t: pa.Table) -> np.ndarray:
-        return (H.hash_bytes_array(t["id_a"])
-                ^ H.splitmix64(H.hash_bytes_array(t["id_b"])))
-
-    return hash_grouped_reduce(pairs, key_hash=key_hash, reduce_fn=dedupe,
-                               num_parts=cfg.num_partitions)
-
-
-def _empty_pairs() -> pa.Table:
-    return pa.table({"id_a": pa.array([], pa.string()),
-                     "id_b": pa.array([], pa.string()),
-                     "hamming": pa.array([], pa.int64())})
+    hamming = min Hamming over all (i, j) orientation pairs — by the group
+    structure d(h_i(A), h_j(B)) = d(h_0(A), h_rel(B)), so the full matrix
+    min equals the relative-orientation min. Banding/verify/dedupe are the
+    shared ``multihash.banded_multihash_pairs`` machinery."""
+    return banded_multihash_pairs(sigs, cfg, n_hashes=N_ORIENT,
+                                  max_hamming=max_hamming)
 
 
 def run_rot_dup(input_ds: ray.data.Dataset, cfg: DedupConfig,

@@ -430,6 +430,143 @@ def generate_rotated(base_dir: str, out_dir: str, stride: int = 5) -> None:
                                      "stage": "rot_fixture"})
 
 
+CROP_VARIANTS = ("tl", "tr", "bl", "br", "center", "pad2x")
+
+
+def _crop_selection(image_ids: pa.Array | pa.ChunkedArray,
+                    stride: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic crop/pad plan from ids alone: row i gets a copy iff
+    hash(id) % stride == 1 (offset so it never collides with the rotation
+    plan on the same fixture), variant = (hash >> 8) % 6."""
+    from deduplication_ray.functions import hashing as H
+
+    idh = H.hash_bytes_array(image_ids)
+    sel = (idh % np.uint64(stride)) == 1
+    v = ((idh >> np.uint64(8)) % np.uint64(len(CROP_VARIANTS))).astype(np.int64)
+    return sel, v
+
+
+def crop_apply(img: np.ndarray, variant: int) -> np.ndarray:
+    """Apply the variant-th crop/pad transform to an (h, w, 3) array."""
+    h, w = img.shape[:2]
+    h2, w2 = h // 2, w // 2
+    if variant == 0:
+        return img[:h2, :w2]
+    if variant == 1:
+        return img[:h2, w - w2:]
+    if variant == 2:
+        return img[h - h2:, :w2]
+    if variant == 3:
+        return img[h - h2:, w - w2:]
+    if variant == 4:
+        h4, w4 = h // 4, w // 4
+        return img[h4:h4 + h2, w4:w4 + w2]
+    if variant == 5:  # pad to double: content centered, black bars
+        out = np.zeros((2 * h, 2 * w, 3), dtype=img.dtype)
+        out[h2:h2 + h, w2:w2 + w] = img
+        return out
+    raise ValueError(f"crop variant out of range: {variant}")
+
+
+def crop_truth_pairs(image_ids, stride: int = 5) -> pd.DataFrame:
+    """Planted (orig, crop/pad-copy) pairs for ``generate_cropped``."""
+    arr = pa.array(list(image_ids), pa.string()) \
+        if not isinstance(image_ids, (pa.Array, pa.ChunkedArray)) else image_ids
+    sel, v = _crop_selection(arr, stride)
+    ids = np.asarray(arr.to_pylist(), dtype=object)[sel]
+    vs = v[sel]
+    return pd.DataFrame({
+        "id_a": ids,
+        "id_b": [f"crop_{CROP_VARIANTS[int(vv)]}_of_{i}"
+                 for i, vv in zip(ids, vs)],
+        "variant": [CROP_VARIANTS[int(vv)] for vv in vs],
+    })
+
+
+class _CropAugment:
+    """map_batches task: pass every base row through and append one
+    crop/pad-transformed copy for each selected row."""
+
+    def __init__(self, stride: int, phash_size: int = 32,
+                 phash_lowfreq: int = 8):
+        self.stride = stride
+        self.size = phash_size
+        self.lowfreq = phash_lowfreq
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from deduplication_ray.functions import hashing as H
+
+        sel, vv = _crop_selection(t["image_id"], self.stride)
+        rows = np.flatnonzero(sel)
+        if not len(rows):
+            return t
+        ids = t["image_id"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        ws = t["w"].to_numpy()
+        hs = t["h"].to_numpy()
+        caps = t["caption"].to_pylist()
+        payloads = t["bytes"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        pbuf, poffs = H._arrow_flat_buffer(payloads)
+        new = {c: [] for c in ("image_id", "bytes", "w", "h", "fmt",
+                               "caption")}
+        grays = np.empty((len(rows), self.size, self.size), np.float32)
+        for j, i in enumerate(rows):
+            v = int(vv[i])
+            img = C.decode_image(pbuf[poffs[i]:poffs[i + 1]],
+                                 fmts[i], int(ws[i]), int(hs[i]))
+            timg = np.ascontiguousarray(crop_apply(img, v))
+            data = C.encode_image(timg, fmts[i])
+            if fmts[i] == "qrgb":
+                timg = C.decode_qrgb(data)  # hash what a reader will decode
+            new["image_id"].append(f"crop_{CROP_VARIANTS[v]}_of_{ids[i]}")
+            new["bytes"].append(data)
+            new["w"].append(int(timg.shape[1]))
+            new["h"].append(int(timg.shape[0]))
+            new["fmt"].append(fmts[i])
+            new["caption"].append(caps[i])
+            grays[j] = C.resize_area(C.to_grayscale(timg), self.size)
+        ph = C.phash64_batch(grays, self.size, self.lowfreq)
+        extra = pa.table({
+            "image_id": pa.array(new["image_id"], pa.string()),
+            "bytes": pa.array(new["bytes"], pa.binary()),
+            "w": pa.array(new["w"], pa.int32()),
+            "h": pa.array(new["h"], pa.int32()),
+            "fmt": pa.array(new["fmt"], pa.string()),
+            "caption": pa.array(new["caption"], pa.string()),
+            "phash": pa.array(bitcast_u64_to_i64(ph), pa.int64()),
+        })
+        return pa.concat_tables([t.select(extra.column_names), extra],
+                                promote_options="default")
+
+
+def generate_cropped(base_dir: str, out_dir: str, stride: int = 5) -> None:
+    """Augment a generated image fixture with crop/pad near-duplicates:
+    every stride-th image (by id hash) gains one quadrant-crop, center-crop
+    or pad-to-double copy. Writes the augmented table to ``out_dir``/data
+    and the planted pairs to ``out_dir``/truth_pairs. Requires an active
+    Ray session."""
+    import os
+
+    import ray.data
+
+    from deduplication_ray.sources import storage
+
+    ds = storage.read_table(os.path.join(base_dir, "data"))
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    ds.map_batches(_CropAugment(stride), batch_size=512,
+                   batch_format="pyarrow").write_parquet(data_dir)
+    base_ids = storage.read_table(os.path.join(base_dir, "data"),
+                                  columns=["image_id"]).to_pandas()
+    pairs = crop_truth_pairs(base_ids["image_id"].tolist(), stride)
+    storage.write_arrow_table(pa.Table.from_pandas(pairs),
+                              os.path.join(out_dir, "truth_pairs"))
+    storage.write_manifest(out_dir, {"base": base_dir, "stride": stride,
+                                     "stage": "crop_fixture"})
+
+
 # ---------------------------------------------------------------- video fixture
 
 VIDEO_KINDS = ("unique", "exact", "reenc", "trim", "jitter")
