@@ -544,6 +544,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": R.q3_shipping_priority,  # join kin (TPC-H Q3)
         "q18_big_orders": R.q18_big_orders,  # semi-join kin (TPC-H Q18)
         "events_rolling_dau": R.q_events_rolling_dau,  # windowed distinct
+        "q9_profit_by_nation": R.q9_profit_by_nation,  # star-join kin
+        "q14_promo_share": R.q14_promo_share,  # conditional-agg kin
+        "q19_brand_revenue": R.q19_brand_revenue,  # disjunctive predicate
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -674,6 +677,9 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": R.Q3_SHIPPING_PRIORITY_SQL,
         "q18_big_orders": R.Q18_BIG_ORDERS_SQL,
         "events_rolling_dau": R.Q_EVENTS_ROLLING_DAU_SQL,
+        "q9_profit_by_nation": R.Q9_PROFIT_BY_NATION_SQL,
+        "q14_promo_share": R.Q14_PROMO_SHARE_SQL,
+        "q19_brand_revenue": R.Q19_BRAND_REVENUE_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

@@ -2842,3 +2842,200 @@ SELECT g.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS dau7
 FROM grid g JOIN du ON du.day BETWEEN g.day - 6 AND g.day
 GROUP BY g.day
 """
+
+
+# ------------------------------------------------ TPC-H Q9 (profit by nation)
+
+def _broadcast_sorted(df: pd.DataFrame, key: str, val: str):
+    """Sort a small dimension frame by key and ray.put the (keys, values)
+    arrays for searchsorted probes inside map_batches."""
+    order = np.argsort(df[key].to_numpy(), kind="stable")
+    return ray.put((df[key].to_numpy()[order], df[val].to_numpy()[order]))
+
+
+def q9_profit_by_nation(sf_dir: str):
+    """TPC-H Q9 shape: profit per (supplier nation, ship year) — a fact
+    table against a star of dimensions, composed as a DOUBLE broadcast:
+    the dimension chain supplier -> nation collapses driver-side into ONE
+    (suppkey -> nation name) lookup shipped once via ray.put and probed
+    with a searchsorted per lineitem batch, so the fact stream never
+    shuffles until the final |nations| x |years| groupby of per-batch
+    partials (the q_revenue_by_nation dimension-collapse pattern on the
+    supplier leg of the star)."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    sn = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    supp_ref = _broadcast_sorted(sn, "s_suppkey", "n_name")
+
+    class Star:
+        def __init__(self):
+            self.sk, self.nname = ray.get(supp_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            spos = np.searchsorted(self.sk, t["l_suppkey"].to_numpy())
+            spos = np.clip(spos, 0, len(self.sk) - 1)
+            nname = self.nname[spos]
+            year = (t["l_shipdate"].to_numpy().astype("datetime64[Y]")
+                    .astype(np.int64) + 1970)
+            e4 = pc.round(pc.multiply(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                pa.scalar(10000.0))).cast(pa.int64()).to_numpy()
+            g = (pa.table({"n_name": pa.array(nname.tolist(), pa.string()),
+                           "ship_year": pa.array(year),
+                           "profit_e4": pa.array(e4),
+                           "n_items": pa.array(np.ones(len(e4), np.int64))})
+                 .group_by(["n_name", "ship_year"])
+                 .aggregate([("profit_e4", "sum"), ("n_items", "sum")]))
+            return g.rename_columns(
+                ["n_name", "ship_year", "profit_e4", "n_items"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    return li.map_batches(Star, batch_format="pyarrow",
+                          concurrency=(1, 4)) \
+        .groupby(["n_name", "ship_year"]).aggregate(
+            Sum("profit_e4", alias_name="profit_e4"),
+            Sum("n_items", alias_name="n_items"))
+
+
+Q9_PROFIT_BY_NATION_SQL = """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS profit_e4,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name, ship_year
+"""
+
+
+# --------------------------------------------- TPC-H Q14 (promo revenue share)
+
+def q14_promo_share(sf_dir: str):
+    """TPC-H Q14 shape: per ship year, the integer-permille share of
+    revenue from PROMO-type parts — conditional aggregation over one
+    broadcast dimension probe. The share is computed with INTEGER floor
+    division on e4-unit sums (never a float ratio), so the DuckDB oracle
+    hash-matches bit-for-bit."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    part_ref = _broadcast_sorted(part, "p_partkey", "p_type")
+
+    class Promo:
+        def __init__(self):
+            self.pk, self.ptype = ray.get(part_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ppos = np.searchsorted(self.pk, t["l_partkey"].to_numpy())
+            ppos = np.clip(ppos, 0, len(self.pk) - 1)
+            promo = self.ptype[ppos] == "PROMO"
+            year = (t["l_shipdate"].to_numpy().astype("datetime64[Y]")
+                    .astype(np.int64) + 1970)
+            e4 = pc.round(pc.multiply(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                pa.scalar(10000.0))).cast(pa.int64()).to_numpy()
+            g = (pa.table({"ship_year": pa.array(year),
+                           "promo_e4": pa.array(np.where(promo, e4, 0)),
+                           "total_e4": pa.array(e4)})
+                 .group_by(["ship_year"])
+                 .aggregate([("promo_e4", "sum"), ("total_e4", "sum")]))
+            return g.rename_columns(["ship_year", "promo_e4", "total_e4"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    agg = li.map_batches(Promo, batch_format="pyarrow",
+                         concurrency=(1, 4)) \
+        .groupby("ship_year").aggregate(
+            Sum("promo_e4", alias_name="promo_e4"),
+            Sum("total_e4", alias_name="total_e4"))
+
+    def share(t: pa.Table) -> pa.Table:
+        p = t["promo_e4"].to_numpy()
+        tot = t["total_e4"].to_numpy()
+        permille = np.where(tot > 0, (p * 1000) // np.maximum(tot, 1), 0)
+        return t.append_column("promo_permille",
+                               pa.array(permille.astype(np.int64)))
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+Q14_PROMO_SHARE_SQL = """
+WITH y AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo_e4,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_e4
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY ship_year
+)
+SELECT ship_year, promo_e4, total_e4,
+       CAST((promo_e4 * 1000) // greatest(total_e4, 1) AS BIGINT) AS promo_permille
+FROM y
+"""
+
+
+# ----------------------------------- TPC-H Q19 (disjunctive predicate revenue)
+
+def q19_brand_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size range,
+    quantity range) conjunctions — the disjunctive multi-attribute
+    predicate that defeats naive pushdown. The part attributes broadcast
+    once; each lineitem batch evaluates the whole disjunction as three
+    vectorized masks. Output is ONE row (revenue_e4, n_items): a full-fact
+    scan collapsing to a scalar, the cheapest possible shuffle."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    order = np.argsort(part["p_partkey"].to_numpy(), kind="stable")
+    ref = ray.put((part["p_partkey"].to_numpy()[order],
+                   part["p_brand"].to_numpy()[order],
+                   part["p_size"].to_numpy()[order]))
+    PREDS = (("Brand#12", 1, 15, 1, 15),
+             ("Brand#23", 1, 25, 10, 30),
+             ("Brand#34", 1, 35, 20, 45))
+
+    class Q19:
+        def __init__(self):
+            self.pk, self.brand, self.size = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ppos = np.searchsorted(self.pk, t["l_partkey"].to_numpy())
+            ppos = np.clip(ppos, 0, len(self.pk) - 1)
+            brand = self.brand[ppos]
+            size = self.size[ppos]
+            qty = pc.round(t["l_quantity"]).cast(pa.int64()).to_numpy()
+            keep = np.zeros(t.num_rows, bool)
+            for b, s_lo, s_hi, q_lo, q_hi in PREDS:
+                keep |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                         & (qty >= q_lo) & (qty <= q_hi))
+            e4 = pc.round(pc.multiply(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                pa.scalar(10000.0))).cast(pa.int64()).to_numpy()
+            return pa.table({
+                "revenue_e4": pa.array([int(e4[keep].sum())], pa.int64()),
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+            })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    parts = li.map_batches(Q19, batch_format="pyarrow",
+                           concurrency=(1, 4)).to_pandas()
+    return pd.DataFrame({
+        "revenue_e4": [int(parts["revenue_e4"].sum())],
+        "n_items": [int(parts["n_items"].sum())],
+    })
+
+
+Q19_BRAND_REVENUE_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 45)
+"""
