@@ -35,6 +35,13 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_hamming_t: int = 6
 
+    # --- optional extra pixel-identity channels (opt-in: each widens the
+    # duplicate definition AND the signature row) ---
+    orientation_channel: bool = False  # dihedral (rot/mirror) pHash edges
+    orientation_hamming_t: int = 6
+    crop_channel: bool = False         # window-pyramid (crop/pad) edges
+    crop_hamming_t: int = 3
+
     # --- skew defusal (T8) ---
     bucket_cap: int = 64          # max rows per LSH bucket before salting
     pair_cap: int = 2048          # max emitted pairs per (sub)bucket; above -> anchor star

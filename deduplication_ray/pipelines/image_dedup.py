@@ -230,11 +230,27 @@ def run_pipeline(
     # candidate stream is transient (only verified survivors are worth a
     # checkpoint write), which drops one full materialize+write+re-read
     # barrier from every run
-    vedges = run.run_stage(
-        "verified_edges",
-        lambda: verify_candidates(build_edges(sigs, cfg, read_captions()), sigs, cfg),
-        ["signatures"],
-    )
+    def make_vedges() -> ray.data.Dataset:
+        ve = verify_candidates(
+            build_edges(sigs, cfg, read_captions()), sigs, cfg)
+        # opt-in extra pixel-identity channels: their pairs are already
+        # verified by construction (min relative-orientation / valid-window
+        # Hamming), so they join AFTER the pHash/SimHash verify — which
+        # would reject them, that blindness being the point. Duplicate
+        # edges across channels are harmless to min-label propagation.
+        if cfg.orientation_channel:
+            from deduplication_ray.pipelines.orientation import (
+                orientation_edges_from_signatures)
+
+            ve = ve.union(orientation_edges_from_signatures(sigs, cfg))
+        if cfg.crop_channel:
+            from deduplication_ray.pipelines.cropdup import (
+                crop_edges_from_signatures)
+
+            ve = ve.union(crop_edges_from_signatures(sigs, cfg))
+        return ve
+
+    vedges = run.run_stage("verified_edges", make_vedges, ["signatures"])
 
     # --- union-find with per-round checkpoints (mid-shuffle resume) ---
     if run.is_complete("clusters"):

@@ -73,12 +73,22 @@ class ComputeSignatures:
               ^ (hs.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
         uniq_rows = np.sort(np.unique(dk, return_index=True)[1])
         grays = np.zeros((n, cfg.phash_size, cfg.phash_size), dtype=np.float32)
+        wins = None
+        if cfg.crop_channel:
+            from deduplication_ray.pipelines.cropdup import (N_WINDOWS,
+                                                             window_grays)
+
+            wins = np.zeros((n, N_WINDOWS, cfg.phash_size, cfg.phash_size),
+                            dtype=np.float32)
         bad = np.zeros(n, dtype=bool)
         for i in uniq_rows:
             try:
                 img = C.decode_image(pbuf[poffs[i]:poffs[i + 1]],
                                      fmts[i], int(ws[i]), int(hs[i]))
-                grays[i] = C.resize_area(C.to_grayscale(img), cfg.phash_size)
+                g = C.to_grayscale(img)
+                grays[i] = C.resize_area(g, cfg.phash_size)
+                if wins is not None:
+                    wins[i] = window_grays(g, cfg.phash_size)
             except Exception:
                 # at web scale some crawled bytes are always corrupt; the
                 # strict default keeps the reference's fail-fast contract
@@ -97,7 +107,10 @@ class ComputeSignatures:
             rep_of = {k: i for i, k in zip(uniq_rows, dk[uniq_rows])}
             dup_rows = np.setdiff1d(np.arange(n), uniq_rows,
                                     assume_unique=True)
-            grays[dup_rows] = grays[[rep_of[k] for k in dk[dup_rows]]]
+            rep_rows = [rep_of[k] for k in dk[dup_rows]]
+            grays[dup_rows] = grays[rep_rows]
+            if wins is not None:
+                wins[dup_rows] = wins[rep_rows]
         phash = C.phash64_batch(grays, cfg.phash_size, cfg.phash_lowfreq)
         feats = C.simhash_features(grays)
         simhash = H.simhash_from_features(feats, self.planes)
@@ -115,18 +128,33 @@ class ComputeSignatures:
         # Exactness contract (the memcmp analog, dictionary.c:53): 128 bits
         # make same-key-different-content pairs vanishingly unlikely at
         # 10^12 rows.
-        out = pa.table(
-            {
-                "image_id": batch["image_id"],
-                "ck1": pa.array(H.bitcast_u64_to_i64(bk), pa.int64()),
-                "ck2": pa.array(H.bitcast_u64_to_i64(cap_hash), pa.int64()),
-                "cap_hash": pa.array(H.bitcast_u64_to_i64(cap_hash), pa.int64()),
-                "phash": pa.array(H.bitcast_u64_to_i64(phash), pa.int64()),
-                "phash_ok": pa.array(phash_ok),
-                "simhash": pa.array(H.bitcast_u64_to_i64(simhash), pa.int64()),
-                "minhash": H.pack_u64_rows(sig),
-            }
-        )
+        cols = {
+            "image_id": batch["image_id"],
+            "ck1": pa.array(H.bitcast_u64_to_i64(bk), pa.int64()),
+            "ck2": pa.array(H.bitcast_u64_to_i64(cap_hash), pa.int64()),
+            "cap_hash": pa.array(H.bitcast_u64_to_i64(cap_hash), pa.int64()),
+            "phash": pa.array(H.bitcast_u64_to_i64(phash), pa.int64()),
+            "phash_ok": pa.array(phash_ok),
+            "simhash": pa.array(H.bitcast_u64_to_i64(simhash), pa.int64()),
+            "minhash": H.pack_u64_rows(sig),
+        }
+        # optional extra pixel-identity channels, from the SAME decode pass
+        if cfg.orientation_channel:
+            dh = C.phash64_dihedral_batch(grays, cfg.phash_size,
+                                          cfg.phash_lowfreq)
+            for k in range(dh.shape[1]):
+                cols[f"oh{k}"] = pa.array(H.bitcast_u64_to_i64(dh[:, k]),
+                                          pa.int64())
+        if wins is not None:
+            from deduplication_ray.pipelines.cropdup import window_phashes
+
+            wh, wvalid = window_phashes(wins, cfg.phash_size,
+                                        cfg.phash_lowfreq)
+            for k in range(wh.shape[1]):
+                cols[f"wh{k}"] = pa.array(H.bitcast_u64_to_i64(wh[:, k]),
+                                          pa.int64())
+            cols["wvalid"] = pa.array(wvalid)
+        out = pa.table(cols)
         return out.filter(pa.array(~bad)) if bad.any() else out
 
 

@@ -118,3 +118,25 @@ def test_plain_phash_is_blind_to_crops(ray_session, crop_fixture):
                   for a, b in zip(truth["id_a"], truth["id_b"])])
     assert np.median(d) > 6, f"median plain-pHash Hamming {np.median(d)}"
     assert (d > 6).mean() > 0.7, f"only {(d > 6).mean():.0%} beyond threshold"
+
+
+def test_pipeline_with_crop_channel_clusters_crops(ray_session, crop_fixture):
+    """End-to-end: cfg.crop_channel folds window-pyramid edges into the
+    main pipeline's union-find, so every planted crop/pad copy lands in its
+    original's cluster."""
+    import shutil as _sh
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines import image_dedup
+    from deduplication_ray.sources import storage
+
+    run_dir = "/tmp/dedup_ray_test_croprun"
+    _sh.rmtree(run_dir, ignore_errors=True)
+    cfg = DedupConfig(num_partitions=4, sig_concurrency=2, crop_channel=True)
+    image_dedup.run_pipeline(f"{crop_fixture}/data", run_dir, cfg)
+    clusters = storage.read_table(f"{run_dir}/clusters").to_pandas()
+    lab = dict(zip(clusters["image_id"], clusters["cluster_id"]))
+    truth = storage.read_table(f"{crop_fixture}/truth_pairs").to_pandas()
+    split = [(a, b) for a, b in zip(truth["id_a"], truth["id_b"])
+             if lab[a] != lab[b]]
+    assert not split, f"{len(split)}/{len(truth)} crop pairs split: {split[:5]}"
