@@ -133,6 +133,85 @@ class _SideFilter:
                         else pc.or_(s, d))
 
 
+def _channel_edges_delta(delta_sigs: ray.data.Dataset,
+                         base_sigs: ray.data.Dataset,
+                         cfg: DedupConfig) -> ray.data.Dataset | None:
+    """Delta-bounded orientation/crop channel edges (opt-in via
+    ``cfg.orientation_channel`` / ``cfg.crop_channel``): the delta's channel
+    band keys are collected once (bounded: |delta| x K x 4 u64s) and the
+    base's channel buckets are probed against them — the same bounding
+    discipline as the main bucket stream, so base pixels are never decoded
+    and base rows outside delta-occupied buckets never pair. Returns None
+    when neither channel is on. Requires base signatures written under the
+    same config (hence carrying the channel columns — enforced by
+    ``_check_sig_config``)."""
+    from deduplication_ray.pipelines.multihash import (
+        multihash_buckets, multihash_pairs_from_buckets)
+
+    specs = []
+    if cfg.orientation_channel:
+        from deduplication_ray.pipelines.orientation import N_ORIENT
+
+        def prep_o(t: pa.Table) -> pa.Table:
+            cols = {"image_id": t["image_id"]}
+            for k in range(N_ORIENT):
+                cols[f"h{k}"] = t[f"oh{k}"]
+            cols["valid"] = pa.array(
+                np.full(t.num_rows, (1 << N_ORIENT) - 1, np.int64))
+            return pa.table(cols)
+
+        specs.append((prep_o, N_ORIENT, cfg.orientation_hamming_t, "orient"))
+    if cfg.crop_channel:
+        from deduplication_ray.pipelines.cropdup import N_WINDOWS
+
+        def prep_c(t: pa.Table) -> pa.Table:
+            cols = {"image_id": t["image_id"]}
+            for k in range(N_WINDOWS):
+                cols[f"h{k}"] = t[f"wh{k}"]
+            cols["valid"] = t["wvalid"]
+            return pa.table(cols)
+
+        specs.append((prep_c, N_WINDOWS, cfg.crop_hamming_t, "window"))
+    if not specs:
+        return None
+
+    def bkeys_u64(t: pa.Table) -> np.ndarray:
+        return t["bkey"].to_numpy().view(np.uint64)
+
+    out = None
+    for prep, K, thr, kind in specs:
+        db = multihash_buckets(
+            delta_sigs.map_batches(prep, batch_format="pyarrow"),
+            K).materialize()
+
+        def keyrows(t: pa.Table) -> pa.Table:
+            return pa.table({"k": pa.array(np.unique(t["bkey"].to_numpy()),
+                                           pa.int64())})
+
+        parts = list(db.map_batches(keyrows, batch_format="pyarrow")
+                     .iter_batches(batch_format="pyarrow", batch_size=None))
+        allk = (np.unique(pa.concat_tables(
+            parts, promote_options="default")["k"].to_numpy()
+            .view(np.uint64)) if parts else np.empty(0, np.uint64))
+        ref = ray.put(allk)
+        bb = multihash_buckets(
+            base_sigs.map_batches(prep, batch_format="pyarrow"),
+            K).map_batches(_MatchingKeys(ref, key_fn=bkeys_u64),
+                           batch_format="pyarrow")
+        pairs = multihash_pairs_from_buckets(db.union(bb), cfg, K, thr)
+
+        def to_edges(t: pa.Table, _kind=kind) -> pa.Table:
+            return pa.table({
+                "src": t["id_a"],
+                "dst": t["id_b"],
+                "kind": pa.array([_kind] * t.num_rows, pa.string()),
+            })
+
+        e = pairs.map_batches(to_edges, batch_format="pyarrow")
+        out = e if out is None else out.union(e)
+    return out
+
+
 def _check_sig_config(run_dirs, cfg: DedupConfig, what: str) -> None:
     """Signatures computed under a different shingle/band/hash config are
     not comparable — mixing them would silently produce wrong buckets and
@@ -361,7 +440,15 @@ def ingest_delta(
                                    batch_format="pyarrow")
         attached = verify.attach_signatures(
             cand, delta_sigs.union(base_sigs), cfg, cols=attach_cols)
-        return verify.verify_edges(attached, cfg, has_pixels=has_pixels)
+        ve = verify.verify_edges(attached, cfg, has_pixels=has_pixels)
+        ch = (_channel_edges_delta(delta_sigs, base_sigs, cfg)
+              if mode == "image" else None)
+        if ch is not None:
+            # channel pairs are pre-verified (min-Hamming in-bucket); the
+            # same touches filter keeps the delta bounding
+            ve = ve.union(ch.map_batches(_SideFilter(ids_ref, mode="touches"),
+                                         batch_format="pyarrow"))
+        return ve
 
     vedges = run.run_stage("verified_edges", build_and_verify, ["signatures"])
 
@@ -473,8 +560,16 @@ def merge_runs(
             _SideFilter(ids_ref, mode="crosses"), batch_format="pyarrow")
         attached = verify.attach_signatures(
             cross, sigs_a.union(sigs_b), cfg, cols=kit["attach_cols"])
-        return verify.verify_edges(attached, cfg,
-                                   has_pixels=kit["has_pixels"])
+        ve = verify.verify_edges(attached, cfg,
+                                 has_pixels=kit["has_pixels"])
+        # channel edges (B-bounded, run B playing the delta); within-side
+        # channel connectivity is already inside each run's clusters
+        ch = (_channel_edges_delta(sigs_b, sigs_a, cfg)
+              if mode == "image" else None)
+        if ch is not None:
+            ve = ve.union(ch.map_batches(_SideFilter(ids_ref, mode="crosses"),
+                                         batch_format="pyarrow"))
+        return ve
 
     vedges = run.run_stage("verified_edges", build_and_verify, ["input"])
 

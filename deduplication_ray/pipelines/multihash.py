@@ -40,19 +40,12 @@ def empty_pairs() -> pa.Table:
                      "hamming": pa.array([], pa.int64())})
 
 
-def banded_multihash_pairs(
-    sigs: ray.data.Dataset,
-    cfg: DedupConfig,
-    n_hashes: int,
-    max_hamming: int,
-    pair_mask: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None,
-) -> ray.data.Dataset:
-    """(image_id, h0..h{K-1} int64, valid int64 bitmask) signatures ->
-    verified pairs (id_a, id_b, hamming), id_a < id_b.
-
-    ``pair_mask(va, vb) -> (pairs, K, K) bool`` restricts which (i, j) hash
-    pairs count (default: valid_i x valid_j). hamming = min over allowed
-    pairs of popcount(hA_i ^ hB_j)."""
+def multihash_buckets(sigs: ray.data.Dataset,
+                      n_hashes: int) -> ray.data.Dataset:
+    """(image_id, h0..h{K-1}, valid) signatures -> exploded band-bucket rows
+    (bkey, image_id, h0.., valid): 4 x 16-bit bands per VALID hash; the band
+    key folds the band position but not the hash index, so hash i of one
+    image collides with hash j of another."""
     K = n_hashes
     hcols = [f"h{k}" for k in range(K)]
 
@@ -83,6 +76,23 @@ def banded_multihash_pairs(
             cols[c] = t[c].take(row)
         cols["valid"] = t["valid"].take(row)
         return pa.table(cols)
+
+    return sigs.map_batches(explode, batch_format="pyarrow")
+
+
+def multihash_pairs_from_buckets(
+    buckets: ray.data.Dataset,
+    cfg: DedupConfig,
+    n_hashes: int,
+    max_hamming: int,
+    pair_mask: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None,
+) -> ray.data.Dataset:
+    """Exploded bucket rows -> verified deduped pairs (id_a, id_b, hamming),
+    id_a < id_b. ``pair_mask(va, vb) -> (pairs, K, K) bool`` restricts which
+    (i, j) hash pairs count (default: valid_i x valid_j); hamming = min over
+    allowed pairs of popcount(hA_i ^ hB_j)."""
+    K = n_hashes
+    hcols = [f"h{k}" for k in range(K)]
 
     def pair_bucket(g: pa.Table) -> pa.Table:
         g = g.group_by(["image_id"] + hcols + ["valid"]).aggregate([])
@@ -128,8 +138,8 @@ def banded_multihash_pairs(
 
     from deduplication_ray.stages.groupred import hash_grouped_reduce
 
-    pairs = (sigs.map_batches(explode, batch_format="pyarrow")
-             .groupby("bkey").map_groups(pair_bucket, batch_format="pyarrow"))
+    pairs = buckets.groupby("bkey").map_groups(pair_bucket,
+                                               batch_format="pyarrow")
 
     def key_hash(t: pa.Table) -> np.ndarray:
         return (H.hash_bytes_array(t["id_a"])
@@ -137,3 +147,17 @@ def banded_multihash_pairs(
 
     return hash_grouped_reduce(pairs, key_hash=key_hash, reduce_fn=dedupe,
                                num_parts=cfg.num_partitions)
+
+
+def banded_multihash_pairs(
+    sigs: ray.data.Dataset,
+    cfg: DedupConfig,
+    n_hashes: int,
+    max_hamming: int,
+    pair_mask: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None,
+) -> ray.data.Dataset:
+    """(image_id, h0..h{K-1} int64, valid int64 bitmask) signatures ->
+    verified pairs (id_a, id_b, hamming), id_a < id_b."""
+    return multihash_pairs_from_buckets(
+        multihash_buckets(sigs, n_hashes), cfg, n_hashes, max_hamming,
+        pair_mask)

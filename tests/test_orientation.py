@@ -146,3 +146,104 @@ def test_pipeline_with_orientation_channel_clusters_rotations(ray_session,
     split = [(a, b) for a, b in zip(truth["id_a"], truth["id_b"])
              if lab[a] != lab[b]]
     assert not split, f"{len(split)}/{len(truth)} rot pairs split: {split[:5]}"
+
+
+def test_incremental_ingest_with_orientation_channel(ray_session,
+                                                     rot_fixture,
+                                                     tiny_fixture):
+    """Delta-bounded channel edges: ingesting the rotated copies against a
+    channels-on base run yields the SAME clusters as a from-scratch
+    channels-on run over base+copies — base pixels never re-decode."""
+    import os
+    import shutil as _sh
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines import image_dedup
+    from deduplication_ray.pipelines.incremental import ingest_delta
+    from tests.conftest import load_parquet_dir
+
+    cfg = DedupConfig(num_partitions=4, sig_concurrency=2,
+                      orientation_channel=True)
+    tbl = pads.dataset(
+        [f"{rot_fixture}/data/{f}" for f in os.listdir(f"{rot_fixture}/data")
+         if f.endswith(".parquet")]).to_table()
+    is_rot = pc.starts_with(tbl["image_id"].combine_chunks(), "rot")
+    delta_dir = "/tmp/dedup_ray_rotinc_delta"
+    _sh.rmtree(delta_dir, ignore_errors=True)
+    os.makedirs(delta_dir)
+    pq.write_table(tbl.filter(is_rot), f"{delta_dir}/part-0.parquet")
+
+    base_run = "/tmp/dedup_ray_rotinc_base_run"
+    inc_run = "/tmp/dedup_ray_rotinc_run"
+    fs_run = "/tmp/dedup_ray_rotinc_fs_run"
+    for d in (base_run, inc_run, fs_run):
+        _sh.rmtree(d, ignore_errors=True)
+    image_dedup.run_pipeline(f"{tiny_fixture}/data", base_run, cfg)
+    metrics = ingest_delta(base_run, f"{tiny_fixture}/data", delta_dir,
+                           inc_run, cfg)
+    # delta bounding held: only the rotated copies were signature-computed
+    n_delta = int(tbl.filter(is_rot).num_rows)
+    assert metrics["rows"]["signatures"] == n_delta
+    image_dedup.run_pipeline(f"{rot_fixture}/data", fs_run, cfg)
+
+    full = (load_parquet_dir(f"{fs_run}/clusters")
+            .sort_values("image_id").reset_index(drop=True))
+    inc = (load_parquet_dir(f"{inc_run}/clusters")
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(inc) == len(full)
+    merged = full.merge(inc, on="image_id", suffixes=("_f", "_i"))
+    mismatch = (merged["cluster_id_f"] != merged["cluster_id_i"]).sum()
+    assert mismatch == 0, f"{mismatch}/{len(merged)} assignments differ"
+
+
+def test_merge_runs_with_orientation_channel(ray_session, rot_fixture,
+                                             tiny_fixture):
+    """Federating a channels-on base run with a rotated-copies run equals
+    the from-scratch channels-on run over the union (cross-run channel
+    edges B-bounded, no media re-decode)."""
+    import os
+    import shutil as _sh
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines import image_dedup
+    from deduplication_ray.pipelines.incremental import merge_runs
+    from tests.conftest import load_parquet_dir
+
+    cfg = DedupConfig(num_partitions=4, sig_concurrency=2,
+                      orientation_channel=True)
+    tbl = pads.dataset(
+        [f"{rot_fixture}/data/{f}" for f in os.listdir(f"{rot_fixture}/data")
+         if f.endswith(".parquet")]).to_table()
+    is_rot = pc.starts_with(tbl["image_id"].combine_chunks(), "rot")
+    b_dir = "/tmp/dedup_ray_rotmerge_b_data"
+    _sh.rmtree(b_dir, ignore_errors=True)
+    os.makedirs(b_dir)
+    pq.write_table(tbl.filter(is_rot), f"{b_dir}/part-0.parquet")
+
+    run_a = "/tmp/dedup_ray_rotinc_base_run"  # reuse if the ingest test ran
+    run_b = "/tmp/dedup_ray_rotmerge_b_run"
+    merged = "/tmp/dedup_ray_rotmerge_run"
+    fs_run = "/tmp/dedup_ray_rotinc_fs_run"   # reuse if the ingest test ran
+    for d in (run_b, merged):
+        _sh.rmtree(d, ignore_errors=True)
+    image_dedup.run_pipeline(f"{tiny_fixture}/data", run_a, cfg)
+    image_dedup.run_pipeline(b_dir, run_b, cfg)
+    merge_runs(run_a, f"{tiny_fixture}/data", run_b, b_dir, merged, cfg)
+    image_dedup.run_pipeline(f"{rot_fixture}/data", fs_run, cfg)
+
+    full = (load_parquet_dir(f"{fs_run}/clusters")
+            .sort_values("image_id").reset_index(drop=True))
+    got = (load_parquet_dir(f"{merged}/clusters")
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(full)
+    m = full.merge(got, on="image_id", suffixes=("_f", "_m"))
+    mismatch = (m["cluster_id_f"] != m["cluster_id_m"]).sum()
+    assert mismatch == 0, f"{mismatch}/{len(m)} assignments differ"
