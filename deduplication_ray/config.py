@@ -90,6 +90,9 @@ class DedupConfig:
                                     # trims are grid-aligned or absent.
     video_frame_hamming_t: int = 8  # per-frame pHash Hamming radius
     video_match_frac: float = 0.6   # mean frame-containment to link two videos
+    video_mirror_channel: bool = False  # opt-in: also catch horizontally
+                                        # mirrored re-uploads (fliplr frame
+                                        # hashes from the same DCT)
 
     # --- audio near-dup (windowed spectral fingerprints) ---
     audio_window: int = 1024        # PCM samples per fingerprint window

@@ -62,30 +62,47 @@ class _ExplodeFrameBands:
         self.cfg = cfg
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        lists = t["frame_phashes"].combine_chunks() if isinstance(
-            t["frame_phashes"], pa.ChunkedArray) else t["frame_phashes"]
-        flat = lists.flatten().to_numpy()
-        counts = np.diff(lists.offsets.to_numpy())
-        band, bucket = lsh._hash16_bands(H.bitcast_i64_to_u64(flat),
-                                         lsh.BAND_PHASH)
-        ids = np.repeat(t["image_id"].to_pandas().to_numpy(), counts * 4)
-        ph = np.repeat(flat, 4)
-        return pa.table({
-            "band": band.astype(np.int64),
-            "bucket": bucket,
-            "salt": np.zeros(len(ids), dtype=np.int64),
-            "image_id": pa.array(ids, pa.string()),
-            "ph": pa.array(ph, pa.int64()),
-            "sh": np.zeros(len(ids), dtype=np.int64),
-        })
+        def rows_for(col: str) -> pa.Table:
+            lists = t[col].combine_chunks() if isinstance(
+                t[col], pa.ChunkedArray) else t[col]
+            flat = lists.flatten().to_numpy()
+            counts = np.diff(lists.offsets.to_numpy())
+            band, bucket = lsh._hash16_bands(H.bitcast_i64_to_u64(flat),
+                                             lsh.BAND_PHASH)
+            ids = np.repeat(t["image_id"].to_pandas().to_numpy(), counts * 4)
+            ph = np.repeat(flat, 4)
+            return pa.table({
+                "band": band.astype(np.int64),
+                "bucket": bucket,
+                "salt": np.zeros(len(ids), dtype=np.int64),
+                "image_id": pa.array(ids, pa.string()),
+                "ph": pa.array(ph, pa.int64()),
+                "sh": np.zeros(len(ids), dtype=np.int64),
+            })
+
+        out = rows_for("frame_phashes")
+        if "frame_phashes_flip" in t.column_names:
+            # mirror channel: each frame also bands its fliplr hash, so a
+            # mirrored copy's PLAIN bands meet the original's FLIP bands in
+            # the same buckets (``ph`` carries the flip hash, making the
+            # at-emission Hamming gate the mirror distance)
+            out = pa.concat_tables([out, rows_for("frame_phashes_flip")],
+                                   promote_options="default")
+        return out
 
 
 def verify_video_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
                        cfg: DedupConfig) -> ray.data.Dataset:
-    """Keep candidate (src, dst) iff mean frame containment >= video_match_frac."""
+    """Keep candidate (src, dst) iff mean frame containment >= video_match_frac.
+
+    With ``cfg.video_mirror_channel`` two frames match when ANY of the four
+    plain/flip hash combinations is within the radius — a mirrored copy
+    scores the same containment as a plain one."""
     from deduplication_ray.stages.verify import attach_signatures
 
-    e = attach_signatures(edges, sigs, cfg, cols=["frame_phashes"])
+    mirror = cfg.video_mirror_channel
+    cols = ["frame_phashes"] + (["frame_phashes_flip"] if mirror else [])
+    e = attach_signatures(edges, sigs, cfg, cols=cols)
     tau, frac_min = cfg.video_frame_hamming_t, cfg.video_match_frac
 
     def flat_lens(col) -> tuple[np.ndarray, np.ndarray]:
@@ -106,13 +123,22 @@ def verify_video_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
         fa, la = flat_lens(t["frame_phashes_src"])
         fb, lb = flat_lens(t["frame_phashes_dst"])
         La, Lb = int(la.max(initial=1)), int(lb.max(initial=1))
-        A = np.zeros((n, La), dtype=np.uint64)
-        B = np.zeros((n, Lb), dtype=np.uint64)
-        A[np.repeat(np.arange(n), la), H._ranges(la)] = fa
-        B[np.repeat(np.arange(n), lb), H._ranges(lb)] = fb
+
+        def pad(flat, lens, L):
+            M = np.zeros((n, L), dtype=np.uint64)
+            M[np.repeat(np.arange(n), lens), H._ranges(lens)] = flat
+            return M
+
+        A = pad(fa, la, La)
+        B = pad(fb, lb, Lb)
         va = np.arange(La)[None, :] < la[:, None]
         vb = np.arange(Lb)[None, :] < lb[:, None]
         d = H.popcount64(A[:, :, None] ^ B[:, None, :])
+        if mirror:
+            Fa = pad(flat_lens(t["frame_phashes_flip_src"])[0], la, La)
+            Fb = pad(flat_lens(t["frame_phashes_flip_dst"])[0], lb, Lb)
+            d = np.minimum(d, H.popcount64(A[:, :, None] ^ Fb[:, None, :]))
+            d = np.minimum(d, H.popcount64(Fa[:, :, None] ^ B[:, None, :]))
         d = np.where(vb[:, None, :], d, 65)  # pad frames never match
         hit_a = ((d.min(axis=2) <= tau) & va).sum(axis=1)
         d = np.where(va[:, :, None], d, 65)

@@ -255,18 +255,32 @@ class VideoSignatures:
                 k += 1
             counts.append(k)
             totals.append(C.vseq_header(data)[0])
+        mirror = cfg.video_mirror_channel
         if gray:
-            ph = H.bitcast_u64_to_i64(
-                C.phash64_batch(np.stack(gray), cfg.phash_size, cfg.phash_lowfreq))
+            stack = np.stack(gray)
+            if mirror:
+                # identity + fliplr hashes from ONE DCT (parity sign mask)
+                dh = C.phash64_dihedral_batch(stack, cfg.phash_size,
+                                              cfg.phash_lowfreq)
+                ph = H.bitcast_u64_to_i64(dh[:, 0])
+                fl = H.bitcast_u64_to_i64(dh[:, 1])
+            else:
+                ph = H.bitcast_u64_to_i64(C.phash64_batch(
+                    stack, cfg.phash_size, cfg.phash_lowfreq))
         else:
             ph = np.empty(0, dtype=np.int64)
+            fl = np.empty(0, dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-        return pa.table({
+        cols = {
             "image_id": t[self.id_col].cast(pa.string()),
             "frame_phashes": pa.ListArray.from_arrays(
                 pa.array(offsets), pa.array(ph, pa.int64())),
             "n_frames": pa.array(totals, pa.int64()),
-        })
+        }
+        if mirror:
+            cols["frame_phashes_flip"] = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(fl, pa.int64()))
+        return pa.table(cols)
 
 
 def encode_wav(pcm: np.ndarray, rate: int, bits: int = 16) -> bytes:

@@ -75,3 +75,43 @@ def test_verify_rejects_single_shared_frame(ray_session):
     cfg = DedupConfig(num_partitions=2, video_every_k=1)
     out = video_dedup_clusters(ray.data.from_arrow(t), cfg).to_pandas()
     assert out["cluster_id"].nunique() == 2
+
+
+def _mirror_vseq(data: bytes) -> bytes:
+    """Re-encode a VSQ1 clip with every frame horizontally mirrored."""
+    from deduplication_ray.functions import codecs as C
+
+    n, w, h, fps, fmt = C.vseq_header(bytes(data))
+    frames = [np.ascontiguousarray(px[:, ::-1])
+              for _, px in C.decode_vseq_frames(bytes(data))]
+    return C.encode_vseq(frames, fps, fmt)
+
+
+def test_video_mirror_channel_catches_flipped_reuploads(ray_session,
+                                                        video_fixture):
+    """cfg.video_mirror_channel pairs a horizontally mirrored re-upload
+    with its original; the default config is blind to it (the planted
+    mirror stays a singleton)."""
+    from deduplication_ray.sources import storage
+
+    base = storage.read_table(f"{video_fixture}/data").to_pandas().head(40)
+    mirrored = base.head(12).copy()
+    mirrored["bytes"] = [_mirror_vseq(b) for b in mirrored["bytes"]]
+    planted = [f"mirror_of_{v}" for v in mirrored["video_id"]]
+    mirrored["video_id"] = planted
+    both = pd.concat([base, mirrored], ignore_index=True)
+    ds = ray.data.from_pandas(both).repartition(4)
+
+    on = video_dedup_clusters(
+        ds, DedupConfig(num_partitions=4, video_mirror_channel=True)
+    ).to_pandas()
+    lab = dict(zip(on["video_id"], on["cluster_id"]))
+    split = [m for m in planted if lab[m] != lab[m.split("_of_", 1)[1]]]
+    assert not split, f"mirror channel missed {split}"
+
+    off = video_dedup_clusters(ds, DedupConfig(num_partitions=4)).to_pandas()
+    lab0 = dict(zip(off["video_id"], off["cluster_id"]))
+    joined = [m for m in planted if lab0[m] == lab0[m.split("_of_", 1)[1]]]
+    # plain frame pHash must NOT pair mirrored copies (a symmetric clip
+    # could fluke — tolerate at most one)
+    assert len(joined) <= 1, f"default config unexpectedly paired {joined}"
