@@ -85,6 +85,26 @@ def _img_dedup_eval_query(sf_dir: str):
     }])
 
 
+def _img_tier_query(sf_dir: str):
+    """Tiered image-dedup funnel (exact -> pixel near-dup -> caption
+    near-dup) over the synthetic fixture — the graft cell's tier-dedup
+    shape on the image payload. Returns the 3-row per-tier attrition
+    report; invariants asserted in
+    tests/test_pipeline.py::test_image_tier_dedup_funnel."""
+    import os
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import tier_dedup_report
+    from deduplication_ray.sources import fixtures, storage
+
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
+    return tier_dedup_report(storage.read_table(f"{fix_dir}/data"),
+                             DedupConfig(num_partitions=8))
+
+
 def _img_rot_query(sf_dir: str):
     """Orientation-invariant (dihedral) near-dup pairs over the image
     fixture augmented with planted rotated/mirrored/transposed copies —
@@ -547,6 +567,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_profit_by_nation": R.q9_profit_by_nation,  # star-join kin
         "q14_promo_share": R.q14_promo_share,  # conditional-agg kin
         "q19_brand_revenue": R.q19_brand_revenue,  # disjunctive predicate
+        "q4_late_ship_priority": R.q4_late_ship_priority,  # EXISTS as max-agg
+        "q10_returned_revenue": R.q10_returned_revenue,  # multi-hop top-k
+        "q13_order_count_distribution": R.q13_order_count_distribution,  # left-join histogram
+        "q17_small_qty_revenue": R.q17_small_qty_revenue,  # per-group-avg self-join
+        "q22_idle_balance": R.q22_idle_balance,  # scalar subquery + anti-join
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -571,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_bucket_stats": docops.q_lsh_bucket_stats,
         "image_dedup_clusters": _img_fixture_query,
         "image_dedup_eval": _img_dedup_eval_query,
+        "image_tier_dedup": _img_tier_query,
         "image_rot_dup_pairs": _img_rot_query,
         "image_crop_dup_pairs": _img_crop_query,
         "image_dedup_incremental": _img_incremental_query,
@@ -680,6 +706,11 @@ def oracle_sql() -> dict[str, str]:
         "q9_profit_by_nation": R.Q9_PROFIT_BY_NATION_SQL,
         "q14_promo_share": R.Q14_PROMO_SHARE_SQL,
         "q19_brand_revenue": R.Q19_BRAND_REVENUE_SQL,
+        "q4_late_ship_priority": R.Q4_LATE_SHIP_PRIORITY_SQL,
+        "q10_returned_revenue": R.Q10_RETURNED_REVENUE_SQL,
+        "q13_order_count_distribution": R.Q13_ORDER_COUNT_DISTRIBUTION_SQL,
+        "q17_small_qty_revenue": R.Q17_SMALL_QTY_REVENUE_SQL,
+        "q22_idle_balance": R.Q22_IDLE_BALANCE_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

@@ -317,6 +317,117 @@ def run_pipeline(
     return metrics
 
 
+def _channel_clusters(
+    sigs: ray.data.Dataset,
+    cfg: DedupConfig,
+    band_lo: int,
+    band_hi: int,
+    exact_key: tuple | None = None,
+    has_pixels: bool = True,
+) -> ray.data.Dataset:
+    """Clusters over ONE candidate-family slice of the shared bucket stream.
+
+    ``ExplodeBands`` emits every family in a single signature pass; slicing
+    by band-id namespace (``[band_lo, band_hi)``) isolates a channel (pixel
+    bands = pHash+SimHash multi-index, caption bands = MinHash LSH) without
+    a second signature read. The filter sits directly on the bucket emission
+    so non-selected families die before the groupby shuffle.
+    """
+    buckets = sigs.map_batches(
+        lsh.ExplodeBands(cfg), batch_format="pyarrow",
+        batch_size=cfg.text_batch_size,
+    ).filter(expr=f"band >= {band_lo} and band < {band_hi}")
+    edges = lsh.edges_from_buckets(buckets, cfg)
+    if exact_key is not None:
+        edges = edges.union(lsh.exact_edges(sigs, cfg, key=exact_key))
+    edges = lsh.dedupe_edges(edges)
+    attached = verify.attach_signatures(edges, sigs, cfg)
+    ve = verify.verify_edges(attached, cfg, has_pixels=has_pixels).materialize()
+    labels = unionfind.connected_components(ve, cfg)
+    return finalize_clusters(sigs.select_columns(["image_id"]), labels, cfg)
+
+
+def _self_representatives(clusters: ray.data.Dataset) -> ray.data.Dataset:
+    """Rows whose propagated label IS their own id — the tier's survivors
+    (hash-min propagation converges every cluster to its min id)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["image_id"], t["cluster_id"])) \
+            .select(["image_id"])
+
+    return clusters.map_batches(keep, batch_format="pyarrow")
+
+
+def tier_dedup_report(input_ds: ray.data.Dataset, cfg: DedupConfig | None = None):
+    """TIERED image-dedup funnel — the production curation shape (cheap
+    exact tiers first, each costlier tier sees only survivors), with
+    per-tier attrition reported:
+
+      tier 1  EXACT    collapse identical (decoded-pixel key, caption) rows
+                       to the min-image_id representative — the reference's
+                       first-occurrence dictionary insert
+                       (``/root/reference/src/compressor.c:109-113``) at
+                       image granularity;
+      tier 2  PIXEL    pHash + SimHash multi-index Hamming near-dup over
+                       exact survivors (re-encodes, mild pixel noise);
+      tier 3  CAPTION  MinHash-LSH + exact-caption-hash near-dup over pixel
+                       survivors (caption paraphrases / shared captions).
+
+    Output: one row per tier — (tier, tier_name, images_in, images_out) —
+    the attrition report a curation run publishes. Rows-only check (tiers
+    2-3 are iterative); funnel invariants (monotone attrition, tier-1
+    parity with the distinct content-key count, >= the one-shot pipeline's
+    cluster count since sequential tiers cannot see cross-channel bridges
+    through dropped rows) are asserted in
+    tests/test_pipeline.py::test_image_tier_dedup_funnel.
+
+    Scale plan: images decode exactly ONCE (the shared signature pass);
+    every later tier is a filter + the engine's own bucketed channels over
+    the signature table, so no tier re-reads image bytes, and inter-tier
+    survivor joins are id-set lookup joins (broadcast below
+    ``cfg.broadcast_limit``). The report itself is three rows.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    from deduplication_ray.stages.join import lookup_join
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    cfg = cfg or DedupConfig()
+    apply_context_tuning()
+
+    sigs = compute_signatures(input_ds, cfg).materialize()
+    n_in = sigs.count()
+
+    # tier 1: exact — min image_id per 128-bit (pixel key, caption hash)
+    reps1 = (sigs.groupby(["ck1", "ck2"])
+             .aggregate(Min("image_id", alias_name="image_id"))
+             .select_columns(["image_id"]))
+    s1 = lookup_join(sigs, reps1, on=["image_id"], cfg=cfg).materialize()
+    n1 = s1.count()
+
+    # tier 2: pixel near-dup (pHash + SimHash multi-index bands)
+    cl2 = _channel_clusters(s1, cfg, lsh.BAND_PHASH, lsh.BAND_SUBSTR)
+    s2 = lookup_join(s1, _self_representatives(cl2),
+                     on=["image_id"], cfg=cfg).materialize()
+    n2 = s2.count()
+
+    # tier 3: caption near-dup (MinHash bands + exact caption hash)
+    cl3 = _channel_clusters(s2, cfg, 0, lsh.BAND_PHASH,
+                            exact_key=("cap_hash",), has_pixels=False)
+    n3 = _self_representatives(cl3).count()
+
+    return pd.DataFrame({
+        "tier": [1, 2, 3],
+        "tier_name": ["exact", "pixel_near_dup", "caption_near_dup"],
+        "images_in": [n_in, n1, n2],
+        "images_out": [n1, n2, n3],
+    })
+
+
 def reconstruct(run_dir: str, cfg: DedupConfig | None = None) -> ray.data.Dataset:
     """Decompress analog (R17, ``compressor.c:320-339``): rebuild a full table
     view by joining assignments (clusters) back to representative rows.

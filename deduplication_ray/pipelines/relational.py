@@ -3039,3 +3039,360 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
        AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 45)
 """
+
+
+# ------------------------------------------------------------- keyed reduce kit
+
+def _segmented_reduce(t: pa.Table, key: str,
+                      cols: dict[str, tuple[str, str]]) -> pa.Table:
+    """Sort-segmented in-batch reduce over an int64 key: ``cols`` maps output
+    name -> (input column, 'sum' | 'max' | 'count'). Used as BOTH the per-batch
+    partial and the per-hash-partition combine of ``hash_grouped_reduce`` (a
+    partial's counts re-enter as 'sum'), so every fact row collapses before the
+    wire and each key crosses it once — the Q3 pre-aggregation discipline."""
+    ks = t[key].to_numpy()
+    if len(ks) == 0:
+        return pa.table({key: pa.array([], pa.int64()),
+                         **{o: pa.array([], pa.int64()) for o in cols}})
+    order = np.argsort(ks, kind="stable")
+    ks = ks[order]
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    ends = np.concatenate([starts[1:], [len(ks)]])
+    out = {key: pa.array(ks[starts], pa.int64())}
+    for name, (src, op) in cols.items():
+        if op == "count":
+            out[name] = pa.array((ends - starts).astype(np.int64))
+        else:
+            vs = t[src].to_numpy()[order]
+            red = (np.add.reduceat(vs, starts) if op == "sum"
+                   else np.maximum.reduceat(vs, starts))
+            out[name] = pa.array(red.astype(np.int64))
+    return pa.table(out)
+
+
+def _keyed_reduce(ds: ray.data.Dataset, key: str,
+                  cols: dict[str, tuple[str, str]],
+                  num_parts: int = 32) -> ray.data.Dataset:
+    """In-batch partial + hash-partitioned combine by one int64 key."""
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+
+    partial = ds.map_batches(lambda t: _segmented_reduce(t, key, cols),
+                             batch_format="pyarrow")
+    # re-reduce: partial counts arrive as a column -> combine by summing it
+    recols = {o: (o, "sum" if op == "count" else op)
+              for o, (_, op) in cols.items()}
+    return hash_grouped_reduce(
+        partial,
+        key_hash=lambda t: H.splitmix64(t[key].to_numpy().astype(np.uint64)),
+        reduce_fn=lambda t: _segmented_reduce(t, key, recols),
+        num_parts=num_parts,
+    )
+
+
+def _rev_e4(t: pa.Table) -> np.ndarray:
+    """Vectorized revenue in exact 1e-4 units (the engine's float policy)."""
+    return pc.round(pc.multiply(
+        pc.multiply(t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        pa.scalar(10000.0))).cast(pa.int64()).to_numpy()
+
+
+# --------------------------------------------- TPC-H Q4 (order priority / EXISTS)
+
+def q4_late_ship_priority(sf_dir: str):
+    """TPC-H Q4 shape: per-priority count of orders with EXISTS a late
+    lineitem (shipdate after the order date; the schema has no
+    commit/receipt dates). The correlated EXISTS becomes a per-orderkey MAX
+    pre-aggregation — lineitem collapses to one (orderkey, max ship day)
+    row BEFORE the wire — followed by the one unavoidable big-big edge
+    through the hash-co-partitioned shuffle join, then a 5-group count."""
+    from deduplication_ray.stages.join import shuffle_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = (t["l_shipdate"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "ship_day": pa.array(day, pa.int64())})
+
+    max_ship = _keyed_reduce(li.map_batches(to_day, batch_format="pyarrow"),
+                             "o_orderkey", {"max_ship_day": ("ship_day", "max")})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        day = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "order_day": pa.array(day, pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(o_prep, batch_format="pyarrow")
+
+    j = shuffle_join(max_ship, orders, on=["o_orderkey"], how="inner")
+    late = j.map_batches(
+        lambda t: t.filter(pc.greater(t["max_ship_day"], t["order_day"]))
+        .select(["o_orderpriority"]),
+        batch_format="pyarrow")
+    return late.groupby("o_orderpriority").aggregate(Count(alias_name="n_late"))
+
+
+Q4_LATE_SHIP_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_late
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------ TPC-H Q10 (returned-item customers)
+
+def q10_returned_revenue(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    ('R'-flag) lineitems, decorated with customer + nation attributes.
+    Returnflag pushed to the parquet scan; revenue collapses per orderkey
+    in-batch, crosses the wire once into orders (shuffle join), re-collapses
+    per custkey, then the small surviving table joins customer/nation and
+    the global top-k is per-block partial top-k + one bounded final merge —
+    never a global sort."""
+    from deduplication_ray.stages.join import shuffle_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"],
+               filter=(pc.field("l_returnflag") == "R"))
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "revenue_e4": pa.array(_rev_e4(t))})
+
+    per_order = _keyed_reduce(li.map_batches(rev, batch_format="pyarrow"),
+                              "o_orderkey", {"revenue_e4": ("revenue_e4", "sum")})
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = shuffle_join(per_order, orders, on=["o_orderkey"], how="inner")
+    per_cust = _keyed_reduce(
+        j.map_batches(lambda t: pa.table({"c_custkey": t["o_custkey"],
+                                          "revenue_e4": t["revenue_e4"]}),
+                      batch_format="pyarrow"),
+        "c_custkey", {"revenue_e4": ("revenue_e4", "sum")})
+
+    kcand = max(k * 5, 50)
+
+    def ptop(t: pa.Table) -> pa.Table:
+        if t.num_rows <= kcand:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("revenue_e4", "descending"),
+                                            ("c_custkey", "ascending")])
+        return t.take(idx[:kcand])
+
+    cand_tbls = list(per_cust.map_batches(ptop, batch_format="pyarrow")
+                     .repartition(1)
+                     .map_batches(ptop, batch_format="pyarrow", batch_size=None)
+                     .iter_batches(batch_format="pyarrow", batch_size=None))
+    cand = pa.concat_tables(cand_tbls) if cand_tbls else pa.table(
+        {"c_custkey": pa.array([], pa.int64()),
+         "revenue_e4": pa.array([], pa.int64())})
+    idx = pc.sort_indices(cand, sort_keys=[("revenue_e4", "descending"),
+                                           ("c_custkey", "ascending")])
+    cand = cand.take(idx[:k])
+
+    # k rows left: decorate from the dimension tables (driver-side, bounded)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+                 filter=pc.field("c_custkey").isin(cand["c_custkey"].to_pylist())
+                 ).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = cand.to_pandas().merge(cust, on="c_custkey", how="inner")
+    out["acctbal_cents"] = np.round(out["c_acctbal"] * 100).astype(np.int64)
+    out = out.sort_values(["revenue_e4", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "revenue_e4", "acctbal_cents", "n_name"]]
+
+
+Q10_RETURNED_REVENUE_SQL = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+"""
+
+
+# --------------------------------------- TPC-H Q13 (customer order-count distro)
+
+def q13_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape: histogram of per-customer order counts INCLUDING
+    zero-order customers — the left-join-then-regroup shape. Orders collapse
+    to (custkey, n) partials in-batch; the left shuffle join against the
+    customer id column fills in the zeros; the final histogram groupby is
+    |distinct counts| rows."""
+    from deduplication_ray.stages.join import shuffle_join
+
+    counts = _keyed_reduce(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+            batch_format="pyarrow"),
+        "c_custkey", {"c_count": ("c_custkey", "count")})
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = shuffle_join(cust, counts, on=["c_custkey"], how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({"c_count": t["c_count"].cast(pa.int64()).fill_null(0)})
+
+    return (j.map_batches(fill, batch_format="pyarrow")
+            .groupby("c_count").aggregate(Count(alias_name="custdist")))
+
+
+Q13_ORDER_COUNT_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+
+# ------------------------------------- TPC-H Q17 (small-quantity part revenue)
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below 20%
+    of their part's average quantity — the per-group-average self-join. The
+    per-part (quantity sum, count) moments collapse in-batch and cross the
+    wire once; the comparison is exact integer cross-multiplication
+    (5 * qty * cnt < qsum), never a float average, so the DuckDB oracle
+    hash-matches bit-for-bit. Output is one row."""
+    from deduplication_ray.stages.join import shuffle_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = pc.round(t["l_quantity"]).cast(pa.int64())
+        cents = pc.round(pc.multiply(t["l_extendedprice"],
+                                     pa.scalar(100.0))).cast(pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "qty": q,
+                         "price_cents": cents})
+
+    prepped = li.map_batches(prep, batch_format="pyarrow")
+    per_part = _keyed_reduce(
+        prepped.map_batches(
+            lambda t: t.select(["l_partkey", "qty"]), batch_format="pyarrow"),
+        "l_partkey", {"qsum": ("qty", "sum"), "qcnt": ("qty", "count")})
+    j = shuffle_join(prepped, per_part, on=["l_partkey"], how="inner")
+
+    def small(t: pa.Table) -> pa.Table:
+        qty = t["qty"].to_numpy()
+        keep = 5 * qty * t["qcnt"].to_numpy() < t["qsum"].to_numpy()
+        cents = t["price_cents"].to_numpy()[keep]
+        return pa.table({"revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+                         "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = j.map_batches(small, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_cents": [int(parts["revenue_cents"].sum())],
+        "n_items": [int(parts["n_items"].sum())],
+    })
+
+
+Q17_SMALL_QTY_REVENUE_SQL = """
+WITH p AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS qsum,
+         count(*) AS qcnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COALESCE(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT), 0) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem JOIN p USING (l_partkey)
+WHERE 5 * CAST(round(l_quantity) AS BIGINT) * qcnt < qsum
+"""
+
+
+# ----------------------------------- TPC-H Q22 (idle high-balance customers)
+
+def q22_idle_balance(sf_dir: str, cutoff: str = "1999-01-01"):
+    """TPC-H Q22 shape: per-nation count + balance of customers richer than
+    the global positive-balance average with NO RECENT orders (none on or
+    after ``cutoff`` — every customer in this corpus has SOME order, so the
+    recency predicate is what keeps the anti-join non-vacuous) — scalar
+    subquery + anti-join + group. The global average is two driver scalars
+    (sum, count) from one tiny aggregate; 'richer than average' is the
+    exact integer cross-multiplication cents * count > sum; the anti-join
+    is the left shuffle join's null side, with the recency predicate pushed
+    to the orders parquet scan."""
+    import datetime
+
+    from deduplication_ray.stages.join import shuffle_join
+
+    cut = datetime.datetime.fromisoformat(cutoff)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def pos_moments(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy()
+        pos = bal > 0.0
+        cents = np.round(bal[pos] * 100).astype(np.int64)
+        return pa.table({"psum": pa.array([int(cents.sum())], pa.int64()),
+                         "pcnt": pa.array([int(pos.sum())], pa.int64())})
+
+    mom = cust.map_batches(pos_moments, batch_format="pyarrow").to_pandas()
+    psum, pcnt = int(mom["psum"].sum()), int(mom["pcnt"].sum())
+
+    counts = _keyed_reduce(
+        _read(sf_dir, "orders", ["o_custkey"],
+              filter=(pc.field("o_orderdate") >= cut)).map_batches(
+            lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+            batch_format="pyarrow"),
+        "c_custkey", {"n_orders": ("c_custkey", "count")})
+    j = shuffle_join(cust, counts, on=["c_custkey"], how="left")
+
+    def idle_rich(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["c_acctbal"], pa.scalar(100.0))) \
+            .cast(pa.int64()).to_numpy()
+        no_orders = t["n_orders"].is_null().to_numpy(zero_copy_only=False)
+        keep = no_orders & (cents * pcnt > psum)
+        return pa.table({
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()).filter(pa.array(keep)),
+            "acctbal_cents": pa.array(cents[keep]),
+        })
+
+    out = (j.map_batches(idle_rich, batch_format="pyarrow")
+           .groupby("c_nationkey")
+           .aggregate(Count(alias_name="n_custs"),
+                      Sum("acctbal_cents", alias_name="acctbal_cents"))
+           .to_pandas())
+    # an EMPTY result (tiny SF: every rich customer has orders) must still
+    # carry the schema — a column-less frame fails the driver's compare
+    if out.empty:
+        out = pd.DataFrame({"c_nationkey": pd.Series(dtype=np.int64),
+                            "n_custs": pd.Series(dtype=np.int64),
+                            "acctbal_cents": pd.Series(dtype=np.int64)})
+    return out
+
+
+Q22_IDLE_BALANCE_SQL = """
+WITH s AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS psum,
+         count(*) AS pcnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       count(*) AS n_custs,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer, s
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pcnt > psum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1999-01-01')
+GROUP BY c_nationkey
+"""

@@ -369,3 +369,41 @@ def test_image_pipeline_deterministic_across_partitioning(tiny_fixture,
         outs.append(storage.read_table(f"{run}/clusters").to_pandas()
                     .sort_values("image_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_image_tier_dedup_funnel(tiny_run, tiny_fixture, ray_session):
+    """Tiered funnel invariants: chained tiers, monotone attrition with
+    every planted dup family biting its tier, tier-1 parity with the
+    distinct content-key count, and final survivors >= the one-shot
+    pipeline's cluster count (sequential tiers cannot follow cross-channel
+    bridges through rows an earlier tier dropped — and the funnel carries
+    no substring channel)."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines import image_dedup
+    from deduplication_ray.sources import storage
+
+    cfg = DedupConfig(num_partitions=4)
+    ds = storage.read_table(f"{tiny_fixture}/data")
+    rep = image_dedup.tier_dedup_report(ds, cfg)
+
+    assert list(rep["tier"]) == [1, 2, 3]
+    assert rep["images_in"][0] == ds.count()
+    # chained funnel: each tier's output feeds the next
+    assert rep["images_in"][1] == rep["images_out"][0]
+    assert rep["images_in"][2] == rep["images_out"][1]
+    # monotone attrition; the fixture plants exact dups (tier 1), re-encode
+    # + pixel-noise near-dups (tier 2), caption paraphrases (tier 3)
+    assert rep["images_out"][0] < rep["images_in"][0]
+    assert rep["images_out"][1] < rep["images_in"][1]
+    assert rep["images_out"][2] < rep["images_in"][2]
+
+    # tier-1 parity: distinct 128-bit (pixel key, caption hash) count
+    distinct = (image_dedup.compute_signatures(ds, cfg)
+                .groupby(["ck1", "ck2"]).count().count())
+    assert rep["images_out"][0] == distinct
+
+    # never below the one-shot engine's cluster count
+    run_dir, _, _ = tiny_run
+    oneshot = (storage.read_table(f"{run_dir}/clusters")
+               .groupby("cluster_id").count().count())
+    assert rep["images_out"][2] >= oneshot
