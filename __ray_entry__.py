@@ -572,6 +572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_order_count_distribution": R.q13_order_count_distribution,  # left-join histogram
         "q17_small_qty_revenue": R.q17_small_qty_revenue,  # per-group-avg self-join
         "q22_idle_balance": R.q22_idle_balance,  # scalar subquery + anti-join
+        "q7_nation_volume": R.q7_nation_volume,  # nation-pair star join
+        "top_event_type_per_user": R.q_top_event_type_per_user,  # grouped argmax
+        "events_value_moments": R.q_events_value_moments,  # correlation moments
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -711,6 +714,9 @@ def oracle_sql() -> dict[str, str]:
         "q13_order_count_distribution": R.Q13_ORDER_COUNT_DISTRIBUTION_SQL,
         "q17_small_qty_revenue": R.Q17_SMALL_QTY_REVENUE_SQL,
         "q22_idle_balance": R.Q22_IDLE_BALANCE_SQL,
+        "q7_nation_volume": R.Q7_NATION_VOLUME_SQL,
+        "top_event_type_per_user": R.Q_TOP_EVENT_TYPE_PER_USER_SQL,
+        "events_value_moments": R.Q_EVENTS_VALUE_MOMENTS_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

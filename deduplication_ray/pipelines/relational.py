@@ -3396,3 +3396,197 @@ WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pcnt > psum
                     AND o_orderdate >= DATE '1999-01-01')
 GROUP BY c_nationkey
 """
+
+
+# ------------------------------------------ TPC-H Q7 (nation-pair volume)
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between supplier-nation and
+    customer-nation pairs by ship year. The supplier→nation leg is a
+    broadcast probe decorating each lineitem batch; revenue then collapses
+    to one row per (orderkey, supp nation, year) BEFORE the wire; the one
+    big-big edge (per-order partials × orders) goes through the
+    co-partitioned shuffle join; the customer→nation leg rides the
+    size-dispatched lookup join (broadcast here, shuffle above
+    ``cfg.broadcast_limit``); the final groupby is
+    |nations|² × |years| rows."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.stages.join import lookup_join, shuffle_join
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    sn = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    supp_ref = _broadcast_sorted(sn, "s_suppkey", "n_name")
+
+    class SuppNation:
+        def __init__(self):
+            self.sk, self.nname = ray.get(supp_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pos = np.clip(np.searchsorted(self.sk, t["l_suppkey"].to_numpy()),
+                          0, len(self.sk) - 1)
+            year = (t["l_shipdate"].to_numpy().astype("datetime64[Y]")
+                    .astype(np.int64) + 1970)
+            return pa.table({
+                "o_orderkey": t["l_orderkey"],
+                "supp_nation": pa.array(self.nname[pos].tolist(), pa.string()),
+                "ship_year": pa.array(year),
+                "revenue_e4": pa.array(_rev_e4(t)),
+            })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(SuppNation, batch_format="pyarrow", concurrency=(1, 4))
+
+    # collapse per (orderkey, nation, year) pre-wire: composite group key =
+    # orderkey is the join key, so reduce on it and keep per-(nation, year)
+    # sums inside each orderkey group via a pandas combine (nations/years
+    # per order are tiny)
+    def combine(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("supp_nation", pa.string()),
+                            ("ship_year", pa.int64()),
+                            ("revenue_e4", pa.int64())])
+        df = t.to_pandas()
+        g = (df.groupby(["o_orderkey", "supp_nation", "ship_year"], sort=False)
+             ["revenue_e4"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False).cast(schema)
+
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+
+    per_order = hash_grouped_reduce(
+        li.map_batches(combine, batch_format="pyarrow"),
+        key_hash=lambda t: H.splitmix64(
+            t["o_orderkey"].to_numpy().astype(np.uint64)),
+        reduce_fn=combine,
+        num_parts=32,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = shuffle_join(per_order, orders, on=["o_orderkey"], how="inner")
+
+    cn = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas() \
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
+        [["c_custkey", "n_name"]].rename(columns={"n_name": "cust_nation",
+                                                  "c_custkey": "o_custkey"})
+    cfg = DedupConfig()
+    j2 = lookup_join(j, cn, on=["o_custkey"], cfg=cfg)
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["supp_nation"], t["cust_nation"])
+        t = t.filter(keep)
+        return t.select(["supp_nation", "cust_nation", "ship_year",
+                         "revenue_e4"])
+
+    return (j2.map_batches(project, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "ship_year"])
+            .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+
+
+Q7_NATION_VOLUME_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+# ------------------------------------------------ grouped argmax (top type)
+
+def q_top_event_type_per_user(sf_dir: str):
+    """Grouped ARGMAX: each user's most frequent event type, deterministic
+    tie-break (higher count wins, then lexicographically smaller type).
+    Counts collapse per (user, type) with Ray's built-in partial
+    aggregation; the argmax is one hash-partitioned per-user reduce over
+    the |users|×|types|-bounded count table — the fact stream itself never
+    carries strings twice."""
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = ev.groupby(["user_id", "event_type"]) \
+        .aggregate(Count(alias_name="n_events"))
+
+    def argmax(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()),
+                            ("top_type", pa.string()),
+                            ("n_events", pa.int64())])
+        df = t.to_pandas()
+        df = df.sort_values(["user_id", "n_events", "event_type"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.drop_duplicates("user_id", keep="first")
+        out = df.rename(columns={"event_type": "top_type"})
+        return pa.Table.from_pandas(
+            out[["user_id", "top_type", "n_events"]],
+            preserve_index=False).cast(schema)
+
+    return hash_grouped_reduce(
+        counts,
+        key_hash=lambda t: H.splitmix64(
+            t["user_id"].to_numpy().astype(np.uint64)),
+        reduce_fn=argmax,
+        num_parts=16,
+    )
+
+
+Q_TOP_EVENT_TYPE_PER_USER_SQL = """
+SELECT user_id, event_type AS top_type, n_events FROM (
+  SELECT user_id, event_type, count(*) AS n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+# ----------------------------------------- grouped moments (correlation kit)
+
+def q_events_value_moments(sf_dir: str):
+    """Grouped second-order MOMENTS of (value, hour-of-day) per event type —
+    the exact-integer inputs to covariance / Pearson correlation (n, Σx,
+    Σy, Σx², Σy², Σxy in milli units). Emitting the moments instead of the
+    float statistic keeps the result bit-exact across engines AND mergeable:
+    the six sums are associative, so per-batch partials combine under Ray's
+    built-in partial aggregation — a correlation matrix at 10^12 rows is
+    |groups| × 6 integers on the wire."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.round(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        ts = t["ts"].to_numpy()
+        hour = ((ts.astype("datetime64[h]").astype(np.int64)) % 24).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(hour),
+            "sxx": pa.array(x * x), "syy": pa.array(hour * hour),
+            "sxy": pa.array(x * hour),
+        })
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"),
+                       Sum("sxx", alias_name="sxx"),
+                       Sum("syy", alias_name="syy"),
+                       Sum("sxy", alias_name="sxy")))
+
+
+Q_EVENTS_VALUE_MOMENTS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sx,
+       CAST(sum(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sy,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT) * CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sxx,
+       CAST(sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS syy,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sxy
+FROM events GROUP BY event_type
+"""
