@@ -152,3 +152,60 @@ def test_levenshtein_pairs_sliced_chunked_and_duckdb_parity():
     df = pd.DataFrame({"s": [p[0] for p in pairs], "t": [p[1] for p in pairs]})
     dk = duckdb.query("SELECT levenshtein(s, t) AS d FROM df").df()
     assert (whole == dk["d"].to_numpy()).all()
+
+
+# ---------------------------------------------------- keyed-reduce kit
+
+
+@given(st.lists(st.tuples(st.integers(0, 9),
+                          st.integers(-10**6, 10**6)), max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_segmented_reduce_matches_pandas(rows):
+    """_segmented_reduce (sum/max/count in one pass) == pandas groupby on
+    arbitrary key/value batches, including the empty batch."""
+    import pandas as pd
+
+    from deduplication_ray.pipelines.relational import _segmented_reduce
+
+    t = pa.table({"k": pa.array([k for k, _ in rows], pa.int64()),
+                  "v": pa.array([v for _, v in rows], pa.int64())})
+    got = _segmented_reduce(t, "k", {"s": ("v", "sum"),
+                                     "m": ("v", "max"),
+                                     "c": ("v", "count")}).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    if not rows:
+        assert len(got) == 0
+        assert list(got.columns) == ["k", "s", "m", "c"]
+        return
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    want = df.groupby("k")["v"].agg(s="sum", m="max", c="count") \
+        .reset_index().astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@given(st.lists(st.tuples(st.integers(0, 50),
+                          st.integers(-10**6, 10**6)),
+                min_size=1, max_size=300))
+@settings(max_examples=15, deadline=None)
+def test_segmented_reduce_two_level_recombine(rows):
+    """Partial-then-combine (counts re-entering as sums, the _keyed_reduce
+    contract) equals the single-pass reduce on any split of the input."""
+    from deduplication_ray.pipelines.relational import _segmented_reduce
+
+    cols = {"s": ("v", "sum"), "c": ("v", "count")}
+    recols = {"s": ("s", "sum"), "c": ("c", "sum")}
+
+    t = pa.table({"k": pa.array([k for k, _ in rows], pa.int64()),
+                  "v": pa.array([v for _, v in rows], pa.int64())})
+    whole = _segmented_reduce(t, "k", cols).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+    cut = len(rows) // 2
+    parts = pa.concat_tables([
+        _segmented_reduce(t.slice(0, cut), "k", cols),
+        _segmented_reduce(t.slice(cut), "k", cols)])
+    merged = _segmented_reduce(parts, "k", recols).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(whole, merged)
