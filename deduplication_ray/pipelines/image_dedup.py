@@ -391,8 +391,8 @@ def tier_dedup_report(input_ds: ray.data.Dataset, cfg: DedupConfig | None = None
     """
     import pandas as pd
 
-    from ray.data.aggregate import Min
-
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
     from deduplication_ray.stages.join import lookup_join
     from deduplication_ray.stages.tuning import apply_context_tuning
 
@@ -402,10 +402,24 @@ def tier_dedup_report(input_ds: ray.data.Dataset, cfg: DedupConfig | None = None
     sigs = compute_signatures(input_ds, cfg).materialize()
     n_in = sigs.count()
 
-    # tier 1: exact — min image_id per 128-bit (pixel key, caption hash)
-    reps1 = (sigs.groupby(["ck1", "ck2"])
-             .aggregate(Min("image_id", alias_name="image_id"))
-             .select_columns(["image_id"]))
+    # tier 1: exact — min image_id per 128-bit (pixel key, caption hash).
+    # Group-per-row key cardinality: hash-partitioned vectorized reduce
+    # (the exact_edges regime), not a sort-based Ray aggregate.
+    def min_id(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["ck1", "ck2"], sort=False)["image_id"] \
+            .min().reset_index()
+        return pa.Table.from_pandas(g[["image_id"]], preserve_index=False) \
+            .cast(pa.schema([("image_id", pa.string())]))
+
+    reps1 = hash_grouped_reduce(
+        sigs.select_columns(["ck1", "ck2", "image_id"]),
+        key_hash=lambda t: H.hash_u64_pair(
+            t["ck1"].to_numpy().view(np.uint64),
+            t["ck2"].to_numpy().view(np.uint64)),
+        reduce_fn=min_id,
+        num_parts=cfg.num_partitions,
+    )
     s1 = lookup_join(sigs, reps1, on=["image_id"], cfg=cfg).materialize()
     n1 = s1.count()
 
