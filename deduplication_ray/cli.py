@@ -148,6 +148,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--target-rows", type=int, default=1_000_000)
     s.add_argument("--num-cpus", type=int, default=None)
 
+    s = sub.add_parser("validate", help="audit a finished image run's "
+                                        "per-row invariants (decoded-pixel "
+                                        "equality, caption equality, lossy "
+                                        "PSNR >= 40 dB) against its input "
+                                        "table; exits nonzero on any failure")
+    s.add_argument("--input", required=True, help="input table dir/file")
+    s.add_argument("--out", required=True, help="run dir of a completed run")
+    s.add_argument("--sample", type=int, default=None,
+                   help="audit only the first N representatives")
+    s.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("compress", help="reference-conformant DDP1 encode")
     s.add_argument("width", type=int)
     s.add_argument("block", type=int)
@@ -287,6 +298,15 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(metrics))
         ray.shutdown()
         return 0
+
+    if args.cmd == "validate":
+        ray = _session(args.num_cpus)
+        from deduplication_ray.pipelines.evaluate import validate_run
+
+        report = validate_run(args.input, args.out, sample=args.sample)
+        print(json.dumps(report))
+        ray.shutdown()
+        return 0 if report["ok"] else 1
 
     if args.cmd == "curate":
         ray = _session(args.num_cpus)

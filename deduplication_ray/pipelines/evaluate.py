@@ -54,3 +54,68 @@ def recall_by_kind(pred: pd.DataFrame, truth: pd.DataFrame, spec: pd.DataFrame) 
         m = pair_metrics(pred, sub_truth.reset_index(drop=True))
         out[str(kind)] = round(m["recall"], 4) if m["truth_pairs"] else None
     return out
+
+
+def validate_run(input_path: str, run_dir: str, cfg=None,
+                 sample: int | None = None) -> dict:
+    """North-rule per-row invariant AUDIT over a finished image run (the
+    CLI ``validate`` verb): every representative row must be payload-
+    faithful to the input table row with the same id — decoded pixels
+    identical, captions exactly equal, and for lossy formats the codec's
+    idempotence PSNR >= 40 dB. The reference verifies its decode path by
+    byte-identical round-trip (``/root/reference/src/compressor.c:212-341``);
+    this generalizes that check to pixel/caption invariants.
+
+    Distributed: the (optionally ``sample``-bounded) representative id set
+    joins the input through the size-dispatched lookup join; each batch
+    decodes and compares locally (variable-length payload decode is
+    inherently per-row; the comparison math is whole-array); only
+    per-batch counter rows reach the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.functions import codecs as C
+    from deduplication_ray.sources import storage
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = cfg or DedupConfig()
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
+    reps = storage.read_table(f"{run_dir}/representatives").select_columns(cols)
+    if sample is not None:
+        reps = reps.limit(sample)
+    reps = reps.rename_columns(
+        {c: f"{c}_rep" for c in cols if c != "image_id"})
+    inp = storage.read_table(input_path, columns=cols)
+    j = lookup_join(inp, reps, on=["image_id"], cfg=cfg)  # inner: rep ids only
+
+    def check(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cap_fail = int(n - pc.sum(
+            pc.equal(t["caption"], t["caption_rep"])).as_py()) if n else 0
+        pix_fail = psnr_fail = 0
+        bts, fmts = t["bytes"], t["fmt"]
+        bts_r, fmts_r = t["bytes_rep"], t["fmt_rep"]
+        for i in range(n):
+            a = C.decode_image(bts[i].as_py(), fmts[i].as_py(),
+                               t["w"][i].as_py(), t["h"][i].as_py())
+            b = C.decode_image(bts_r[i].as_py(), fmts_r[i].as_py(),
+                               t["w_rep"][i].as_py(), t["h_rep"][i].as_py())
+            if a.shape != b.shape or not (a == b).all():
+                pix_fail += 1
+            if not C.is_lossless(fmts_r[i].as_py()):
+                again = C.decode_qrgb(C.encode_qrgb(b))
+                if C.psnr_db(b, again) < 40.0:
+                    psnr_fail += 1
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "caption_fail": pa.array([cap_fail], pa.int64()),
+                         "pixel_fail": pa.array([pix_fail], pa.int64()),
+                         "psnr_fail": pa.array([psnr_fail], pa.int64())})
+
+    parts = j.map_batches(check, batch_format="pyarrow").to_pandas()
+    out = {k: int(parts[k].sum()) for k in
+           ("n", "caption_fail", "pixel_fail", "psnr_fail")}
+    out["ok"] = (out["caption_fail"] == 0 and out["pixel_fail"] == 0
+                 and out["psnr_fail"] == 0)
+    return out

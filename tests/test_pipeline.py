@@ -407,3 +407,42 @@ def test_image_tier_dedup_funnel(tiny_run, tiny_fixture, ray_session):
     oneshot = (storage.read_table(f"{run_dir}/clusters")
                .groupby("cluster_id").count().count())
     assert rep["images_out"][2] >= oneshot
+
+
+def test_validate_run_passes_and_catches_corruption(tiny_run, tiny_fixture,
+                                                    ray_session, tmp_path):
+    """The validate verb's core: a finished run audits clean; corrupting a
+    representative's caption and payload is detected and counted."""
+    import shutil as sh
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.pipelines.evaluate import validate_run
+
+    run_dir, _, _ = tiny_run
+    rep = validate_run(f"{tiny_fixture}/data", run_dir, sample=200)
+    assert rep["ok"] and rep["n"] > 0
+    assert rep["caption_fail"] == rep["pixel_fail"] == rep["psnr_fail"] == 0
+
+    # corrupt: copy the run dir, break one representative row
+    bad = str(tmp_path / "bad_run")
+    sh.copytree(run_dir, bad)
+    import glob
+
+    f = sorted(glob.glob(f"{bad}/representatives/**/*.parquet",
+                         recursive=True))[0]
+    t = pq.read_table(f)
+    cap = t["caption"].to_pylist()
+    cap[0] = cap[0] + " CORRUPTED"
+    byts = t["bytes"].to_pylist()
+    byts[1] = byts[1][:-4] + b"\x00\x00\x00\x00"
+    t = t.set_column(t.schema.get_field_index("caption"), "caption",
+                     pa.array(cap, pa.string()))
+    t = t.set_column(t.schema.get_field_index("bytes"), "bytes",
+                     pa.array(byts, pa.binary()))
+    pq.write_table(t, f)
+
+    rep2 = validate_run(f"{tiny_fixture}/data", bad)
+    assert not rep2["ok"]
+    assert rep2["caption_fail"] >= 1
