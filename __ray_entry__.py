@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": R.q7_nation_volume,  # nation-pair star join
         "top_event_type_per_user": R.q_top_event_type_per_user,  # grouped argmax
         "events_value_moments": R.q_events_value_moments,  # correlation moments
+        "events_unpivot": R.q_events_unpivot,  # UNPIVOT / melt (pivot inverse)
+        "q8_market_share": R.q8_market_share,  # share-of-total star join
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -717,6 +719,8 @@ def oracle_sql() -> dict[str, str]:
         "q7_nation_volume": R.Q7_NATION_VOLUME_SQL,
         "top_event_type_per_user": R.Q_TOP_EVENT_TYPE_PER_USER_SQL,
         "events_value_moments": R.Q_EVENTS_VALUE_MOMENTS_SQL,
+        "events_unpivot": R.Q_EVENTS_UNPIVOT_SQL,
+        "q8_market_share": R.Q8_MARKET_SHARE_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

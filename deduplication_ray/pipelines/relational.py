@@ -3590,3 +3590,166 @@ SELECT event_type,
        CAST(sum(CAST(round(value * 1000) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sxy
 FROM events GROUP BY event_type
 """
+
+
+# ------------------------------------------------------------ UNPIVOT (melt)
+
+def q_events_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the wide per-user event-type count matrix back to
+    long (user_id, event_type, n_events) rows — the inverse of
+    ``q_events_type_pivot``, kept as its exact round-trip (zero cells
+    included on both sides). The melt is one vectorized repeat/tile pass
+    per batch over the ALREADY-aggregated |users| × |types| matrix — the
+    raw event stream is never re-shuffled."""
+    wide = q_events_type_pivot(sf_dir)
+    s = wide.schema()
+    types = [c for c in s.names if c != "user_id"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = len(types)
+        uid = np.repeat(t["user_id"].to_numpy(), k)
+        etype = np.tile(np.asarray(types, dtype=object), n)
+        vals = np.column_stack([t[ty].to_numpy() for ty in types]).ravel() \
+            if n else np.empty(0, np.int64)
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "event_type": pa.array(etype.tolist(), pa.string()),
+                         "n_events": pa.array(vals.astype(np.int64))})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+Q_EVENTS_UNPIVOT_SQL = """
+WITH w AS (PIVOT events ON event_type USING count(*) GROUP BY user_id)
+UNPIVOT w ON COLUMNS(* EXCLUDE (user_id))
+INTO NAME event_type VALUE n_events
+"""
+
+
+# ----------------------------------------- TPC-H Q8 (national market share)
+
+def q8_market_share(sf_dir: str, part_type: str = "STANDARD",
+                    nation_name: str = "NATION_2", region_name: str = "ASIA"):
+    """TPC-H Q8 shape: one nation's permille share of a region's revenue
+    for one part type, by ship year. Composes the engine's join roles: the
+    part-type keyset and the supplier→nation chain broadcast once; revenue
+    collapses per (orderkey, year) pre-wire carrying BOTH the nation
+    numerator and the total denominator; the big-big edge into orders goes
+    through the co-partitioned shuffle join; the customer→region leg rides
+    the size-dispatched lookup join; the share is integer floor-division
+    permille so the DuckDB oracle hash-matches bit-for-bit."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+    from deduplication_ray.stages.join import lookup_join, shuffle_join
+
+    part = _read(sf_dir, "part", ["p_partkey"],
+                 filter=(pc.field("p_type") == part_type))
+    pkeys_ref = ray.put(np.sort(_collect_int_column(part, "p_partkey")))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    sn = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    supp_ref = _broadcast_sorted(sn, "s_suppkey", "n_name")
+
+    class Prep:
+        def __init__(self):
+            self.pk = ray.get(pkeys_ref)
+            self.sk, self.nname = ray.get(supp_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ks = t["l_partkey"].to_numpy()
+            if len(self.pk):
+                pos = np.clip(np.searchsorted(self.pk, ks), 0, len(self.pk) - 1)
+                t = t.filter(pa.array(self.pk[pos] == ks))
+            else:
+                t = t.slice(0, 0)
+            spos = np.clip(np.searchsorted(self.sk, t["l_suppkey"].to_numpy()),
+                           0, max(len(self.sk) - 1, 0))
+            is_nat = self.nname[spos] == nation_name if len(self.sk) else \
+                np.zeros(t.num_rows, bool)
+            year = (t["l_shipdate"].to_numpy().astype("datetime64[Y]")
+                    .astype(np.int64) + 1970)
+            e4 = _rev_e4(t)
+            return pa.table({
+                "o_orderkey": t["l_orderkey"],
+                "ship_year": pa.array(year),
+                "nation_e4": pa.array(np.where(is_nat, e4, 0)),
+                "total_e4": pa.array(e4),
+            })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(Prep, batch_format="pyarrow", concurrency=(1, 4))
+
+    def combine(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("ship_year", pa.int64()),
+                            ("nation_e4", pa.int64()),
+                            ("total_e4", pa.int64())])
+        df = t.to_pandas()
+        g = (df.groupby(["o_orderkey", "ship_year"], sort=False)
+             [["nation_e4", "total_e4"]].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False).cast(schema)
+
+    per_order = hash_grouped_reduce(
+        li.map_batches(combine, batch_format="pyarrow"),
+        key_hash=lambda t: H.splitmix64(
+            t["o_orderkey"].to_numpy().astype(np.uint64)),
+        reduce_fn=combine,
+        num_parts=32,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = shuffle_join(per_order, orders, on=["o_orderkey"], how="inner")
+
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkey = int(region.loc[region["r_name"] == region_name,
+                          "r_regionkey"].iloc[0])
+    cn = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas() \
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    cn = cn[cn["n_regionkey"] == rkey][["c_custkey"]] \
+        .rename(columns={"c_custkey": "o_custkey"})
+    cfg = DedupConfig()
+    j2 = lookup_join(j, cn, on=["o_custkey"], cfg=cfg)  # inner: region only
+
+    agg = (j2.map_batches(
+        lambda t: t.select(["ship_year", "nation_e4", "total_e4"]),
+        batch_format="pyarrow")
+        .groupby("ship_year")
+        .aggregate(Sum("nation_e4", alias_name="nation_e4"),
+                   Sum("total_e4", alias_name="total_e4")))
+
+    def share(t: pa.Table) -> pa.Table:
+        nat = t["nation_e4"].to_numpy()
+        tot = t["total_e4"].to_numpy()
+        p = np.where(tot > 0, (nat * 1000) // np.maximum(tot, 1), 0)
+        return t.append_column("share_permille",
+                               pa.array(p.astype(np.int64)))
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+Q8_MARKET_SHARE_SQL = """
+WITH f AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS e4,
+         CASE WHEN sn.n_name = 'NATION_2'
+              THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+              ELSE 0 END AS nat_e4
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+)
+SELECT ship_year,
+       CAST(sum(nat_e4) AS BIGINT) AS nation_e4,
+       CAST(sum(e4) AS BIGINT) AS total_e4,
+       CAST((sum(nat_e4) * 1000) // greatest(sum(e4), 1) AS BIGINT) AS share_permille
+FROM f GROUP BY ship_year
+"""
