@@ -706,3 +706,39 @@ def exact_edges(
                          "sc": pa.array(np.zeros(t.num_rows, np.int8))})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def plan_lsh_params(threshold: float, num_perm: int = 128,
+                    min_recall: float = 0.99,
+                    max_fp_below: float = 0.5) -> dict:
+    """LSH parameter PLANNER: choose (bands b, rows-per-band r) for a target
+    Jaccard ``threshold`` from the banding S-curve
+    P(candidate | jaccard=s) = 1 - (1 - s^r)^b  (Leskovec/Rajaraman/Ullman,
+    *Mining of Massive Datasets* §3.4 — public). Among all factorizations
+    b*r == num_perm it picks the one that (a) catches pairs AT the threshold
+    with probability >= ``min_recall`` and (b) minimizes the candidate
+    probability at ``max_fp_below``·threshold (shuffle cost control: every
+    false candidate is a wasted edge through the bucket groupby). If no
+    factorization reaches ``min_recall``, the closest one is returned with
+    ``recall_ok=False`` — callers should raise num_perm.
+
+    Returns {bands, rows_per_band, p_at_threshold, p_at_fp, recall_ok};
+    feed the first two straight into ``DedupConfig``.
+    """
+    best = None
+    for r in range(1, num_perm + 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        p_t = 1.0 - (1.0 - threshold ** r) ** b
+        s_fp = max_fp_below * threshold
+        p_fp = 1.0 - (1.0 - s_fp ** r) ** b
+        ok = p_t >= min_recall
+        # prefer: recall met, then lowest fp prob, then fewer bands (fewer
+        # bucket rows emitted per signature)
+        key = (not ok, p_fp if ok else -p_t, b)
+        if best is None or key < best[0]:
+            best = (key, {"bands": b, "rows_per_band": r,
+                          "p_at_threshold": round(p_t, 6),
+                          "p_at_fp": round(p_fp, 6), "recall_ok": ok})
+    return best[1]

@@ -88,3 +88,24 @@ def test_simhash_angular():
     d_far = H.hamming_distance_u64(
         H.simhash_from_features(f, planes), H.simhash_from_features(far, planes))
     assert d_near.mean() < 5 and d_far.mean() > 20
+
+
+def test_plan_lsh_params_s_curve():
+    """Planner returns valid factorizations; the banding S-curve properties
+    hold (recall at threshold, sharply lower candidate prob below it); the
+    repo's default 32x4 config is what the planner picks for t=0.7."""
+    from deduplication_ray.stages.lsh import plan_lsh_params
+
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9):
+        p = plan_lsh_params(t, num_perm=128)
+        assert p["bands"] * p["rows_per_band"] == 128
+        assert p["recall_ok"] and p["p_at_threshold"] >= 0.99
+        assert p["p_at_fp"] < p["p_at_threshold"]
+
+    assert plan_lsh_params(0.7, 128) == {
+        "bands": 32, "rows_per_band": 4,
+        "p_at_threshold": 0.999847, "p_at_fp": 0.383588, "recall_ok": True}
+
+    # an unreachable recall target reports itself instead of lying
+    hopeless = plan_lsh_params(0.05, num_perm=4, min_recall=0.999)
+    assert not hopeless["recall_ok"]
