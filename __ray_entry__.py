@@ -105,6 +105,42 @@ def _img_tier_query(sf_dir: str):
                              DedupConfig(num_partitions=8))
 
 
+def _text_eval_query(sf_dir: str):
+    """Cluster-quality report for the TEXT near-dup engine vs a planted
+    truth fixture (exact / 3-word-edit near-dup / 40-word-excerpt substring
+    families) — the image_dedup_eval mirror for the text engine. Rows-only;
+    the recall >= 0.99 assertion lives in
+    tests/test_text.py::test_text_engine_recall_vs_planted_truth."""
+    import os
+
+    import pandas as pd
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.evaluate import pair_metrics
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+    from deduplication_ray.sources import fixtures, storage
+
+    n = 2000
+    fix = f"/tmp/dedup_ray_txtfix_{FIXTURE_SEED}_{n}"
+    if not os.path.exists(os.path.join(fix, "_manifest.json")):
+        fixtures.generate_text(fix, n, seed=FIXTURE_SEED)
+    docs = storage.read_table(f"{fix}/data")
+    pred = text_dedup_clusters(docs, DedupConfig(num_partitions=8)).to_pandas()
+    truth = storage.read_table(f"{fix}/truth").to_pandas()
+    m = pair_metrics(pred.rename(columns={"doc_id": "image_id"}),
+                     truth.rename(columns={"doc_id": "image_id"}))
+    return pd.DataFrame([{
+        "rows": m["rows"],
+        "truth_pairs": m["truth_pairs"],
+        "pred_pairs": m["pred_pairs"],
+        "agree_pairs": m["agree_pairs"],
+        "recall_milli": int(m["recall"] * 1000),
+        "precision_milli": int(m["precision"] * 1000),
+        "truth_clusters": m["truth_clusters"],
+        "pred_clusters": m["pred_clusters"],
+    }])
+
+
 def _img_rot_query(sf_dir: str):
     """Orientation-invariant (dihedral) near-dup pairs over the image
     fixture augmented with planted rotated/mirrored/transposed copies —
@@ -602,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_clusters": _img_fixture_query,
         "image_dedup_eval": _img_dedup_eval_query,
         "image_tier_dedup": _img_tier_query,
+        "text_dedup_eval": _text_eval_query,
         "image_rot_dup_pairs": _img_rot_query,
         "image_crop_dup_pairs": _img_crop_query,
         "image_dedup_incremental": _img_incremental_query,

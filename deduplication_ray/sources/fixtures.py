@@ -829,3 +829,92 @@ def generate_audios(out_dir: str, n_rows: int, seed: int = 42,
     storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
                                      "num_files": num_files,
                                      "stage": "audio_fixture"})
+
+
+# --------------------------------------------------- text fixture (planted)
+
+def plan_text_rows(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Deterministic text corpus with PLANTED duplicate structure, the text
+    engine's analog of ``plan_rows``: unique ~60% | exact dup clusters (2-4)
+    ~15% | near-dups (3 word substitutions in ~100 words; char-5-gram
+    Jaccard ~0.9, far above ``jaccard_tau=0.5``) ~15% | substring dups
+    (40-word verbatim excerpt >= ``substring_min_len`` chars embedded in
+    fresh text) ~10%. Returns (docs(doc_id, text), truth(doc_id,
+    cluster_id)); min-id representative convention matches the engine."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:04d}" for i in range(4000)])
+
+    def words(k: int) -> np.ndarray:
+        return vocab[rng.integers(0, len(vocab), k)]
+
+    ids, texts, t_ids, t_cl = [], [], [], []
+    counter = 0
+
+    def add(word_arr, cluster_root=None) -> str:
+        nonlocal counter
+        did = f"doc_{counter:08d}"
+        counter += 1
+        ids.append(did)
+        texts.append(" ".join(word_arr.tolist()))
+        t_ids.append(did)
+        t_cl.append(cluster_root if cluster_root is not None else did)
+        return did
+
+    n_exact = int(0.15 * n_rows)
+    n_near = int(0.15 * n_rows)
+    n_substr = int(0.10 * n_rows)
+
+    made = 0
+    while made < n_exact:
+        size = int(rng.integers(2, 5))
+        base = words(int(rng.integers(60, 140)))
+        root = add(base)
+        for _ in range(min(size - 1, n_exact - made - 1)):
+            add(base, root)
+        made += size
+
+    made = 0
+    while made < n_near:
+        base = words(int(rng.integers(80, 130)))
+        root = add(base)
+        var = base.copy()
+        pos = rng.choice(len(var), size=3, replace=False)
+        var[pos] = words(3)
+        add(var, root)
+        made += 2
+
+    made = 0
+    while made < n_substr:
+        base = words(int(rng.integers(80, 130)))
+        root = add(base)
+        lo = int(rng.integers(0, len(base) - 40))
+        excerpt = base[lo:lo + 40]
+        host = words(80)
+        at = int(rng.integers(0, len(host)))
+        emb = np.concatenate([host[:at], excerpt, host[at:]])
+        add(emb, root)
+        made += 2
+
+    while counter < n_rows:
+        add(words(int(rng.integers(60, 140))))
+
+    docs = pd.DataFrame({"doc_id": ids, "text": texts})
+    truth = pd.DataFrame({"doc_id": t_ids, "cluster_id": t_cl})
+    return docs, truth
+
+
+def generate_text(out_dir: str, n_rows: int, seed: int = 42) -> None:
+    """Materialize the planted text fixture: docs at ``out_dir``/data,
+    labels at ``out_dir``/truth (driver-side — text rendering is cheap)."""
+    import os
+
+    from deduplication_ray.sources import storage
+
+    docs, truth = plan_text_rows(n_rows, seed)
+    os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
+    storage.write_arrow_table(pa.Table.from_pandas(docs, preserve_index=False),
+                              os.path.join(out_dir, "data"))
+    storage.write_arrow_table(pa.Table.from_pandas(truth, preserve_index=False),
+                              os.path.join(out_dir, "truth"))
+    storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
+                                     "stage": "text_fixture"})

@@ -144,3 +144,23 @@ def test_text_dedup_all_unique_corpus(ray_session, tmp_path):
     assert (out["doc_id"].astype(str).values == out["cluster_id"].values).all()
     m = run_text_pipeline(str(d), str(tmp_path / "run"), cfg)
     assert m["rows"] == {"signatures": 40, "verified_edges": 0, "clusters": 40}
+
+
+def test_text_engine_recall_vs_planted_truth(ray_session, tmp_path):
+    """North-rule recall gate for the TEXT engine: >= 0.99 dup-pair recall
+    (and high precision) on a fixture with planted exact / 3-word-edit
+    near-dup / 40-word-excerpt substring families."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.evaluate import pair_metrics
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+    from deduplication_ray.sources import fixtures, storage
+
+    fix = str(tmp_path / "txtfix")
+    fixtures.generate_text(fix, 1500, seed=11)
+    docs = storage.read_table(f"{fix}/data")
+    pred = text_dedup_clusters(docs, DedupConfig(num_partitions=4)).to_pandas()
+    truth = storage.read_table(f"{fix}/truth").to_pandas()
+    m = pair_metrics(pred.rename(columns={"doc_id": "image_id"}),
+                     truth.rename(columns={"doc_id": "image_id"}))
+    assert m["recall"] >= 0.99
+    assert m["precision"] >= 0.95
