@@ -446,3 +446,19 @@ def test_validate_run_passes_and_catches_corruption(tiny_run, tiny_fixture,
     rep2 = validate_run(f"{tiny_fixture}/data", bad)
     assert not rep2["ok"]
     assert rep2["caption_fail"] >= 1
+
+
+def test_tier_funnel_deterministic_across_partitioning(tiny_fixture,
+                                                       ray_session):
+    """The funnel's per-tier counts must be identical at different partition
+    counts (min-id representative election, never 'first seen')."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import tier_dedup_report
+    from deduplication_ray.sources import storage
+
+    reps = []
+    for npart in (4, 16):
+        ds = storage.read_table(f"{tiny_fixture}/data")
+        rep = tier_dedup_report(ds, DedupConfig(num_partitions=npart))
+        reps.append(rep.reset_index(drop=True))
+    pd.testing.assert_frame_equal(reps[0], reps[1])
