@@ -17,12 +17,12 @@ EOF
 while true; do
   if [ -e /tmp/graft_busy ]; then
     echo "$(date +%H:%M:%S) busy lock present; sleeping"
-    sleep 180; continue
+    sleep 90; continue
   fi
   BW1=$(probe)
   echo "$(date +%H:%M:%S) probe1 ${BW1} GB/s"
   if python -c "import sys; sys.exit(0 if float('${BW1}') >= 2.2 else 1)"; then
-    sleep 30
+    sleep 15
     BW2=$(probe)
     echo "$(date +%H:%M:%S) probe2 ${BW2} GB/s"
     if python -c "import sys; sys.exit(0 if float('${BW2}') >= 2.2 else 1)"; then
@@ -38,5 +38,5 @@ while true; do
       fi
     fi
   fi
-  sleep 180
+  sleep 75
 done
