@@ -86,27 +86,43 @@ def validate_run(input_path: str, run_dir: str, cfg=None,
     if sample is not None:
         reps = reps.limit(sample)
     reps = reps.rename_columns(
-        {c: f"{c}_rep" for c in cols if c != "image_id"})
+        {c: f"{c}_rep" for c in cols if c != "image_id"}).materialize()
+    expected = reps.count()
     inp = storage.read_table(input_path, columns=cols)
     j = lookup_join(inp, reps, on=["image_id"], cfg=cfg)  # inner: rep ids only
 
     def check(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        cap_fail = int(n - pc.sum(
-            pc.equal(t["caption"], t["caption_rep"])).as_py()) if n else 0
+        # null-safe caption equality: (a == b) OR (a null AND b null)
+        eq = pc.or_(pc.fill_null(pc.equal(t["caption"], t["caption_rep"]),
+                                 False),
+                    pc.and_(pc.is_null(t["caption"]),
+                            pc.is_null(t["caption_rep"])))
+        cap_fail = int(n - pc.sum(eq.cast(pa.int64())).as_py()) if n else 0
         pix_fail = psnr_fail = 0
         bts, fmts = t["bytes"], t["fmt"]
         bts_r, fmts_r = t["bytes_rep"], t["fmt_rep"]
         for i in range(n):
-            a = C.decode_image(bts[i].as_py(), fmts[i].as_py(),
-                               t["w"][i].as_py(), t["h"][i].as_py())
-            b = C.decode_image(bts_r[i].as_py(), fmts_r[i].as_py(),
-                               t["w_rep"][i].as_py(), t["h_rep"][i].as_py())
+            try:  # an undecodable payload IS a pixel failure, not an abort
+                a = C.decode_image(bts[i].as_py(), fmts[i].as_py(),
+                                   t["w"][i].as_py(), t["h"][i].as_py())
+                b = C.decode_image(bts_r[i].as_py(), fmts_r[i].as_py(),
+                                   t["w_rep"][i].as_py(), t["h_rep"][i].as_py())
+            except Exception:
+                pix_fail += 1
+                continue
             if a.shape != b.shape or not (a == b).all():
                 pix_fail += 1
-            if not C.is_lossless(fmts_r[i].as_py()):
-                again = C.decode_qrgb(C.encode_qrgb(b))
-                if C.psnr_db(b, again) < 40.0:
+            fmt_r = fmts_r[i].as_py()
+            if not C.is_lossless(fmt_r):
+                # fmt-dispatched idempotence round-trip (NOT hardcoded to one
+                # lossy codec), same altitude as the is_lossless guard
+                try:
+                    again = C.decode_image(C.encode_image(b, fmt_r), fmt_r,
+                                           b.shape[1], b.shape[0])
+                    if C.psnr_db(b, again) < 40.0:
+                        psnr_fail += 1
+                except Exception:
                     psnr_fail += 1
         return pa.table({"n": pa.array([n], pa.int64()),
                          "caption_fail": pa.array([cap_fail], pa.int64()),
@@ -114,8 +130,14 @@ def validate_run(input_path: str, run_dir: str, cfg=None,
                          "psnr_fail": pa.array([psnr_fail], pa.int64())})
 
     parts = j.map_batches(check, batch_format="pyarrow").to_pandas()
-    out = {k: int(parts[k].sum()) for k in
-           ("n", "caption_fail", "pixel_fail", "psnr_fail")}
-    out["ok"] = (out["caption_fail"] == 0 and out["pixel_fail"] == 0
-                 and out["psnr_fail"] == 0)
+    keys = ("n", "caption_fail", "pixel_fail", "psnr_fail")
+    # an empty join yields a column-less frame — audit must fail, not crash
+    out = ({k: 0 for k in keys} if parts.empty
+           else {k: int(parts[k].sum()) for k in keys})
+    # coverage: every audited representative must have found its input row;
+    # a silent shortfall (wrong --input, corrupted ids) is itself a failure
+    out["expected"] = int(expected)
+    out["missing"] = int(expected) - out["n"]
+    out["ok"] = (out["missing"] == 0 and out["caption_fail"] == 0
+                 and out["pixel_fail"] == 0 and out["psnr_fail"] == 0)
     return out

@@ -436,7 +436,13 @@ def test_validate_run_passes_and_catches_corruption(tiny_run, tiny_fixture,
     cap = t["caption"].to_pylist()
     cap[0] = cap[0] + " CORRUPTED"
     byts = t["bytes"].to_pylist()
-    byts[1] = byts[1][:-4] + b"\x00\x00\x00\x00"
+    # XOR-flip MID-payload bytes: tail bytes can be container padding the
+    # decoder ignores (pixel-identical is correctly a PASS), but mid-stream
+    # corruption either errors or changes pixels — counted either way
+    mid = len(byts[1]) // 2
+    byts[1] = (byts[1][:mid]
+               + bytes(b ^ 0xFF for b in byts[1][mid:mid + 4])
+               + byts[1][mid + 4:])
     t = t.set_column(t.schema.get_field_index("caption"), "caption",
                      pa.array(cap, pa.string()))
     t = t.set_column(t.schema.get_field_index("bytes"), "bytes",
@@ -446,6 +452,35 @@ def test_validate_run_passes_and_catches_corruption(tiny_run, tiny_fixture,
     rep2 = validate_run(f"{tiny_fixture}/data", bad)
     assert not rep2["ok"]
     assert rep2["caption_fail"] >= 1
+
+    # a TRUNCATED payload (undecodable) must count as a pixel failure, not
+    # abort the distributed audit
+    f2 = sorted(glob.glob(f"{bad}/representatives/**/*.parquet",
+                          recursive=True))[0]
+    t2 = pq.read_table(f2)
+    byts2 = t2["bytes"].to_pylist()
+    byts2[2] = byts2[2][: max(1, len(byts2[2]) // 3)]
+    t2 = t2.set_column(t2.schema.get_field_index("bytes"), "bytes",
+                       pa.array(byts2, pa.binary()))
+    pq.write_table(t2, f2)
+    rep3 = validate_run(f"{tiny_fixture}/data", bad)
+    assert not rep3["ok"] and rep3["pixel_fail"] >= 2
+
+    # a mismatched --input (disjoint ids) must FAIL via the coverage check,
+    # never audit vacuously green or crash on the empty join
+    import pyarrow.dataset as pads2
+
+    files = sorted(glob.glob(f"{tiny_fixture}/data/*.parquet"))
+    t3 = pads2.dataset(files).to_table()
+    ids = [f"zz_{x}" for x in t3["image_id"].to_pylist()]
+    t3 = t3.set_column(t3.schema.get_field_index("image_id"), "image_id",
+                       pa.array(ids, pa.string()))
+    wrong = str(tmp_path / "wrong_input")
+    os.makedirs(wrong)
+    pq.write_table(t3, f"{wrong}/part-0.parquet")
+    rep4 = validate_run(wrong, run_dir, sample=50)
+    assert not rep4["ok"]
+    assert rep4["missing"] == rep4["expected"] == 50 and rep4["n"] == 0
 
 
 def test_tier_funnel_deterministic_across_partitioning(tiny_fixture,
