@@ -19,6 +19,7 @@ import dataclasses
 import json
 import os
 import tempfile
+import uuid
 from typing import Any, Callable
 
 import pyarrow as pa
@@ -67,6 +68,58 @@ def _read_json(path, columns=None, **kw):
     return _post_prune(ray.data.read_json(path, **kw), columns, flt)
 
 
+def _file_table_backend(ext: str, read_bytes, write_table) -> FormatBackend:
+    """Backend for one-table-per-file formats Ray Data has no native reader
+    for (Feather/Arrow IPC, ORC): the read lists files via
+    ``read_binary_files`` (one row per file -> parallel per-file decode in
+    map_batches, zero driver-side I/O); the write funnels each output block
+    through the pyarrow writer. Column pruning happens post-decode — these
+    are interchange formats here, the native format owns the pruned path."""
+    import io
+
+    def reader(path, columns=None, **kw):
+        flt = kw.pop("filter", None)
+
+        def decode(t: pa.Table) -> pa.Table:
+            tbls = [read_bytes(io.BytesIO(b.as_py())) for b in t["bytes"]]
+            return pa.concat_tables(tbls, promote_options="default")
+
+        ds = ray.data.read_binary_files(path, file_extensions=[ext.lstrip(".")])
+        return _post_prune(
+            ds.map_batches(decode, batch_format="pyarrow", batch_size=1),
+            columns, flt)
+
+    def writer(ds, path, **kw):
+        os.makedirs(path, exist_ok=True)
+
+        def write_block(t: pa.Table) -> pa.Table:
+            if t.num_rows:
+                name = f"part-{uuid.uuid4().hex}{ext}"
+                write_table(t, os.path.join(path, name))
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        ds.map_batches(write_block, batch_format="pyarrow",
+                       batch_size=None).materialize()
+
+    return FormatBackend(reader, writer, (ext,))
+
+
+def _make_feather_backend() -> FormatBackend:
+    from pyarrow import feather
+
+    return _file_table_backend(
+        ".feather", feather.read_table,
+        lambda t, p: feather.write_feather(t, p))
+
+
+def _make_orc_backend() -> FormatBackend:
+    from pyarrow import orc
+
+    return _file_table_backend(
+        ".orc", lambda f: orc.ORCFile(f).read(),
+        lambda t, p: orc.write_table(t, p))
+
+
 _BACKENDS: dict[str, FormatBackend] = {
     "parquet": FormatBackend(
         lambda path, columns=None, **kw:
@@ -78,6 +131,8 @@ _BACKENDS: dict[str, FormatBackend] = {
     "json": FormatBackend(
         _read_json, lambda ds, path, **kw: ds.write_json(path, **kw),
         (".json", ".jsonl")),
+    "feather": _make_feather_backend(),
+    "orc": _make_orc_backend(),
 }
 
 FORMAT = "parquet"  # -> set_format("lance") when pylance is available
