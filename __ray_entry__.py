@@ -141,6 +141,38 @@ def _text_eval_query(sf_dir: str):
     }])
 
 
+def _img_semdedup_query(sf_dir: str):
+    """Cross-modal composition: batched image-embedding inference (the
+    ImageEmbed actor pool — seeded random-projection stand-in for a real
+    encoder) feeding SemDeDup semantic dedup over the resulting vectors.
+    Returns (vec_id, cell, dup_group, keep). Rows-only; pixel-dup recall
+    asserted in tests/test_ann.py::test_image_semdedup_catches_pixel_dups."""
+    import os
+
+    import pyarrow as pa
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.ann import embedding_semdedup
+    from deduplication_ray.sources import fixtures, storage
+    from deduplication_ray.stages.imgembed import embed_images
+
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
+    emb = embed_images(storage.read_table(f"{fix_dir}/data"), DedupConfig())
+
+    def to_int_ids(t: pa.Table) -> pa.Table:
+        # fixture ids are img_%09d: the numeric suffix IS the vec_id
+        ids = [int(s[4:]) for s in t["image_id"].to_pylist()]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": t["embedding"]})
+
+    return embedding_semdedup(
+        sf_dir, tau=0.98,
+        ds=emb.map_batches(to_int_ids, batch_format="pyarrow"))
+
+
 def _img_rot_query(sf_dir: str):
     """Orientation-invariant (dihedral) near-dup pairs over the image
     fixture augmented with planted rotated/mirrored/transposed copies —
@@ -639,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_eval": _img_dedup_eval_query,
         "image_tier_dedup": _img_tier_query,
         "text_dedup_eval": _text_eval_query,
+        "image_semdedup": _img_semdedup_query,
         "image_rot_dup_pairs": _img_rot_query,
         "image_crop_dup_pairs": _img_crop_query,
         "image_dedup_incremental": _img_incremental_query,

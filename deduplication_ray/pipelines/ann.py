@@ -904,6 +904,7 @@ def embedding_semdedup(
     refine_iters: int = 2,
     table: str = "embeddings",
     id_col: str = "vec_id",
+    ds=None,
 ) -> "ray.data.Dataset":
     """SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication", 2023 — public):
@@ -919,9 +920,12 @@ def embedding_semdedup(
     instead, ``pq_topk``'s encode pass); per cell one (n_c x n_c) matmul +
     vectorized min-label propagation (converges in O(log n_c) rounds).
     Representative = min id per duplicate component (deterministic at any
-    parallelism). Output: (vec_id, cell, dup_group, keep)."""
-    ds = storage.read_table(f"{sf_dir}/{table}.parquet",
-                            columns=[id_col, "embedding"])
+    parallelism). Output: (vec_id, cell, dup_group, keep). ``ds`` overrides
+    the table read (the image_semdedup composition feeds embeddings
+    straight from the ImageEmbed actor pool)."""
+    if ds is None:
+        ds = storage.read_table(f"{sf_dir}/{table}.parquet",
+                                columns=[id_col, "embedding"])
 
     st = _bounded_head(ds, id_col, 4096)
     if len(st) == 0:

@@ -318,3 +318,45 @@ def test_dup_graph_pagerank_serial_parity(emb_dir):
     paired = rank[: 80]
     assert (got.loc[np.arange(80), "rank_mass"].to_numpy() > bse).all()
     assert int(got["rank_mass"].min()) == bse
+
+
+def test_image_semdedup_catches_pixel_dups(tiny_fixture, ray_session):
+    """Cross-modal composition: ImageEmbed (actor-pool random-projection
+    inference) -> SemDeDup must put every planted pixel-identical family
+    (exact / re-encode kinds: same decoded plane -> same embedding -> same
+    cell, cosine 1) into one dup_group; near_img noise copies embed at
+    cosine ~1 and must group too."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.ann import embedding_semdedup
+    from deduplication_ray.sources import fixtures, storage
+    from deduplication_ray.stages.imgembed import embed_images
+    from tests.conftest import TINY_ROWS
+
+    emb = embed_images(storage.read_table(f"{tiny_fixture}/data"),
+                       DedupConfig())
+
+    def to_int_ids(t: pa.Table) -> pa.Table:
+        ids = [int(s[4:]) for s in t["image_id"].to_pylist()]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": t["embedding"]})
+
+    out = embedding_semdedup(
+        "", tau=0.98,
+        ds=emb.map_batches(to_int_ids, batch_format="pyarrow")).to_pandas()
+    assert len(out) == TINY_ROWS
+    groups = out.set_index("vec_id")["dup_group"]
+
+    spec, truth = fixtures.plan_rows(TINY_ROWS, seed=42)
+    spec = spec.merge(truth, on="image_id")
+    spec["vid"] = spec["image_id"].str[4:].astype(np.int64)
+    pixel = spec[spec["kind"].isin(["exact", "reenc", "near_img"])]
+    missed = 0
+    for _, fam in pixel.groupby("cluster_id"):
+        if len(fam) >= 2 and groups.loc[fam["vid"]].nunique() > 1:
+            missed += 1
+    # every pixel-dup family groups (cell-straddling cannot split identical
+    # vectors; allow at most one noise-family edge case)
+    assert missed <= 1, f"{missed} pixel-dup families split"
