@@ -173,6 +173,37 @@ def _img_semdedup_query(sf_dir: str):
         ds=emb.map_batches(to_int_ids, batch_format="pyarrow"))
 
 
+def _img_ann_query(sf_dir: str):
+    """Query-by-image similarity search: ImageEmbed actor-pool inference
+    feeding exact cosine top-k (the brute baseline; the IVF/LSH variants
+    are the registered scale paths on the embeddings table). Returns
+    (q_id, n_id, rank). Rows-only; planted-twin top-1 asserted in
+    tests/test_ann.py::test_image_ann_topk_finds_planted_twins."""
+    import os
+
+    import pyarrow as pa
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.ann import brute_force_topk
+    from deduplication_ray.sources import fixtures, storage
+    from deduplication_ray.stages.imgembed import embed_images
+
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
+    emb = embed_images(storage.read_table(f"{fix_dir}/data"), DedupConfig())
+
+    def to_int_ids(t: pa.Table) -> pa.Table:
+        ids = [int(s[4:]) for s in t["image_id"].to_pylist()]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": t["embedding"]})
+
+    return brute_force_topk(
+        sf_dir, n_queries=8, k=5,
+        ds=emb.map_batches(to_int_ids, batch_format="pyarrow"))
+
+
 def _img_rot_query(sf_dir: str):
     """Orientation-invariant (dihedral) near-dup pairs over the image
     fixture augmented with planted rotated/mirrored/transposed copies —
@@ -672,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tier_dedup": _img_tier_query,
         "text_dedup_eval": _text_eval_query,
         "image_semdedup": _img_semdedup_query,
+        "image_ann_topk": _img_ann_query,
         "image_rot_dup_pairs": _img_rot_query,
         "image_crop_dup_pairs": _img_crop_query,
         "image_dedup_incremental": _img_incremental_query,

@@ -71,6 +71,7 @@ def brute_force_topk(
     k: int = 5,
     table: str = "embeddings",
     id_col: str = "vec_id",
+    ds=None,
 ) -> "pa.Table":
     """For the n_queries lowest ids: exact cosine top-k over the corpus
     (self excluded). Returns (q_id, n_id, rank) — integer columns only so
@@ -80,7 +81,9 @@ def brute_force_topk(
     (B x d) @ (d x Q) matmul; per-batch top-k partials reduced by a
     distributed groupby(q_id) — no driver-side materialization.
     """
-    ds = storage.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, "embedding"])
+    if ds is None:
+        ds = storage.read_table(f"{sf_dir}/{table}.parquet",
+                                columns=[id_col, "embedding"])
 
     # queries: the n_queries smallest ids (deterministic, SQL-expressible)
     qt = _bounded_head(ds, id_col, n_queries)

@@ -360,3 +360,47 @@ def test_image_semdedup_catches_pixel_dups(tiny_fixture, ray_session):
     # every pixel-dup family groups (cell-straddling cannot split identical
     # vectors; allow at most one noise-family edge case)
     assert missed <= 1, f"{missed} pixel-dup families split"
+
+
+def test_image_ann_topk_finds_planted_twins(tiny_fixture, ray_session):
+    """Query-by-image: for every query id whose truth cluster has a
+    pixel-identical twin (exact/re-encode kinds), the rank-1 neighbor must
+    be a member of that cluster (embedding cosine 1 beats everything)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.ann import brute_force_topk
+    from deduplication_ray.sources import fixtures, storage
+    from deduplication_ray.stages.imgembed import embed_images
+    from tests.conftest import TINY_ROWS
+
+    emb = embed_images(storage.read_table(f"{tiny_fixture}/data"),
+                       DedupConfig())
+
+    def to_int_ids(t: pa.Table) -> pa.Table:
+        ids = [int(s[4:]) for s in t["image_id"].to_pylist()]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": t["embedding"]})
+
+    out = brute_force_topk(
+        "", n_queries=8, k=5,
+        ds=emb.map_batches(to_int_ids, batch_format="pyarrow")).to_pandas()
+
+    spec, truth = fixtures.plan_rows(TINY_ROWS, seed=42)
+    spec = spec.merge(truth, on="image_id")
+    spec["vid"] = spec["image_id"].str[4:].astype(np.int64)
+    by_vid = spec.set_index("vid")
+
+    checked = 0
+    for q in out["q_id"].unique():
+        row = by_vid.loc[q]
+        fam = spec[(spec["cluster_id"] == row["cluster_id"])
+                   & (spec["kind"].isin(["exact", "reenc"]))]
+        twins = set(fam["vid"]) - {q}
+        if not twins or row["kind"] not in ("exact", "reenc"):
+            continue
+        top1 = out[(out["q_id"] == q) & (out["rank"] == 1)]["n_id"].iloc[0]
+        assert top1 in set(fam["vid"]), (q, top1)
+        checked += 1
+    assert checked >= 1  # the first planted cluster sits at the lowest ids
