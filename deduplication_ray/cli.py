@@ -148,6 +148,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--target-rows", type=int, default=1_000_000)
     s.add_argument("--num-cpus", type=int, default=None)
 
+    s = sub.add_parser("embed", help="materialize image embeddings: batched "
+                                     "actor-pool inference over an "
+                                     "image+caption table -> (image_id, "
+                                     "embedding) table")
+    s.add_argument("--input", required=True, help="input table dir/file")
+    s.add_argument("--out", required=True, help="output table directory")
+    s.add_argument("--dim", type=int, default=64)
+    s.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("validate", help="audit a finished image run's "
                                         "per-row invariants (decoded-pixel "
                                         "equality, caption equality, lossy "
@@ -296,6 +305,18 @@ def main(argv: list[str] | None = None) -> int:
         metrics = run_pipeline(args.input, args.out, _cfg_from_args(args),
                                strict_resume=(args.cmd == "resume"))
         print(json.dumps(metrics))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "embed":
+        ray = _session(args.num_cpus)
+        from deduplication_ray.sources import storage
+        from deduplication_ray.stages.imgembed import embed_images
+
+        emb = embed_images(storage.read_table(args.input), dim=args.dim)
+        storage.write_table(emb, args.out)
+        n = storage.read_table(args.out).count()
+        print(json.dumps({"rows": n, "dim": args.dim, "out": args.out}))
         ray.shutdown()
         return 0
 
