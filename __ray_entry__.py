@@ -141,36 +141,38 @@ def _text_eval_query(sf_dir: str):
     }])
 
 
+def _img_embedding_ds():
+    """(vec_id, embedding) over the image fixture, embedded once and
+    MATERIALIZED: the downstream operators consume the Dataset several
+    times (bounded head, Lloyd rounds, assign / top-k passes) and Ray Data
+    has no common-subexpression reuse — an unmaterialized pipeline would
+    re-run decode + inference on every consumption."""
+    import os
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.sources import fixtures, storage
+    from deduplication_ray.stages.imgembed import (EMBED_COLUMNS,
+                                                   embed_images, int_vec_ids)
+
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
+    emb = embed_images(
+        storage.read_table(f"{fix_dir}/data", columns=EMBED_COLUMNS),
+        DedupConfig())
+    return emb.map_batches(int_vec_ids, batch_format="pyarrow").materialize()
+
+
 def _img_semdedup_query(sf_dir: str):
     """Cross-modal composition: batched image-embedding inference (the
     ImageEmbed actor pool — seeded random-projection stand-in for a real
     encoder) feeding SemDeDup semantic dedup over the resulting vectors.
     Returns (vec_id, cell, dup_group, keep). Rows-only; pixel-dup recall
     asserted in tests/test_ann.py::test_image_semdedup_catches_pixel_dups."""
-    import os
-
-    import pyarrow as pa
-
-    from deduplication_ray.config import DedupConfig
     from deduplication_ray.pipelines.ann import embedding_semdedup
-    from deduplication_ray.sources import fixtures, storage
-    from deduplication_ray.stages.imgembed import embed_images
 
-    n = TINY_FIXTURE_ROWS
-    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
-    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
-        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
-    emb = embed_images(storage.read_table(f"{fix_dir}/data"), DedupConfig())
-
-    def to_int_ids(t: pa.Table) -> pa.Table:
-        # fixture ids are img_%09d: the numeric suffix IS the vec_id
-        ids = [int(s[4:]) for s in t["image_id"].to_pylist()]
-        return pa.table({"vec_id": pa.array(ids, pa.int64()),
-                         "embedding": t["embedding"]})
-
-    return embedding_semdedup(
-        sf_dir, tau=0.98,
-        ds=emb.map_batches(to_int_ids, batch_format="pyarrow"))
+    return embedding_semdedup(sf_dir, tau=0.98, ds=_img_embedding_ds())
 
 
 def _img_ann_query(sf_dir: str):
@@ -179,29 +181,9 @@ def _img_ann_query(sf_dir: str):
     are the registered scale paths on the embeddings table). Returns
     (q_id, n_id, rank). Rows-only; planted-twin top-1 asserted in
     tests/test_ann.py::test_image_ann_topk_finds_planted_twins."""
-    import os
-
-    import pyarrow as pa
-
-    from deduplication_ray.config import DedupConfig
     from deduplication_ray.pipelines.ann import brute_force_topk
-    from deduplication_ray.sources import fixtures, storage
-    from deduplication_ray.stages.imgembed import embed_images
 
-    n = TINY_FIXTURE_ROWS
-    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
-    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
-        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
-    emb = embed_images(storage.read_table(f"{fix_dir}/data"), DedupConfig())
-
-    def to_int_ids(t: pa.Table) -> pa.Table:
-        ids = [int(s[4:]) for s in t["image_id"].to_pylist()]
-        return pa.table({"vec_id": pa.array(ids, pa.int64()),
-                         "embedding": t["embedding"]})
-
-    return brute_force_topk(
-        sf_dir, n_queries=8, k=5,
-        ds=emb.map_batches(to_int_ids, batch_format="pyarrow"))
+    return brute_force_topk(sf_dir, n_queries=8, k=5, ds=_img_embedding_ds())
 
 
 def _img_rot_query(sf_dir: str):

@@ -313,7 +313,11 @@ def main(argv: list[str] | None = None) -> int:
         from deduplication_ray.sources import storage
         from deduplication_ray.stages.imgembed import embed_images
 
-        emb = embed_images(storage.read_table(args.input), dim=args.dim)
+        from deduplication_ray.stages.imgembed import EMBED_COLUMNS
+
+        emb = embed_images(storage.read_table(args.input,
+                                              columns=EMBED_COLUMNS),
+                           dim=args.dim)
         storage.write_table(emb, args.out)
         n = storage.read_table(args.out).count()
         print(json.dumps({"rows": n, "dim": args.dim, "out": args.out}))

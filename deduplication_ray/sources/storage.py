@@ -79,12 +79,15 @@ def _file_table_backend(ext: str, read_bytes, write_table) -> FormatBackend:
 
     def reader(path, columns=None, **kw):
         flt = kw.pop("filter", None)
+        # remaining kwargs forward to the underlying Ray read (parity with
+        # the other backends — silent kwarg drops break interchangeability)
+        ds = ray.data.read_binary_files(
+            path, file_extensions=[ext.lstrip(".")], **kw)
 
         def decode(t: pa.Table) -> pa.Table:
             tbls = [read_bytes(io.BytesIO(b.as_py())) for b in t["bytes"]]
             return pa.concat_tables(tbls, promote_options="default")
 
-        ds = ray.data.read_binary_files(path, file_extensions=[ext.lstrip(".")])
         return _post_prune(
             ds.map_batches(decode, batch_format="pyarrow", batch_size=1),
             columns, flt)
@@ -95,7 +98,7 @@ def _file_table_backend(ext: str, read_bytes, write_table) -> FormatBackend:
         def write_block(t: pa.Table) -> pa.Table:
             if t.num_rows:
                 name = f"part-{uuid.uuid4().hex}{ext}"
-                write_table(t, os.path.join(path, name))
+                write_table(t, os.path.join(path, name), **kw)
             return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
         ds.map_batches(write_block, batch_format="pyarrow",
@@ -109,7 +112,7 @@ def _make_feather_backend() -> FormatBackend:
 
     return _file_table_backend(
         ".feather", feather.read_table,
-        lambda t, p: feather.write_feather(t, p))
+        lambda t, p, **kw: feather.write_feather(t, p, **kw))
 
 
 def _make_orc_backend() -> FormatBackend:
@@ -117,7 +120,7 @@ def _make_orc_backend() -> FormatBackend:
 
     return _file_table_backend(
         ".orc", lambda f: orc.ORCFile(f).read(),
-        lambda t, p: orc.write_table(t, p))
+        lambda t, p, **kw: orc.write_table(t, p, **kw))
 
 
 _BACKENDS: dict[str, FormatBackend] = {

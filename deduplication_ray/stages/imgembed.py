@@ -8,8 +8,8 @@ Ray-side plumbing is exactly what a real encoder needs — weights
 materialized ONCE per actor in ``__init__``, per-batch decode + one
 batched matmul in ``__call__``, a ``list<float>`` output column that
 feeds every downstream embedding operator (ANN top-k, SemDeDup,
-outliers). Swap ``_project`` for a real forward pass and nothing else
-changes.
+outliers). Swap ``ImageEmbed._project`` for a real forward pass and
+nothing else changes.
 
 Graft provenance: generalizes the reference's per-block signature scan
 (``/root/reference/src/compressor.c:105-114``) to a learned-feature
@@ -38,6 +38,14 @@ class ImageEmbed:
         self.w = rng.standard_normal((size * size, dim)).astype(np.float32) \
             / np.float32(size)
 
+    def _project(self, planes: np.ndarray) -> np.ndarray:
+        """The model forward pass — the extension point: replace this ONE
+        batched matmul with a real encoder and the stage contract
+        (decode -> batch -> normalized vectors) is unchanged."""
+        emb = planes @ self.w
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        return emb / np.maximum(norm, 1e-12)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         fmts = batch["fmt"].to_pylist()
@@ -49,9 +57,7 @@ class ImageEmbed:
                                  int(ws[i]), int(hs[i]))
             planes[i] = C.resize_area(C.to_grayscale(img),
                                       self.size).ravel()
-        emb = planes @ self.w  # ONE batched matmul for the whole batch
-        norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.maximum(norm, 1e-12)
+        emb = self._project(planes)
         return pa.table({
             "image_id": batch["image_id"],
             "embedding": pa.array(list(emb), pa.list_(pa.float32())),
@@ -69,3 +75,14 @@ def embed_images(ds, cfg: DedupConfig | None = None, dim: int = 64,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+EMBED_COLUMNS = ["image_id", "bytes", "w", "h", "fmt"]  # prune at the read
+
+
+def int_vec_ids(t: pa.Table) -> pa.Table:
+    """(image_id 'img_%09d', embedding) -> (vec_id int64, embedding): the
+    fixture-id adapter the integer-keyed embedding operators expect."""
+    ids = [int(s[4:]) for s in t["image_id"].to_pylist()]
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "embedding": t["embedding"]})

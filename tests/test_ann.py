@@ -335,17 +335,13 @@ def test_image_semdedup_catches_pixel_dups(tiny_fixture, ray_session):
     from deduplication_ray.stages.imgembed import embed_images
     from tests.conftest import TINY_ROWS
 
-    emb = embed_images(storage.read_table(f"{tiny_fixture}/data"),
-                       DedupConfig())
+    from deduplication_ray.stages.imgembed import EMBED_COLUMNS, int_vec_ids
 
-    def to_int_ids(t: pa.Table) -> pa.Table:
-        ids = [int(s[4:]) for s in t["image_id"].to_pylist()]
-        return pa.table({"vec_id": pa.array(ids, pa.int64()),
-                         "embedding": t["embedding"]})
-
-    out = embedding_semdedup(
-        "", tau=0.98,
-        ds=emb.map_batches(to_int_ids, batch_format="pyarrow")).to_pandas()
+    emb = embed_images(
+        storage.read_table(f"{tiny_fixture}/data", columns=EMBED_COLUMNS),
+        DedupConfig())
+    vecs = emb.map_batches(int_vec_ids, batch_format="pyarrow").materialize()
+    out = embedding_semdedup("", tau=0.98, ds=vecs).to_pandas()
     assert len(out) == TINY_ROWS
     groups = out.set_index("vec_id")["dup_group"]
 
@@ -375,17 +371,13 @@ def test_image_ann_topk_finds_planted_twins(tiny_fixture, ray_session):
     from deduplication_ray.stages.imgembed import embed_images
     from tests.conftest import TINY_ROWS
 
-    emb = embed_images(storage.read_table(f"{tiny_fixture}/data"),
-                       DedupConfig())
+    from deduplication_ray.stages.imgembed import EMBED_COLUMNS, int_vec_ids
 
-    def to_int_ids(t: pa.Table) -> pa.Table:
-        ids = [int(s[4:]) for s in t["image_id"].to_pylist()]
-        return pa.table({"vec_id": pa.array(ids, pa.int64()),
-                         "embedding": t["embedding"]})
-
-    out = brute_force_topk(
-        "", n_queries=8, k=5,
-        ds=emb.map_batches(to_int_ids, batch_format="pyarrow")).to_pandas()
+    emb = embed_images(
+        storage.read_table(f"{tiny_fixture}/data", columns=EMBED_COLUMNS),
+        DedupConfig())
+    vecs = emb.map_batches(int_vec_ids, batch_format="pyarrow").materialize()
+    out = brute_force_topk("", n_queries=8, k=5, ds=vecs).to_pandas()
 
     spec, truth = fixtures.plan_rows(TINY_ROWS, seed=42)
     spec = spec.merge(truth, on="image_id")
