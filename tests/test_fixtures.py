@@ -133,3 +133,34 @@ def test_read_table_filter_kwarg_all_formats(ray_session, tmp_path):
                                 filter=(pc.field("doc_id") > 250))
         got = sorted(ds.to_pandas()["doc_id"].tolist())
         assert got == expected, path
+
+
+def test_plan_text_rows_planted_structure():
+    """Text fixture invariants: exact copies are byte-identical; near
+    copies differ in at most 3 tokens; substring copies embed a 40-token
+    verbatim run of their root; truth roots are min ids (generation
+    order); every requested row exists exactly once."""
+    from deduplication_ray.sources.fixtures import plan_text_rows
+
+    for seed in (1, 42):
+        docs, truth = plan_text_rows(900, seed=seed)
+        assert len(docs) == len(truth) == 900
+        assert docs["doc_id"].is_unique
+        by_id = docs.set_index("doc_id")["text"]
+        fam = truth[truth["doc_id"] != truth["cluster_id"]]
+        assert len(fam) > 0
+        for did, root in zip(fam["doc_id"], fam["cluster_id"]):
+            a = by_id[did].split()
+            b = by_id[root].split()
+            # exact (0 diffs) / near (<=3 substitutions, same length) ...
+            near = (len(a) == len(b)
+                    and sum(x != y for x, y in zip(a, b)) <= 3)
+            # ... or substring: a 40-token verbatim run of the root
+            # (lengths can coincide across families, so test the OR)
+            joined = " ".join(a)
+            substr = any(" ".join(b[i:i + 40]) in joined
+                         for i in range(0, max(1, len(b) - 39)))
+            assert near or substr, (did, root)
+        # min-id root convention
+        roots = truth.groupby("cluster_id")["doc_id"].min()
+        assert (roots.index == roots.values).all()
