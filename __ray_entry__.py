@@ -658,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_moments": R.q_events_value_moments,  # correlation moments
         "events_unpivot": R.q_events_unpivot,  # UNPIVOT / melt (pivot inverse)
         "q8_market_share": R.q8_market_share,  # share-of-total star join
+        "q15_top_supplier": R.q15_top_supplier,  # max-over-aggregate shape
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -805,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_moments": R.Q_EVENTS_VALUE_MOMENTS_SQL,
         "events_unpivot": R.Q_EVENTS_UNPIVOT_SQL,
         "q8_market_share": R.Q8_MARKET_SHARE_SQL,
+        "q15_top_supplier": R.Q15_TOP_SUPPLIER_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),

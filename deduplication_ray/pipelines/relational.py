@@ -3753,3 +3753,60 @@ SELECT ship_year,
        CAST((sum(nat_e4) * 1000) // greatest(sum(e4), 1) AS BIGINT) AS share_permille
 FROM f GROUP BY ship_year
 """
+
+
+# ------------------------------------------ TPC-H Q15 (top supplier by revenue)
+
+def q15_top_supplier(sf_dir: str, start: str = "1996-01-01",
+                     end: str = "1996-04-01"):
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM revenue in a quarter —
+    aggregate, then filter against the aggregate's own global max (the
+    scalar-subquery-on-aggregate shape). Date window pushed to the scan;
+    revenue collapses per supplier in-batch + one hash-partitioned combine;
+    the global max is an associative all-reduce over |suppliers| partials
+    (never a sort); the winners (ties included, like the spec) decorate
+    from the supplier dimension driver-side — a handful of rows."""
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(start)
+    hi = datetime.datetime.fromisoformat(end)
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"],
+               filter=((pc.field("l_shipdate") >= lo)
+                       & (pc.field("l_shipdate") < hi)))
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": t["l_suppkey"],
+                         "total_revenue_e4": pa.array(_rev_e4(t))})
+
+    per_supp = _keyed_reduce(
+        li.map_batches(rev, batch_format="pyarrow"),
+        "s_suppkey", {"total_revenue_e4": ("total_revenue_e4", "sum")}
+    ).materialize()  # consumed twice: the max all-reduce + the winner filter
+
+    best = per_supp.max("total_revenue_e4")
+
+    winners = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t["total_revenue_e4"],
+                                    pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(supp, on="s_suppkey", how="inner")
+    return out[["s_suppkey", "s_name", "total_revenue_e4"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT r.s_suppkey, s_name, total_revenue_e4
+FROM r JOIN supplier ON supplier.s_suppkey = r.s_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM r)
+ORDER BY r.s_suppkey
+"""
