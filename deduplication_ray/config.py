@@ -114,6 +114,16 @@ class DedupConfig:
                                     # coincidental candidate 0.29)
     audio_max_offset: int = 8       # alignment search radius in hops
                                     # (bounds detectable head trims)
+    audio_reverse_channel: bool = False  # opt-in: also catch time-REVERSED
+                                    # re-uploads. |FFT| of a reversed window
+                                    # equals the original's, so a reversed
+                                    # clip's frame sequence is the original's
+                                    # reversed EXACTLY when the length sits
+                                    # on the hop grid ((len - window) % hop
+                                    # == 0 — same grid contract as trims);
+                                    # shingle keys canonicalize to
+                                    # min(fwd, rev) and verify takes the max
+                                    # over both time directions.
 
     # --- embedding (semantic) near-dup ---
     emb_cos_min: float = 0.98     # exact-cosine verification threshold for

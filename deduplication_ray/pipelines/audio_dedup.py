@@ -72,6 +72,7 @@ class _ExplodeShingles:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         s = self.cfg.audio_shingle
+        reverse = self.cfg.audio_reverse_channel
         lists = t["frame_subfps_coarse"].combine_chunks() if isinstance(
             t["frame_subfps_coarse"], pa.ChunkedArray) else t["frame_subfps_coarse"]
         flat = H.bitcast_i64_to_u64(lists.flatten().to_numpy())
@@ -79,7 +80,14 @@ class _ExplodeShingles:
         ids_np = t["image_id"].to_pandas().to_numpy()
         hashes, counts = [], np.zeros(t.num_rows, dtype=np.int64)
         for i in range(t.num_rows):
-            h = shingle_hashes(flat[offs[i]:offs[i + 1]], s)
+            seg = flat[offs[i]:offs[i + 1]]
+            h = shingle_hashes(seg, s)
+            if reverse and len(h):
+                # canonical key = min(fwd, rev) per window: a reversed
+                # clip's forward windows ARE the original's reversed
+                # windows, so both emit the same canonical multiset.
+                # shingle_hashes(seg[::-1])[::-1][j] hashes seg[j:j+s][::-1].
+                h = np.minimum(h, shingle_hashes(seg[::-1], s)[::-1])
             hashes.append(h)
             counts[i] = len(h)
         bucket = (np.concatenate(hashes) if hashes else np.empty(0, np.uint64))
@@ -168,6 +176,7 @@ def verify_audio_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
     e = attach_signatures(edges, sigs, cfg, cols=["frame_subfps"])
     tau, frac_min = cfg.audio_frame_hamming_t, cfg.audio_match_frac
     max_off = cfg.audio_max_offset
+    reverse = cfg.audio_reverse_channel
 
     def flat_lens(col) -> tuple[np.ndarray, np.ndarray]:
         a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -181,6 +190,15 @@ def verify_audio_edges(edges: ray.data.Dataset, sigs: ray.data.Dataset,
         fa, la = flat_lens(t["frame_subfps_src"])
         fb, lb = flat_lens(t["frame_subfps_dst"])
         scores = aligned_match_scores_batch(fa, la, fb, lb, tau, max_off)
+        if reverse:
+            # also align against each dst sequence time-REVERSED (per-pair
+            # segment reversal, fully vectorized): a reversed re-upload
+            # matches in exactly one direction, take the max
+            starts = np.concatenate([[0], np.cumsum(lb)[:-1]])
+            rev_idx = np.repeat(starts + lb - 1, lb) - H._ranges(lb)
+            rev_scores = aligned_match_scores_batch(
+                fa, la, fb[rev_idx], lb, tau, max_off)
+            scores = np.maximum(scores, rev_scores)
         return t.select(["src", "dst", "kind"]).filter(
             pa.array(scores >= frac_min))
 

@@ -698,29 +698,37 @@ def generate_videos(out_dir: str, n_rows: int, seed: int = 42,
 
 # ---------------------------------------------------------------- audio fixture
 
-AUDIO_KINDS = ("unique", "exact", "requant", "trim", "jitter")
+AUDIO_KINDS = ("unique", "exact", "requant", "trim", "jitter", "reverse")
 AUDIO_RATE = 16000
 
 
-def plan_audios(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+def plan_audios(n_rows: int, seed: int = 42,
+                with_reverse: bool = False) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Audio spec + truth, mirroring ``plan_videos`` for WAV clips.
 
     spec: audio_id, kind, pattern_seed, noise_seed, n_samples, bits,
-          trim_hops (window/2-sample hops dropped from the head).
+          trim_hops (window/2-sample hops dropped from the head),
+          reversed (time-reversed copy flag).
     Planted populations: unique 60% | exact dups 14% | 8-bit requantized
-    copies 10% | head-trimmed copies 10% | additive-noise copies 6%.
+    copies 10% | head-trimmed copies 10% | additive-noise copies 6%
+    (+ time-reversed copies 6% when ``with_reverse``, their lengths pinned
+    to the hop grid — the ``audio_reverse_channel`` exactness contract).
     truth: audio_id, cluster_id (min audio_id of the planted cluster).
     """
     rng = np.random.default_rng([seed, 12])
     quotas = {"exact": int(0.14 * n_rows), "requant": int(0.10 * n_rows),
               "trim": int(0.10 * n_rows), "jitter": int(0.06 * n_rows)}
+    if with_reverse:
+        quotas["reverse"] = int(0.06 * n_rows)
     rows: list[dict] = []
     cluster_of: list[int] = []
     next_cluster = 0
 
-    def add(kind, ps, ns, n_samples, bits, trim_hops, cluster):
+    def add(kind, ps, ns, n_samples, bits, trim_hops, cluster, reverse=0,
+            chirp=0):
         rows.append(dict(kind=kind, pattern_seed=ps, noise_seed=ns,
-                         n_samples=n_samples, bits=bits, trim_hops=trim_hops))
+                         n_samples=n_samples, bits=bits, trim_hops=trim_hops,
+                         reversed=reverse, chirp=chirp))
         cluster_of.append(cluster)
 
     for kind, quota in quotas.items():
@@ -730,8 +738,16 @@ def plan_audios(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame
             next_cluster += 1
             ps = int(rng.integers(1, 2**31))
             ns_len = int(rng.integers(13000, 21000))
+            chirp = 0
+            if kind == "reverse":
+                # hop-grid-aligned length: reversal is then EXACT frame-wise.
+                # chirp base signal: a time-symmetric (quasi-stationary)
+                # clip reads the same both ways, which would make the
+                # channel vacuous AND the blindness control meaningless
+                ns_len = 1024 + 512 * int(rng.integers(24, 39))
+                chirp = 1
             size = int(rng.integers(2, 5))
-            add(kind, ps, 0, ns_len, 16, 0, cl)
+            add(kind, ps, 0, ns_len, 16, 0, cl, chirp=chirp)
             made += 1
             for _ in range(size - 1):
                 if kind == "exact":
@@ -740,6 +756,8 @@ def plan_audios(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame
                     add(kind, ps, 0, ns_len, 8, 0, cl)
                 elif kind == "trim":
                     add(kind, ps, 0, ns_len, 16, int(rng.integers(1, 5)), cl)
+                elif kind == "reverse":
+                    add(kind, ps, 0, ns_len, 16, 0, cl, reverse=1, chirp=1)
                 else:  # jitter: small additive noise on the same signal
                     add(kind, ps, int(rng.integers(1, 2**31)), ns_len, 16, 0, cl)
                 made += 1
@@ -758,22 +776,32 @@ def plan_audios(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame
     return spec, truth
 
 
-def render_audio_pcm(ps: int, n_samples: int, noise_seed: int = 0) -> np.ndarray:
+def render_audio_pcm(ps: int, n_samples: int, noise_seed: int = 0,
+                     chirp: bool = False) -> np.ndarray:
     """Deterministic clip: 3 seeded AM-modulated tones over a seeded
     broadband noise floor (the floor is part of the SIGNAL — same seed in
     every copy — so adjacent-band energy signs are deterministic everywhere,
     not noise-dominated in tone-free bands). ``noise_seed`` adds small
-    independent noise on top (the "jitter" dup population)."""
+    independent noise on top (the "jitter" dup population). ``chirp``
+    replaces the tones with rising frequency sweeps — a temporally
+    ASYMMETRIC signal (the reverse-channel populations need one: a
+    quasi-stationary clip reads the same in both time directions)."""
     r = np.random.default_rng([ps, 13])
     t = np.arange(n_samples) / AUDIO_RATE
     x = np.zeros(n_samples)
+    dur = n_samples / AUDIO_RATE
     for _ in range(3):
         f = float(np.exp(r.uniform(np.log(350.0), np.log(3800.0))))
         a = float(r.uniform(0.3, 1.0))
         m = float(r.uniform(2.0, 5.0))
         ph = float(r.uniform(0.0, 2.0 * np.pi))
-        x += a * (1.0 + 0.8 * np.sin(2 * np.pi * m * t + ph)) / 2.0 \
-            * np.sin(2 * np.pi * f * t)
+        if chirp:
+            f1 = float(np.exp(r.uniform(np.log(350.0), np.log(3800.0))))
+            phase = 2 * np.pi * (f * t + (f1 - f) * t * t / (2.0 * dur))
+            x += a * np.sin(phase)
+        else:
+            x += a * (1.0 + 0.8 * np.sin(2 * np.pi * m * t + ph)) / 2.0 \
+                * np.sin(2 * np.pi * f * t)
     x += 0.1 * r.standard_normal(n_samples)
     x = 0.5 * x / np.abs(x).max()
     if noise_seed:
@@ -793,8 +821,10 @@ class RenderAudios:
         payloads = []
         for r in batch.to_pylist():
             pcm = render_audio_pcm(r["pattern_seed"], r["n_samples"],
-                                   r["noise_seed"])
+                                   r["noise_seed"], bool(r.get("chirp")))
             pcm = pcm[r["trim_hops"] * self.hop:]
+            if r.get("reversed"):
+                pcm = pcm[::-1]
             payloads.append(encode_wav(pcm, AUDIO_RATE, r["bits"]))
         return pa.table({
             "audio_id": batch["audio_id"],
@@ -805,7 +835,8 @@ class RenderAudios:
 
 
 def generate_audios(out_dir: str, n_rows: int, seed: int = 42,
-                    num_files: int | None = None, hop: int = 512) -> None:
+                    num_files: int | None = None, hop: int = 512,
+                    with_reverse: bool = False) -> None:
     """Materialize the audio fixture: table at out_dir/data, labels at
     out_dir/truth. Requires an active Ray session; deterministic at any
     parallelism (per-row seeds). ``hop`` must equal audio_window // 2 of the
@@ -816,7 +847,7 @@ def generate_audios(out_dir: str, n_rows: int, seed: int = 42,
 
     from deduplication_ray.sources import storage
 
-    spec, truth = plan_audios(n_rows, seed)
+    spec, truth = plan_audios(n_rows, seed, with_reverse=with_reverse)
     if num_files is None:
         num_files = max(4, min(64, n_rows // 500))
     ds = ray.data.from_pandas(spec).repartition(num_files)

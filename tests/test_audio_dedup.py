@@ -111,3 +111,45 @@ def test_aligned_scores_batch_matches_scalar():
     lb_ = np.array([len(b) for _, b in pairs], dtype=np.int64)
     got = aligned_match_scores_batch(fa, la_, fb, lb_, tau, mo)
     assert np.allclose(got, want)
+
+
+def test_audio_reverse_channel_catches_reversed_reuploads(ray_session,
+                                                          tmp_path):
+    """cfg.audio_reverse_channel pairs a time-reversed re-upload with its
+    original (canonical min(fwd, rev) shingle keys + bidirectional aligned
+    verify); the default config is blind to it. Recall/precision on the
+    WHOLE planted mix stay >= 0.99 with the channel on."""
+    from deduplication_ray.sources import storage
+
+    out = str(tmp_path / "revfix")
+    F.generate_audios(out, 160, seed=9, with_reverse=True)
+    ds = storage.read_table(f"{out}/data")
+    truth = storage.read_table(f"{out}/truth").to_pandas()
+    spec, _ = F.plan_audios(160, seed=9, with_reverse=True)
+    spec = spec.merge(truth, on="audio_id")
+    # pair each reversed copy with a FORWARD member of its cluster (the
+    # truth root can itself be a reversed copy after the id shuffle, which
+    # would make a label self-comparison vacuously "joined")
+    fwd_of = spec[spec["reversed"] == 0].groupby("cluster_id")["audio_id"] \
+        .first().to_dict()
+    rev = spec[spec["reversed"] == 1]
+    pairs = [(a, fwd_of[c]) for a, c in zip(rev["audio_id"],
+                                            rev["cluster_id"])]
+    assert pairs
+
+    on = audio_dedup_clusters(
+        ds, DedupConfig(num_partitions=4, audio_reverse_channel=True)
+    ).to_pandas()
+    lab = dict(zip(on["audio_id"], on["cluster_id"]))
+    split = [a for a, f in pairs if lab[a] != lab[f]]
+    assert not split, f"reverse channel missed {split}"
+
+    off = audio_dedup_clusters(ds, DedupConfig(num_partitions=4)).to_pandas()
+    lab0 = dict(zip(off["audio_id"], off["cluster_id"]))
+    joined = [a for a, f in pairs if lab0[a] == lab0[f]]
+    assert len(joined) <= 1, f"default config unexpectedly paired {joined}"
+
+    m = pair_metrics(on.rename(columns={"audio_id": "image_id"}),
+                     truth.rename(columns={"audio_id": "image_id"}))
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.99, m
