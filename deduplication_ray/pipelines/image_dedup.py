@@ -327,14 +327,18 @@ def _channel_clusters(
 ) -> ray.data.Dataset:
     """Clusters over ONE candidate-family slice of the shared bucket stream.
 
-    ``ExplodeBands`` emits every family in a single signature pass; slicing
-    by band-id namespace (``[band_lo, band_hi)``) isolates a channel (pixel
-    bands = pHash+SimHash multi-index, caption bands = MinHash LSH) without
-    a second signature read. The filter sits directly on the bucket emission
-    so non-selected families die before the groupby shuffle.
+    ``ExplodeBands(families=...)`` emits ONLY the selected band namespaces
+    (pixel bands = pHash+SimHash multi-index, caption bands = MinHash LSH),
+    so non-selected families never exist — no wasted emission, nothing to
+    filter before the groupby shuffle. The band-range filter stays as a
+    cheap invariant guard.
     """
+    fam = tuple(f for f, base in (("minhash", 0),
+                                  ("phash", lsh.BAND_PHASH),
+                                  ("simhash", lsh.BAND_SIMHASH))
+                if band_lo <= base < band_hi)
     buckets = sigs.map_batches(
-        lsh.ExplodeBands(cfg), batch_format="pyarrow",
+        lsh.ExplodeBands(cfg, families=fam), batch_format="pyarrow",
         batch_size=cfg.text_batch_size,
     ).filter(expr=f"band >= {band_lo} and band < {band_hi}")
     edges = lsh.edges_from_buckets(buckets, cfg)

@@ -98,26 +98,43 @@ class ExplodeBands:
     (``SplitHot`` inside ``candidate_edges``) so signatures are read once.
     """
 
-    def __init__(self, cfg: DedupConfig):
+    def __init__(self, cfg: DedupConfig,
+                 families: tuple[str, ...] = ("minhash", "phash", "simhash")):
+        """``families`` masks which band namespaces to EMIT — a channel
+        slice (e.g. the tier funnel's pixel-only tier) skips the other
+        families' bucket rows at the source instead of filtering them
+        after emission (bands x rows saved per signature at scale)."""
         self.cfg = cfg
+        self.families = families
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = batch.num_rows
 
-        sig = H.unpack_u64_rows(batch["minhash"], cfg.num_perm)
-        keys = H.lsh_band_keys(sig, cfg.bands, cfg.rows_per_band)  # (n, bands)
-        mh_band = np.tile(np.arange(cfg.bands, dtype=np.int32), n)
-        mh_bucket = H.bitcast_u64_to_i64(keys).ravel()
-
-        fam_bands = [mh_band.reshape(n, cfg.bands)]
-        fam_buckets = [mh_bucket.reshape(n, cfg.bands)]
+        fam_bands: list[np.ndarray] = []
+        fam_buckets: list[np.ndarray] = []
+        if "minhash" in self.families:
+            sig = H.unpack_u64_rows(batch["minhash"], cfg.num_perm)
+            keys = H.lsh_band_keys(sig, cfg.bands, cfg.rows_per_band)  # (n, bands)
+            mh_band = np.tile(np.arange(cfg.bands, dtype=np.int32), n)
+            mh_bucket = H.bitcast_u64_to_i64(keys).ravel()
+            fam_bands.append(mh_band.reshape(n, cfg.bands))
+            fam_buckets.append(mh_bucket.reshape(n, cfg.bands))
         for col, base in (("phash", BAND_PHASH), ("simhash", BAND_SIMHASH)):
-            if col in batch.column_names:
+            if col in batch.column_names and col in self.families:
                 b, k = _hash16_bands(H.bitcast_i64_to_u64(batch[col].to_numpy()), base)
                 fam_bands.append(b.reshape(n, 4))
                 fam_buckets.append(k.reshape(n, 4))
 
+        if not fam_bands or n == 0:
+            return pa.table({
+                "band": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "salt": pa.array([], pa.int64()),
+                "image_id": pa.array([], pa.string()),
+                "ph": pa.array([], pa.int64()),
+                "sh": pa.array([], pa.int64()),
+            })
         band = np.concatenate(fam_bands, axis=1).ravel()
         bucket = np.concatenate(fam_buckets, axis=1).ravel()
         per_row = band.size // n
