@@ -115,3 +115,35 @@ def test_video_mirror_channel_catches_flipped_reuploads(ray_session,
     # plain frame pHash must NOT pair mirrored copies (a symmetric clip
     # could fluke — tolerate at most one)
     assert len(joined) <= 1, f"default config unexpectedly paired {joined}"
+
+
+def _reverse_vseq(data: bytes) -> bytes:
+    """Re-encode a VSQ1 clip with frame order reversed."""
+    from deduplication_ray.functions import codecs as C
+
+    n, w, h, fps, fmt = C.vseq_header(bytes(data))
+    frames = [px for _, px in C.decode_vseq_frames(bytes(data))]
+    return C.encode_vseq(frames[::-1], fps, fmt)
+
+
+def test_video_reversed_playback_caught_by_default(ray_session,
+                                                   video_fixture):
+    """Reversed-playback re-uploads need NO extra channel: per-frame
+    banding and the bag-of-frames containment verify are order-insensitive
+    by construction, so the default config pairs a frame-reversed copy
+    with its original. Pinned here as a capability (the audio engine, with
+    its temporally ALIGNED verify, needs audio_reverse_channel instead)."""
+    from deduplication_ray.sources import storage
+
+    base = storage.read_table(f"{video_fixture}/data").to_pandas().head(40)
+    rev = base.head(12).copy()
+    rev["bytes"] = [_reverse_vseq(b) for b in rev["bytes"]]
+    planted = [f"rev_of_{v}" for v in rev["video_id"]]
+    rev["video_id"] = planted
+    both = pd.concat([base, rev], ignore_index=True)
+    ds = ray.data.from_pandas(both).repartition(4)
+
+    out = video_dedup_clusters(ds, DedupConfig(num_partitions=4)).to_pandas()
+    lab = dict(zip(out["video_id"], out["cluster_id"]))
+    split = [m for m in planted if lab[m] != lab[m.split("_of_", 1)[1]]]
+    assert not split, f"default config missed reversed playback {split}"
