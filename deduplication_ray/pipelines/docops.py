@@ -3782,3 +3782,47 @@ SELECT c.src, c.dst, CAST(levenshtein(x.t, y.t) AS BIGINT) AS lev,
 FROM cand c JOIN toks x ON x.doc_id = c.src JOIN toks y ON y.doc_id = c.dst
 WHERE 5 * levenshtein(x.t, y.t) <= 2 * greatest(length(x.t), length(y.t))
 """
+
+
+# ------------------------------------------- leakage-safe train/val/test split
+
+def q_doc_leakage_safe_split(sf_dir: str, ds=None):
+    """LEAKAGE-SAFE train/val/test split: assign by the hash of each
+    document's NEAR-DUP CLUSTER representative, not its own id, so a
+    near-duplicate pair can never straddle train and test (the benchmark-
+    contamination failure mode ``q_doc_split`` alone cannot prevent —
+    hashing doc ids puts two near-identical docs in different splits with
+    probability 2·p·(1-p)).
+
+    Composition: the full text near-dup engine (MinHash-LSH + substring +
+    union-find) elects each doc's cluster representative; the split rule is
+    ``q_doc_split``'s multiplicative hash applied to the REPRESENTATIVE id.
+    Output: (doc_id, cluster_id, split). Rows-only (clustering is
+    iterative); the no-straddle invariant, planted-pair co-assignment and
+    ratio band are asserted in
+    tests/test_text.py::test_leakage_safe_split_never_splits_clusters.
+
+    Scale plan: clustering is the engine's own bucketed path; the split
+    assignment is one stateless map over (doc_id, cluster_id) — any worker
+    assigns any row independently once labels exist."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+
+    docs = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+    clusters = text_dedup_clusters(docs, DedupConfig(num_partitions=8))
+
+    def assign(t: pa.Table) -> pa.Table:
+        # cluster_id is the min doc_id of the component (stringified by the
+        # engine): hash THAT, so every member lands in the same split
+        reps = H.hash_bytes_array(
+            t["cluster_id"].combine_chunks().cast(pa.string())) \
+            % np.uint64(2**31)
+        u = (reps * np.uint64(_SPLIT_MULT)) % np.uint64(_SPLIT_MOD)
+        split = np.where(
+            u < np.uint64(_TRAIN_LT), "train",
+            np.where(u < np.uint64(_VAL_LT), "val", "test"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "cluster_id": t["cluster_id"],
+                         "split": pa.array(split, pa.string())})
+
+    return clusters.map_batches(assign, batch_format="pyarrow")

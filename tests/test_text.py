@@ -164,3 +164,35 @@ def test_text_engine_recall_vs_planted_truth(ray_session, tmp_path):
                      truth.rename(columns={"doc_id": "image_id"}))
     assert m["recall"] >= 0.99
     assert m["precision"] >= 0.95
+
+
+def test_leakage_safe_split_never_splits_clusters(ray_session, tmp_path):
+    """Leakage-safe split invariants: no near-dup cluster straddles
+    splits; every planted dup pair co-assigns; ratios stay in a loose
+    80/10/10 band; doc_id coverage is exact."""
+    import numpy as np
+
+    from deduplication_ray.pipelines.docops import q_doc_leakage_safe_split
+    from deduplication_ray.sources import fixtures, storage
+
+    fix = str(tmp_path / "txtfix")
+    fixtures.generate_text(fix, 1200, seed=5)
+    docs = storage.read_table(f"{fix}/data")
+    out = q_doc_leakage_safe_split("", ds=docs).to_pandas()
+    assert len(out) == 1200 and out["doc_id"].is_unique
+
+    # no cluster straddles splits
+    straddle = out.groupby("cluster_id")["split"].nunique()
+    assert (straddle == 1).all()
+
+    # every PLANTED pair co-assigns (truth roots, not just engine clusters)
+    truth = storage.read_table(f"{fix}/truth").to_pandas()
+    j = out.merge(truth, on="doc_id", suffixes=("", "_t"))
+    by_truth = j.groupby("cluster_id_t")["split"].nunique()
+    assert (by_truth == 1).all()
+
+    # loose ratio band around 80/10/10
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.7 <= frac.get("train", 0) <= 0.9
+    assert 0.03 <= frac.get("val", 0) <= 0.2
+    assert 0.03 <= frac.get("test", 0) <= 0.2
