@@ -202,6 +202,8 @@ def compress_bytes(data: bytes, width: int, block_size: int) -> tuple[bytes, dic
 def decompress_bytes(ddp: bytes) -> bytes:
     """Decompress path (compressor.c:212-341): header parse + validation,
     dictionary rebuild, bounds-checked gather, final clamp."""
+    if len(ddp) < 24:
+        raise ValueError("truncated DDP1 header")
     if ddp[:4] != MAGIC:
         raise ValueError("bad magic: not a DDP1 container")
     sample_count, block_size = struct.unpack_from("<II", ddp, 4)
@@ -210,7 +212,11 @@ def decompress_bytes(ddp: bytes) -> bytes:
         raise ValueError(f"invalid width {width}")
     dict_size, num_blocks = struct.unpack_from("<II", ddp, 16)
     bb = block_size * width
+    if bb <= 0:
+        raise ValueError("invalid block size")
     off = 24
+    if len(ddp) - off < dict_size * bb + num_blocks * 4:
+        raise ValueError("container shorter than header promises")
     dict_payload = np.frombuffer(ddp, dtype=np.uint8, count=dict_size * bb, offset=off)
     dictionary = dict_payload.reshape(dict_size, bb)
     off += dict_size * bb
@@ -219,6 +225,11 @@ def decompress_bytes(ddp: bytes) -> bytes:
         raise ValueError("block id out of dictionary range")  # compressor.c:323-329
     out = dictionary[ids].reshape(-1)  # the gather, vectorized (cf. :331-339)
     total_bytes = sample_count * width
+    if total_bytes > out.size:
+        # a valid compressor never promises more samples than blocks carry
+        # (tail truncation only ever SHRINKS, compressor.c:68-93) — a larger
+        # count is header corruption, not a short write
+        raise ValueError("sample count exceeds block payload")
     return out[:total_bytes].tobytes()  # final clamp (compressor.c:332-338)
 
 

@@ -11,6 +11,8 @@ import shutil
 import subprocess
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 REF = "/root/reference"
 SAMPLES = [
@@ -112,3 +114,31 @@ def test_encode_distributed_path_parity(ref_bin, tmp_path, ray_session, monkeypa
     ours, summary = ddp1.compress_bytes(open(src, "rb").read(), width, block)
     assert ours == open(ref_out, "rb").read()
     assert summary["num_blocks"] * block == summary["used_samples"]
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_decompress_never_crashes_on_corruption(data):
+    """Decoder robustness the C reference lacks: ANY single-byte corruption
+    or truncation of a valid container either still decodes to bytes
+    (payload flips are undetectable without checksums — allowed) or raises
+    a clean ValueError — never an unhandled numpy/struct/index crash."""
+    from deduplication_ray.sources.ddp1 import compress_bytes, decompress_bytes
+
+    payload = bytes(range(256)) * 4
+    ddp, _ = compress_bytes(payload, 2, 8)
+    mode = data.draw(st.sampled_from(["flip", "truncate", "garbage"]))
+    if mode == "flip":
+        pos = data.draw(st.integers(0, len(ddp) - 1))
+        val = data.draw(st.integers(1, 255))
+        corrupted = ddp[:pos] + bytes([ddp[pos] ^ val]) + ddp[pos + 1:]
+    elif mode == "truncate":
+        cut = data.draw(st.integers(0, len(ddp) - 1))
+        corrupted = ddp[:cut]
+    else:
+        corrupted = bytes(data.draw(st.binary(max_size=64)))
+    try:
+        out = decompress_bytes(corrupted)
+        assert isinstance(out, bytes)
+    except ValueError:
+        pass  # the clean failure contract
