@@ -53,6 +53,17 @@ def _cfg_from_args(args) -> "DedupConfig":
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
+    tau = getattr(args, "jaccard_threshold", None)
+    if tau is not None:
+        # plan (bands, rows) from the banding S-curve for the target
+        # threshold; explicit --bands/--rows-per-band still win
+        from deduplication_ray.stages.lsh import plan_lsh_params
+
+        plan = plan_lsh_params(
+            tau, overrides.get("num_perm", DedupConfig.num_perm))
+        overrides.setdefault("bands", plan["bands"])
+        overrides.setdefault("rows_per_band", plan["rows_per_band"])
+        overrides["jaccard_tau"] = tau
     return DedupConfig(**overrides)
 
 
@@ -73,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
                             "'audio' / 'embedding' run the checkpointed "
                             "modal engines over (id, bytes|vector) tables")
         s.add_argument("--num-cpus", type=int, default=None)
+        s.add_argument("--jaccard-threshold", type=float, default=None,
+                       dest="jaccard_threshold",
+                       help="target near-dup Jaccard: picks (bands, rows) "
+                            "via the banding S-curve planner and sets "
+                            "jaccard_tau (explicit --bands/--rows-per-band "
+                            "still win)")
         for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
                   "bucket_cap", "substring_min_len", "num_partitions"):
             s.add_argument(f"--{f.replace('_', '-')}", type=int, default=None,
