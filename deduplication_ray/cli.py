@@ -55,14 +55,29 @@ def _cfg_from_args(args) -> "DedupConfig":
             overrides[field] = v
     tau = getattr(args, "jaccard_threshold", None)
     if tau is not None:
-        # plan (bands, rows) from the banding S-curve for the target
-        # threshold; explicit --bands/--rows-per-band still win
-        from deduplication_ray.stages.lsh import plan_lsh_params
+        if not (0.0 < tau < 1.0):
+            raise SystemExit("--jaccard-threshold must be in (0, 1)")
+        num_perm = overrides.get("num_perm", DedupConfig.num_perm)
+        if "bands" in overrides or "rows_per_band" in overrides:
+            # a pinned flag wins; derive ITS partner from num_perm — never
+            # pair values from two different factorizations
+            if "bands" in overrides:
+                overrides.setdefault("rows_per_band",
+                                     num_perm // overrides["bands"])
+            else:
+                overrides.setdefault("bands",
+                                     num_perm // overrides["rows_per_band"])
+        else:
+            from deduplication_ray.stages.lsh import plan_lsh_params
 
-        plan = plan_lsh_params(
-            tau, overrides.get("num_perm", DedupConfig.num_perm))
-        overrides.setdefault("bands", plan["bands"])
-        overrides.setdefault("rows_per_band", plan["rows_per_band"])
+            plan = plan_lsh_params(tau, num_perm)
+            if not plan["recall_ok"]:
+                raise SystemExit(
+                    f"no (bands, rows) factorization of num_perm={num_perm} "
+                    f"reaches 0.99 recall at threshold {tau}; raise "
+                    f"--num-perm")
+            overrides["bands"] = plan["bands"]
+            overrides["rows_per_band"] = plan["rows_per_band"]
         overrides["jaccard_tau"] = tau
     return DedupConfig(**overrides)
 
@@ -116,6 +131,10 @@ def main(argv: list[str] | None = None) -> int:
                         "ingest modal deltas against a run_modal_pipeline "
                         "base")
     s.add_argument("--num-cpus", type=int, default=None)
+    s.add_argument("--jaccard-threshold", type=float, default=None,
+                   dest="jaccard_threshold",
+                   help="target near-dup Jaccard (must match the base "
+                        "run's): plans (bands, rows) and sets jaccard_tau")
     for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
               "bucket_cap", "substring_min_len", "num_partitions"):
         s.add_argument(f"--{f.replace('_', '-')}", type=int, default=None,
@@ -138,6 +157,10 @@ def main(argv: list[str] | None = None) -> int:
                    choices=("image", "text", "video", "audio", "embedding"),
                    default="image")
     s.add_argument("--num-cpus", type=int, default=None)
+    s.add_argument("--jaccard-threshold", type=float, default=None,
+                   dest="jaccard_threshold",
+                   help="target near-dup Jaccard (must match the base "
+                        "run's): plans (bands, rows) and sets jaccard_tau")
     for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
               "bucket_cap", "substring_min_len", "num_partitions"):
         s.add_argument(f"--{f.replace('_', '-')}", type=int, default=None,
@@ -212,6 +235,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True, help="output run dir")
     s.add_argument("--id-col", default="image_id")
     s.add_argument("--num-cpus", type=int, default=None)
+    s.add_argument("--jaccard-threshold", type=float, default=None,
+                   dest="jaccard_threshold")
+    for f in ("seed", "shingle_k", "num_perm", "bands", "rows_per_band",
+              "bucket_cap", "substring_min_len", "num_partitions"):
+        s.add_argument(f"--{f.replace('_', '-')}", type=int, default=None,
+                       dest=f)
 
     s = sub.add_parser("query", help="run a registered pipeline over a table dir")
     s.add_argument("name", nargs="?", default=None,
@@ -378,7 +407,7 @@ def main(argv: list[str] | None = None) -> int:
         else:
             ids = args.ids.split(",")
         metrics = delete_ids(args.base_run, args.base_input, ids, args.out,
-                             DedupConfig(), id_col=args.id_col)
+                             _cfg_from_args(args), id_col=args.id_col)
         print(json.dumps(metrics))
         ray.shutdown()
         return 0

@@ -3789,10 +3789,12 @@ WHERE 5 * levenshtein(x.t, y.t) <= 2 * greatest(length(x.t), length(y.t))
 def q_doc_leakage_safe_split(sf_dir: str, ds=None):
     """LEAKAGE-SAFE train/val/test split: assign by the hash of each
     document's NEAR-DUP CLUSTER representative, not its own id, so a
-    near-duplicate pair can never straddle train and test (the benchmark-
-    contamination failure mode ``q_doc_split`` alone cannot prevent —
-    hashing doc ids puts two near-identical docs in different splits with
-    probability 2·p·(1-p)).
+    near-duplicate pair THE ENGINE LINKS can never straddle train and test
+    (the benchmark-contamination failure mode ``q_doc_split`` alone cannot
+    prevent — hashing doc ids puts two near-identical docs in different
+    splits with probability 2·p·(1-p)). Residual leakage is bounded by the
+    engine's recall contract (>= 0.99 on planted families): only a pair
+    the detector misses can still straddle.
 
     Composition: the full text near-dup engine (MinHash-LSH + substring +
     union-find) elects each doc's cluster representative; the split rule is

@@ -333,10 +333,12 @@ def _channel_clusters(
     filter before the groupby shuffle. The band-range filter stays as a
     cheap invariant guard.
     """
-    fam = tuple(f for f, base in (("minhash", 0),
-                                  ("phash", lsh.BAND_PHASH),
-                                  ("simhash", lsh.BAND_SIMHASH))
-                if band_lo <= base < band_hi)
+    # range-OVERLAP, not base containment: a sub-family slice whose window
+    # excludes the namespace base must still emit that family's bands
+    fam = tuple(f for f, base, width in (("minhash", 0, cfg.bands),
+                                         ("phash", lsh.BAND_PHASH, 4),
+                                         ("simhash", lsh.BAND_SIMHASH, 4))
+                if base < band_hi and band_lo < base + width)
     buckets = sigs.map_batches(
         lsh.ExplodeBands(cfg, families=fam), batch_format="pyarrow",
         batch_size=cfg.text_batch_size,

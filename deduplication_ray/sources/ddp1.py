@@ -199,9 +199,17 @@ def compress_bytes(data: bytes, width: int, block_size: int) -> tuple[bytes, dic
     return bytes(out), summary
 
 
-def decompress_bytes(ddp: bytes) -> bytes:
+def decompress_bytes(ddp: bytes, max_output_bytes: int | None = None) -> bytes:
     """Decompress path (compressor.c:212-341): header parse + validation,
-    dictionary rebuild, bounds-checked gather, final clamp."""
+    dictionary rebuild, bounds-checked gather, final clamp.
+
+    ``max_output_bytes`` guards against CRAFTED headers whose gather
+    product (num_blocks x block bytes) is astronomically larger than the
+    container — a resource-exhaustion vector the payload-length check
+    cannot catch, because a LEGITIMATE high-ratio container (one dict
+    block referenced millions of times) also expands far beyond its own
+    size. Default None preserves unlimited legitimate expansion; callers
+    decoding untrusted bytes should pass a budget."""
     if len(ddp) < 24:
         raise ValueError("truncated DDP1 header")
     if ddp[:4] != MAGIC:
@@ -217,6 +225,10 @@ def decompress_bytes(ddp: bytes) -> bytes:
     off = 24
     if len(ddp) - off < dict_size * bb + num_blocks * 4:
         raise ValueError("container shorter than header promises")
+    if max_output_bytes is not None and num_blocks * bb > max_output_bytes:
+        raise ValueError(
+            f"decoded size {num_blocks * bb} exceeds the "
+            f"{max_output_bytes}-byte budget")
     dict_payload = np.frombuffer(ddp, dtype=np.uint8, count=dict_size * bb, offset=off)
     dictionary = dict_payload.reshape(dict_size, bb)
     off += dict_size * bb

@@ -142,3 +142,27 @@ def test_decompress_never_crashes_on_corruption(data):
         assert isinstance(out, bytes)
     except ValueError:
         pass  # the clean failure contract
+
+
+def test_decompress_output_budget_rejects_crafted_expansion():
+    """A crafted header whose gather product dwarfs the container must hit
+    the ValueError budget, while a LEGITIMATE high-ratio container (one
+    dict block, many references) still decodes under a generous budget."""
+    import struct
+
+    import numpy as np
+
+    from deduplication_ray.sources.ddp1 import MAGIC, compress_bytes, decompress_bytes
+
+    # legitimate 1000x expansion: one repeated block
+    payload = bytes(range(16)) * 1000
+    ddp, _ = compress_bytes(payload, 2, 8)
+    assert decompress_bytes(ddp, max_output_bytes=1 << 20) == payload
+
+    # crafted: same dictionary, num_blocks inflated to promise ~64 MB
+    ids = np.zeros(1 << 24 >> 2, dtype="<u4").tobytes()  # 4M ids
+    hdr = MAGIC + struct.pack("<II", 1 << 25, 8) + struct.pack("<B3x", 2) \
+        + struct.pack("<II", 1, len(ids) // 4)
+    crafted = hdr + bytes(16) + ids
+    with pytest.raises(ValueError):
+        decompress_bytes(crafted, max_output_bytes=1 << 20)
