@@ -659,6 +659,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot": R.q_events_unpivot,  # UNPIVOT / melt (pivot inverse)
         "q8_market_share": R.q8_market_share,  # share-of-total star join
         "q15_top_supplier": R.q15_top_supplier,  # max-over-aggregate shape
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,  # correlated min + re-join
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,  # cyclic join
+        "q6_forecast_revenue": R.q6_forecast_revenue,  # pushdown scalar agg
+        "q11_important_parts": R.q11_important_parts,  # global-scalar HAVING
+        "q16_supplier_count_by_type": R.q16_supplier_count_by_type,  # count-distinct + anti
+        "q20_heavy_share_suppliers": R.q20_heavy_share_suppliers,  # share-threshold semi
+        "q21_waiting_suppliers": R.q21_waiting_suppliers,  # only-late election
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -808,6 +815,13 @@ def oracle_sql() -> dict[str, str]:
         "events_unpivot": R.Q_EVENTS_UNPIVOT_SQL,
         "q8_market_share": R.Q8_MARKET_SHARE_SQL,
         "q15_top_supplier": R.Q15_TOP_SUPPLIER_SQL,
+        "q2_min_cost_supplier": R.Q2_MIN_COST_SUPPLIER_SQL,
+        "q5_local_supplier_volume": R.Q5_LOCAL_SUPPLIER_VOLUME_SQL,
+        "q6_forecast_revenue": R.Q6_FORECAST_REVENUE_SQL,
+        "q11_important_parts": R.Q11_IMPORTANT_PARTS_SQL,
+        "q16_supplier_count_by_type": R.Q16_SUPPLIER_COUNT_SQL,
+        "q20_heavy_share_suppliers": R.Q20_HEAVY_SHARE_SQL,
+        "q21_waiting_suppliers": R.Q21_WAITING_SUPPLIERS_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
