@@ -3829,12 +3829,31 @@ ORDER BY r.s_suppkey
 # hash-compares bit-identically at any parallelism.
 
 
+def _probe_sorted(keys_sorted: np.ndarray,
+                  x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ONE searchsorted pass -> (membership mask, gather positions), so a
+    broadcast probe that needs both never binary-searches twice
+    (empty-safe: positions are all-zero and the mask all-false)."""
+    if len(keys_sorted) == 0:
+        return np.zeros(len(x), dtype=bool), np.zeros(len(x), dtype=np.int64)
+    pos = np.clip(np.searchsorted(keys_sorted, x), 0, len(keys_sorted) - 1)
+    return keys_sorted[pos] == x, pos
+
+
 def _member_mask(keys_sorted: np.ndarray, x: np.ndarray) -> np.ndarray:
     """Vectorized membership probe against a sorted key array (empty-safe)."""
-    if len(keys_sorted) == 0:
-        return np.zeros(len(x), dtype=bool)
-    pos = np.clip(np.searchsorted(keys_sorted, x), 0, len(keys_sorted) - 1)
-    return keys_sorted[pos] == x
+    return _probe_sorted(keys_sorted, x)[0]
+
+
+def _region_nations(sf_dir: str, region: str) -> pd.DataFrame:
+    """Nation rows (n_nationkey, n_name) belonging to one region — the
+    shared region->nation resolution of the Q2/Q5 dimension legs."""
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    return nation[nation["n_regionkey"].isin(rkey)] \
+        [["n_nationkey", "n_name"]]
 
 
 def q6_forecast_revenue(sf_dir: str, start: str = "1996-01-01",
@@ -3891,11 +3910,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
     from deduplication_ray.stages.join import shuffle_join
 
-    nation = _read(sf_dir, "nation",
-                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
-    nat = nation[nation["n_regionkey"].isin(rkey)].sort_values("n_nationkey")
+    nat = _region_nations(sf_dir, region).sort_values("n_nationkey")
     nat_keys = nat["n_nationkey"].to_numpy()
     nat_names = nat["n_name"].to_numpy()
 
@@ -4296,11 +4311,7 @@ def q2_min_cost_supplier(sf_dir: str, ptype: str = "ECONOMY",
     part_ref = ray.put((part["p_partkey"].to_numpy(),
                         part["p_name"].to_numpy()))
 
-    nation = _read(sf_dir, "nation",
-                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
-    nat = nation[nation["n_regionkey"].isin(rkey)]
+    nat = _region_nations(sf_dir, region)
     supp = _read(sf_dir, "supplier",
                  ["s_suppkey", "s_name", "s_nationkey"]).to_pandas() \
         .merge(nat, left_on="s_nationkey", right_on="n_nationkey") \
