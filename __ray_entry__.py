@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_share": R.q14_promo_share,  # conditional-agg kin
         "q19_brand_revenue": R.q19_brand_revenue,  # disjunctive predicate
         "q4_late_ship_priority": R.q4_late_ship_priority,  # EXISTS as max-agg
+        "q12_shipmode_priority": R.q12_shipmode_priority,  # CASE-count big-big join
         "q10_returned_revenue": R.q10_returned_revenue,  # multi-hop top-k
         "q13_order_count_distribution": R.q13_order_count_distribution,  # left-join histogram
         "q17_small_qty_revenue": R.q17_small_qty_revenue,  # per-group-avg self-join
@@ -805,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_share": R.Q14_PROMO_SHARE_SQL,
         "q19_brand_revenue": R.Q19_BRAND_REVENUE_SQL,
         "q4_late_ship_priority": R.Q4_LATE_SHIP_PRIORITY_SQL,
+        "q12_shipmode_priority": R.Q12_SHIPMODE_PRIORITY_SQL,
         "q10_returned_revenue": R.Q10_RETURNED_REVENUE_SQL,
         "q13_order_count_distribution": R.Q13_ORDER_COUNT_DISTRIBUTION_SQL,
         "q17_small_qty_revenue": R.Q17_SMALL_QTY_REVENUE_SQL,

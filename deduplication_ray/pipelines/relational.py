@@ -3148,6 +3148,93 @@ GROUP BY o_orderpriority
 """
 
 
+# ------------------------------------------ TPC-H Q12 (shipmode service levels)
+
+def q12_shipmode_priority(sf_dir: str, start: str = "1996-01-01",
+                          end: str = "1997-01-01"):
+    """TPC-H Q12 shape: service-level audit. For each lineitem status class
+    (this schema's stand-in for ship mode; folded to 'O' vs 'F' so both
+    engines bucket identically) count window-shipped lineitems on
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders. The shipdate
+    window is pushed to the parquet scan; lineitem pre-collapses IN BATCH to
+    (orderkey, status, n) through a composite int64 key (orderkey*2 |
+    status_bit) so the one unavoidable big-big edge against orders ships
+    collapsed counts, not rows; the priority CASE is one vectorized
+    membership probe after the join; the tail is a 2-class partial per batch
+    merged on the driver (2 x #batches rows, never a global sort)."""
+    import datetime
+
+    from deduplication_ray.stages.join import shuffle_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"],
+               filter=((pc.field("l_shipdate")
+                        >= datetime.datetime.fromisoformat(start))
+                       & (pc.field("l_shipdate")
+                          < datetime.datetime.fromisoformat(end))))
+
+    def collapse(t: pa.Table) -> pa.Table:
+        bit = pc.equal(t["l_linestatus"], pa.scalar("O")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = t["l_orderkey"].to_numpy() * 2 + bit
+        return pa.table({"ck": pa.array(ck, pa.int64()),
+                         "n": pa.array(np.ones(len(ck), np.int64))})
+
+    per = _keyed_reduce(li.map_batches(collapse, batch_format="pyarrow"),
+                        "ck", {"n": ("n", "sum")})
+
+    def split(t: pa.Table) -> pa.Table:
+        ck = t["ck"].to_numpy()
+        return pa.table({"o_orderkey": pa.array(ck >> 1, pa.int64()),
+                         "status_bit": pa.array(ck & 1, pa.int64()),
+                         "n": t["n"]})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"])) \
+            .cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"], "is_high": hi})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(o_prep, batch_format="pyarrow")
+
+    j = shuffle_join(per.map_batches(split, batch_format="pyarrow"),
+                     orders, on=["o_orderkey"], how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        hi = t["is_high"].to_numpy().astype(bool)
+        s = t["status_bit"].to_numpy().astype(bool)
+        bits, highs, lows = [], [], []
+        for bit in (False, True):  # 2 classes, not per-row
+            m = s == bit
+            if m.any():
+                bits.append(int(bit))
+                highs.append(int(n[m & hi].sum()))
+                lows.append(int(n[m & ~hi].sum()))
+        return pa.table({"status_bit": pa.array(bits, pa.int64()),
+                         "high_line_count": pa.array(highs, pa.int64()),
+                         "low_line_count": pa.array(lows, pa.int64())})
+
+    mom = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = mom.groupby("status_bit", sort=True)[
+        ["high_line_count", "low_line_count"]].sum().reset_index()
+    g["linestatus_class"] = np.where(g["status_bit"] == 1, "O", "F")
+    return g[["linestatus_class", "high_line_count", "low_line_count"]]
+
+
+Q12_SHIPMODE_PRIORITY_SQL = """
+SELECT CASE WHEN l_linestatus = 'O' THEN 'O' ELSE 'F' END AS linestatus_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
 # ------------------------------------------ TPC-H Q10 (returned-item customers)
 
 def q10_returned_revenue(sf_dir: str, k: int = 20):
