@@ -678,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_pq": ann.pq_topk,
         "ann_topk_ivfpq": ann.ivfpq_topk,
         "doc_lsh_dedup": docops.q_doc_lsh_dedup,
+        "doc_cdc_dedup": docops.q_doc_cdc_dedup,  # content-defined chunk dedup
         "doc_tier_dedup": docops.q_doc_tier_dedup,
         "doc_leakage_safe_split": docops.q_doc_leakage_safe_split,
         "doc_dedup_keep_best": docops.q_doc_dedup_keep_best,

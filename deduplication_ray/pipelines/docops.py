@@ -1415,6 +1415,175 @@ FROM agg
 """
 
 
+# ------------------------------------------- content-defined chunk dedup (CDC)
+
+_CDC_GEAR = H.splitmix64(np.arange(1, 257, dtype=np.uint64))
+_CDC_SRC_BITS = 10      # owner key = (doc_id << 30) | (chunk_idx << 10) | src
+_CDC_IDX_BITS = 20      # (exact in int64 at test scale; 128-bit at 10^12)
+
+
+def _cdc_cuts(texts: pa.Array | pa.ChunkedArray, mask_bits: int,
+              max_chunk: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized gear-hash content-defined chunking over one Arrow string
+    column. Returns ``(raw, cuts, chunk_doc)``: the column's flat byte
+    buffer, chunk cut offsets into it (chunks tile each doc exactly), and
+    each chunk's row index.
+
+    The gear recurrence ``h = (h << 1) + GEAR[byte]`` is unrolled to a sum
+    of shifted gear lookups; the boundary test ``(h & mask) == 0`` only
+    reads the low ``mask_bits`` bits, and the ``j``-th shifted term cannot
+    touch bits below ``j`` — so ``mask_bits`` shifted vectorized adds
+    reproduce the textbook per-byte loop bit-exactly (window = mask_bits
+    trailing bytes, the effective window of gear CDC at this mask). Docs
+    are separated by ``mask_bits - 1`` zero entries in gear space (zero
+    contributions), so every hash is a pure function of its own doc's
+    bytes and the chunking is partition/batch-size invariant. No per-byte
+    or per-row Python loop anywhere; the only loop is over gaps longer
+    than ``max_chunk`` (pathological boundary-free runs)."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) \
+        else texts
+    n = len(arr)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint8), z, z
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    buf_off = np.frombuffer(arr.buffers()[1], off_dt)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    start, stop = buf_off[0], buf_off[-1]
+    raw = data[start:stop]
+    lens = np.diff(buf_off)
+    total = int(stop - start)
+
+    pad = mask_bits - 1
+    g = _CDC_GEAR[raw]
+    doc_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pad_pos = np.arange(total, dtype=np.int64) + doc_of_byte * pad
+    gp = np.zeros(total + n * pad, dtype=np.uint64)
+    gp[pad_pos] = g
+    h = gp.copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, mask_bits):
+            h[j:] += gp[:-j] << np.uint64(j)
+
+    mask = np.uint64((1 << mask_bits) - 1)
+    cand_p = np.flatnonzero((h & mask) == 0)
+    real = np.zeros(len(gp), dtype=bool)
+    real[pad_pos] = True
+    cand_p = cand_p[real[cand_p]]
+    doc_starts = buf_off[:-1] - start
+    doc_ends = buf_off[1:] - start
+    owner = np.searchsorted(doc_starts + np.arange(n) * pad, cand_p,
+                            side="right") - 1
+    cand = cand_p - owner * pad          # cut AFTER this byte
+
+    cuts = np.unique(np.concatenate([doc_starts, cand + 1, doc_ends]))
+    gaps = np.diff(cuts)
+    big = np.flatnonzero(gaps > max_chunk)
+    if len(big):
+        extra = [np.arange(cuts[i] + max_chunk, cuts[i + 1], max_chunk)
+                 for i in big]
+        cuts = np.unique(np.concatenate([cuts] + extra))
+    chunk_doc = np.searchsorted(doc_ends, cuts[:-1], side="right")
+    return raw, cuts, chunk_doc
+
+
+def q_doc_cdc_dedup(sf_dir: str, mask_bits: int = 6, max_chunk: int = 256):
+    """Content-defined chunk dedup report: gear-hash CDC boundaries make
+    chunk identity survive insertions/deletions (a shifted copy re-aligns
+    at the next content boundary), generalizing the reference's FIXED
+    block dictionary dedup (``compressor.c:75-114``) to shift-tolerant
+    chunks — the rsync/casync/LBFS trick as a Ray pipeline.
+
+    Per source: how many chunks/bytes it contributes, how many survive
+    content dedup (a chunk's bytes count once, attributed to its global
+    min-(doc, chunk, src) representative), and the per-mille byte saving.
+
+    Scale plan: chunking + content hashing are one vectorized map_batches
+    pass (no per-row loops; see ``_cdc_cuts``); ONLY fixed-width rows
+    (two independent u64 content hashes + length + packed owner) cross
+    the wire — never chunk payloads, unlike passage dedup whose output IS
+    the text. The groupby key (h1, h2, len) is an effective 128-bit
+    identity; min/count/max aggregates all pre-combine per block. The
+    per-source rollup is in-batch partials summed on the driver
+    (|sources| x #batches rows)."""
+    from ray.data.aggregate import Count, Min
+
+    sources = sorted(_docs(sf_dir, ["source"]).unique("source"))
+    assert len(sources) < (1 << _CDC_SRC_BITS)
+    src_ref = ray.put(sources)
+
+    class Chunker:
+        def __init__(self):
+            self.src_vals = pa.array(ray.get(src_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            raw, cuts, chunk_doc = _cdc_cuts(t["text"], mask_bits, max_chunk)
+            if len(cuts) <= 1:
+                return pa.table({"h1": pa.array([], pa.int64()),
+                                 "h2": pa.array([], pa.int64()),
+                                 "clen": pa.array([], pa.int64()),
+                                 "owner": pa.array([], pa.int64())})
+            nch = len(cuts) - 1
+            chunks = pa.Array.from_buffers(
+                pa.binary(), nch,
+                [None, pa.py_buffer(cuts.astype(np.int32)),
+                 pa.py_buffer(raw)])
+            h1 = H.bitcast_u64_to_i64(H.hash_bytes_array(chunks, seed=0))
+            h2 = H.bitcast_u64_to_i64(H.hash_bytes_array(chunks, seed=1))
+            doc_id = t["doc_id"].to_numpy()[chunk_doc]
+            src = pc.index_in(t["source"], value_set=self.src_vals) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)[chunk_doc]
+            first = np.concatenate([[0], np.flatnonzero(
+                np.diff(chunk_doc)) + 1])
+            cidx = (np.arange(nch, dtype=np.int64)
+                    - np.repeat(first, np.diff(np.concatenate(
+                        [first, [nch]]))))
+            owner = ((doc_id << (_CDC_IDX_BITS + _CDC_SRC_BITS))
+                     | (cidx << _CDC_SRC_BITS) | src)
+            return pa.table({
+                "h1": pa.array(h1, pa.int64()),
+                "h2": pa.array(h2, pa.int64()),
+                "clen": pa.array(cuts[1:] - cuts[:-1], pa.int64()),
+                "owner": pa.array(owner, pa.int64())})
+
+    per_chunk = (_docs(sf_dir, ["doc_id", "text", "source"])
+                 .map_batches(Chunker, concurrency=(1, 8),
+                              batch_format="pyarrow")
+                 .groupby(["h1", "h2", "clen"])
+                 .aggregate(Min("owner", alias_name="rep_owner"),
+                            Count(alias_name="n_copies")))
+
+    def per_source(t: pa.Table) -> pa.Table:
+        src = (t["rep_owner"].to_numpy()
+               & ((1 << _CDC_SRC_BITS) - 1)).astype(np.int64)
+        clen = t["clen"].to_numpy()
+        n = t["n_copies"].to_numpy().astype(np.int64)
+        k = len(sources)
+        return pa.table({
+            "src": pa.array(np.arange(k, dtype=np.int64)),
+            "n_unique_chunks": pa.array(np.bincount(src, minlength=k)
+                                        .astype(np.int64)),
+            "unique_bytes": pa.array(np.bincount(
+                src, weights=clen, minlength=k).astype(np.int64)),
+            "n_copies": pa.array(np.bincount(
+                src, weights=n, minlength=k).astype(np.int64)),
+            "total_bytes": pa.array(np.bincount(
+                src, weights=clen * n, minlength=k).astype(np.int64))})
+
+    mom = (per_chunk.map_batches(per_source, batch_format="pyarrow")
+           .to_pandas())
+    g = mom.groupby("src", sort=True).sum().reset_index()
+    g["source"] = [sources[i] for i in g["src"]]
+    tot = g["total_bytes"].to_numpy()
+    saved = tot - g["unique_bytes"].to_numpy()
+    g["saved_bytes"] = saved
+    g["saved_permille"] = np.where(tot > 0, saved * 1000 // np.maximum(
+        tot, 1), 0).astype(np.int64)
+    return g[["source", "n_unique_chunks", "unique_bytes", "n_copies",
+              "total_bytes", "saved_bytes", "saved_permille"]]
+
+
 # ------------------------------------------------- deterministic global shuffle
 
 def q_doc_global_shuffle(sf_dir: str):
