@@ -1525,10 +1525,16 @@ def q_doc_cdc_dedup(sf_dir: str, mask_bits: int = 6, max_chunk: int = 256):
                                  "clen": pa.array([], pa.int64()),
                                  "owner": pa.array([], pa.int64())})
             nch = len(cuts) - 1
-            chunks = pa.Array.from_buffers(
-                pa.binary(), nch,
-                [None, pa.py_buffer(cuts.astype(np.int32)),
-                 pa.py_buffer(raw)])
+            if cuts[-1] < (1 << 31):
+                chunks = pa.Array.from_buffers(
+                    pa.binary(), nch,
+                    [None, pa.py_buffer(cuts.astype(np.int32)),
+                     pa.py_buffer(raw)])
+            else:  # >2GB flat buffer (large_string input): int64 offsets
+                chunks = pa.Array.from_buffers(
+                    pa.large_binary(), nch,
+                    [None, pa.py_buffer(np.ascontiguousarray(cuts)),
+                     pa.py_buffer(raw)])
             h1 = H.bitcast_u64_to_i64(H.hash_bytes_array(chunks, seed=0))
             h2 = H.bitcast_u64_to_i64(H.hash_bytes_array(chunks, seed=1))
             doc_id = t["doc_id"].to_numpy()[chunk_doc]
@@ -1539,6 +1545,14 @@ def q_doc_cdc_dedup(sf_dir: str, mask_bits: int = 6, max_chunk: int = 256):
             cidx = (np.arange(nch, dtype=np.int64)
                     - np.repeat(first, np.diff(np.concatenate(
                         [first, [nch]]))))
+            # loud overflow guards: a silent carry between packed fields
+            # would mis-attribute representatives (use a 128-bit key past
+            # these bounds)
+            if nch and cidx.max() >= (1 << _CDC_IDX_BITS):
+                raise ValueError("CDC owner key: >2^20 chunks in one doc")
+            if nch and doc_id.max() >= (1 << (63 - _CDC_IDX_BITS
+                                              - _CDC_SRC_BITS)):
+                raise ValueError("CDC owner key: doc_id >= 2^33")
             owner = ((doc_id << (_CDC_IDX_BITS + _CDC_SRC_BITS))
                      | (cidx << _CDC_SRC_BITS) | src)
             return pa.table({
@@ -1560,16 +1574,21 @@ def q_doc_cdc_dedup(sf_dir: str, mask_bits: int = 6, max_chunk: int = 256):
         clen = t["clen"].to_numpy()
         n = t["n_copies"].to_numpy().astype(np.int64)
         k = len(sources)
+
+        def segsum(w: np.ndarray) -> np.ndarray:
+            # exact int64 accumulation (bincount sums in float64 and would
+            # round past 2^53 at 10^12-row scale)
+            out = np.zeros(k, np.int64)
+            np.add.at(out, src, w)
+            return out
+
         return pa.table({
             "src": pa.array(np.arange(k, dtype=np.int64)),
             "n_unique_chunks": pa.array(np.bincount(src, minlength=k)
                                         .astype(np.int64)),
-            "unique_bytes": pa.array(np.bincount(
-                src, weights=clen, minlength=k).astype(np.int64)),
-            "n_copies": pa.array(np.bincount(
-                src, weights=n, minlength=k).astype(np.int64)),
-            "total_bytes": pa.array(np.bincount(
-                src, weights=clen * n, minlength=k).astype(np.int64))})
+            "unique_bytes": pa.array(segsum(clen)),
+            "n_copies": pa.array(segsum(n)),
+            "total_bytes": pa.array(segsum(clen * n))})
 
     mom = (per_chunk.map_batches(per_source, batch_format="pyarrow")
            .to_pandas())

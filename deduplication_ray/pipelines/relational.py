@@ -3197,8 +3197,16 @@ def q12_shipmode_priority(sf_dir: str, start: str = "1996-01-01",
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
         .map_batches(o_prep, batch_format="pyarrow")
 
+    # explicit schemas: an empty shipdate window yields a zero-block left
+    # side whose schema Ray cannot derive without executing the batch fns
+    i64 = pa.int64()
     j = shuffle_join(per.map_batches(split, batch_format="pyarrow"),
-                     orders, on=["o_orderkey"], how="inner")
+                     orders, on=["o_orderkey"], how="inner",
+                     left_schema=pa.schema([("o_orderkey", i64),
+                                            ("status_bit", i64),
+                                            ("n", i64)]),
+                     right_schema=pa.schema([("o_orderkey", i64),
+                                             ("is_high", i64)]))
 
     def partial(t: pa.Table) -> pa.Table:
         n = t["n"].to_numpy()
@@ -3216,6 +3224,10 @@ def q12_shipmode_priority(sf_dir: str, start: str = "1996-01-01",
                          "low_line_count": pa.array(lows, pa.int64())})
 
     mom = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if mom.empty:  # empty window: to_pandas() loses the schema entirely
+        return pd.DataFrame({"linestatus_class": pd.Series([], dtype=str),
+                             "high_line_count": pd.Series([], dtype=np.int64),
+                             "low_line_count": pd.Series([], dtype=np.int64)})
     g = mom.groupby("status_bit", sort=True)[
         ["high_line_count", "low_line_count"]].sum().reset_index()
     g["linestatus_class"] = np.where(g["status_bit"] == 1, "O", "F")
@@ -4026,9 +4038,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
         def __call__(self, t: pa.Table) -> pa.Table:
             sk = t["l_suppkey"].to_numpy()
-            ok = _member_mask(self.sk, sk)
-            pos = (np.clip(np.searchsorted(self.sk, sk), 0, max(len(self.sk) - 1, 0))
-                   if len(self.sk) else np.zeros(len(sk), np.int64))
+            ok, pos = _probe_sorted(self.sk, sk)
             raw = pa.table({
                 "o_orderkey": t["l_orderkey"],
                 "s_nationkey": pa.array(
@@ -4171,9 +4181,8 @@ def q16_supplier_count_by_type(sf_dir: str, excl_brand: str = "Brand#1",
         def __call__(self, t: pa.Table) -> pa.Table:
             pk = t["l_partkey"].to_numpy()
             sk = t["l_suppkey"].to_numpy()
-            ok = _member_mask(self.pk, pk) & ~_member_mask(self.bad, sk)
-            pos = (np.clip(np.searchsorted(self.pk, pk), 0, len(self.pk) - 1)
-                   if len(self.pk) else np.zeros(len(pk), np.int64))
+            pok, pos = _probe_sorted(self.pk, pk)
+            ok = pok & ~_member_mask(self.bad, sk)
             raw = pa.table({
                 "p_brand": pa.array(self.brand[pos].tolist(), pa.string()),
                 "p_type": pa.array(self.ptype[pos].tolist(), pa.string()),

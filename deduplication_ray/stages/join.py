@@ -264,6 +264,8 @@ def shuffle_join(
     on: list[str],
     how: str = "full outer",
     num_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Hash-co-partitioned shuffle join for two LARGE sides (neither fits a
     broadcast): outer joins included, which ``lookup_join`` does not cover.
@@ -276,14 +278,22 @@ def shuffle_join(
     Key-skew caveat: a single key lands in one bucket; salt upstream if one
     key dominates (same discipline as the LSH hot-bucket path).
     """
-    def _schema(ds) -> pa.Schema:
+    def _schema(ds, override: pa.Schema | None) -> pa.Schema:
+        if override is not None:
+            return override
         s = ds.schema()
+        if s is None:
+            # a lazy side that produced zero blocks (e.g. a fully-filtered
+            # read feeding map_batches) has no derivable schema
+            raise ValueError(
+                "shuffle_join: side has no derivable schema (empty lazy "
+                "dataset) — pass left_schema/right_schema explicitly")
         base = getattr(s, "base_schema", None)
         if base is not None:
             return base
         return pa.schema([pa.field(nm, tp) for nm, tp in zip(s.names, s.types)])
 
-    ls, rs = _schema(left), _schema(right)
+    ls, rs = _schema(left, left_schema), _schema(right, right_schema)
     for k in on:
         if ls.field(k).type != rs.field(k).type:
             raise TypeError(f"join key {k}: {ls.field(k).type} != {rs.field(k).type}")

@@ -60,6 +60,44 @@ def tiny_run(ray_session, tiny_fixture):
     return run_dir, cfg, metrics
 
 
+def fuzz_blocks(rng, t):
+    """Split a pa.Table into 1-4 random block slices (fuzz helper shared by
+    the differential join/reduce tests — multi-block inputs make bucketing
+    cross block boundaries)."""
+    import pyarrow as pa
+
+    import ray
+
+    if t.num_rows == 0:
+        return ray.data.from_arrow(t)
+    k = int(rng.integers(1, 5))
+    cuts = sorted(rng.integers(0, t.num_rows + 1, k - 1).tolist())
+    cuts = [0] + cuts + [t.num_rows]
+    return ray.data.from_arrow(
+        [t.slice(a, b - a) for a, b in zip(cuts[:-1], cuts[1:])])
+
+
+def fuzz_canon(t, names=None) -> list[tuple]:
+    """Order-insensitive canonical rows of a pa.Table (None sorts first)."""
+    names = sorted(t.column_names) if names is None else names
+    rows = [tuple(d[c] for c in names) for d in t.select(names).to_pylist()]
+    return sorted(rows, key=lambda r: tuple((v is None, v) for v in r))
+
+
+def fuzz_collect(ds):
+    """Concatenated non-empty result blocks of a Dataset, or None if the
+    result is empty (empty blocks may carry a degenerate schema)."""
+    import pyarrow as pa
+
+    import ray
+
+    tables = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+              if t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="default")
+
+
 def load_parquet_dir(d: str):
     import glob
 

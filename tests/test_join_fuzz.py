@@ -6,15 +6,17 @@ the operator itself: random row counts (including empty sides), skewed key
 distributions (many-to-many fan-out), single- and multi-column keys, null
 VALUES (null keys are out of contract — SQL nulls never match anyway), and
 all three join types, against DuckDB as the oracle; plus bucket-count
-invariance (1 vs 7 vs 32 buckets must be a no-op on the result)."""
+invariance (1 vs 7 vs 32 buckets must be a no-op on the result). Key arity
+and join type are drawn from coprime seed residues so every (arity, how)
+combination occurs."""
 import duckdb
 import numpy as np
 import pyarrow as pa
 import pytest
 
-import ray
-
 from deduplication_ray.stages.join import shuffle_join
+
+from conftest import fuzz_blocks, fuzz_canon, fuzz_collect
 
 HOWS = {"inner": "INNER", "left": "LEFT", "full outer": "FULL"}
 
@@ -36,45 +38,19 @@ def _rand_table(rng, prefix: str, keys: list[str], n: int) -> pa.Table:
     return pa.table(cols)
 
 
-def _blocks(rng, t: pa.Table) -> ray.data.Dataset:
-    """Split into several blocks so bucketing crosses block boundaries."""
-    if t.num_rows == 0:
-        return ray.data.from_arrow(t)
-    k = int(rng.integers(1, 4))
-    cuts = sorted(rng.integers(0, t.num_rows + 1, k - 1).tolist())
-    cuts = [0] + cuts + [t.num_rows]
-    return ray.data.from_arrow(
-        [t.slice(a, b - a) for a, b in zip(cuts[:-1], cuts[1:])])
-
-
-def _canon(t: pa.Table, names: list[str]):
-    t = t.select(names)
-    rows = [tuple(d[c] for c in names) for d in t.to_pylist()]
-    return sorted(rows, key=lambda r: tuple((v is None, v) for v in r))
-
-
-def _collect(ds: ray.data.Dataset) -> pa.Table | None:
-    """Concatenated result, or None for an empty result (whose blocks may
-    carry a degenerate schema)."""
-    tables = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
-              if t.num_rows]
-    if not tables:
-        return None
-    return pa.concat_tables(tables, promote_options="default")
-
-
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(12))
 def test_shuffle_join_fuzz_vs_duckdb(ray_session, seed):
     rng = np.random.default_rng(1000 + seed)
-    keys = ["k1", "k2"] if seed % 3 == 0 else ["k1"]
+    keys = ["k1", "k2"] if seed % 2 == 0 else ["k1"]   # coprime with % 3
     nl = int(rng.choice([0, 1, 17, 230]))
     nr = int(rng.choice([0, 1, 23, 180]))
     lt = _rand_table(rng, "l", keys, nl)
     rt = _rand_table(rng, "r", keys, nr)
     how = list(HOWS)[seed % 3]
 
-    mine = _collect(shuffle_join(_blocks(rng, lt), _blocks(rng, rt),
-                                 on=keys, how=how, num_buckets=7))
+    mine = fuzz_collect(shuffle_join(fuzz_blocks(rng, lt),
+                                     fuzz_blocks(rng, rt),
+                                     on=keys, how=how, num_buckets=7))
 
     con = duckdb.connect()
     con.register("l", lt)
@@ -88,7 +64,7 @@ def test_shuffle_join_fuzz_vs_duckdb(ray_session, seed):
         assert oracle.num_rows == 0, ctx
         return
     oracle = oracle.cast(mine.select(names).schema)
-    assert _canon(mine, names) == _canon(oracle, names), ctx
+    assert fuzz_canon(mine, names) == fuzz_canon(oracle, names), ctx
 
 
 def test_shuffle_join_bucket_count_invariance(ray_session):
@@ -98,8 +74,28 @@ def test_shuffle_join_bucket_count_invariance(ray_session):
     names = list(lt.column_names) + ["r_v", "r_s"]
     outs = []
     for nb in (1, 7, 32):
-        res = _collect(shuffle_join(_blocks(rng, lt), _blocks(rng, rt),
-                                    on=["k1"], how="full outer",
-                                    num_buckets=nb))
-        outs.append(_canon(res, names))
+        res = fuzz_collect(shuffle_join(fuzz_blocks(rng, lt),
+                                        fuzz_blocks(rng, rt),
+                                        on=["k1"], how="full outer",
+                                        num_buckets=nb))
+        outs.append(fuzz_canon(res, names))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_shuffle_join_empty_lazy_side_with_schema_override(ray_session):
+    """A fully-filtered lazy side produces zero blocks and no derivable
+    schema; the explicit schema override must keep the join well-formed
+    (regression: q12 with an empty shipdate window crashed in _schema)."""
+    import ray as _ray
+
+    lt = pa.table({"k": pa.array([], pa.int64()),
+                   "l_v": pa.array([], pa.int64())})
+    rt = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "r_v": pa.array([10, 20], pa.int64())})
+    # an empty dataset piped through map_batches loses its schema
+    empty = _ray.data.from_arrow(lt).filter(lambda r: False) \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    out = fuzz_collect(shuffle_join(
+        empty, _ray.data.from_arrow(rt), on=["k"], how="inner",
+        left_schema=lt.schema, right_schema=rt.schema))
+    assert out is None  # inner join with empty left => empty result

@@ -9,38 +9,17 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-import ray
-
 from deduplication_ray.config import DedupConfig
 from deduplication_ray.pipelines.relational import _keyed_reduce
 from deduplication_ray.stages.join import lookup_join
 
-
-def _blocks(rng, t: pa.Table) -> ray.data.Dataset:
-    if t.num_rows == 0:
-        return ray.data.from_arrow(t)
-    k = int(rng.integers(1, 5))
-    cuts = sorted(rng.integers(0, t.num_rows + 1, k - 1).tolist())
-    cuts = [0] + cuts + [t.num_rows]
-    return ray.data.from_arrow(
-        [t.slice(a, b - a) for a, b in zip(cuts[:-1], cuts[1:])])
+from conftest import fuzz_blocks, fuzz_canon, fuzz_collect
 
 
-def _collect(ds: ray.data.Dataset) -> list[tuple]:
-    tables = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
-              if t.num_rows]
-    if not tables:
+def _rows(ds_or_table) -> list[tuple]:
+    if ds_or_table is None:
         return []
-    t = pa.concat_tables(tables, promote_options="default")
-    names = sorted(t.column_names)
-    rows = [tuple(d[c] for c in names) for d in t.select(names).to_pylist()]
-    return sorted(rows, key=lambda r: tuple((v is None, v) for v in r))
-
-
-def _canon_duck(t: pa.Table) -> list[tuple]:
-    names = sorted(t.column_names)
-    rows = [tuple(d[c] for c in names) for d in t.select(names).to_pylist()]
-    return sorted(rows, key=lambda r: tuple((v is None, v) for v in r))
+    return fuzz_canon(ds_or_table)
 
 
 @pytest.mark.parametrize("seed", range(6))
@@ -53,16 +32,16 @@ def test_keyed_reduce_fuzz_vs_duckdb(ray_session, seed):
         "v": pa.array(rng.integers(-100, 100, n), pa.int64()),
     })
     num_parts = int(rng.choice([1, 5, 32]))
-    out = _keyed_reduce(_blocks(rng, t), "k",
-                        {"s": ("v", "sum"), "m": ("v", "max"),
-                         "c": ("v", "count")},
-                        num_parts=num_parts)
+    out = fuzz_collect(_keyed_reduce(fuzz_blocks(rng, t), "k",
+                                     {"s": ("v", "sum"), "m": ("v", "max"),
+                                      "c": ("v", "count")},
+                                     num_parts=num_parts))
     con = duckdb.connect()
     con.register("t", t)
     oracle = con.execute(
         "SELECT k, CAST(sum(v) AS BIGINT) AS s, max(v) AS m, "
         "count(*) AS c FROM t GROUP BY k").arrow()
-    assert _collect(out) == _canon_duck(oracle), \
+    assert _rows(out) == _rows(oracle), \
         f"seed={seed} n={n} card={card} parts={num_parts}"
 
 
@@ -72,8 +51,9 @@ def test_keyed_reduce_partition_count_invariance(ray_session):
         "k": pa.array(rng.integers(0, 11, 400), pa.int64()),
         "v": pa.array(rng.integers(-5, 6, 400), pa.int64()),
     })
-    outs = [_collect(_keyed_reduce(_blocks(rng, t), "k",
-                                   {"s": ("v", "sum")}, num_parts=p))
+    outs = [_rows(fuzz_collect(_keyed_reduce(fuzz_blocks(rng, t), "k",
+                                             {"s": ("v", "sum")},
+                                             num_parts=p)))
             for p in (1, 3, 32)]
     assert outs[0] == outs[1] == outs[2]
 
@@ -93,13 +73,13 @@ def test_lookup_join_fuzz_vs_duckdb(ray_session, seed):
         "k": pa.array(rng.integers(0, 25, m), pa.int64()),
         "y": pa.array(rng.integers(100, 200, m), pa.int64()),
     })
-    out = lookup_join(_blocks(rng, big), _blocks(rng, small), on=["k"],
-                      cfg=DedupConfig(), how=how)
+    out = lookup_join(fuzz_blocks(rng, big), fuzz_blocks(rng, small),
+                      on=["k"], cfg=DedupConfig(), how=how)
     con = duckdb.connect()
     con.register("big", big)
     con.register("small", small)
     oracle = con.execute(
         f"SELECT big.k, x, y FROM big "
         f"{'LEFT ' if how == 'left' else ''}JOIN small USING (k)").arrow()
-    assert _collect(out) == _canon_duck(oracle), \
+    assert _rows(fuzz_collect(out)) == _rows(oracle), \
         f"seed={seed} how={how} n={n} m={m}"
