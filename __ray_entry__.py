@@ -599,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _embedding_dup_pairs_query,
         "embedding_dup_clusters": ann.embedding_dup_clusters,
         "ngram_jaccard_pairs": docops.q_ngram_jaccard_pairs,
+        "doc_ppjoin_pairs": docops.q_doc_ppjoin_pairs,  # exact prefix-filter join
         "ensemble_dup_pairs": docops.q_ensemble_dup_pairs,
         "signup_purchase_funnel": R.q_signup_purchase_funnel,
         # ---- tier 2: oracle-backed, semantics duplicated in-window --------
@@ -828,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
+        "doc_ppjoin_pairs": docops.doc_ppjoin_pairs_sql(),
         "doc_quality": docops.Q_DOC_QUALITY_SQL,
         "doc_langid": docops.doc_langid_sql(),
         "exact_dedup_docs": R.Q_EXACT_DEDUP_DOCS_SQL,

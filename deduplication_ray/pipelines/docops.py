@@ -480,6 +480,196 @@ WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= {tau}
 """
 
 
+# ------------------------------------ exact set-similarity join (PPJoin-style)
+
+def q_doc_ppjoin_pairs(sf_dir: str, tau_permille: int = 600,
+                       bucket_cap: int = 20_000):
+    """EXACT word-set Jaccard self-join via prefix filtering — the
+    DETERMINISTIC scale path (Vernica, Carey & Li, "Efficient Parallel
+    Set-Similarity Joins Using MapReduce", SIGMOD 2010; public): unlike the
+    MinHash-band candidates of ``q_ngram_jaccard_pairs``, every qualifying
+    pair is found BY CONSTRUCTION, with no sampling miss probability.
+
+    Theory: order all tokens by one global total order (ascending document
+    frequency — rarest first — ties by token hash). If J(A, B) >= tau then
+    A and B must share a token inside each one's PREFIX of length
+    ``n - ceil(tau * n) + 1`` under that order, so grouping prefix tokens
+    finds every qualifying pair; a length filter (min * 1000 >= tau_permille
+    * max) prunes inside each group and exact verification settles the rest.
+
+    Scale shape: token-df pass is vocabulary-bounded (mergeable groupby
+    partials); the rank map broadcasts once via ``ray.put`` (at extreme
+    vocabularies swap in plain hash order — still correct, weaker pruning);
+    the only candidate shuffle carries ~ (1 - tau) of the token stream
+    (rarest-token rows, so buckets are naturally tiny — ``bucket_cap``
+    raises loudly rather than degrade to lossy salting, because this
+    operator's contract is exactness); verification reuses the whole-batch
+    sort-merge gram intersection and the threshold is integer-exact on both
+    engines. Jaccard = exact, thanks to 64-bit token identity (collision
+    odds per pair ~2^-64, same policy as ``hash_bytes_array``)."""
+    from ray.data.aggregate import Count, Sum
+
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        tok = H.hash_bytes_array(flat)
+        n_docs = t.num_rows
+        counts = offs[1:] - offs[:-1]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((tok, doc_idx))
+        gs, ds_ = tok[order], doc_idx[order]
+        keep = np.concatenate(
+            [[True], (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])]) \
+            if len(gs) else np.zeros(0, bool)
+        gu, du = gs[keep], ds_[keep]
+        per_doc = np.bincount(du, minlength=n_docs)
+        boffs = np.concatenate([[0], np.cumsum(per_doc * 8)]).astype(np.int32)
+        blob = pa.BinaryArray.from_buffers(
+            pa.binary(), n_docs,
+            [None, pa.array(boffs).buffers()[1], pa.py_buffer(gu.tobytes())])
+        return pa.table({"doc_id": t["doc_id"],
+                         "toks": blob,
+                         "n": pa.array(per_doc.astype(np.int64))})
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow",
+                          batch_size=cfg.text_batch_size).materialize()
+
+    # global token order: (df asc, token hash asc) -> dense rank, broadcast
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_u64(t["toks"])
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(H.bitcast_u64_to_i64(u)),
+                         "df": pa.array(c.astype(np.int64))})
+
+    vocab = (sigs.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("df", alias_name="df"))
+             .to_pandas())
+    toks = H.bitcast_i64_to_u64(vocab["tok"].to_numpy())
+    dfs = vocab["df"].to_numpy()
+    by_rank = np.lexsort((toks, dfs))
+    rank_of = np.empty(len(toks), np.int64)
+    rank_of[by_rank] = np.arange(len(toks))
+    tok_sorted_order = np.argsort(toks)
+    rank_ref = ray.put((toks[tok_sorted_order], rank_of[tok_sorted_order]))
+
+    class Prefix:
+        def __init__(self):
+            self.tok_sorted, self.rank = ray.get(rank_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, lens = _flat_u64(t["toks"])
+            if len(flat) == 0:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "doc_id": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            pos = np.searchsorted(self.tok_sorted, flat)
+            ranks = self.rank[pos]
+            doc = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+            order = np.lexsort((ranks, doc))
+            r_s, d_s = ranks[order], doc[order]
+            # prefix length per doc: n - ceil(tau*n) + 1, integer-exact
+            n = lens.astype(np.int64)
+            p = n - (-(-(tau_permille * n) // 1000)) + 1
+            starts = np.concatenate([[0], np.cumsum(n)])[:-1]
+            within = np.arange(len(r_s), dtype=np.int64) - starts[d_s]
+            m = within < p[d_s]
+            ids = t["doc_id"].to_numpy()
+            return pa.table({
+                "bucket": pa.array(r_s[m]),
+                "doc_id": pa.array(ids[d_s[m]]),
+                "n": pa.array(n[d_s[m]])})
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy()
+        n = g["n"].to_numpy()
+        k = len(d)
+        if k > bucket_cap:
+            raise ValueError(
+                f"ppjoin prefix bucket of {k} docs exceeds bucket_cap="
+                f"{bucket_cap}; raise tau or the cap (exactness forbids "
+                f"lossy salting here)")
+        if k < 2:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        i, j = np.triu_indices(k, 1)
+        a, b = d[i], d[j]
+        keep = (np.minimum(n[i], n[j]) * 1000
+                >= tau_permille * np.maximum(n[i], n[j]))
+        keep &= a != b
+        return pa.table({"src": pa.array(np.minimum(a, b)[keep]),
+                         "dst": pa.array(np.maximum(a, b)[keep])})
+
+    cands = (sigs.map_batches(Prefix, concurrency=(1, 8),
+                              batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit_pairs,
+                                           batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="nb")))
+
+    lean = sigs.select_columns(["doc_id", "toks"])
+    e = lookup_join(cands.drop_columns(["nb"]),
+                    lean.rename_columns({"doc_id": "src", "toks": "t_src"}),
+                    on=["src"], cfg=cfg)
+    e = lookup_join(e, lean.rename_columns({"doc_id": "dst",
+                                            "toks": "t_dst"}),
+                    on=["dst"], cfg=cfg)
+
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "jaccard_milli": pa.array([], pa.int64())})
+        fa, la = _flat_u64(t["t_src"])
+        fb, lb = _flat_u64(t["t_dst"])
+        npairs = t.num_rows
+        idx = np.arange(npairs, dtype=np.int64)
+        pairs = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+        grams = np.concatenate([fa, fb])
+        order = np.lexsort((grams, pairs))
+        p_s, g_s = pairs[order], grams[order]
+        dup = (p_s[1:] == p_s[:-1]) & (g_s[1:] == g_s[:-1])
+        inter = np.bincount(p_s[1:][dup], minlength=npairs).astype(np.int64)
+        union = la.astype(np.int64) + lb.astype(np.int64) - inter
+        keep = inter * 1000 >= tau_permille * union
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "src": t["src"],
+            "dst": t["dst"],
+            "jaccard_milli": pa.array(
+                inter[keep] * 1000 // np.maximum(union[keep], 1)),
+        })
+
+    return e.map_batches(check, batch_format="pyarrow")
+
+
+def doc_ppjoin_pairs_sql(tau_permille: int = 600) -> str:
+    """DuckDB oracle: exact distinct-word-set Jaccard pairs at the same
+    integer threshold, over the same tokenizer as ``_tokens_flat``."""
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.src, i.dst,
+       CAST(i.c * 1000 // (sa.n + sb.n - i.c) AS BIGINT) AS jaccard_milli
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.src
+JOIN sizes sb ON sb.doc_id = i.dst
+WHERE i.c * 1000 >= {tau_permille} * (sa.n + sb.n - i.c)
+"""
+
+
 def q_doc_lsh_dedup(sf_dir: str):
     """Full text near-dup engine over documents -> clusters (rows-only)."""
     from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
