@@ -581,11 +581,13 @@ def q_doc_ppjoin_pairs(sf_dir: str, tau_permille: int = 600,
             return pa.table({
                 "bucket": pa.array(r_s[m]),
                 "doc_id": pa.array(ids[d_s[m]]),
-                "n": pa.array(n[d_s[m]])})
+                "n": pa.array(n[d_s[m]]),
+                "pos": pa.array(within[m])})
 
     def emit_pairs(g: pa.Table) -> pa.Table:
         d = g["doc_id"].to_numpy()
         n = g["n"].to_numpy()
+        pos = g["pos"].to_numpy()
         k = len(d)
         if k > bucket_cap:
             raise ValueError(
@@ -600,6 +602,18 @@ def q_doc_ppjoin_pairs(sf_dir: str, tau_permille: int = 600,
         keep = (np.minimum(n[i], n[j]) * 1000
                 >= tau_permille * np.maximum(n[i], n[j]))
         keep &= a != b
+        # positional filter (PPJoin): through a token shared at ordered
+        # positions (pos_i, pos_j), overlap <= min(pos) + 1 + min(tokens
+        # remaining after it on each side); J >= tau needs overlap >=
+        # alpha = ceil(tau/(1+tau) * (n_a+n_b)) — integer-exact. Dropping
+        # an emission is safe: a qualifying pair always passes via SOME
+        # shared prefix token (common-before <= min(pos) keeps the bound
+        # an upper bound for every shared token).
+        nsum = n[i] + n[j]
+        alpha = -(-(tau_permille * nsum) // (1000 + tau_permille))
+        ubound = (np.minimum(pos[i], pos[j]) + 1
+                  + np.minimum(n[i] - pos[i], n[j] - pos[j]) - 1)
+        keep &= ubound >= alpha
         return pa.table({"src": pa.array(np.minimum(a, b)[keep]),
                          "dst": pa.array(np.maximum(a, b)[keep])})
 
@@ -1615,7 +1629,8 @@ _CDC_IDX_BITS = 20      # (exact in int64 at test scale; 128-bit at 10^12)
 def _cdc_cuts(texts: pa.Array | pa.ChunkedArray, mask_bits: int,
               max_chunk: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized gear-hash content-defined chunking over one Arrow string
-    column. Returns ``(raw, cuts, chunk_doc)``: the column's flat byte
+    OR binary column (sensor payloads chunk the same way as captions).
+    Returns ``(raw, cuts, chunk_doc)``: the column's flat byte
     buffer, chunk cut offsets into it (chunks tile each doc exactly), and
     each chunk's row index.
 
@@ -1636,7 +1651,8 @@ def _cdc_cuts(texts: pa.Array | pa.ChunkedArray, mask_bits: int,
     if n == 0:
         z = np.zeros(0, np.int64)
         return np.zeros(0, np.uint8), z, z
-    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off_dt = np.int64 if (pa.types.is_large_string(arr.type)
+                          or pa.types.is_large_binary(arr.type)) else np.int32
     buf_off = np.frombuffer(arr.buffers()[1], off_dt)[
         arr.offset:arr.offset + n + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], np.uint8)
