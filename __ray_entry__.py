@@ -642,6 +642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_string_agg": R.q_user_type_string_agg,  # collect kernel
         "term_freq_cm_check": docops.q_term_freq_cm_check,  # sketch verdict
         "doc_span_dup_flags": docops.q_doc_span_dup_flags,  # C4 span filter
+        "doc_dup_spans": docops.q_doc_dup_spans,  # span_dup_flags kin
+        "doc_remove_dup_spans": docops.q_doc_remove_dup_spans,  # ExactSubstr
         "edit_distance_pairs": docops.q_edit_distance_pairs,  # lev verify
         "q3_shipping_priority": R.q3_shipping_priority,  # join kin (TPC-H Q3)
         "q18_big_orders": R.q18_big_orders,  # semi-join kin (TPC-H Q18)
@@ -800,6 +802,8 @@ def oracle_sql() -> dict[str, str]:
         # count-min verdict: oracle = exact top-k frequencies + constant TRUE
         "term_freq_cm_check": docops.term_freq_cm_check_sql(),
         "doc_span_dup_flags": docops.doc_span_dup_flags_sql(),
+        "doc_dup_spans": docops.doc_dup_spans_sql(),
+        "doc_remove_dup_spans": docops.doc_remove_dup_spans_sql(),
         "edit_distance_pairs": docops.edit_distance_pairs_sql(),
         "q3_shipping_priority": R.Q3_SHIPPING_PRIORITY_SQL,
         "q18_big_orders": R.Q18_BIG_ORDERS_SQL,

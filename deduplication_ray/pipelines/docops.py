@@ -4070,6 +4070,259 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+# ------------------------------------- duplicated-span removal (ExactSubstr)
+
+def _word_gram_positions(text_col, n: int) -> tuple[pa.Array, np.ndarray,
+                                                    np.ndarray]:
+    """``_word_grams`` plus each gram's 0-based word position within its
+    row — needed when the gram's LOCATION matters (span removal), not just
+    its identity. Same vectorized shifted-slice construction."""
+    flat, offs = _tokens_flat(text_col)
+    n_rows = len(offs) - 1
+    total = int(offs[-1])
+    if total < n:
+        z = np.empty(0, dtype=np.int64)
+        return pa.array([], pa.string()), z, z
+    m = total - n + 1
+    parts = [flat.slice(g, m) for g in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    counts = offs[1:] - offs[:-1]
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)[:m]
+    row_start = np.repeat(offs[:-1], counts)[:m]
+    row_end = np.repeat(offs[1:], counts)[:m]
+    starts = np.arange(m, dtype=np.int64)
+    valid = (starts + n) <= row_end
+    return (grams.filter(pa.array(valid)), row_of[valid],
+            (starts - row_start)[valid])
+
+
+def _dup_occurrence_rows(sf_dir: str, n: int, num_buckets: int):
+    """Shared spine for the dup-span operators: every occurrence
+    (doc_id, pos) of a word n-gram whose CORPUS occurrence count — with
+    multiplicity, same-doc repeats included — is >= 2. This is the
+    ExactSubstr duplication criterion of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") at word granularity.
+
+    Scale shape: gram strings die at the scan (only (gh, doc, pos) int64
+    triples shuffle — occurrence-bounded wire); ONE bucket shuffle keyed on
+    gram hash, inside which occurrences-per-gram is a vectorized transform
+    and only duplicated occurrences survive. Output carries a doc-hash
+    bucket key so downstream per-doc passes need no second wide shuffle
+    of their own keying decision."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        g, row, pos = _word_gram_positions(t["text"], n)
+        gh = H.hash_bytes_array(g)
+        d = t["doc_id"].to_numpy()[row]
+        return pa.table({
+            "gh": pa.array(H.bitcast_u64_to_i64(gh), pa.int64()),
+            "doc_id": pa.array(d, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "bucket": pa.array(
+                (gh % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("gh", sort=False)["gh"].transform("size").to_numpy()
+        keep = c >= 2
+        d = g["doc_id"].to_numpy()[keep]
+        return pd.DataFrame({
+            "doc_id": d,
+            "pos": g["pos"].to_numpy()[keep],
+            "doc_bucket": (d % num_buckets).astype(np.int64),
+        })
+
+    return (ds.map_batches(occurrences, batch_format="pyarrow")
+            .groupby("bucket").map_groups(dup_only, batch_format="pandas"))
+
+
+def q_doc_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64):
+    """Merged duplicated spans per document: half-open 0-based word-index
+    intervals [span_start, span_end) covering every occurrence of a word
+    n-gram that appears >= 2 times in the corpus (multiplicity counted,
+    same-doc repeats included). Overlapping AND touching occurrence
+    intervals merge — a verbatim 3n-word boilerplate block shared by two
+    docs reports as ONE span per doc, not 2n+1 gram hits.
+
+    Scale shape: `_dup_occurrence_rows` spine (one gram-hash bucket
+    shuffle), then one doc-hash-keyed groupby where interval merging is a
+    single lexsort + segment-break cumsum — equal-width intervals make the
+    island rule one vectorized gap test (next_pos - pos > n)."""
+    dup = _dup_occurrence_rows(sf_dir, n, num_buckets)
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy()
+        p = g["pos"].to_numpy()
+        if len(d) == 0:
+            return pd.DataFrame({"doc_id": [], "span_start": [],
+                                 "span_end": []})
+        o = np.lexsort((p, d))
+        d, p = d[o], p[o]
+        brk = np.concatenate([[True],
+                              (d[1:] != d[:-1]) | (p[1:] - p[:-1] > n)])
+        first = np.flatnonzero(brk)
+        last = np.concatenate([first[1:] - 1, [len(p) - 1]])
+        return pd.DataFrame({"doc_id": d[brk],
+                             "span_start": p[brk],
+                             "span_end": p[last] + n})
+
+    return (dup.groupby("doc_bucket")
+            .map_groups(merge_spans, batch_format="pandas"))
+
+
+def doc_dup_spans_sql(n: int = 8) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i + {n - 1} AS BIGINT)],
+                         ' ') AS g
+  FROM toks, UNNEST(generate_series(1, length(w) - {n - 1})) AS t(i)
+), cnt AS (
+  SELECT g, count(*) AS c FROM occ GROUP BY g
+), dup AS (
+  SELECT doc_id, i FROM occ JOIN cnt USING (g) WHERE c >= 2
+), brk AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= {n}
+              THEN 0 ELSE 1 END AS b
+  FROM dup
+), isl AS (
+  SELECT doc_id, i,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS span_start,
+       CAST(max(i) + {n - 1} AS BIGINT) AS span_end
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def q_doc_remove_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64):
+    """ExactSubstr span REMOVAL (Lee et al. 2022): rewrite every document
+    with all duplicated word n-gram occurrences cut out, keeping only the
+    words no duplicated gram covers. Emits (doc_id, text, n_words,
+    n_removed) for EVERY document — text is the kept words joined by one
+    space (the corpus's normalized form), n_removed the covered word count.
+
+    Scale shape: the spine's dup occurrences aggregate to ONE row per doc
+    (pos lists, |occurrences|-bounded) in a doc-hash groupby, then attach
+    to the corpus through the size-dispatched lookup join; the rewrite is
+    one stateless map_batches — coverage via a diff-array cumsum over the
+    batch's flat token stream, kept text rebuilt with a single zero-copy
+    ListArray + binary_join (no per-row Python joins). Texts shuffle at
+    most once (inside lookup_join's shuffle fallback when the span side
+    outgrows broadcast)."""
+    from deduplication_ray.stages.join import lookup_join
+
+    dup = _dup_occurrence_rows(sf_dir, n, num_buckets)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "positions": pa.array([], pa.list_(pa.int64()))})
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy()
+        p = g["pos"].to_numpy()
+        if len(d) == 0:
+            return empty
+        o = np.lexsort((p, d))
+        d, p = d[o], p[o]
+        brk = np.concatenate([[True], d[1:] != d[:-1]])
+        first = np.flatnonzero(brk)
+        offs = np.append(first, len(p)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs),
+                                         pa.array(p, pa.int64()))
+        return pa.table({"doc_id": pa.array(d[brk], pa.int64()),
+                         "positions": lists})
+
+    spans = dup.groupby("doc_bucket").map_groups(
+        per_doc, batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    joined = lookup_join(docs, spans, on=["doc_id"], cfg=DedupConfig(),
+                         how="left")
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        total = int(offs[-1])
+        diff = np.zeros(total + 1, np.int64)
+        pos_col = t["positions"] if "positions" in t.column_names else None
+        if pos_col is not None:
+            if isinstance(pos_col, pa.ChunkedArray):
+                pos_col = pos_col.combine_chunks()
+            rows = np.flatnonzero(~np.asarray(pos_col.is_null()))
+            if len(rows):
+                lens = np.asarray(pc.list_value_length(pos_col).fill_null(0)
+                                  .to_numpy(zero_copy_only=False),
+                                  dtype=np.int64)
+                starts = (np.repeat(offs[:-1], lens)
+                          + pos_col.flatten().to_numpy().astype(np.int64))
+                ends = np.minimum(starts + n,
+                                  np.repeat(offs[1:], lens))
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, ends, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        kept = flat.filter(pa.array(~covered))
+        kept_per_row = np.subtract(offs[1:], offs[:-1]) - np.add.reduceat(
+            covered, offs[:-1]) if total else np.zeros(
+                len(offs) - 1, np.int64)
+        # reduceat quirk: offs[i] == offs[i+1] == total would repeat the
+        # last segment — impossible here (every row has >= 1 token because
+        # split_pattern_regex('') == [''])
+        new_offs = np.zeros(len(offs), np.int64)
+        np.cumsum(kept_per_row, out=new_offs[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()).cast(pa.int32()),
+            kept.combine_chunks() if isinstance(kept, pa.ChunkedArray)
+            else kept)
+        text = pc.binary_join(lists, " ")
+        n_words = (offs[1:] - offs[:-1]).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": text,
+            "n_words": pa.array(n_words),
+            "n_removed": pa.array(
+                (n_words - kept_per_row).astype(np.int64)),
+        })
+
+    return joined.map_batches(rewrite, batch_format="pyarrow")
+
+
+def doc_remove_dup_spans_sql(n: int = 8) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i + {n - 1} AS BIGINT)],
+                         ' ') AS g
+  FROM toks, UNNEST(generate_series(1, length(w) - {n - 1})) AS t(i)
+), cnt AS (
+  SELECT g, count(*) AS c FROM occ GROUP BY g
+), dup AS (
+  SELECT doc_id, i FROM occ JOIN cnt USING (g) WHERE c >= 2
+), cover AS (
+  SELECT DISTINCT doc_id, CAST(k AS BIGINT) AS k
+  FROM dup, UNNEST(generate_series(i, i + {n - 1})) AS s(k)
+), pos AS (
+  SELECT t.doc_id, CAST(k AS BIGINT) AS k, w[CAST(k AS BIGINT)] AS word
+  FROM toks t, UNNEST(generate_series(1, length(w))) AS p(k)
+)
+SELECT p.doc_id,
+       coalesce(array_to_string(
+           list(word ORDER BY p.k) FILTER (WHERE c.k IS NULL), ' '), '')
+           AS text,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(c.k) AS BIGINT) AS n_removed
+FROM pos p LEFT JOIN cover c ON p.doc_id = c.doc_id AND p.k = c.k
+GROUP BY p.doc_id
+"""
+
+
 # --------------------------------------------- edit-distance near-dup pairs
 
 def q_edit_distance_pairs(sf_dir: str, n: int = 5, num_buckets: int = 64):

@@ -196,3 +196,44 @@ def test_leakage_safe_split_never_splits_clusters(ray_session, tmp_path):
     assert 0.7 <= frac.get("train", 0) <= 0.9
     assert 0.03 <= frac.get("val", 0) <= 0.2
     assert 0.03 <= frac.get("test", 0) <= 0.2
+
+
+def test_dup_span_removal_semantics(ray_session, tmp_path):
+    """Planted ExactSubstr check (Lee et al. 2022 semantics at word
+    granularity): a verbatim block shared by two docs reports as ONE merged
+    span per doc and is cut out by the rewrite; a within-doc repeated
+    phrase counts as duplicated (multiplicity, not distinct-docs) and BOTH
+    occurrences are removed; fully unique docs come back verbatim."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.pipelines.docops import (q_doc_dup_spans,
+                                                    q_doc_remove_dup_spans)
+
+    boiler = " ".join(f"b{i}" for i in range(12))      # 12-word shared block
+    phrase = " ".join(f"p{i}" for i in range(8))       # 8-word self-repeat
+    docs = [
+        f"u0 u1 u2 {boiler} u3 u4 u5",                 # block at words 3..14
+        f"v0 {boiler}",                                # block at words 1..12
+        "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",               # fully unique
+        f"x0 {phrase} x1 x2 x3 {phrase} x4",           # repeats itself
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    spans = (q_doc_dup_spans(str(tmp_path), n=8).to_pandas()
+             .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+    expect = pd.DataFrame({"doc_id": [0, 1, 3, 3],
+                           "span_start": [3, 1, 1, 12],
+                           "span_end": [15, 13, 9, 20]})
+    pd.testing.assert_frame_equal(spans.astype("int64"), expect.astype("int64"))
+
+    out = (q_doc_remove_dup_spans(str(tmp_path), n=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["text"]) == ["u0 u1 u2 u3 u4 u5", "v0",
+                                 "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",
+                                 "x0 x1 x2 x3 x4"]
+    assert list(out["n_words"]) == [18, 13, 10, 21]
+    assert list(out["n_removed"]) == [12, 12, 0, 16]
