@@ -627,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": docops.q_table_profile,        # doc_validate kin
         "events_user_degree_hist": R.q_events_user_degree_hist,  # topk kin
         "minhash_jaccard_check": docops.q_minhash_jaccard_check,  # ngram kin
+        "weighted_jaccard_check": docops.q_weighted_jaccard_check,  # ICWS
         "events_session_stats": R.q_events_session_stats,  # sessionize kin
         "source_lang_matrix": docops.q_source_lang_matrix,  # distinct_pairs kin
         "events_funnel_steps": R.q_events_funnel_steps,  # funnel kin
@@ -802,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         # count-min verdict: oracle = exact top-k frequencies + constant TRUE
         "term_freq_cm_check": docops.term_freq_cm_check_sql(),
         "doc_span_dup_flags": docops.doc_span_dup_flags_sql(),
+        "weighted_jaccard_check": docops.weighted_jaccard_check_sql(),
         "doc_dup_spans": docops.doc_dup_spans_sql(),
         "doc_remove_dup_spans": docops.doc_remove_dup_spans_sql(),
         "edit_distance_pairs": docops.edit_distance_pairs_sql(),

@@ -235,6 +235,67 @@ def minhash_signatures(
     return sig
 
 
+def icws_signatures(tok: np.ndarray, w: np.ndarray, offs: np.ndarray,
+                    P: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Improved Consistent Weighted Sampling signatures (Ioffe 2010,
+    "Improved Consistent Sampling, Weighted Minhash and L1 Sketching"):
+    for each row's weighted set {(token u64, weight > 0)} draw P
+    consistent samples (t*, q*) such that two rows' samples at index k
+    collide with probability EXACTLY their weighted Jaccard
+    sum(min(wA, wB)) / sum(max(wA, wB)).
+
+    ``tok``/``w`` are the flattened per-row DISTINCT tokens and their
+    weights; ``offs`` the int64 row offsets (rows must be non-empty —
+    ``np.minimum.reduceat`` cannot represent an empty segment). All
+    randomness derives from splitmix64 chains over (token, k, seed), so
+    signatures are deterministic and partition-invariant. Per sample:
+    r, c ~ Gamma(2,1) (= -ln(u·u')), b ~ U(0,1),
+    q = floor(ln w / r + b), y = exp(r (q - b)), a = c / (y e^r);
+    the row's sample is the (token, q) of the minimal a. Vectorized: the
+    P-loop does a handful of elementwise ops + two reduceats over the
+    flat element array — no per-row Python.
+
+    Returns (tokens, quantiles): two (n_rows, P) arrays (u64, int64).
+    A signature position MATCHES iff both agree."""
+    n_rows = len(offs) - 1
+    out_t = np.empty((n_rows, P), dtype=U64)
+    out_q = np.empty((n_rows, P), dtype=np.int64)
+    if n_rows == 0:
+        return out_t, out_q
+    if np.any(offs[:-1] >= offs[1:]):
+        raise ValueError("icws_signatures: empty weighted set")
+    logw = np.log(w.astype(np.float64))
+    seg = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offs))
+    elem_idx = np.arange(len(tok), dtype=np.int64)
+    red = offs[:-1]
+    two53 = np.float64(2.0 ** -53)
+
+    def uniform(h: np.ndarray) -> np.ndarray:
+        # strictly inside (0,1): never 0 (log-safe), never 1
+        return ((h >> np.uint64(11)).astype(np.float64) + 0.5) * two53
+
+    with np.errstate(over="ignore"):
+        for k in range(P):
+            ck = splitmix64(np.asarray(
+                [U64(seed) * U64(0x9E37) + U64(k) + U64(1)], dtype=U64))[0]
+            h1 = splitmix64(tok + ck)
+            h2 = splitmix64(h1)
+            h3 = splitmix64(h2)
+            h4 = splitmix64(h3)
+            h5 = splitmix64(h4)
+            r = -np.log(uniform(h1) * uniform(h2))
+            c = -np.log(uniform(h3) * uniform(h4))
+            b = uniform(h5)
+            q = np.floor(logw / r + b)
+            a = c / np.exp(r * (q - b) + r)
+            minv = np.minimum.reduceat(a, red)
+            cand = np.where(a == minv[seg], elem_idx, len(tok))
+            arg = np.minimum.reduceat(cand, red)
+            out_t[:, k] = tok[arg]
+            out_q[:, k] = q[arg].astype(np.int64)
+    return out_t, out_q
+
+
 def make_minhash_perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) coefficient arrays; a forced odd (invertible mod 2^64)."""
     base = splitmix64(np.arange(2 * num_perm, dtype=U64) + U64(seed * 0x9E37 + 1))

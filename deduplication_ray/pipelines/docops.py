@@ -3509,6 +3509,184 @@ def minhash_jaccard_check_sql(tau: float = 0.6, k: int = 5) -> str:
             f"FROM ({base})")
 
 
+def q_weighted_jaccard_check(sf_dir: str, tau: float = 0.6, P: int = 128,
+                             seed: int = 17):
+    """Weighted-MinHash (ICWS, Ioffe 2010) estimator VERDICT: for every
+    near-dup candidate pair (the exact ``ngram_jaccard_pairs`` universe),
+    compute the EXACT weighted word Jaccard sum(min tf)/sum(max tf) —
+    the multiset similarity that, unlike set Jaccard, sees a doc that
+    repeats a template 10x as different from one containing it once —
+    and re-estimate it from P consistent weighted samples. Emits
+    (src, dst, wjaccard_milli, icws_within_bound): TRUE iff the estimate
+    sits in the 4.5-sigma binomial band (+1/P slack) around the exact
+    value. The DuckDB oracle recomputes the exact weighted Jaccard and
+    emits constant TRUE, so estimator drift fails the value-hash.
+
+    Scale plan: the pair list inherits ``q_ngram_jaccard_pairs``'s size
+    dispatch; signatures are one stateless pass over the corpus (P
+    vectorized reduceat sweeps per batch, token strings die at the scan);
+    exact per-pair sums attach texts to the bounded pair list via two
+    lookup joins and verify with ONE lexsort over the flattened
+    (pair, token) arrays — the same whole-batch sort-merge the n-gram
+    verify uses, no per-pair Python."""
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
+    pairs = q_ngram_jaccard_pairs(sf_dir, tau=tau)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        th = H.hash_bytes_array(flat)
+        row = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                        np.diff(offs))
+        order = np.lexsort((th, row))
+        ths, rs = th[order], row[order]
+        first = np.concatenate([[True], (ths[1:] != ths[:-1])
+                                | (rs[1:] != rs[:-1])]) \
+            if len(ths) else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(ths)))
+        toku, rowu = ths[first], rs[first]
+        offsu = np.zeros(len(offs), np.int64)
+        np.add.at(offsu[1:], rowu, 1)
+        np.cumsum(offsu, out=offsu)
+        T, Q = H.icws_signatures(toku, counts, offsu, P, seed)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "wtok": H.pack_u64_rows(T),
+            "wq": H.pack_u64_rows(H.bitcast_i64_to_u64(Q.ravel())
+                                  .reshape(Q.shape)),
+            "tf_tok": _pack_tf_lists(toku, offsu),
+            "tf_cnt": _pack_tf_counts(counts, offsu),
+        })
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow",
+                          batch_size=1024).materialize()
+    e = lookup_join(
+        pairs, sigs.rename_columns(
+            {"doc_id": "src", "wtok": "wtok_a", "wq": "wq_a",
+             "tf_tok": "tf_tok_a", "tf_cnt": "tf_cnt_a"}),
+        on=["src"], cfg=cfg)
+    e = lookup_join(
+        e, sigs.rename_columns(
+            {"doc_id": "dst", "wtok": "wtok_b", "wq": "wq_b",
+             "tf_tok": "tf_tok_b", "tf_cnt": "tf_cnt_b"}),
+        on=["dst"], cfg=cfg)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "wjaccard_milli": pa.array([], pa.int64()),
+                             "icws_within_bound": pa.array([], pa.bool_())})
+        smin, den = _pair_weighted_overlap(t)
+        ta = H.unpack_u64_rows(t["wtok_a"], P)
+        tb = H.unpack_u64_rows(t["wtok_b"], P)
+        qa = H.unpack_u64_rows(t["wq_a"], P)
+        qb = H.unpack_u64_rows(t["wq_b"], P)
+        est = ((ta == tb) & (qa == qb)).sum(axis=1) / P
+        j = smin / den
+        sigma = np.sqrt(np.maximum(j * (1.0 - j), 0.0) / P)
+        ok = np.abs(est - j) <= 4.5 * sigma + 1.0 / P
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "wjaccard_milli": pa.array(
+                (1000 * smin) // np.maximum(den, 1)),
+            "icws_within_bound": pa.array(ok, pa.bool_()),
+        })
+
+    return e.map_batches(verdict, batch_format="pyarrow")
+
+
+def _pack_tf_lists(toku: np.ndarray, offsu: np.ndarray) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(offsu.astype(np.int32)),
+        pa.array(H.bitcast_u64_to_i64(toku), pa.int64()))
+
+
+def _pack_tf_counts(counts: np.ndarray, offsu: np.ndarray) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(offsu.astype(np.int32)),
+        pa.array(counts.astype(np.int64), pa.int64()))
+
+
+def _pair_weighted_overlap(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pair sum(min tf) and sum(max tf) from the attached per-doc
+    (token, count) lists: ONE lexsort over the flattened (pair, token,
+    side) arrays — matched tokens become adjacent (pair, token) runs of
+    length 2 — then vectorized segment sums. No per-pair Python."""
+    def flat(col_tok, col_cnt):
+        lt = t[col_tok]
+        lc = t[col_cnt]
+        if isinstance(lt, pa.ChunkedArray):
+            lt = lt.combine_chunks()
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.combine_chunks()
+        lens = pc.list_value_length(lt).to_numpy().astype(np.int64)
+        pair = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        return (pair, lt.flatten().to_numpy().astype(np.int64),
+                lc.flatten().to_numpy().astype(np.int64), lens)
+
+    pa_, ta_, ca_, lens_a = flat("tf_tok_a", "tf_cnt_a")
+    pb_, tb_, cb_, lens_b = flat("tf_tok_b", "tf_cnt_b")
+    tot_a = np.zeros(t.num_rows, np.int64)
+    np.add.at(tot_a, pa_, ca_)
+    tot_b = np.zeros(t.num_rows, np.int64)
+    np.add.at(tot_b, pb_, cb_)
+    pair = np.concatenate([pa_, pb_])
+    tokf = np.concatenate([ta_, tb_])
+    cnt = np.concatenate([ca_, cb_])
+    side = np.concatenate([np.zeros(len(pa_), np.int8),
+                           np.ones(len(pb_), np.int8)])
+    o = np.lexsort((side, tokf, pair))
+    pair, tokf, cnt = pair[o], tokf[o], cnt[o]
+    # per-doc tokens are distinct, so a (pair, token) run of length 2 is
+    # exactly one a-side and one b-side entry: the shared-token case
+    match = np.zeros(len(pair), bool)
+    if len(pair) > 1:
+        match[1:] = (pair[1:] == pair[:-1]) & (tokf[1:] == tokf[:-1])
+    smin = np.zeros(t.num_rows, np.int64)
+    m = np.flatnonzero(match)
+    if len(m):
+        np.add.at(smin, pair[m], np.minimum(cnt[m], cnt[m - 1]))
+    den = tot_a + tot_b - smin
+    return smin, den
+
+
+def weighted_jaccard_check_sql(tau: float = 0.6) -> str:
+    base = ngram_jaccard_pairs_sql(tau=tau)
+    return f"""
+WITH pairs AS ({base}),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS wd
+  FROM documents
+), tf AS (
+  SELECT doc_id, wd, count(*) AS c FROM toks GROUP BY doc_id, wd
+), tot AS (
+  SELECT doc_id, sum(c) AS tot FROM tf GROUP BY doc_id
+), shared AS (
+  -- INNER joins only: DuckDB's least() IGNORES NULLs, so a LEFT JOIN
+  -- formulation would leak unmatched-token counts into the sum
+  SELECT p.src, p.dst, sum(least(a.c, b.c)) AS smin
+  FROM pairs p
+  JOIN tf a ON a.doc_id = p.src
+  JOIN tf b ON b.doc_id = p.dst AND b.wd = a.wd
+  GROUP BY p.src, p.dst
+)
+SELECT p.src, p.dst,
+       CAST((1000 * coalesce(s.smin, 0))
+            // (ta.tot + tb.tot - coalesce(s.smin, 0)) AS BIGINT)
+           AS wjaccard_milli,
+       TRUE AS icws_within_bound
+FROM pairs p
+LEFT JOIN shared s ON s.src = p.src AND s.dst = p.dst
+JOIN tot ta ON ta.doc_id = p.src
+JOIN tot tb ON tb.doc_id = p.dst
+"""
+
+
 # --------------------------------------------------- corpus composition report
 
 def q_source_lang_matrix(sf_dir: str):
@@ -4253,8 +4431,7 @@ def q_doc_remove_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64):
         if pos_col is not None:
             if isinstance(pos_col, pa.ChunkedArray):
                 pos_col = pos_col.combine_chunks()
-            rows = np.flatnonzero(~np.asarray(pos_col.is_null()))
-            if len(rows):
+            if pos_col.null_count < len(pos_col):
                 lens = np.asarray(pc.list_value_length(pos_col).fill_null(0)
                                   .to_numpy(zero_copy_only=False),
                                   dtype=np.int64)
@@ -4275,7 +4452,7 @@ def q_doc_remove_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64):
         new_offs = np.zeros(len(offs), np.int64)
         np.cumsum(kept_per_row, out=new_offs[1:])
         lists = pa.ListArray.from_arrays(
-            pa.array(new_offs, pa.int32()).cast(pa.int32()),
+            pa.array(new_offs.astype(np.int32)),
             kept.combine_chunks() if isinstance(kept, pa.ChunkedArray)
             else kept)
         text = pc.binary_join(lists, " ")

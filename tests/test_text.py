@@ -218,8 +218,10 @@ def test_dup_span_removal_semantics(ray_session, tmp_path):
         f"v0 {boiler}",                                # block at words 1..12
         "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",               # fully unique
         f"x0 {phrase} x1 x2 x3 {phrase} x4",           # repeats itself
+        "y0 y1",                                       # shorter than n
+        "",                                            # one empty token
     ]
-    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
                   "text": pa.array(docs)})
     pq.write_table(t, str(tmp_path / "documents.parquet"))
 
@@ -234,6 +236,8 @@ def test_dup_span_removal_semantics(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert list(out["text"]) == ["u0 u1 u2 u3 u4 u5", "v0",
                                  "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",
-                                 "x0 x1 x2 x3 x4"]
-    assert list(out["n_words"]) == [18, 13, 10, 21]
-    assert list(out["n_removed"]) == [12, 12, 0, 16]
+                                 "x0 x1 x2 x3 x4", "y0 y1", ""]
+    # DuckDB string_split_regex('', '\s+') == [''] -> the empty doc still
+    # counts one (empty) token; _tokens_flat mirrors that exactly
+    assert list(out["n_words"]) == [18, 13, 10, 21, 2, 1]
+    assert list(out["n_removed"]) == [12, 12, 0, 16, 0, 0]
