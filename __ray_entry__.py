@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_degree_hist": R.q_events_user_degree_hist,  # topk kin
         "minhash_jaccard_check": docops.q_minhash_jaccard_check,  # ngram kin
         "weighted_jaccard_check": docops.q_weighted_jaccard_check,  # ICWS
+        "doc_weighted_ppjoin_pairs": docops.q_doc_weighted_ppjoin_pairs,
         "events_session_stats": R.q_events_session_stats,  # sessionize kin
         "source_lang_matrix": docops.q_source_lang_matrix,  # distinct_pairs kin
         "events_funnel_steps": R.q_events_funnel_steps,  # funnel kin
@@ -804,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         "term_freq_cm_check": docops.term_freq_cm_check_sql(),
         "doc_span_dup_flags": docops.doc_span_dup_flags_sql(),
         "weighted_jaccard_check": docops.weighted_jaccard_check_sql(),
+        "doc_weighted_ppjoin_pairs": docops.doc_weighted_ppjoin_pairs_sql(),
         "doc_dup_spans": docops.doc_dup_spans_sql(),
         "doc_remove_dup_spans": docops.doc_remove_dup_spans_sql(),
         "edit_distance_pairs": docops.edit_distance_pairs_sql(),

@@ -684,6 +684,226 @@ WHERE i.c * 1000 >= {tau_permille} * (sa.n + sb.n - i.c)
 """
 
 
+def q_doc_weighted_ppjoin_pairs(sf_dir: str, tau_permille: int = 600,
+                                bucket_cap: int = 20_000):
+    """EXACT WEIGHTED-Jaccard self-join via weighted prefix filtering —
+    ``q_doc_ppjoin_pairs`` generalized from sets to multisets:
+    J_w(A, B) = sum(min tf) / sum(max tf) >= tau, deterministic by
+    construction (Bayardo, Ma & Srikant WWW'07 index prefixes for weighted
+    vectors; Xiao et al. PPJoin positional bound, both public).
+
+    Theory: under one global token order (df asc, hash tiebreak), doc A's
+    prefix is its minimal leading distinct tokens whose remaining suffix
+    WEIGHT is < alpha_A = ceil(tau * W_A) (W_A = total token weight): a
+    qualifying pair's FIRST shared token in global order must sit in BOTH
+    prefixes (else overlap <= one suffix's weight < alpha, contradiction),
+    so bucketing prefix tokens finds every qualifying pair. In-bucket
+    prunes, all integer-exact: weight filter min(W)*1000 >= tau*max(W);
+    positional bound min(cumw_before) + min(W - cumw_before) >=
+    alpha_pair = ceil(tau/(1+tau) * (W_A+W_B)) — an upper bound on the
+    true overlap at EVERY shared token, so no qualifying pair is dropped.
+
+    Scale shape mirrors the unweighted join: vocabulary-bounded df pass,
+    rank map broadcast once, candidate shuffle carries only prefix rows
+    (weight-heavy docs prune MORE aggressively — alpha grows with W),
+    whole-batch sort-merge verification of (token, tf) blobs. bucket_cap
+    raises loudly; exactness forbids lossy salting."""
+    from ray.data.aggregate import Count, Sum
+
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t["text"])
+        tok = H.hash_bytes_array(flat)
+        n_docs = t.num_rows
+        counts = offs[1:] - offs[:-1]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((tok, doc_idx))
+        gs, ds_ = tok[order], doc_idx[order]
+        first = np.concatenate(
+            [[True], (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])]) \
+            if len(gs) else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(gs))).astype(np.int64)
+        gu, du = gs[first], ds_[first]
+        per_doc = np.bincount(du, minlength=n_docs)
+        boffs = np.concatenate([[0], np.cumsum(per_doc * 8)]).astype(np.int32)
+        def blob(vals: np.ndarray) -> pa.BinaryArray:
+            return pa.BinaryArray.from_buffers(
+                pa.binary(), n_docs,
+                [None, pa.array(boffs).buffers()[1],
+                 pa.py_buffer(vals.tobytes())])
+        wtot = np.zeros(n_docs, np.int64)
+        np.add.at(wtot, du, tf)
+        return pa.table({"doc_id": t["doc_id"],
+                         "toks": blob(gu),
+                         "tfs": blob(tf.astype(np.uint64)),
+                         "w": pa.array(wtot)})
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow",
+                          batch_size=cfg.text_batch_size).materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, _lens = _flat_u64(t["toks"])
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(H.bitcast_u64_to_i64(u)),
+                         "df": pa.array(c.astype(np.int64))})
+
+    vocab = (sigs.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("df", alias_name="df"))
+             .to_pandas())
+    toks = H.bitcast_i64_to_u64(vocab["tok"].to_numpy())
+    dfs = vocab["df"].to_numpy()
+    by_rank = np.lexsort((toks, dfs))
+    rank_of = np.empty(len(toks), np.int64)
+    rank_of[by_rank] = np.arange(len(toks))
+    tok_sorted_order = np.argsort(toks)
+    rank_ref = ray.put((toks[tok_sorted_order], rank_of[tok_sorted_order]))
+
+    class Prefix:
+        def __init__(self):
+            self.tok_sorted, self.rank = ray.get(rank_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, lens = _flat_u64(t["toks"])
+            if len(flat) == 0:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "doc_id": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.int64()),
+                                 "cb": pa.array([], pa.int64())})
+            tfs = _flat_u64(t["tfs"])[0].view(np.int64)
+            pos = np.searchsorted(self.tok_sorted, flat)
+            ranks = self.rank[pos]
+            doc = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+            order = np.lexsort((ranks, doc))
+            r_s, d_s, f_s = ranks[order], doc[order], tfs[order]
+            # cumulative weight BEFORE each token within its doc
+            w = t["w"].to_numpy()
+            cum = np.cumsum(f_s)
+            starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            base = np.concatenate([[0], cum])[starts[d_s]]
+            cb = cum - f_s - base
+            # prefix: tokens whose suffix (incl. self) weight > W - alpha,
+            # i.e. cb <= W - alpha with alpha = ceil(tau * W)
+            alpha = -(-(tau_permille * w) // 1000)
+            m = cb <= (w - alpha)[d_s]
+            ids = t["doc_id"].to_numpy()
+            return pa.table({
+                "bucket": pa.array(r_s[m]),
+                "doc_id": pa.array(ids[d_s[m]]),
+                "w": pa.array(w[d_s[m]]),
+                "cb": pa.array(cb[m])})
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy()
+        w = g["w"].to_numpy()
+        cb = g["cb"].to_numpy()
+        k = len(d)
+        if k > bucket_cap:
+            raise ValueError(
+                f"weighted ppjoin prefix bucket of {k} docs exceeds "
+                f"bucket_cap={bucket_cap}; raise tau or the cap "
+                f"(exactness forbids lossy salting here)")
+        if k < 2:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        i, j = np.triu_indices(k, 1)
+        a, b = d[i], d[j]
+        keep = (np.minimum(w[i], w[j]) * 1000
+                >= tau_permille * np.maximum(w[i], w[j]))
+        keep &= a != b
+        wsum = w[i] + w[j]
+        alpha = -(-(tau_permille * wsum) // (1000 + tau_permille))
+        ubound = (np.minimum(cb[i], cb[j])
+                  + np.minimum(w[i] - cb[i], w[j] - cb[j]))
+        keep &= ubound >= alpha
+        return pa.table({"src": pa.array(np.minimum(a, b)[keep]),
+                         "dst": pa.array(np.maximum(a, b)[keep])})
+
+    cands = (sigs.map_batches(Prefix, concurrency=(1, 8),
+                              batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit_pairs,
+                                           batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="nb")))
+
+    lean = sigs.select_columns(["doc_id", "toks", "tfs"])
+    e = lookup_join(cands.drop_columns(["nb"]),
+                    lean.rename_columns({"doc_id": "src", "toks": "t_src",
+                                         "tfs": "f_src"}),
+                    on=["src"], cfg=cfg)
+    e = lookup_join(e, lean.rename_columns({"doc_id": "dst",
+                                            "toks": "t_dst",
+                                            "tfs": "f_dst"}),
+                    on=["dst"], cfg=cfg)
+
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "wjaccard_milli": pa.array([], pa.int64())})
+        fa, la = _flat_u64(t["t_src"])
+        fb, lb = _flat_u64(t["t_dst"])
+        ca = _flat_u64(t["f_src"])[0].view(np.int64)
+        cbv = _flat_u64(t["f_dst"])[0].view(np.int64)
+        npairs = t.num_rows
+        idx = np.arange(npairs, dtype=np.int64)
+        pairs = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+        grams = np.concatenate([fa, fb])
+        cnts = np.concatenate([ca, cbv])
+        order = np.lexsort((grams, pairs))
+        p_s, g_s, c_s = pairs[order], grams[order], cnts[order]
+        dup = (p_s[1:] == p_s[:-1]) & (g_s[1:] == g_s[:-1])
+        inter = np.zeros(npairs, np.int64)
+        m = np.flatnonzero(dup)
+        if len(m):
+            np.add.at(inter, p_s[1:][m],
+                      np.minimum(c_s[1:][m], c_s[:-1][m]))
+        wa = np.zeros(npairs, np.int64)
+        np.add.at(wa, np.repeat(idx, la), ca)
+        wb = np.zeros(npairs, np.int64)
+        np.add.at(wb, np.repeat(idx, lb), cbv)
+        union = wa + wb - inter
+        keep = inter * 1000 >= tau_permille * union
+        t2 = t.filter(pa.array(keep))
+        return pa.table({
+            "src": t2["src"],
+            "dst": t2["dst"],
+            "wjaccard_milli": pa.array(
+                inter[keep] * 1000 // np.maximum(union[keep], 1)),
+        })
+
+    return e.map_batches(check, batch_format="pyarrow")
+
+
+def doc_weighted_ppjoin_pairs_sql(tau_permille: int = 600) -> str:
+    """DuckDB oracle: exact multiset (term-frequency) Jaccard pairs at the
+    same integer threshold, same tokenizer as ``_tokens_flat``."""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  GROUP BY doc_id, tok
+), tot AS (
+  SELECT doc_id, sum(c) AS w FROM tf GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, sum(least(a.c, b.c)) AS o
+  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.src, i.dst,
+       CAST(i.o * 1000 // (ta.w + tb.w - i.o) AS BIGINT) AS wjaccard_milli
+FROM inter i
+JOIN tot ta ON ta.doc_id = i.src
+JOIN tot tb ON tb.doc_id = i.dst
+WHERE i.o * 1000 >= {tau_permille} * (ta.w + tb.w - i.o)
+"""
+
+
 def q_doc_lsh_dedup(sf_dir: str):
     """Full text near-dup engine over documents -> clusters (rows-only)."""
     from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
