@@ -173,6 +173,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", required=True,
                    help="directory holding documents.parquet")
     s.add_argument("--out", required=True, help="output directory")
+    s.add_argument("--remove-dup-spans", action="store_true",
+                   help="also cut cross-document verbatim word-8-gram "
+                        "spans (ExactSubstr, Lee et al. 2022) before the "
+                        "near-dup tier")
     s.add_argument("--num-cpus", type=int, default=None)
 
     s = sub.add_parser("reconstruct", help="rebuild full table from a run dir")
@@ -383,7 +387,9 @@ def main(argv: list[str] | None = None) -> int:
         ray = _session(args.num_cpus)
         from deduplication_ray.pipelines.curate import curate_documents
 
-        print(json.dumps(curate_documents(args.sf_dir, args.out)))
+        print(json.dumps(curate_documents(
+            args.sf_dir, args.out,
+            remove_dup_spans=args.remove_dup_spans)))
         ray.shutdown()
         return 0
 

