@@ -607,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_bloom": R.q_semi_join_bloom,          # oracle == semi_join
         "dedup_keep_first": R.q_dedup_keep_first,     # kin: exact_dedup_docs
         "dedup_keep_first_index": R.q_dedup_keep_first_index,  # == keep_first
+        "dedup_keep_first_lowshuffle": R.q_dedup_keep_first_lowshuffle,  # 2-pass
         "events_dedup_window": R.q_events_dedup_window,  # kernel: events_lag
         "orders_cube": R.q_orders_cube,                  # kernel: orders_rollup
         "events_running_total": R.q_events_running_total,  # kernel: events_lag
@@ -627,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": docops.q_table_profile,        # doc_validate kin
         "events_user_degree_hist": R.q_events_user_degree_hist,  # topk kin
         "minhash_jaccard_check": docops.q_minhash_jaccard_check,  # ngram kin
+        "bbit_minhash_check": docops.q_bbit_minhash_check,  # Li-Koenig b-bit
         "weighted_jaccard_check": docops.q_weighted_jaccard_check,  # ICWS
         "doc_weighted_ppjoin_pairs": docops.q_doc_weighted_ppjoin_pairs,
         "events_session_stats": R.q_events_session_stats,  # sessionize kin
@@ -786,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_degree_hist": R.Q_EVENTS_USER_DEGREE_HIST_SQL,
         # MinHash-estimator verdict: oracle = exact pairs + constant TRUE
         "minhash_jaccard_check": docops.minhash_jaccard_check_sql(),
+        "bbit_minhash_check": docops.bbit_minhash_check_sql(),
         "events_session_stats": R.Q_EVENTS_SESSION_STATS_SQL,
         "source_lang_matrix": docops.Q_SOURCE_LANG_MATRIX_SQL,
         "events_funnel_steps": R.Q_EVENTS_FUNNEL_STEPS_SQL,
@@ -844,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first": R.Q_DEDUP_KEEP_FIRST_SQL,
         # live-actor index path, deterministic final state -> same oracle
         "dedup_keep_first_index": R.Q_DEDUP_KEEP_FIRST_SQL,
+        "dedup_keep_first_lowshuffle": R.Q_DEDUP_KEEP_FIRST_SQL,
         "doc_stats": docops.Q_DOC_STATS_SQL,
         "charset_jaccard_pairs": docops.Q_CHARSET_JACCARD_SQL,
         "ann_topk": ann.ann_topk_sql(),

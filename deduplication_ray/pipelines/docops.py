@@ -3680,6 +3680,36 @@ def q_minhash_jaccard_check(sf_dir: str, tau: float = 0.6):
     Scale plan: inherits ``q_ngram_jaccard_pairs``'s size dispatch for the
     pair set; the extra work is one signature pass over the docs plus two
     broadcast lookup joins on the (bounded) pair list — no new shuffle."""
+    return _minhash_check_impl(sf_dir, tau=tau, b=None,
+                               flag_col="mh_within_bound")
+
+
+def q_bbit_minhash_check(sf_dir: str, tau: float = 0.6, b: int = 4):
+    """b-BIT MinHash estimator VERDICT (Li & Koenig, WWW 2010): the storage
+    form that keeps only the lowest ``b`` bits of each of the P MinHash
+    values — a 16x signature shrink at b=4 vs u64 — at the price of a
+    1/2^b chance that two UNrelated permutation slots agree by accident.
+    The unbiased estimator inverts that collision floor:
+    E[match_frac] = C + (1-C)*J with C = 1/2^b (minhash values of
+    non-shared elements are uniform over the 64-bit space, so their low-b
+    collision odds are exactly 2^-b up to the 2^-64 sampling-without-
+    replacement term). For every exact char-5-gram Jaccard pair this emits
+    ``(src, dst, jaccard_milli, bbit_within_bound)`` — TRUE iff the
+    observed match fraction sits inside the 4.5-sigma binomial band
+    (+1/P quantization slack) around C + (1-C)*J. The DuckDB oracle
+    recomputes the exact pairs with constant TRUE, so estimator drift
+    fails the driver's value-hash.
+
+    Scale plan: identical to ``minhash_jaccard_check`` (the b-bit mask is
+    applied at verdict time to the same packed signatures); in a real
+    deployment the b-bit columns would be what's WRITTEN, cutting the
+    signature table — the thing that feeds every LSH shuffle — by 16x."""
+    return _minhash_check_impl(sf_dir, tau=tau, b=b,
+                               flag_col="bbit_within_bound")
+
+
+def _minhash_check_impl(sf_dir: str, tau: float, b: int | None,
+                        flag_col: str):
     from deduplication_ray.stages.join import lookup_join
     from deduplication_ray.stages.signatures import normalize_captions
 
@@ -3709,16 +3739,23 @@ def q_minhash_jaccard_check(sf_dir: str, tau: float = 0.6):
             return pa.table({"src": pa.array([], pa.int64()),
                              "dst": pa.array([], pa.int64()),
                              "jaccard_milli": pa.array([], pa.int64()),
-                             "mh_within_bound": pa.array([], pa.bool_())})
-        a = H.unpack_u64_rows(t["mh_src"], P)
-        b = H.unpack_u64_rows(t["mh_dst"], P)
-        est = (a == b).sum(axis=1) / P
+                             flag_col: pa.array([], pa.bool_())})
+        va = H.unpack_u64_rows(t["mh_src"], P)
+        vb = H.unpack_u64_rows(t["mh_dst"], P)
+        if b is not None:
+            mask = np.uint64((1 << b) - 1)
+            va, vb = va & mask, vb & mask
+        est = (va == vb).sum(axis=1) / P
         j = t["jaccard_milli"].to_numpy().astype(np.float64) / 1000.0
-        sigma = np.sqrt(np.maximum(j * (1.0 - j), 0.0) / P)
-        ok = np.abs(est - j) <= 4.5 * sigma + 1.0 / P
+        # expected match prob: J for full values; C + (1-C)J with the
+        # accidental-collision floor C = 2^-b for b-bit values
+        C = 0.0 if b is None else 1.0 / (1 << b)
+        p_exp = C + (1.0 - C) * j
+        sigma = np.sqrt(np.maximum(p_exp * (1.0 - p_exp), 0.0) / P)
+        ok = np.abs(est - p_exp) <= 4.5 * sigma + 1.0 / P
         return pa.table({"src": t["src"], "dst": t["dst"],
                          "jaccard_milli": t["jaccard_milli"],
-                         "mh_within_bound": pa.array(ok, pa.bool_())})
+                         flag_col: pa.array(ok, pa.bool_())})
 
     return e.map_batches(verdict, batch_format="pyarrow")
 
@@ -3726,6 +3763,12 @@ def q_minhash_jaccard_check(sf_dir: str, tau: float = 0.6):
 def minhash_jaccard_check_sql(tau: float = 0.6, k: int = 5) -> str:
     base = ngram_jaccard_pairs_sql(tau=tau, k=k)
     return (f"SELECT src, dst, jaccard_milli, TRUE AS mh_within_bound "
+            f"FROM ({base})")
+
+
+def bbit_minhash_check_sql(tau: float = 0.6, k: int = 5) -> str:
+    base = ngram_jaccard_pairs_sql(tau=tau, k=k)
+    return (f"SELECT src, dst, jaccard_milli, TRUE AS bbit_within_bound "
             f"FROM ({base})")
 
 

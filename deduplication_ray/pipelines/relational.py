@@ -482,6 +482,79 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 """
 
 
+def q_dedup_keep_first_lowshuffle(sf_dir: str):
+    """``dedup_keep_first`` where full text payloads shuffle ONLY for rows
+    whose 64-bit content hash is globally duplicated — the low-wire exact
+    dedup plan for corpora whose dup share is a minority.
+
+    The one-shot plan (``groupby(text).min``) ships EVERY text byte through
+    the all-to-all exchange. This plan ships, per pass:
+
+    1. 8 bytes per per-batch-DISTINCT content hash (pre-aggregated in-batch,
+       so a batch full of copies sends one row) into a hash-keyed count
+       aggregate bounded by |distinct contents|;
+    2. the sorted set of hashes with global count >= 2 — bounded by
+       |distinct DUPLICATED contents|, the small side by construction —
+       broadcast once via ``ray.put``;
+    3. text payloads of ONLY the rows probing into that set, into the exact
+       min-id election. Rows outside the set are provably unique (the hash
+       dup set OVER-approximates the text dup set), so they stream straight
+       to the output with ``text`` projected away at the map.
+
+    A 64-bit collision between two distinct texts co-locates them in pass 3
+    but never merges them: the election groups by the TEXT, not the hash.
+    At a web-crawl dup share of ~20-40% this moves a third of the one-shot
+    plan's bytes; the corpus is scanned twice (unique stream + dup stream),
+    which is the documented trade — scans are cheap and pruned, exchanges
+    are not. Same oracle as ``dedup_keep_first``.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_counts(t: pa.Table) -> pa.Table:
+        h = H.hash_bytes_array(t["text"])
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq.view(np.int64), pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_total"], 2)).select(["h"])
+
+    counts = ds.map_batches(hash_counts, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="n_total")) \
+        .map_batches(dup_only, batch_format="pyarrow")
+    dup_hashes = np.sort(_collect_int_column(counts, "h"))
+    if len(dup_hashes) == 0:
+        dup_hashes = np.array([np.iinfo(np.int64).min], dtype=np.int64)
+    ref = ray.put(dup_hashes)
+
+    class SplitBase:
+        def __init__(self):
+            self.dups = ray.get(ref)
+
+        def _dup_mask(self, t: pa.Table) -> np.ndarray:
+            h = H.hash_bytes_array(t["text"]).view(np.int64)
+            pos = np.clip(np.searchsorted(self.dups, h), 0,
+                          len(self.dups) - 1)
+            return self.dups[pos] == h
+
+    class UniqueSide(SplitBase):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": t.filter(pa.array(~self._dup_mask(t)))["doc_id"]})
+
+    class DupSide(SplitBase):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(self._dup_mask(t)))
+
+    uniq_ids = ds.map_batches(UniqueSide, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    reps = ds.map_batches(DupSide, batch_format="pyarrow",
+                          concurrency=(1, 8)) \
+        .groupby("text").aggregate(Min("doc_id", alias_name="rep_id")) \
+        .select_columns(["rep_id"]).rename_columns({"rep_id": "doc_id"})
+    return uniq_ids.union(reps)
+
+
 # ---------------------------------------------------------------- as-of join
 
 def q_events_asof_orders(sf_dir: str):
