@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_degree_hist": R.q_events_user_degree_hist,  # topk kin
         "minhash_jaccard_check": docops.q_minhash_jaccard_check,  # ngram kin
         "bbit_minhash_check": docops.q_bbit_minhash_check,  # Li-Koenig b-bit
+        "oph_minhash_check": docops.q_oph_minhash_check,  # one-permutation
         "weighted_jaccard_check": docops.q_weighted_jaccard_check,  # ICWS
         "doc_weighted_ppjoin_pairs": docops.q_doc_weighted_ppjoin_pairs,
         "events_session_stats": R.q_events_session_stats,  # sessionize kin
@@ -789,6 +790,7 @@ def oracle_sql() -> dict[str, str]:
         # MinHash-estimator verdict: oracle = exact pairs + constant TRUE
         "minhash_jaccard_check": docops.minhash_jaccard_check_sql(),
         "bbit_minhash_check": docops.bbit_minhash_check_sql(),
+        "oph_minhash_check": docops.oph_minhash_check_sql(),
         "events_session_stats": R.Q_EVENTS_SESSION_STATS_SQL,
         "source_lang_matrix": docops.Q_SOURCE_LANG_MATRIX_SQL,
         "events_funnel_steps": R.Q_EVENTS_FUNNEL_STEPS_SQL,

@@ -235,6 +235,69 @@ def minhash_signatures(
     return sig
 
 
+def oph_signatures(hashes: np.ndarray, row_offsets: np.ndarray,
+                   P: int, seed: int) -> np.ndarray:
+    """One-Permutation Hashing signatures with rotation densification
+    (Li, Owen & Zhang NIPS 2012; Shrivastava & Li ICML 2014).
+
+    Classic MinHash costs P passes over the shingle stream (one fused
+    multiply-add + reduceat per permutation — see ``minhash_signatures``).
+    OPH computes the whole P-slot signature from ONE remix pass: each
+    shingle hash is remixed once, its top log2(P) bits pick a bin, and the
+    per-(row, bin) minimum fills the slot. Empty bins (a row with n
+    shingles leaves ~P*(1-1/P)^n empty) are densified by circular
+    rotation: an empty slot borrows the nearest filled slot to its right
+    (wrapping) plus hop*_OPH_C, so two rows agree on a borrowed slot iff
+    they borrowed the SAME slot value from the SAME distance — keeping
+    E[slot match] = J (the densified estimator is unbiased). At equal P
+    this is ~P/3 times less signature compute, the 100 TB cost of the
+    signature stage.
+
+    Deterministic + partition-invariant: all randomness is the seed remix;
+    slots of an empty row stay u64 MAX. P must be a power of two.
+    Returns (n_rows, P) u64.
+    """
+    if P & (P - 1):
+        raise ValueError(f"OPH needs power-of-two P, got {P}")
+    n_rows = len(row_offsets) - 1
+    sig = np.full((n_rows, P), np.iinfo(U64).max, dtype=U64)
+    if n_rows == 0 or len(hashes) == 0:
+        return sig
+    bbits = int(P).bit_length() - 1
+    with np.errstate(over="ignore"):
+        v = splitmix64(np.asarray(hashes, U64) ^ splitmix64(U64(seed & (2**64 - 1))))
+    bins = (v >> U64(64 - bbits)).astype(np.int64)
+    row = np.repeat(np.arange(n_rows, dtype=np.int64),
+                    np.diff(row_offsets))
+    # per-(row, bin) min via one lexsort: within a key the smallest value
+    # sorts first, so the first occurrence per key is the min
+    key = row * P + bins
+    order = np.lexsort((v, key))
+    ks, vs = key[order], v[order]
+    first = np.concatenate([[True], ks[1:] != ks[:-1]])
+    sig.reshape(-1)[ks[first]] = vs[first]
+
+    # rotation densification: for each empty slot, distance to the nearest
+    # filled slot rightward (circular) via a reverse cumulative min over
+    # the doubled position axis
+    filled = sig != np.iinfo(U64).max
+    if not filled.all():
+        pos = np.arange(2 * P, dtype=np.int64)
+        occ2 = np.concatenate([filled, filled], axis=1)
+        cand = np.where(occ2, pos, np.iinfo(np.int64).max)
+        nxt = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1][:, :P]
+        has_any = filled.any(axis=1)
+        rows_e, cols_e = np.nonzero(~filled & has_any[:, None])
+        src = nxt[rows_e, cols_e]
+        hop = (src - cols_e).astype(U64)
+        with np.errstate(over="ignore"):
+            sig[rows_e, cols_e] = sig[rows_e, src % P] + hop * _OPH_C
+    return sig
+
+
+_OPH_C = np.uint64(0x9E3779B97F4A7C15)
+
+
 def icws_signatures(tok: np.ndarray, w: np.ndarray, offs: np.ndarray,
                     P: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Improved Consistent Weighted Sampling signatures (Ioffe 2010,

@@ -3708,8 +3708,29 @@ def q_bbit_minhash_check(sf_dir: str, tau: float = 0.6, b: int = 4):
                                flag_col="bbit_within_bound")
 
 
+def q_oph_minhash_check(sf_dir: str, tau: float = 0.6):
+    """One-Permutation-Hashing estimator VERDICT (Li, Owen & Zhang 2012;
+    rotation densification per Shrivastava & Li 2014): the signature
+    construction that fills all P slots from ONE remix pass over the
+    shingle stream instead of P fused-multiply-add sweeps — at P=128 that
+    is the difference between 1x and 128x passes over every shingle of a
+    100 TB corpus, i.e. the compute bill of the signature stage. For every
+    exact char-5-gram Jaccard pair this emits
+    ``(src, dst, jaccard_milli, oph_within_bound)`` — TRUE iff the
+    densified-slot match fraction sits within the 4.5-sigma binomial band
+    (+1/P slack) of the true Jaccard (densified OPH is unbiased with
+    at-most-binomial variance at these document sizes; the kernel's
+    unbiasedness is property-tested in tests/test_hashing.py). Oracle =
+    exact pairs + constant TRUE, so estimator drift fails the value-hash.
+
+    Scale plan: identical pair-list plumbing to ``minhash_jaccard_check``;
+    the signature pass itself is the cheap one."""
+    return _minhash_check_impl(sf_dir, tau=tau, b=None,
+                               flag_col="oph_within_bound", kind="oph")
+
+
 def _minhash_check_impl(sf_dir: str, tau: float, b: int | None,
-                        flag_col: str):
+                        flag_col: str, kind: str = "perm"):
     from deduplication_ray.stages.join import lookup_join
     from deduplication_ray.stages.signatures import normalize_captions
 
@@ -3722,7 +3743,10 @@ def _minhash_check_impl(sf_dir: str, tau: float, b: int | None,
     def sig(t: pa.Table) -> pa.Table:
         cap = normalize_captions(t["text"])
         grams, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
-        mh = H.minhash_signatures(grams, offs, mh_a, mh_b)
+        if kind == "oph":
+            mh = H.oph_signatures(grams, offs, P, cfg.seed)
+        else:
+            mh = H.minhash_signatures(grams, offs, mh_a, mh_b)
         return pa.table({"doc_id": t["doc_id"], "mh": H.pack_u64_rows(mh)})
 
     sigs = ds.map_batches(sig, batch_format="pyarrow",
@@ -3769,6 +3793,12 @@ def minhash_jaccard_check_sql(tau: float = 0.6, k: int = 5) -> str:
 def bbit_minhash_check_sql(tau: float = 0.6, k: int = 5) -> str:
     base = ngram_jaccard_pairs_sql(tau=tau, k=k)
     return (f"SELECT src, dst, jaccard_milli, TRUE AS bbit_within_bound "
+            f"FROM ({base})")
+
+
+def oph_minhash_check_sql(tau: float = 0.6, k: int = 5) -> str:
+    base = ngram_jaccard_pairs_sql(tau=tau, k=k)
+    return (f"SELECT src, dst, jaccard_milli, TRUE AS oph_within_bound "
             f"FROM ({base})")
 
 

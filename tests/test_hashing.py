@@ -181,3 +181,54 @@ def test_icws_collision_probability_is_weighted_jaccard():
     est = ((T[0] == T[1]) & (Q[0] == Q[1])).mean()
     sigma = np.sqrt(jw * (1 - jw) / P)
     assert abs(est - jw) <= 4.5 * sigma + 1.0 / P
+
+
+def test_oph_signatures_properties():
+    """One-Permutation Hashing kernel invariants: identical sets match on
+    every (densified) slot; estimates are unbiased within the binomial
+    band; per-row signatures are partition-invariant; sparse rows densify
+    fully; empty rows stay at u64 MAX."""
+    import numpy as np
+
+    from deduplication_ray.functions import hashing as H
+
+    rng = np.random.default_rng(7)
+    A = rng.integers(0, 2**63, 300, dtype=np.uint64)
+    B = np.concatenate([A[:200], rng.integers(0, 2**63, 100, dtype=np.uint64)])
+    J = len(np.intersect1d(A, B)) / len(np.union1d(A, B))
+    P = 128
+    offs = np.array([0, len(A), len(A) + len(B)], np.int64)
+
+    # identical rows -> all slots equal, densified ones included
+    s_eq = H.oph_signatures(np.concatenate([A, A]),
+                            np.array([0, len(A), 2 * len(A)], np.int64), P, 17)
+    assert (s_eq[0] == s_eq[1]).all()
+
+    # partition invariance: per-row signatures don't depend on batch makeup
+    both = H.oph_signatures(np.concatenate([A, B]), offs, P, 17)
+    alone_a = H.oph_signatures(A, np.array([0, len(A)], np.int64), P, 17)
+    alone_b = H.oph_signatures(B, np.array([0, len(B)], np.int64), P, 17)
+    assert (alone_a[0] == both[0]).all() and (alone_b[0] == both[1]).all()
+
+    # unbiased: mean estimate over independent seeds lands on J within the
+    # standard error of the mean (std <= binomial sigma for OPH)
+    n_seeds = 60
+    ests = [(lambda s: (s[0] == s[1]).mean())(
+        H.oph_signatures(np.concatenate([A, B]), offs, P, seed=s))
+        for s in range(n_seeds)]
+    sem = np.sqrt(J * (1 - J) / P / n_seeds)
+    assert abs(np.mean(ests) - J) <= 4.5 * sem + 1.0 / P
+
+    # sparse row densifies every slot; empty row stays MAX
+    C = rng.integers(0, 2**63, 5, dtype=np.uint64)
+    sC = H.oph_signatures(C, np.array([0, 5], np.int64), P, 17)
+    assert (sC != np.iinfo(np.uint64).max).all()
+    sE = H.oph_signatures(np.empty(0, np.uint64), np.array([0, 0], np.int64),
+                          P, 17)
+    assert (sE == np.iinfo(np.uint64).max).all()
+
+    # power-of-two contract is loud
+    import pytest
+
+    with pytest.raises(ValueError):
+        H.oph_signatures(A, np.array([0, len(A)], np.int64), 100, 17)
