@@ -23,6 +23,16 @@ class DedupConfig:
     # --- caption shingling + MinHash (T3/T4) ---
     shingle_k: int = 5            # char k-grams over normalized caption
     num_perm: int = 128           # MinHash permutations P
+    signature_mode: str = "perm"  # 'perm': classic P-permutation MinHash
+                                  #   (P reduceat sweeps per batch);
+                                  # 'oph': one-permutation hashing with
+                                  #   rotation densification — same P-slot
+                                  #   signature from ONE remix pass (the
+                                  #   signature stage's compute bill cut
+                                  #   ~P/3-fold; estimator unbiased, see
+                                  #   hashing.oph_signatures). Same banding
+                                  #   and verify downstream; num_perm must
+                                  #   be a power of two.
     bands: int = 32               # LSH bands b (b * rows == num_perm)
     rows_per_band: int = 4        # LSH rows-per-band r
     jaccard_tau: float = 0.5      # verification threshold on estimated Jaccard

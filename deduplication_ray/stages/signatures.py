@@ -39,6 +39,15 @@ def normalize_captions(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return x
 
 
+def _caption_signature(shingles, offs, stage, cfg):
+    """Signature-mode dispatch shared by both stages: classic P-permutation
+    MinHash, or one-permutation hashing (one remix pass, same P slots and
+    downstream banding — ``cfg.signature_mode``)."""
+    if cfg.signature_mode == "oph":
+        return H.oph_signatures(shingles, offs, cfg.num_perm, cfg.seed)
+    return H.minhash_signatures(shingles, offs, stage.mh_a, stage.mh_b)
+
+
 class ComputeSignatures:
     """Actor-pool stage: decode pixels + compute all signatures in one pass."""
 
@@ -121,7 +130,7 @@ class ComputeSignatures:
         cap = normalize_captions(batch["caption"])
         cap_hash = H.hash_bytes_array(cap)
         shingles, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
-        sig = H.minhash_signatures(shingles, offs, self.mh_a, self.mh_b)
+        sig = _caption_signature(shingles, offs, self, cfg)
 
         # ---- exact content key: 128 bits = hash(bytes) (bk, computed above
         # for the decode probe), hash(norm caption) as two int64 join keys.
@@ -174,7 +183,7 @@ class CaptionSignatures:
         cap = normalize_captions(batch[self.text_col])
         cap_hash = H.hash_bytes_array(cap)
         shingles, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
-        sig = H.minhash_signatures(shingles, offs, self.mh_a, self.mh_b)
+        sig = _caption_signature(shingles, offs, self, cfg)
         return pa.table(
             {
                 "image_id": batch[self.id_col].cast(pa.string()),

@@ -166,6 +166,28 @@ def test_text_engine_recall_vs_planted_truth(ray_session, tmp_path):
     assert m["precision"] >= 0.95
 
 
+def test_text_engine_recall_with_oph_signatures(ray_session, tmp_path):
+    """The OPH signature path (``signature_mode='oph'``: one remix pass
+    instead of P permutation sweeps) must hold the same north-rule recall
+    gate as classic MinHash on the planted fixture — it feeds the SAME
+    banding and verification."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.evaluate import pair_metrics
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+    from deduplication_ray.sources import fixtures, storage
+
+    fix = str(tmp_path / "txtfix")
+    fixtures.generate_text(fix, 1500, seed=11)
+    docs = storage.read_table(f"{fix}/data")
+    cfg = DedupConfig(num_partitions=4, signature_mode="oph")
+    pred = text_dedup_clusters(docs, cfg).to_pandas()
+    truth = storage.read_table(f"{fix}/truth").to_pandas()
+    m = pair_metrics(pred.rename(columns={"doc_id": "image_id"}),
+                     truth.rename(columns={"doc_id": "image_id"}))
+    assert m["recall"] >= 0.99
+    assert m["precision"] >= 0.95
+
+
 def test_leakage_safe_split_never_splits_clusters(ray_session, tmp_path):
     """Leakage-safe split invariants: no near-dup cluster straddles
     splits; every planted dup pair co-assigns; ratios stay in a loose
