@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_window": R.q_events_moving_window,  # kernel: events_lag
         "events_daily_gapfill": R.q_events_daily_gapfill,  # sessionize kin
         "doc_passage_dedup": docops.q_doc_passage_dedup,  # chunks+exact_dedup
+        "doc_norm_exact_dedup": docops.q_doc_norm_exact_dedup,  # C4 pre-pass
         "doc_bm25_topk": docops.q_doc_bm25_topk,         # kernel: top_terms
         "doc_token_estimate": docops.q_doc_token_estimate,  # doc_stats kin
         "source_dup_stats": docops.q_source_dup_stats,  # exact_dedup kin
@@ -694,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": docops.q_doc_fingerprints,
         "doc_model_score": docops.q_doc_model_score,
         "doc_lm_score": docops.q_doc_lm_score,
+        "doc_compression_ratio": docops.q_doc_compression_ratio,
         "doc_train_classifier": docops.q_doc_train_classifier,
         "doc_train_bpe": docops.q_doc_train_bpe,
         "doc_bpe_tokenize": docops.q_doc_bpe_tokenize,
@@ -777,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_window": R.Q_EVENTS_MOVING_WINDOW_SQL,
         "events_daily_gapfill": R.Q_EVENTS_DAILY_GAPFILL_SQL,
         "doc_passage_dedup": docops.doc_passage_dedup_sql(),
+        "doc_norm_exact_dedup": docops.Q_DOC_NORM_EXACT_DEDUP_SQL,
         "doc_boilerplate_scrub": docops.doc_boilerplate_scrub_sql(),
         "doc_validate": docops.Q_DOC_VALIDATE_SQL,
         "source_dup_stats": docops.Q_SOURCE_DUP_STATS_SQL,

@@ -1821,6 +1821,77 @@ def q_doc_passage_dedup(sf_dir: str):
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_doc_norm_exact_dedup(sf_dir: str):
+    """Normalization-invariant exact dedup (the C4/CCNet pre-pass): collapse
+    documents that are byte-identical AFTER lowercase + whitespace-run
+    collapse + trim — catching re-encoded copies that differ only in case
+    or formatting, which byte-exact dedup misses and near-dup machinery
+    shouldn't have to spend candidates on. Output: one row per distinct
+    NORMALIZED text (the normalized string itself is in the output, so the
+    driver's value-hash compares the engine's normalizer byte-for-byte
+    against DuckDB's) with min-doc_id representative and copy count.
+
+    Scale plan: identical to ``exact_dedup_docs`` — the normalize is a
+    stateless vectorized pyarrow pass (RE2 + utf8_lower, no Python rows)
+    before the same content groupby; composes with
+    ``dedup_keep_first_lowshuffle``'s two-pass plan at scale since the
+    normalized text feeds the same hash."""
+    from ray.data.aggregate import Count, Min
+
+    from deduplication_ray.stages.signatures import normalize_captions
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"norm_text": normalize_captions(t["text"]),
+                         "doc_id": t["doc_id"]})
+
+    return (ds.map_batches(norm, batch_format="pyarrow")
+            .groupby("norm_text")
+            .aggregate(Min("doc_id", alias_name="rep_id"),
+                       Count(alias_name="n_copies")))
+
+
+Q_DOC_NORM_EXACT_DEDUP_SQL = r"""
+SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       min(doc_id) AS rep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_compression_ratio(sf_dir: str):
+    """Compression-ratio quality signal (the Dolma/RedPajama filter): per
+    document, ``zlib(level 6)`` size over raw size in integer milli. Very
+    LOW ratios flag template/repetition spam (machine-generated boilerplate
+    compresses absurdly well); ratios near 1000+ flag high-entropy noise
+    (base64 blobs, minified code, random bytes). Rows-only: DuckDB has no
+    zlib, and the exact byte count is a property of the codec.
+
+    Scale plan: one stateless map_batches; the compress call is per-row C
+    (zlib streams are inherently per-payload, same boundary as the DDP1 and
+    WAV decoders) over the Arrow buffer slices, everything else vectorized.
+    Deterministic: zlib level 6 output bytes are fixed for a given input."""
+    import zlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        data, offs = H._arrow_flat_buffer(t["text"])
+        mv = memoryview(data)
+        n = len(offs) - 1
+        comp = np.fromiter(
+            (len(zlib.compress(mv[offs[i]:offs[i + 1]], 6))
+             for i in range(n)), np.int64, n)
+        raw = np.maximum(offs[1:] - offs[:-1], 1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "raw_bytes": pa.array(raw, pa.int64()),
+            "ratio_milli": pa.array(comp * 1000 // raw, pa.int64()),
+        })
+
+    return ds.map_batches(ratio, batch_format="pyarrow")
+
+
 def doc_passage_dedup_sql() -> str:
     chunks = doc_chunks_sql(_PASSAGE_WORDS).strip()
     return f"""

@@ -1026,3 +1026,41 @@ def test_doc_pii_stats_counts_planted_pii(ray_session):
     assert out.loc["b"].to_dict() == {
         "n_docs": 1, "docs_with_email": 0, "docs_with_phone": 0,
         "docs_with_longnum": 1, "total_hits": 1}
+
+
+def test_compression_ratio_signal_and_determinism(ray_session):
+    """The zlib quality signal must flag what it claims: a repeated-template
+    doc compresses far below a typical doc, random hex far above; ratios are
+    exact integer milli and identical across batch sizes."""
+    import numpy as np
+    import pandas as pd
+
+    from deduplication_ray.pipelines import docops
+
+    rng = np.random.default_rng(3)
+    typical = [" ".join(rng.choice(
+        ["the", "quick", "brown", "fox", "jumps", "lazy", "dog", "over"],
+        40)) for _ in range(20)]
+    spam = ["buy now " * 60 for _ in range(5)]
+    alphabet = list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                    "0123456789+/=!@#$%^&*()[]{}<>?,.;:")
+    noise = ["".join(rng.choice(alphabet, 480)) for _ in range(5)]
+    df = pd.DataFrame({"doc_id": range(30), "text": typical + spam + noise})
+
+    # the query reads sf_dir, so write the frame as a one-table corpus
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(df), f"{d}/documents.parquet")
+        r1 = docops.q_doc_compression_ratio(d).to_pandas() \
+            .set_index("doc_id").sort_index()
+        r2 = docops.q_doc_compression_ratio(d).to_pandas() \
+            .set_index("doc_id").sort_index()
+    assert r1.equals(r2)
+    t_med = r1.loc[0:19, "ratio_milli"].median()
+    assert (r1.loc[20:24, "ratio_milli"] < t_med * 0.5).all()   # spam
+    assert (r1.loc[25:29, "ratio_milli"] > t_med * 1.3).all()   # noise
+    assert (r1["raw_bytes"] > 0).all()
