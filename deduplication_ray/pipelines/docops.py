@@ -480,6 +480,129 @@ WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= {tau}
 """
 
 
+def q_doc_similar_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
+    """Exact text similarity SEARCH (the text analog of ``ann_topk``): for
+    each of the ``n_queries`` lowest-doc_id query documents, the top-k most
+    similar OTHER documents by exact distinct char-5-gram Jaccard over the
+    engine's normalization, deterministic ties (score desc, doc_id asc).
+
+    Scale plan: a search's query side is small by contract — its sorted
+    gram-hash sets broadcast once via ``ray.put``; the corpus side is ONE
+    stateless vectorized pass (per batch: distinct grams via one lexsort,
+    then Q searchsorted membership probes + bincounts) emitting only each
+    block's top-k per query; the driver merges Q x k x #blocks rows. No
+    shuffle anywhere. For huge Q the banding path (``doc_lsh_dedup``
+    machinery) is the candidates-first variant; this exact form is its
+    recall oracle."""
+    from deduplication_ray.stages.signatures import normalize_captions
+
+    cfg = DedupConfig(num_partitions=8)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    # query selection: n_queries smallest doc_ids (bottom-k partials,
+    # #blocks x n_queries ints to the driver)
+    def bottomk(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["doc_id"].to_numpy())[:n_queries]
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    qid_arr = np.sort(
+        ds.map_batches(bottomk, batch_format="pyarrow")
+        .to_pandas()["doc_id"].to_numpy())[:n_queries]
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(np.isin(t["doc_id"].to_numpy(), qid_arr)))
+
+    qdocs = (ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    cap = normalize_captions(pa.array(qdocs["text"].astype(str), pa.string()))
+    qg, qoffs = H.shingle_window_hashes(cap, cfg.shingle_k)
+    qsets = [np.unique(qg[qoffs[i]:qoffs[i + 1]]) for i in range(len(qdocs))]
+    qids = qdocs["doc_id"].to_numpy()
+    ref = ray.put((qids, qsets))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qsets = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_q, out_d, out_j = [], [], []
+            if t.num_rows:
+                cap = normalize_captions(t["text"])
+                grams, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
+                n = len(offs) - 1
+                row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+                order = np.lexsort((grams, row))
+                gs, rs = grams[order], row[order]
+                keep = np.concatenate(
+                    [[True], (gs[1:] != gs[:-1]) | (rs[1:] != rs[:-1])]) \
+                    if len(gs) else np.zeros(0, bool)
+                gu, ru = gs[keep], rs[keep]
+                sizes = np.bincount(ru, minlength=n)
+                ids = t["doc_id"].to_numpy()
+                for qid, qs in zip(self.qids, self.qsets):
+                    if len(qs) == 0:
+                        continue
+                    pos = np.clip(np.searchsorted(qs, gu), 0, len(qs) - 1)
+                    c = np.bincount(ru[qs[pos] == gu], minlength=n)
+                    valid = (c > 0) & (ids != qid)
+                    if not valid.any():
+                        continue
+                    cv, dv = c[valid], ids[valid]
+                    u = sizes[valid] + len(qs) - cv
+                    jm = np.floor(cv / u * 1000.0).astype(np.int64)
+                    top = np.lexsort((dv, -jm))[:k]
+                    out_q.append(np.full(len(top), qid, np.int64))
+                    out_d.append(dv[top])
+                    out_j.append(jm[top])
+            cat = (lambda xs: np.concatenate(xs) if xs
+                   else np.empty(0, np.int64))
+            return pa.table({"query_id": pa.array(cat(out_q), pa.int64()),
+                             "doc_id": pa.array(cat(out_d), pa.int64()),
+                             "jaccard_milli": pa.array(cat(out_j), pa.int64())})
+
+    parts = ds.map_batches(Score, batch_format="pyarrow",
+                           concurrency=(1, 8)).to_pandas()
+    return (parts.sort_values(["query_id", "jaccard_milli", "doc_id"],
+                              ascending=[True, False, True])
+            .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+
+
+def doc_similar_topk_sql(n_queries: int = 8, k: int = 10,
+                         gk: int = 5) -> str:
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), {gk}) AS g
+  FROM norm, UNNEST(generate_series(1, length(s) - {gk} + 1)) AS t(i)
+  WHERE length(s) >= {gk}
+  UNION
+  SELECT doc_id, s AS g FROM norm WHERE length(s) < {gk}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), qids AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_queries}
+), inter AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS doc_id, count(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND b.doc_id <> a.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM qids)
+  GROUP BY 1, 2
+), scored AS (
+  SELECT i.query_id, i.doc_id,
+         CAST(floor(CAST(i.c AS DOUBLE) / (sq.n + sd.n - i.c) * 1000.0)
+              AS BIGINT) AS jaccard_milli
+  FROM inter i
+  JOIN sizes sq ON sq.doc_id = i.query_id
+  JOIN sizes sd ON sd.doc_id = i.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY jaccard_milli DESC, doc_id ASC) AS rn
+  FROM scored)
+SELECT query_id, doc_id, jaccard_milli FROM ranked WHERE rn <= {k}
+"""
+
+
 # ------------------------------------ exact set-similarity join (PPJoin-style)
 
 def q_doc_ppjoin_pairs(sf_dir: str, tau_permille: int = 600,
