@@ -236,7 +236,8 @@ def minhash_signatures(
 
 
 def oph_signatures(hashes: np.ndarray, row_offsets: np.ndarray,
-                   P: int, seed: int) -> np.ndarray:
+                   P: int, seed: int,
+                   with_filled: bool = False) -> np.ndarray | tuple:
     """One-Permutation Hashing signatures with rotation densification
     (Li, Owen & Zhang NIPS 2012; Shrivastava & Li ICML 2014).
 
@@ -255,14 +256,18 @@ def oph_signatures(hashes: np.ndarray, row_offsets: np.ndarray,
 
     Deterministic + partition-invariant: all randomness is the seed remix;
     slots of an empty row stay u64 MAX. P must be a power of two.
-    Returns (n_rows, P) u64.
+    Returns (n_rows, P) u64 — or ``(sig, filled)`` with the per-row count
+    of GENUINELY filled (pre-densification) bins when ``with_filled``:
+    densified slots are copies, so a pair's effective sample size for
+    variance purposes is min(filled) rather than P.
     """
-    if P & (P - 1):
-        raise ValueError(f"OPH needs power-of-two P, got {P}")
+    if P < 2 or P & (P - 1):
+        # P=1 would shift by the full 64-bit width (undefined in numpy)
+        raise ValueError(f"OPH needs power-of-two P >= 2, got {P}")
     n_rows = len(row_offsets) - 1
     sig = np.full((n_rows, P), np.iinfo(U64).max, dtype=U64)
     if n_rows == 0 or len(hashes) == 0:
-        return sig
+        return (sig, np.zeros(n_rows, np.int64)) if with_filled else sig
     bbits = int(P).bit_length() - 1
     with np.errstate(over="ignore"):
         v = splitmix64(np.asarray(hashes, U64) ^ splitmix64(U64(seed & (2**64 - 1))))
@@ -281,6 +286,7 @@ def oph_signatures(hashes: np.ndarray, row_offsets: np.ndarray,
     # filled slot rightward (circular) via a reverse cumulative min over
     # the doubled position axis
     filled = sig != np.iinfo(U64).max
+    n_filled = filled.sum(axis=1).astype(np.int64)
     if not filled.all():
         pos = np.arange(2 * P, dtype=np.int64)
         occ2 = np.concatenate([filled, filled], axis=1)
@@ -292,7 +298,7 @@ def oph_signatures(hashes: np.ndarray, row_offsets: np.ndarray,
         hop = (src - cols_e).astype(U64)
         with np.errstate(over="ignore"):
             sig[rows_e, cols_e] = sig[rows_e, src % P] + hop * _OPH_C
-    return sig
+    return (sig, n_filled) if with_filled else sig
 
 
 _OPH_C = np.uint64(0x9E3779B97F4A7C15)

@@ -499,21 +499,22 @@ def q_doc_similar_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
     cfg = DedupConfig(num_partitions=8)
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    # query selection: n_queries smallest doc_ids (bottom-k partials,
-    # #blocks x n_queries ints to the driver)
+    # query selection: the n_queries smallest doc_ids WITH their texts in
+    # the SAME pass (per-block bottom-k rows -> #blocks x n_queries short
+    # rows to the driver — no second corpus scan just to re-fetch texts)
     def bottomk(t: pa.Table) -> pa.Table:
-        ids = np.sort(t["doc_id"].to_numpy())[:n_queries]
-        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+        order = np.argsort(t["doc_id"].to_numpy(), kind="stable")[:n_queries]
+        return t.take(pa.array(order, pa.int64()))
 
-    qid_arr = np.sort(
-        ds.map_batches(bottomk, batch_format="pyarrow")
-        .to_pandas()["doc_id"].to_numpy())[:n_queries]
-
-    def pick(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(np.isin(t["doc_id"].to_numpy(), qid_arr)))
-
-    qdocs = (ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-             .sort_values("doc_id").reset_index(drop=True))
+    empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "doc_id": pd.Series(dtype="int64"),
+                          "jaccard_milli": pd.Series(dtype="int64")})
+    qparts = ds.map_batches(bottomk, batch_format="pyarrow").to_pandas()
+    # zero-row to_pandas returns a COLUMN-LESS frame (schema loss)
+    if qparts.empty or "doc_id" not in qparts.columns:
+        return empty
+    qdocs = (qparts.sort_values("doc_id").head(n_queries)
+             .reset_index(drop=True))
     cap = normalize_captions(pa.array(qdocs["text"].astype(str), pa.string()))
     qg, qoffs = H.shingle_window_hashes(cap, cfg.shingle_k)
     qsets = [np.unique(qg[qoffs[i]:qoffs[i + 1]]) for i in range(len(qdocs))]
@@ -562,6 +563,8 @@ def q_doc_similar_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
 
     parts = ds.map_batches(Score, batch_format="pyarrow",
                            concurrency=(1, 8)).to_pandas()
+    if parts.empty or "query_id" not in parts.columns:
+        return empty
     return (parts.sort_values(["query_id", "jaccard_milli", "doc_id"],
                               ascending=[True, False, True])
             .groupby("query_id", sort=True).head(k).reset_index(drop=True))
@@ -3911,11 +3914,13 @@ def q_oph_minhash_check(sf_dir: str, tau: float = 0.6):
     100 TB corpus, i.e. the compute bill of the signature stage. For every
     exact char-5-gram Jaccard pair this emits
     ``(src, dst, jaccard_milli, oph_within_bound)`` — TRUE iff the
-    densified-slot match fraction sits within the 4.5-sigma binomial band
-    (+1/P slack) of the true Jaccard (densified OPH is unbiased with
-    at-most-binomial variance at these document sizes; the kernel's
-    unbiasedness is property-tested in tests/test_hashing.py). Oracle =
-    exact pairs + constant TRUE, so estimator drift fails the value-hash.
+    densified-slot match fraction sits within a 4.5-sigma band (+1/P
+    slack) of the true Jaccard. The band's sample size is the pair's MIN
+    pre-densification filled-bin count, not P: borrowed (densified) slots
+    are copies, and for short docs the binomial-at-P band is measurably
+    ~1.5x too tight (the kernel's unbiasedness is property-tested in
+    tests/test_hashing.py). Oracle = exact pairs + constant TRUE, so
+    estimator drift fails the value-hash.
 
     Scale plan: identical pair-list plumbing to ``minhash_jaccard_check``;
     the signature pass itself is the cheap one."""
@@ -3938,19 +3943,22 @@ def _minhash_check_impl(sf_dir: str, tau: float, b: int | None,
         cap = normalize_captions(t["text"])
         grams, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
         if kind == "oph":
-            mh = H.oph_signatures(grams, offs, P, cfg.seed)
-        else:
-            mh = H.minhash_signatures(grams, offs, mh_a, mh_b)
+            mh, mf = H.oph_signatures(grams, offs, P, cfg.seed,
+                                      with_filled=True)
+            return pa.table({"doc_id": t["doc_id"],
+                             "mh": H.pack_u64_rows(mh),
+                             "mf": pa.array(mf, pa.int64())})
+        mh = H.minhash_signatures(grams, offs, mh_a, mh_b)
         return pa.table({"doc_id": t["doc_id"], "mh": H.pack_u64_rows(mh)})
 
     sigs = ds.map_batches(sig, batch_format="pyarrow",
                           batch_size=cfg.text_batch_size).materialize()
-    e = lookup_join(pairs,
-                    sigs.rename_columns({"doc_id": "src", "mh": "mh_src"}),
-                    on=["src"], cfg=cfg)
-    e = lookup_join(e,
-                    sigs.rename_columns({"doc_id": "dst", "mh": "mh_dst"}),
-                    on=["dst"], cfg=cfg)
+    ren_src = {"doc_id": "src", "mh": "mh_src"}
+    ren_dst = {"doc_id": "dst", "mh": "mh_dst"}
+    if kind == "oph":
+        ren_src["mf"], ren_dst["mf"] = "mf_src", "mf_dst"
+    e = lookup_join(pairs, sigs.rename_columns(ren_src), on=["src"], cfg=cfg)
+    e = lookup_join(e, sigs.rename_columns(ren_dst), on=["dst"], cfg=cfg)
 
     def verdict(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -3969,7 +3977,17 @@ def _minhash_check_impl(sf_dir: str, tau: float, b: int | None,
         # accidental-collision floor C = 2^-b for b-bit values
         C = 0.0 if b is None else 1.0 / (1 << b)
         p_exp = C + (1.0 - C) * j
-        sigma = np.sqrt(np.maximum(p_exp * (1.0 - p_exp), 0.0) / P)
+        # effective sample size: P independent slots for permutation
+        # MinHash; for densified OPH only the genuinely filled bins carry
+        # independent information (borrowed slots are copies), so the band
+        # uses the pair's min filled count — conservative for short docs,
+        # where the binomial-at-P band is measurably too tight (~1.5x)
+        if kind == "oph":
+            m = np.minimum(t["mf_src"].to_numpy(),
+                           t["mf_dst"].to_numpy()).clip(min=1).astype(float)
+        else:
+            m = float(P)
+        sigma = np.sqrt(np.maximum(p_exp * (1.0 - p_exp), 0.0) / m)
         ok = np.abs(est - p_exp) <= 4.5 * sigma + 1.0 / P
         return pa.table({"src": t["src"], "dst": t["dst"],
                          "jaccard_milli": t["jaccard_milli"],
