@@ -500,6 +500,28 @@ def _img_merge_query(sf_dir: str):
     return storage.read_table(f"{root}/merged/clusters")
 
 
+def _text_dedup_mode_agreement_query(sf_dir: str):
+    """Config-drift report: cluster the documents twice — classic
+    P-permutation MinHash vs one-permutation hashing — and measure
+    pair-level agreement (Adjusted Rand Index) WITHOUT materializing pair
+    sets. The operational answer to "did switching signature modes change
+    any dedup decisions?"; the same operator compares any two run outputs.
+    Rows-only (the clusterings are engine artifacts); the distributed-ARI
+    operator itself is serial-parity- and property-tested in
+    tests/test_queries.py::test_cluster_agreement_ari."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.evaluate import cluster_agreement
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+    from deduplication_ray.sources import storage
+
+    docs = storage.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    a = text_dedup_clusters(docs, DedupConfig(num_partitions=8))
+    b = text_dedup_clusters(
+        docs, DedupConfig(num_partitions=8, signature_mode="oph"))
+    return cluster_agreement(a, b)
+
+
 def _embedding_dup_pairs_query(sf_dir: str):
     """Semantic near-dup pairs: embedding cosine >= 0.45 over the aligned
     embeddings table — SQL-checked against the exact O(n^2) cosine join
@@ -688,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_pq": ann.pq_topk,
         "ann_topk_ivfpq": ann.ivfpq_topk,
         "doc_lsh_dedup": docops.q_doc_lsh_dedup,
+        "text_dedup_mode_agreement": _text_dedup_mode_agreement_query,
         "doc_cdc_dedup": docops.q_doc_cdc_dedup,  # content-defined chunk dedup
         "doc_tier_dedup": docops.q_doc_tier_dedup,
         "doc_leakage_safe_split": docops.q_doc_leakage_safe_split,

@@ -141,3 +141,81 @@ def validate_run(input_path: str, run_dir: str, cfg=None,
     out["ok"] = (out["missing"] == 0 and out["caption_fail"] == 0
                  and out["pixel_fail"] == 0 and out["psnr_fail"] == 0)
     return out
+
+
+def cluster_agreement(a, b, id_col: str = "doc_id",
+                      cluster_col: str = "cluster_id") -> pd.DataFrame:
+    """Distributed agreement between two CLUSTERINGS of the same id universe
+    (e.g. two dedup configs, two signature modes, engine-vs-baseline):
+    pair-level confusion counts and the Adjusted Rand Index, computed from
+    cluster-size contingency — pair sets are never materialized (the same
+    discipline as ``pair_metrics``, here fully distributed for 10^12-row
+    cluster tables).
+
+    Plan: ONE hash-co-partitioned join on the id, ONE contingency groupby
+    (pre-aggregated per block), then three bounded scalar reductions
+    (sum C(n_ij,2), sum C(a_i,2), sum C(b_j,2) — each a per-batch partial
+    emitting one row). ARI is exact rational arithmetic on driver scalars
+    (Python big ints; micro-scaled int64 out), so the verdict is
+    partitioning-invariant bit-for-bit.
+
+    Inputs are Datasets with (id_col, cluster_col). Rows whose id appears
+    in only one side are dropped (inner join semantics) and counted.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from deduplication_ray.stages.join import shuffle_join
+
+    def _ren(dst):
+        # map_batches(pyarrow) rather than rename_columns: also normalizes
+        # pandas-block datasets (from_pandas inputs) to Arrow
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: t[id_col], dst: t[cluster_col]})
+        return f
+
+    ren_a = a.map_batches(_ren("_ca"), batch_format="pyarrow")
+    ren_b = b.map_batches(_ren("_cb"), batch_format="pyarrow")
+    j = shuffle_join(ren_a, ren_b, on=[id_col], how="inner")
+    cont = j.groupby(["_ca", "_cb"]).aggregate(Count(alias_name="n"))
+
+    def _pair_partial(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t[col].to_numpy().astype(object)  # big-int safe
+            s = int(sum(x * (x - 1) // 2 for x in n))
+            return pa.table({"s": pa.array([s], pa.int64()),
+                             "rows": pa.array([int(sum(n))], pa.int64())})
+        return f
+
+    def _reduce(ds) -> tuple[int, int]:
+        df = ds.to_pandas()
+        if df.empty or "s" not in df.columns:
+            return 0, 0
+        return int(df["s"].sum()), int(df["rows"].sum())
+
+    s_ab, n_rows = _reduce(cont.map_batches(_pair_partial("n"),
+                                            batch_format="pyarrow"))
+    s_a, _ = _reduce(cont.groupby("_ca").aggregate(Sum("n", alias_name="m"))
+                     .map_batches(_pair_partial("m"), batch_format="pyarrow"))
+    s_b, _ = _reduce(cont.groupby("_cb").aggregate(Sum("n", alias_name="m"))
+                     .map_batches(_pair_partial("m"), batch_format="pyarrow"))
+
+    # ARI = (S_ab - E) / (0.5*(S_a+S_b) - E), E = S_a*S_b / C(n,2): exact
+    # rationals -> floor micro units (ARI == 1 iff identical pair sets)
+    tot = n_rows * (n_rows - 1) // 2
+    if tot == 0 or (s_a == 0 and s_b == 0):
+        ari_micro = 1_000_000 if s_a == s_b else 0
+    else:
+        num = 2 * (s_ab * tot - s_a * s_b)    # both scaled by 2*tot: exact
+        den = (s_a + s_b) * tot - 2 * s_a * s_b
+        ari_micro = int(num * 1_000_000 // den) if den else 1_000_000
+    return pd.DataFrame({
+        "rows": [n_rows],
+        "pairs_a": [s_a],
+        "pairs_b": [s_b],
+        "pairs_agree": [s_ab],
+        "ari_micro": [ari_micro],
+    })

@@ -1064,3 +1064,57 @@ def test_compression_ratio_signal_and_determinism(ray_session):
     assert (r1.loc[20:24, "ratio_milli"] < t_med * 0.5).all()   # spam
     assert (r1.loc[25:29, "ratio_milli"] > t_med * 1.3).all()   # noise
     assert (r1["raw_bytes"] > 0).all()
+
+
+def test_cluster_agreement_ari(ray_session):
+    """Distributed-ARI invariants: identical clusterings score exactly 1e6
+    micro (including under label permutation); splitting every cluster to
+    singletons agrees on zero pairs; a half-random relabel lands strictly
+    between; values match a serial contingency-based ARI bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from deduplication_ray.pipelines.evaluate import cluster_agreement
+
+    rng = np.random.default_rng(11)
+    n = 400
+    labels = rng.integers(0, 40, n)
+    ids = np.arange(n)
+
+    def ds(lab):
+        return ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": ids.astype(str), "cluster_id": lab.astype(str)}))
+
+    # identical + permuted labels -> exact 1.0
+    perm = rng.permutation(40)
+    r_same = cluster_agreement(ds(labels), ds(perm[labels]))
+    assert r_same["ari_micro"].iloc[0] == 1_000_000
+    assert r_same["pairs_agree"].iloc[0] == r_same["pairs_a"].iloc[0]
+
+    # singletons vs real clustering -> zero agreeing pairs
+    r_sing = cluster_agreement(ds(labels), ds(ids))
+    assert r_sing["pairs_b"].iloc[0] == 0
+    assert r_sing["pairs_agree"].iloc[0] == 0
+
+    # half-random relabel: strictly between, and bit-equal to a serial ARI
+    noisy = labels.copy()
+    flip = rng.random(n) < 0.5
+    noisy[flip] = rng.integers(40, 80, flip.sum())
+    r = cluster_agreement(ds(labels), ds(noisy))
+
+    def serial_ari_micro(la, lb):
+        df = pd.DataFrame({"a": la, "b": lb})
+        nij = df.groupby(["a", "b"]).size()
+        ai = df.groupby("a").size()
+        bj = df.groupby("b").size()
+        c2 = lambda s: int(sum(int(x) * (int(x) - 1) // 2 for x in s))
+        s_ab, s_a, s_b = c2(nij), c2(ai), c2(bj)
+        tot = len(df) * (len(df) - 1) // 2
+        num = 2 * (s_ab * tot - s_a * s_b)
+        den = (s_a + s_b) * tot - 2 * s_a * s_b
+        return num * 1_000_000 // den
+    expect = serial_ari_micro(labels, noisy)
+    got = int(r["ari_micro"].iloc[0])
+    assert got == expect
+    assert 0 < got < 1_000_000
