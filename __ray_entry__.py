@@ -642,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_passage_dedup": docops.q_doc_passage_dedup,  # chunks+exact_dedup
         "doc_norm_exact_dedup": docops.q_doc_norm_exact_dedup,  # C4 pre-pass
         "doc_similar_topk": docops.q_doc_similar_topk,  # text ANN oracle
+        "source_drift_tvd": docops.q_source_drift_tvd,  # crawl drift monitor
         "doc_bm25_topk": docops.q_doc_bm25_topk,         # kernel: top_terms
         "doc_token_estimate": docops.q_doc_token_estimate,  # doc_stats kin
         "source_dup_stats": docops.q_source_dup_stats,  # exact_dedup kin
@@ -805,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_passage_dedup": docops.doc_passage_dedup_sql(),
         "doc_norm_exact_dedup": docops.Q_DOC_NORM_EXACT_DEDUP_SQL,
         "doc_similar_topk": docops.doc_similar_topk_sql(),
+        "source_drift_tvd": docops.Q_SOURCE_DRIFT_TVD_SQL,
         "doc_boilerplate_scrub": docops.doc_boilerplate_scrub_sql(),
         "doc_validate": docops.Q_DOC_VALIDATE_SQL,
         "source_dup_stats": docops.Q_SOURCE_DUP_STATS_SQL,

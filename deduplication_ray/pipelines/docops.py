@@ -1985,6 +1985,66 @@ FROM documents GROUP BY 1
 """
 
 
+def q_source_drift_tvd(sf_dir: str):
+    """Corpus drift monitor (the crawl-over-crawl health check): per-source
+    total-variation-distance contributions between two snapshots — here the
+    deterministic even/odd doc_id halves standing in for crawl N vs N+1.
+    TVD = 0.5 * sum |p_a - p_b| is rational in the counts, so the whole
+    report is EXACT int64 arithmetic (floor micro units): no float crosses
+    engines, unlike a PSI/KL form whose ln() would be libm-dependent.
+
+    Scale plan: per-batch (source, parity) count partials -> a
+    |sources|x2-bounded groupby -> driver-side exact rational finalize on
+    the bounded table. One row per source; the corpus never re-shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def parity_counts(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        even = (t["doc_id"].to_numpy() % 2) == 0
+        u, inv = np.unique(src, return_inverse=True)
+        ca = np.bincount(inv, weights=even.astype(np.float64))
+        cb = np.bincount(inv, weights=(~even).astype(np.float64))
+        return pa.table({"source": pa.array(u),
+                         "ca": pa.array(ca.astype(np.int64), pa.int64()),
+                         "cb": pa.array(cb.astype(np.int64), pa.int64())})
+
+    agg = (ds.map_batches(parity_counts, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("ca", alias_name="ca"),
+                      Sum("cb", alias_name="cb"))).to_pandas()
+    if agg.empty or "source" not in agg.columns:
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "ca": pd.Series(dtype="int64"),
+                             "cb": pd.Series(dtype="int64"),
+                             "tvd_contrib_micro": pd.Series(dtype="int64")})
+    na, nb = int(agg["ca"].sum()), int(agg["cb"].sum())
+    contrib = [
+        (1_000_000 * abs(int(ca) * nb - int(cb) * na)) // (2 * na * nb)
+        if na and nb else 0
+        for ca, cb in zip(agg["ca"], agg["cb"])]
+    return pd.DataFrame({"source": agg["source"],
+                         "ca": agg["ca"].astype("int64"),
+                         "cb": agg["cb"].astype("int64"),
+                         "tvd_contrib_micro": pd.Series(contrib,
+                                                        dtype="int64")})
+
+
+Q_SOURCE_DRIFT_TVD_SQL = """
+WITH c AS (
+  SELECT source,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+  FROM documents GROUP BY source
+), t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)
+SELECT source, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+       CAST((1000000 * abs(ca * nb - cb * na)) // (2 * na * nb) AS BIGINT)
+           AS tvd_contrib_micro
+FROM c, t
+"""
+
+
 def q_doc_compression_ratio(sf_dir: str):
     """Compression-ratio quality signal (the Dolma/RedPajama filter): per
     document, ``zlib(level 6)`` size over raw size in integer milli. Very
