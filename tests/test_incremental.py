@@ -143,10 +143,13 @@ def test_ingest_refuses_mismatched_base_config(ray_session, incremental_run,
                      "/tmp/dedup_ray_inc_badcfg", other)
 
 
-def test_text_ingest_matches_full_run(ray_session, tmp_path):
+@pytest.mark.parametrize("sig_mode", ["perm", "oph"])
+def test_text_ingest_matches_full_run(ray_session, tmp_path, sig_mode):
     """mode='text': a text delta ingested against a checkpointed text base
     run yields EXACTLY the clusters of a from-scratch run over base+delta,
-    and the ingest's signature stage is delta-bounded."""
+    and the ingest's signature stage is delta-bounded. Parametrized over
+    both signature modes: the base-signature re-key must stay mode-agnostic
+    (stored minhash columns are re-banded, never recomputed)."""
     import pyarrow.compute as pc
 
     from deduplication_ray.config import DedupConfig
@@ -166,7 +169,8 @@ def test_text_ingest_matches_full_run(ray_session, tmp_path):
         for i in range(4):
             pq.write_table(t.slice(i * step, step), f"{d}/part-{i}.parquet")
 
-    cfg = DedupConfig(num_partitions=8, sa_batch_size=1024)
+    cfg = DedupConfig(num_partitions=8, sa_batch_size=1024,
+                      signature_mode=sig_mode)
     run_text_pipeline(str(tmp_path / "base"), str(tmp_path / "base_run"), cfg)
     metrics = ingest_delta(str(tmp_path / "base_run"), str(tmp_path / "base"),
                            str(tmp_path / "delta"), str(tmp_path / "inc_run"),
