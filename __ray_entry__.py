@@ -668,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_salted_join": R.q_events_orders_salted_join,  # join kin
         "lineitem_flag_overlap_kmv": R.q_lineitem_flag_overlap_kmv,  # HLL kin
         "doc_upsert": docops.q_doc_upsert,  # version_diff kin (MERGE INTO)
+        "doc_apply_changelog": docops.q_doc_apply_changelog,  # CDC + deletes
         "events_window_funcs": R.q_events_window_funcs,  # window kit kin
         "user_type_string_agg": R.q_user_type_string_agg,  # collect kernel
         "term_freq_cm_check": docops.q_term_freq_cm_check,  # sketch verdict
@@ -834,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         # KMV verdict: oracle = exact overlap + constant TRUE
         "lineitem_flag_overlap_kmv": R.Q_LINEITEM_FLAG_OVERLAP_KMV_SQL,
         "doc_upsert": docops.Q_DOC_UPSERT_SQL,
+        "doc_apply_changelog": docops.Q_DOC_APPLY_CHANGELOG_SQL,
         "events_window_funcs": R.Q_EVENTS_WINDOW_FUNCS_SQL,
         "user_type_string_agg": R.Q_USER_TYPE_STRING_AGG_SQL,
         # count-min verdict: oracle = exact top-k frequencies + constant TRUE

@@ -4609,6 +4609,86 @@ def q_doc_upsert(sf_dir: str, num_partitions: int = 16):
         pick_latest, batch_format="pyarrow")
 
 
+Q_DOC_APPLY_CHANGELOG_SQL = """
+WITH log AS (
+  SELECT doc_id, 0 AS version, CAST(n_chars AS BIGINT) AS n_chars, 'u' AS op
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, CAST(n_chars + 1000 AS BIGINT), 'u'
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 1, CAST(n_chars AS BIGINT), 'u'
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 2, CAST(0 AS BIGINT), 'd'
+  FROM documents WHERE doc_id % 11 = 0
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY version DESC) AS rn
+  FROM log)
+SELECT doc_id, n_chars FROM latest WHERE rn = 1 AND op = 'u'
+"""
+
+
+def q_doc_apply_changelog(sf_dir: str):
+    """CDC changelog APPLY — ``doc_upsert`` generalized with DELETE ops
+    (the Delta/Iceberg/Hudi change-log materialization): base table at
+    version 0, a derived log of updates (doc_id % 5), upsert-inserts
+    (% 7, shifted key space) and deletes (% 11, version 2 — so a key that
+    is both updated and deleted ends DELETED); output = one row per
+    surviving key at its highest version. The log derives deterministically
+    from the documents table so the DuckDB oracle builds identical inputs.
+
+    Scale shape: all four log streams are emitted by ONE stateless pass
+    over the base (no 4-way dataset union); per-batch keep-last combiner
+    collapses in-batch versions before the wire; ONE hash-partitioned
+    groupby picks each key's terminal row and drops tombstones. Tombstone
+    semantics match the engine's deletion propagation
+    (``incremental.delete_ids``) at the table-maintenance level."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def log_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        chars = t["n_chars"].to_numpy().astype(np.int64)
+        upd, ins, dele = ids % 5 == 0, ids % 7 == 0, ids % 11 == 0
+        out_id = np.concatenate(
+            [ids, ids[upd], ids[ins] + 1_000_000, ids[dele]])
+        out_ver = np.concatenate(
+            [np.zeros(len(ids), np.int64),
+             np.ones(upd.sum() + ins.sum(), np.int64),
+             np.full(dele.sum(), 2, np.int64)])
+        out_ch = np.concatenate(
+            [chars, chars[upd] + 1000, chars[ins],
+             np.zeros(dele.sum(), np.int64)])
+        out_op = np.concatenate(
+            [np.full(len(ids) + upd.sum() + ins.sum(), "u"),
+             np.full(dele.sum(), "d")])
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "version": pa.array(out_ver, pa.int64()),
+                         "n_chars": pa.array(out_ch, pa.int64()),
+                         "op": pa.array(out_op, pa.string())})
+
+    def local_latest(t: pa.Table) -> pa.Table:
+        ids, ver = t["doc_id"].to_numpy(), t["version"].to_numpy()
+        order = np.lexsort((ver, ids))
+        ids_s = ids[order]
+        last = np.concatenate([ids_s[1:] != ids_s[:-1], [True]]) \
+            if len(ids_s) else np.zeros(0, bool)
+        return t.take(pa.array(order[last]))
+
+    def pick_terminal(g: pa.Table) -> pa.Table:
+        i = int(pc.index(g["version"], pc.max(g["version"])).as_py())
+        row = g.slice(i, 1)
+        if row["op"][0].as_py() == "d":
+            return row.select(["doc_id", "n_chars"]).slice(0, 0)
+        return row.select(["doc_id", "n_chars"])
+
+    log = ds.map_batches(log_rows, batch_format="pyarrow") \
+        .map_batches(local_latest, batch_format="pyarrow")
+    return log.groupby("doc_id").map_groups(
+        pick_terminal, batch_format="pyarrow")
+
+
 Q_DOC_UPSERT_SQL = """
 WITH base AS (
   SELECT doc_id, CAST(1 AS BIGINT) AS version,
