@@ -255,6 +255,10 @@ def run_bench() -> dict:
         ("broadcast_join", relational.q_broadcast_join),
         ("top_revenue_orders", relational.q_top_revenue_orders),
         ("doc_lsh_dedup", q_doc_lsh_dedup),
+        # same engine with one-permutation-hashing signatures: the delta vs
+        # doc_lsh_dedup is the signature stage's P-sweep compute, measured
+        ("doc_lsh_dedup_oph", lambda sf: q_doc_lsh_dedup(
+            sf, signature_mode="oph")),
         ("ann_topk", brute_force_topk),
         ("video_dedup", lambda _sf: video_dedup_clusters(
             storage.read_table(f"{vid_fix}/data"), cfg)),

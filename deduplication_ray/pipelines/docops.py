@@ -1030,8 +1030,10 @@ WHERE i.o * 1000 >= {tau_permille} * (ta.w + tb.w - i.o)
 """
 
 
-def q_doc_lsh_dedup(sf_dir: str):
-    """Full text near-dup engine over documents -> clusters (rows-only)."""
+def q_doc_lsh_dedup(sf_dir: str, signature_mode: str = "perm"):
+    """Full text near-dup engine over documents -> clusters (rows-only).
+    ``signature_mode='oph'`` swaps the P-permutation MinHash sweeps for
+    one-permutation hashing (same banding/verify downstream)."""
     from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1039,7 +1041,8 @@ def q_doc_lsh_dedup(sf_dir: str):
     # build parallel (~0.5MB text/batch); short-caption tables use the
     # 4096 default
     return text_dedup_clusters(ds, DedupConfig(num_partitions=8,
-                                               sa_batch_size=1024))
+                                               sa_batch_size=1024,
+                                               signature_mode=signature_mode))
 
 
 # -------------------------------------------------------- deterministic split
