@@ -87,3 +87,55 @@ def verify_edges(
         return t.select(["src", "dst", "kind"]).filter(pa.array(keep))
 
     return edges_with_sigs.map_batches(check, batch_format="pyarrow")
+
+
+def plan_hamming_radius(pos_dists, neg_dists, target_recall: float = 0.99,
+                        bits: int = 64) -> dict:
+    """Operating-point planner for a Hamming-ball verification channel —
+    the verify-stage analog of ``lsh.plan_lsh_params``: given labeled
+    Hamming distances (``pos_dists`` from known-duplicate pairs,
+    ``neg_dists`` from known-non-duplicate pairs — a small calibration
+    sample by contract, e.g. a planted fixture or a human-labeled batch),
+    choose the smallest radius whose recall meets ``target_recall`` and
+    report the full sweep so the false-positive cost of each extra bit is
+    visible. The default config's radii (``phash_hamming_t=10``,
+    ``simhash_hamming_t=6``, ``crop_hamming_t=3``) were chosen exactly
+    this way against the planted fixtures.
+
+    Returns {radius, recall, fpr, recall_ok, f1_radius, sweep} where
+    ``sweep`` is a list of (radius, recall_milli, fpr_milli) for radii up
+    to the first with recall 1.0, and ``f1_radius`` maximizes F1 treating
+    the calibration sample as the population. Pure driver math on the
+    bounded sample — no distributed work.
+    """
+    import numpy as np
+
+    pos = np.asarray(pos_dists, dtype=np.int64)
+    neg = np.asarray(neg_dists, dtype=np.int64)
+    if len(pos) == 0:
+        raise ValueError("need at least one positive-pair distance")
+    sweep = []
+    chosen, f1_best, f1_radius = None, -1.0, 0
+    for r in range(bits + 1):
+        recall = float((pos <= r).mean())
+        fpr = float((neg <= r).mean()) if len(neg) else 0.0
+        tp = int((pos <= r).sum())
+        fp = int((neg <= r).sum())
+        prec = tp / (tp + fp) if tp + fp else 1.0
+        f1 = (2 * prec * recall / (prec + recall)) if prec + recall else 0.0
+        if f1 > f1_best:
+            f1_best, f1_radius = f1, r
+        sweep.append((r, int(recall * 1000), int(fpr * 1000)))
+        if chosen is None and recall >= target_recall:
+            chosen = r
+        if recall >= 1.0:
+            break
+    r = chosen if chosen is not None else bits
+    return {
+        "radius": r,
+        "recall": float((pos <= r).mean()),
+        "fpr": float((neg <= r).mean()) if len(neg) else 0.0,
+        "recall_ok": chosen is not None,
+        "f1_radius": f1_radius,
+        "sweep": sweep,
+    }

@@ -232,3 +232,36 @@ def test_oph_signatures_properties():
 
     with pytest.raises(ValueError):
         H.oph_signatures(A, np.array([0, len(A)], np.int64), 100, 17)
+
+
+def test_plan_hamming_radius_operating_point():
+    """Planner invariants: picks the smallest radius meeting target recall;
+    separable planted distributions yield a radius between the modes; the
+    F1 radius never exceeds the recall-1.0 radius; the default pHash config
+    radius (10) meets 0.99 recall on a fixture-like positive distribution."""
+    import numpy as np
+    import pytest
+
+    from deduplication_ray.stages.verify import plan_hamming_radius
+
+    rng = np.random.default_rng(5)
+    pos = rng.binomial(64, 0.04, 4000)   # dup pairs: ~2.6 bits differ
+    neg = rng.binomial(64, 0.5, 4000)    # random pairs: ~32 bits
+    plan = plan_hamming_radius(pos, neg, target_recall=0.99)
+    assert plan["recall_ok"] and plan["recall"] >= 0.99
+    assert plan["radius"] < 16            # well under the negative mode
+    assert plan["fpr"] == 0.0             # fully separable sample
+    # smallest-radius property: one bit less misses the target
+    r = plan["radius"]
+    assert (pos <= r - 1).mean() < 0.99
+    assert plan["f1_radius"] <= max(r, plan["f1_radius"])
+    # the shipped default (phash_hamming_t=10) is consistent with this
+    # positive distribution
+    assert (pos <= 10).mean() >= 0.99
+
+    # monotone sweep recall
+    recalls = [m for _, m, _ in plan["sweep"]]
+    assert recalls == sorted(recalls)
+
+    with pytest.raises(ValueError):
+        plan_hamming_radius([], [1, 2])
