@@ -262,7 +262,52 @@ def main(argv: list[str] | None = None) -> int:
                    help="print Ray Data per-operator execution stats after "
                         "the run (wall time, rows, bytes per stage)")
 
+    s = sub.add_parser("plan", help="print an operating point without running "
+                       "anything: LSH (bands, rows) for a Jaccard threshold, "
+                       "and/or a Hamming verify radius from labeled distances")
+    s.add_argument("--jaccard-threshold", type=float, default=None,
+                   dest="jaccard_threshold",
+                   help="target Jaccard: choose (bands, rows_per_band) via "
+                        "the banding S-curve (stages/lsh.plan_lsh_params)")
+    s.add_argument("--num-perm", type=int, default=128)
+    s.add_argument("--hamming-pos", default=None,
+                   help="file of labeled DUP-pair Hamming distances (one "
+                        "int per line): plan the verify radius")
+    s.add_argument("--hamming-neg", default=None,
+                   help="file of labeled NON-dup-pair distances")
+    s.add_argument("--target-recall", type=float, default=0.99)
+    s.add_argument("--bits", type=int, default=64)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "plan":
+        import json as _json
+
+        did = False
+        if args.jaccard_threshold is not None:
+            from deduplication_ray.stages.lsh import plan_lsh_params
+
+            plan = plan_lsh_params(args.jaccard_threshold, args.num_perm)
+            print(_json.dumps({"lsh": plan}))
+            did = True
+        if args.hamming_pos is not None:
+            from deduplication_ray.stages.verify import plan_hamming_radius
+
+            def _read_dists(path):
+                with open(path) as f:
+                    return [int(line) for line in f if line.strip()]
+
+            neg = _read_dists(args.hamming_neg) if args.hamming_neg else []
+            plan = plan_hamming_radius(_read_dists(args.hamming_pos), neg,
+                                       target_recall=args.target_recall,
+                                       bits=args.bits)
+            print(_json.dumps({"hamming": plan}))
+            did = True
+        if not did:
+            print("nothing to plan: pass --jaccard-threshold and/or "
+                  "--hamming-pos", file=sys.stderr)
+            return 2
+        return 0
 
     if args.cmd == "query":
         import os

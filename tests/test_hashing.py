@@ -265,3 +265,23 @@ def test_plan_hamming_radius_operating_point():
 
     with pytest.raises(ValueError):
         plan_hamming_radius([], [1, 2])
+
+
+def test_cli_plan_verb(tmp_path, capsys):
+    """`cli plan` prints JSON operating points without a Ray session."""
+    import json
+
+    from deduplication_ray import cli
+
+    rc = cli.main(["plan", "--jaccard-threshold", "0.8"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and out["lsh"]["recall_ok"]
+    assert out["lsh"]["bands"] * out["lsh"]["rows_per_band"] == 128
+
+    pos = tmp_path / "pos.txt"
+    pos.write_text("2\n3\n1\n")
+    rc = cli.main(["plan", "--hamming-pos", str(pos)])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and out["hamming"]["radius"] == 3
+
+    assert cli.main(["plan"]) == 2
