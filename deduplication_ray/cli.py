@@ -212,6 +212,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="audit only the first N representatives")
     s.add_argument("--num-cpus", type=int, default=None)
 
+    s = sub.add_parser("compare", help="pair-level agreement between two "
+                                       "finished runs' clusterings "
+                                       "(Adjusted Rand Index; exact, "
+                                       "pair sets never materialized)")
+    s.add_argument("--run-a", required=True, help="first run dir")
+    s.add_argument("--run-b", required=True, help="second run dir")
+    s.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("compress", help="reference-conformant DDP1 encode")
     s.add_argument("width", type=int)
     s.add_argument("block", type=int)
@@ -427,6 +435,19 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(report))
         ray.shutdown()
         return 0 if report["ok"] else 1
+
+    if args.cmd == "compare":
+        ray = _session(args.num_cpus)
+        from deduplication_ray.pipelines.evaluate import cluster_agreement
+        from deduplication_ray.sources import storage
+
+        a = storage.read_table(f"{args.run_a}/clusters")
+        b = storage.read_table(f"{args.run_b}/clusters")
+        report = cluster_agreement(a, b, id_col="image_id",
+                                   cluster_col="cluster_id")
+        print(json.dumps(report.to_dict("records")[0]))
+        ray.shutdown()
+        return 0
 
     if args.cmd == "curate":
         ray = _session(args.num_cpus)

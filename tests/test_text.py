@@ -263,3 +263,34 @@ def test_dup_span_removal_semantics(ray_session, tmp_path):
     # counts one (empty) token; _tokens_flat mirrors that exactly
     assert list(out["n_words"]) == [18, 13, 10, 21, 2, 1]
     assert list(out["n_removed"]) == [12, 12, 0, 16, 0, 0]
+
+
+def test_cli_compare_verb(ray_session, tmp_path, capsys):
+    """`cli compare` reports exact agreement between two finished runs —
+    here the same corpus run twice under the two signature modes."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from deduplication_ray import cli
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.text_dedup import run_text_pipeline
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet") \
+        .select(["doc_id", "text"]).slice(0, 300)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(src, f"{d}/part-0.parquet")
+
+    cfg_a = DedupConfig(num_partitions=4, sa_batch_size=1024)
+    cfg_b = DedupConfig(num_partitions=4, sa_batch_size=1024,
+                        signature_mode="oph")
+    run_text_pipeline(str(d), str(tmp_path / "run_a"), cfg_a)
+    run_text_pipeline(str(d), str(tmp_path / "run_b"), cfg_b)
+
+    rc = cli.main(["compare", "--run-a", str(tmp_path / "run_a"),
+                   "--run-b", str(tmp_path / "run_b")])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert rep["rows"] == 300
+    assert rep["ari_micro"] == 1_000_000  # modes agree on this corpus
