@@ -123,6 +123,27 @@ def _make_orc_backend() -> FormatBackend:
         lambda t, p, **kw: orc.write_table(t, p, **kw))
 
 
+def _make_msgpack_backend() -> FormatBackend:
+    """MessagePack stream backend (the fluentd/log-shipper convention: one
+    msgpack map per row, concatenated). JSON-typed payloads only — ints,
+    floats, strings, bools, lists, maps; temporal columns belong to the
+    typed formats (parquet/feather/orc). Schema is inferred per file on
+    read, exactly like the JSON backend."""
+    import msgpack
+
+    def read_bytes(f) -> pa.Table:
+        rows = list(msgpack.Unpacker(f, raw=False))
+        return pa.Table.from_pylist(rows)
+
+    def write_table(t: pa.Table, path: str, **kw) -> None:
+        packer = msgpack.Packer()
+        with open(path, "wb") as f:
+            for row in t.to_pylist():
+                f.write(packer.pack(row))
+
+    return _file_table_backend(".msgpack", read_bytes, write_table)
+
+
 _BACKENDS: dict[str, FormatBackend] = {
     "parquet": FormatBackend(
         lambda path, columns=None, **kw:
@@ -136,6 +157,7 @@ _BACKENDS: dict[str, FormatBackend] = {
         (".json", ".jsonl")),
     "feather": _make_feather_backend(),
     "orc": _make_orc_backend(),
+    "msgpack": _make_msgpack_backend(),
 }
 
 FORMAT = "parquet"  # -> set_format("lance") when pylance is available

@@ -181,7 +181,7 @@ def test_feather_and_orc_roundtrip(ray_session, tmp_path):
                               columns=["doc_id", "lang", "n_chars"])
     want = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
-    for fmt in ("feather", "orc"):
+    for fmt in ("feather", "orc", "msgpack"):
         out = str(tmp_path / fmt)
         storage._BACKENDS[fmt].writer(docs, out)
         got = storage.read_table(out).to_pandas() \
