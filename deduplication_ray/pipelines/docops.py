@@ -2042,8 +2042,9 @@ WITH c AS (
   FROM documents GROUP BY source
 ), t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)
 SELECT source, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
-       CAST((1000000 * abs(ca * nb - cb * na)) // (2 * na * nb) AS BIGINT)
-           AS tvd_contrib_micro
+       CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
+                 ELSE (1000000 * abs(ca * nb - cb * na)) // (2 * na * nb)
+            END AS BIGINT) AS tvd_contrib_micro
 FROM c, t
 """
 
@@ -4617,13 +4618,13 @@ WITH log AS (
   SELECT doc_id, 0 AS version, CAST(n_chars AS BIGINT) AS n_chars, 'u' AS op
   FROM documents
   UNION ALL
-  SELECT doc_id, 1, CAST(n_chars + 1000 AS BIGINT), 'u'
-  FROM documents WHERE doc_id % 5 = 0
-  UNION ALL
   SELECT doc_id + 1000000, 1, CAST(n_chars AS BIGINT), 'u'
   FROM documents WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id, 2, CAST(0 AS BIGINT), 'd'
+  SELECT doc_id, 2, CAST(n_chars + 1000 AS BIGINT), 'u'
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 3, CAST(0 AS BIGINT), 'd'
   FROM documents WHERE doc_id % 11 = 0
 ), latest AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -4636,11 +4637,15 @@ SELECT doc_id, n_chars FROM latest WHERE rn = 1 AND op = 'u'
 def q_doc_apply_changelog(sf_dir: str):
     """CDC changelog APPLY — ``doc_upsert`` generalized with DELETE ops
     (the Delta/Iceberg/Hudi change-log materialization): base table at
-    version 0, a derived log of updates (doc_id % 5), upsert-inserts
-    (% 7, shifted key space) and deletes (% 11, version 2 — so a key that
-    is both updated and deleted ends DELETED); output = one row per
-    surviving key at its highest version. The log derives deterministically
-    from the documents table so the DuckDB oracle builds identical inputs.
+    version 0, a derived log of upsert-inserts (% 7, shifted key space,
+    version 1), updates (doc_id % 5, version 2) and deletes (% 11,
+    version 3 — so a key that is both updated and deleted ends DELETED);
+    output = one row per surviving key at its highest version. The log
+    derives deterministically from the documents table so the DuckDB
+    oracle builds identical inputs. Each stream owns a distinct version
+    level, so no (key, version) tie can arise even when a shifted insert
+    key collides with a real doc_id (ids spanning past 1e6) — ties would
+    make the terminal-row election order-dependent.
 
     Scale shape: all four log streams are emitted by ONE stateless pass
     over the base (no 4-way dataset union); per-batch keep-last combiner
@@ -4655,16 +4660,17 @@ def q_doc_apply_changelog(sf_dir: str):
         chars = t["n_chars"].to_numpy().astype(np.int64)
         upd, ins, dele = ids % 5 == 0, ids % 7 == 0, ids % 11 == 0
         out_id = np.concatenate(
-            [ids, ids[upd], ids[ins] + 1_000_000, ids[dele]])
+            [ids, ids[ins] + 1_000_000, ids[upd], ids[dele]])
         out_ver = np.concatenate(
             [np.zeros(len(ids), np.int64),
-             np.ones(upd.sum() + ins.sum(), np.int64),
-             np.full(dele.sum(), 2, np.int64)])
+             np.ones(ins.sum(), np.int64),
+             np.full(upd.sum(), 2, np.int64),
+             np.full(dele.sum(), 3, np.int64)])
         out_ch = np.concatenate(
-            [chars, chars[upd] + 1000, chars[ins],
+            [chars, chars[ins], chars[upd] + 1000,
              np.zeros(dele.sum(), np.int64)])
         out_op = np.concatenate(
-            [np.full(len(ids) + upd.sum() + ins.sum(), "u"),
+            [np.full(len(ids) + ins.sum() + upd.sum(), "u"),
              np.full(dele.sum(), "d")])
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "version": pa.array(out_ver, pa.int64()),

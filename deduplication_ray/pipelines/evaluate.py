@@ -153,14 +153,20 @@ def cluster_agreement(a, b, id_col: str = "doc_id",
     cluster tables).
 
     Plan: ONE hash-co-partitioned join on the id, ONE contingency groupby
-    (pre-aggregated per block), then three bounded scalar reductions
-    (sum C(n_ij,2), sum C(a_i,2), sum C(b_j,2) — each a per-batch partial
-    emitting one row). ARI is exact rational arithmetic on driver scalars
-    (Python big ints; micro-scaled int64 out), so the verdict is
-    partitioning-invariant bit-for-bit.
+    (pre-aggregated per block; materialized once — three reductions read
+    it, not three re-executions of the upstream DAGs), then three bounded
+    scalar reductions (sum C(n_ij,2), sum C(a_i,2), sum C(b_j,2) — each a
+    per-batch partial emitting one row). Pair-count partials travel as
+    DECIMAL STRINGS and sum as Python big ints on the driver: C(n,2) of a
+    mega-cluster exceeds int64 at the advertised 10^12-row scale, so an
+    int64 wire type would overflow exactly on the corpora this report
+    exists to flag. ARI is exact rational arithmetic on driver scalars
+    (micro-scaled int64 out), partitioning-invariant bit-for-bit.
 
     Inputs are Datasets with (id_col, cluster_col). Rows whose id appears
-    in only one side are dropped (inner join semantics) and counted.
+    in only one side are dropped (inner join semantics) and REPORTED as
+    ``only_a`` / ``only_b`` — an ARI of 1.0 over the intersection must not
+    mask membership disagreement.
     """
     import numpy as np
     import pyarrow as pa
@@ -177,16 +183,20 @@ def cluster_agreement(a, b, id_col: str = "doc_id",
             return pa.table({id_col: t[id_col], dst: t[cluster_col]})
         return f
 
-    ren_a = a.map_batches(_ren("_ca"), batch_format="pyarrow")
-    ren_b = b.map_batches(_ren("_cb"), batch_format="pyarrow")
+    # materialize the (id, label) streams once: .count() below and the join
+    # must not re-execute a lazy upstream clustering DAG per consumer
+    ren_a = a.map_batches(_ren("_ca"), batch_format="pyarrow").materialize()
+    ren_b = b.map_batches(_ren("_cb"), batch_format="pyarrow").materialize()
+    rows_a, rows_b = ren_a.count(), ren_b.count()
     j = shuffle_join(ren_a, ren_b, on=[id_col], how="inner")
-    cont = j.groupby(["_ca", "_cb"]).aggregate(Count(alias_name="n"))
+    cont = j.groupby(["_ca", "_cb"]).aggregate(Count(alias_name="n")) \
+        .materialize()
 
     def _pair_partial(col: str):
         def f(t: pa.Table) -> pa.Table:
             n = t[col].to_numpy().astype(object)  # big-int safe
             s = int(sum(x * (x - 1) // 2 for x in n))
-            return pa.table({"s": pa.array([s], pa.int64()),
+            return pa.table({"s": pa.array([str(s)], pa.string()),
                              "rows": pa.array([int(sum(n))], pa.int64())})
         return f
 
@@ -194,7 +204,7 @@ def cluster_agreement(a, b, id_col: str = "doc_id",
         df = ds.to_pandas()
         if df.empty or "s" not in df.columns:
             return 0, 0
-        return int(df["s"].sum()), int(df["rows"].sum())
+        return (sum(int(x) for x in df["s"]), int(df["rows"].sum()))
 
     s_ab, n_rows = _reduce(cont.map_batches(_pair_partial("n"),
                                             batch_format="pyarrow"))
@@ -214,6 +224,8 @@ def cluster_agreement(a, b, id_col: str = "doc_id",
         ari_micro = int(num * 1_000_000 // den) if den else 1_000_000
     return pd.DataFrame({
         "rows": [n_rows],
+        "only_a": [rows_a - n_rows],
+        "only_b": [rows_b - n_rows],
         "pairs_a": [s_a],
         "pairs_b": [s_b],
         "pairs_agree": [s_ab],

@@ -254,7 +254,8 @@ def test_plan_hamming_radius_operating_point():
     # smallest-radius property: one bit less misses the target
     r = plan["radius"]
     assert (pos <= r - 1).mean() < 0.99
-    assert plan["f1_radius"] <= max(r, plan["f1_radius"])
+    # the F1 point never lies past the recall-1.0 cutoff (the sweep's end)
+    assert plan["f1_radius"] <= plan["sweep"][-1][0]
     # the shipped default (phash_hamming_t=10) is consistent with this
     # positive distribution
     assert (pos <= 10).mean() >= 0.99

@@ -73,6 +73,16 @@ def test_apply_changelog_fuzz_vs_duckdb(ray_session, tmp_path, seed):
     rng = np.random.default_rng(7200 + seed)
     n = int(rng.choice([1, 2, 77, 500]))
     t = _docs_table(rng, n, max(n, 1))
+    if seed % 2:
+        # shift a random half of the (unique, < 1e6) ids by exactly the
+        # 1e6 insert offset: shifted-insert keys now COLLIDE with real
+        # doc_ids, and the version-separated log must stay deterministic
+        # and oracle-equal under those collisions (uniqueness preserved:
+        # shifted >= 1e6, unshifted < 1e6)
+        ids = t["doc_id"].to_numpy()
+        bump = rng.random(len(ids)) < 0.5
+        t = t.set_column(0, "doc_id",
+                         pa.array(ids + bump * 1_000_000, pa.int64()))
     sf = _write_docs(tmp_path, f"cl{seed}", t)
     got = _result_rows(docops.q_doc_apply_changelog(sf))
     con = duckdb.connect()

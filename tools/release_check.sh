@@ -2,7 +2,7 @@
 # One-command release gate: full test suite, full oracle sweep at sf0.01,
 # and a bench smoke at sf0.01. Run before closing out a round.
 # Usage: bash tools/release_check.sh [sweep_sf_dir]
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.." || exit 1
 SF=${1:-/root/testdata/sf0.01}
 rc=0
