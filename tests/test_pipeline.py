@@ -497,3 +497,26 @@ def test_tier_funnel_deterministic_across_partitioning(tiny_fixture,
         rep = tier_dedup_report(ds, DedupConfig(num_partitions=npart))
         reps.append(rep.reset_index(drop=True))
     pd.testing.assert_frame_equal(reps[0], reps[1])
+
+
+def test_image_pipeline_recall_with_oph_signatures(tiny_fixture, ray_session):
+    """The FLAGSHIP image pipeline holds the north-rule recall gate with
+    one-permutation-hashing caption signatures (`signature_mode='oph'`) —
+    the pixel channels are untouched, the caption channel feeds the same
+    banding/verify, so quality must not regress."""
+    import shutil
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines import image_dedup
+    from deduplication_ray.pipelines.evaluate import pair_metrics
+
+    run_dir = "/tmp/dedup_ray_test_run_oph"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    cfg = DedupConfig(num_partitions=4, sig_concurrency=2,
+                      signature_mode="oph")
+    image_dedup.run_pipeline(f"{tiny_fixture}/data", run_dir, cfg)
+    pred = load_parquet_dir(f"{run_dir}/clusters")
+    m = pair_metrics(pred, _truth(tiny_fixture))
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.99, m
+    shutil.rmtree(run_dir, ignore_errors=True)
