@@ -638,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": docops.q_top_terms,                 # kernel: topk_sources
         "doc_word_repetition": docops.q_doc_word_repetition,  # doc_stats kin
         "events_moving_window": R.q_events_moving_window,  # kernel: events_lag
+        "events_fill_forward": R.q_events_fill_forward,  # LOCF window
         "events_daily_gapfill": R.q_events_daily_gapfill,  # sessionize kin
         "doc_passage_dedup": docops.q_doc_passage_dedup,  # chunks+exact_dedup
         "doc_norm_exact_dedup": docops.q_doc_norm_exact_dedup,  # C4 pre-pass
@@ -778,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": R.Q_ORDERS_ROLLUP_SQL,
         "events_type_pivot": R.events_type_pivot_sql(),
         "events_lag": R.Q_EVENTS_LAG_SQL,
+        "events_fill_forward": R.Q_EVENTS_FILL_FORWARD_SQL,
         "daily_purchase_error_join": R.Q_DAILY_PURCHASE_ERROR_JOIN_SQL,
         "events_value_rank": R.Q_EVENTS_VALUE_RANK_SQL,
         "orders_cube": R.Q_ORDERS_CUBE_SQL,

@@ -4574,3 +4574,67 @@ JOIN nation ON n_nationkey = s_nationkey
 WHERE cost_cents = (SELECT min(cost_cents) FROM cost c2
                     WHERE c2.p_partkey = c.p_partkey)
 """
+
+
+# ---------------------------------------------------------------- LOCF fill-forward
+
+def q_events_fill_forward(sf_dir: str, num_buckets: int = 32):
+    """Per-user LOCF (last observation carried forward): for every event,
+    the cents value of the user's most recent *purchase* at or before it
+    (-1 until the first purchase) — the gap-filling window that turns a
+    sparse measurement stream into a dense per-event state column
+    (sensor imputation, last-known-price joins, slowly-changing state).
+
+    Scale shape (same as q_events_lag / sessionize): users hash into
+    buckets so each user's rows co-locate, ONE vectorized pass per bucket:
+    lexsort by (user, ts, id); observation positions LOCF via
+    ``np.maximum.accumulate``; a second running max over per-user segment
+    starts invalidates carries that would cross a user boundary. No
+    per-user Python, no per-row loop.
+
+    Generalizes the reference's decode gather (compressor.c:320-339):
+    there every position fetches a *dictionary* row by id; here every
+    event fetches the latest *prior observation* by time — a positional
+    gather whose index column is computed by a running max instead of
+    read from the container."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def locf_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64)
+        is_obs = (g["event_type"].to_numpy() == "purchase")
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        # LOCF: index of the latest observation at or before each row ...
+        carried = np.maximum.accumulate(np.where(is_obs, pos, -1))
+        # ... invalidated where it crosses a user boundary (first row of
+        # the frame is always a segment start, so the accumulate is total)
+        new_user = g["user_id"].ne(g["user_id"].shift()).to_numpy()
+        seg_start = np.maximum.accumulate(np.where(new_user, pos, -1))
+        valid = carried >= seg_start
+        out = np.full(n, -1, dtype=np.int64)
+        out[valid] = cents[carried[valid]]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "last_purchase_cents": out})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(locf_bucket, batch_format="pandas")
+
+
+Q_EVENTS_FILL_FORWARD_SQL = """
+SELECT event_id,
+       COALESCE(last_value(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                           END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                -1) AS last_purchase_cents
+FROM events
+"""
