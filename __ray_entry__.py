@@ -647,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_topk": docops.q_doc_bm25_topk,         # kernel: top_terms
         "doc_token_estimate": docops.q_doc_token_estimate,  # doc_stats kin
         "source_dup_stats": docops.q_source_dup_stats,  # exact_dedup kin
+        "dup_cluster_size_hist": docops.q_dup_cluster_size_hist,  # count-of-counts
         "doc_version_diff": docops.q_doc_version_diff,  # shuffle-join kin
         "doc_token_budget_mix": docops.q_doc_token_budget_mix,  # src_cap kin
         "source_overlap_matrix": docops.q_source_overlap_matrix,  # top_terms kin
@@ -813,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_scrub": docops.doc_boilerplate_scrub_sql(),
         "doc_validate": docops.Q_DOC_VALIDATE_SQL,
         "source_dup_stats": docops.Q_SOURCE_DUP_STATS_SQL,
+        "dup_cluster_size_hist": docops.Q_DUP_CLUSTER_SIZE_HIST_SQL,
         "doc_version_diff": docops.Q_DOC_VERSION_DIFF_SQL,
         "doc_token_budget_mix": docops.doc_token_budget_mix_sql(),
         "source_overlap_matrix": docops.Q_SOURCE_OVERLAP_MATRIX_SQL,

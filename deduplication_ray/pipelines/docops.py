@@ -5308,3 +5308,49 @@ def q_doc_leakage_safe_split(sf_dir: str, ds=None):
                          "split": pa.array(split, pa.string())})
 
     return clusters.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------------------- dup-cluster size histogram
+
+def q_dup_cluster_size_hist(sf_dir: str, ds=None):
+    """Exact-dup cluster-size histogram — the count-of-counts view of
+    content duplication (how many texts appear once / twice / k times),
+    the first diagnostic a curation run reads: its tail says whether dup
+    mass sits in a few mega-clusters (boilerplate farms -> salting, star
+    edges) or a long tail of pairs.
+
+    Scale shape (count-of-counts, same as q_events_user_degree_hist): the
+    exact-dedup shuffle with per-batch Arrow group_by partials bounds the
+    first exchange by distinct texts; the histogram pass re-partials
+    (cluster_size, n) per batch so the second groupby is bounded by
+    |distinct sizes| — a handful of rows at any corpus scale. At 10^12
+    rows the text key becomes a 128-bit content hash; the text itself
+    keeps DuckDB value-hash parity here (same note as q_source_dup_stats)."""
+    from ray.data.aggregate import Sum
+
+    docs = ds if ds is not None else _docs(sf_dir, ["text"])
+
+    def text_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["text"]).group_by("text").aggregate([("text", "count")])
+        return pa.table({"text": g["text"],
+                         "n": g["text_count"].cast(pa.int64())})
+
+    per_text = (docs.map_batches(text_partial, batch_format="pyarrow")
+                .groupby("text").aggregate(Sum("n", alias_name="n")))
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["n"]).group_by("n").aggregate([("n", "count")])
+        return pa.table({"cluster_size": g["n"].cast(pa.int64()),
+                         "n_clusters": g["n_count"].cast(pa.int64())})
+
+    return (per_text.map_batches(size_partial, batch_format="pyarrow")
+            .groupby("cluster_size")
+            .aggregate(Sum("n_clusters", alias_name="n_clusters")))
+
+
+Q_DUP_CLUSTER_SIZE_HIST_SQL = """
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT CAST(count(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY text)
+GROUP BY cluster_size
+"""
