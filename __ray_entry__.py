@@ -164,6 +164,26 @@ def _img_embedding_ds():
     return emb.map_batches(int_vec_ids, batch_format="pyarrow").materialize()
 
 
+def _img_modality_query(sf_dir: str):
+    """Cross-modal agreement (exact ARI) between the pixel-only and
+    caption-only clusterings of the image fixture —
+    ``image_dedup.modality_agreement``. Rows-only (iterative union-find
+    per channel); structural invariants asserted in
+    tests/test_pipeline.py::test_modality_agreement_report."""
+    import os
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import modality_agreement
+    from deduplication_ray.sources import fixtures, storage
+
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    if not os.path.exists(os.path.join(fix_dir, "_manifest.json")):
+        fixtures.generate(fix_dir, n, seed=FIXTURE_SEED)
+    return modality_agreement(storage.read_table(f"{fix_dir}/data"),
+                              DedupConfig(num_partitions=8))
+
+
 def _img_semdedup_query(sf_dir: str):
     """Cross-modal composition: batched image-embedding inference (the
     ImageEmbed actor pool — seeded random-projection stand-in for a real
@@ -703,6 +723,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_count_by_type": R.q16_supplier_count_by_type,  # count-distinct + anti
         "q20_heavy_share_suppliers": R.q20_heavy_share_suppliers,  # share-threshold semi
         "q21_waiting_suppliers": R.q21_waiting_suppliers,  # only-late election
+        "embedding_label_centroids": ann.q_embedding_label_centroids,  # class prototypes
+        "knn_label_check": ann.q_knn_label_check,  # 1-NN label audit
+        "cross_source_dup_matrix": docops.q_cross_source_dup_matrix,  # provenance
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -734,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tier_dedup": _img_tier_query,
         "text_dedup_eval": _text_eval_query,
         "image_semdedup": _img_semdedup_query,
+        "image_modality_agreement": _img_modality_query,
         "image_ann_topk": _img_ann_query,
         "image_rot_dup_pairs": _img_rot_query,
         "image_crop_dup_pairs": _img_crop_query,
@@ -876,6 +900,11 @@ def oracle_sql() -> dict[str, str]:
         "q20_heavy_share_suppliers": R.Q20_HEAVY_SHARE_SQL,
         "q21_waiting_suppliers": R.Q21_WAITING_SUPPLIERS_SQL,
         "doc_bm25_topk": docops.doc_bm25_topk_sql(),
+        # exact-integer milli quantization on BOTH sides: no float summation
+        # order crosses engines (see ann._quantize_milli)
+        "embedding_label_centroids": ann.embedding_label_centroids_sql(),
+        "knn_label_check": ann.knn_label_check_sql(),
+        "cross_source_dup_matrix": docops.cross_source_dup_matrix_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_ppjoin_pairs": docops.doc_ppjoin_pairs_sql(),

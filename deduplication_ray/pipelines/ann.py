@@ -1370,3 +1370,188 @@ def dup_graph_pagerank(sf_dir: str, iters: int = 8, cos_min: float = 0.45,
     return ranks.map_batches(
         lambda t: pa.table({id_col: t["u"], "rank_mass": t["rank_mass"]}),
         batch_format="pyarrow")
+
+
+# ------------------------------------------- label-aware embedding audits
+
+def _quantize_milli(m: np.ndarray) -> np.ndarray:
+    """floor(x*1000 + 0.5) over float64 — the cross-engine-deterministic
+    milli quantizer (DuckDB's ``round()`` is half-away-from-zero while
+    numpy's is half-to-even, so both sides use the identical floor(+0.5)
+    expression; every intermediate is an IEEE double op with one rounding).
+    Values stay integral and |q| <= ~1e4, so all downstream integer sums
+    and 64-dim dot products are EXACT in float64 (< 2^53)."""
+    return np.floor(m.astype(np.float64) * 1000.0 + 0.5)
+
+
+def q_embedding_label_centroids(sf_dir: str, table: str = "embeddings"):
+    """Per-label centroid report in EXACT integer milli units: for every
+    (label, dim), the member count and the sum of the milli-quantized
+    coordinate — the class-prototype table behind label-purity audits,
+    SemDeDup cell seeding and nearest-class-mean classification, emitted
+    as exact integers so the DuckDB oracle value-hash-compares with no
+    float summation order crossing engines (divide for the mean downstream).
+
+    Scale plan: one stateless map_batches pass computes per-batch
+    (label, dim) partial sums (np.add.at over the batch's label index —
+    no shuffle of vectors), then a |labels| x dim bounded groupby-sum
+    merges partials. The wide shuffle moves |labels| x dim x #blocks
+    32-byte rows, independent of corpus size."""
+    from ray.data.aggregate import Sum
+
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet",
+                            columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = _quantize_milli(_emb_matrix(t))          # (n, dim) integral f64
+        labels = t["label"].to_numpy().astype(np.int64)
+        uniq, inv, cnt = np.unique(labels, return_inverse=True,
+                                   return_counts=True)
+        sums = np.zeros((len(uniq), q.shape[1]), np.float64)
+        np.add.at(sums, inv, q)
+        n_lab, dim = len(uniq), q.shape[1]
+        return pa.table({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), n_lab),
+            "n_vecs": np.repeat(cnt.astype(np.int64), dim),
+            "sum_milli": sums.reshape(-1).astype(np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                       Sum("sum_milli", alias_name="sum_milli")))
+
+
+def embedding_label_centroids_sql(dim: int = 64) -> str:
+    return f"""
+SELECT CAST(label AS BIGINT) AS label, CAST(t.dim AS BIGINT) AS dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(t.dim AS INT) + 1] AS DOUBLE)
+                           * 1000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_milli
+FROM embeddings, range(0, {dim}) t(dim)
+GROUP BY label, t.dim
+"""
+
+
+def q_knn_label_check(sf_dir: str, table: str = "embeddings",
+                      exact_limit: int = EXACT_PAIRS_LIMIT,
+                      n_cells: int = 16):
+    """1-NN label-consistency audit (the Confident-Learning-style "are the
+    labels where their neighbors are?" report): every vector finds its
+    nearest OTHER vector by maximum inner product over the milli-quantized
+    embeddings (exact integer dots — deterministic across engines and
+    partitionings; ties broken toward the smaller vec_id), and the report
+    counts per label how many members' nearest neighbor carries the same
+    label. Output (label, n_vecs, nn_match).
+
+    Size-dispatched like every lookup in this engine: corpora up to
+    ``exact_limit`` vectors broadcast the quantized matrix once (ray.put)
+    and each batch does one exact f64 matmul against it — oracle-identical
+    to the DuckDB all-pairs join. Above the limit, vectors are assigned to
+    spherical k-means cells (bounded-sample fit, the IVF nprobe=1
+    approximation) and the 1-NN search runs within each cell via one
+    groupby shuffle — linear in corpus size, candidates bounded per cell."""
+    from ray.data.aggregate import Sum
+
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet",
+                            columns=["vec_id", "label", "embedding"])
+
+    def partial_counts(labels: np.ndarray, nlabels: np.ndarray) -> pa.Table:
+        uniq, inv, cnt = np.unique(labels, return_inverse=True,
+                                   return_counts=True)
+        match = np.bincount(inv, weights=(nlabels == labels),
+                            minlength=len(uniq))
+        return pa.table({"label": uniq.astype(np.int64),
+                         "n_vecs": cnt.astype(np.int64),
+                         "nn_match": match.astype(np.int64)})
+
+    if ds.count() <= exact_limit:
+        tbls = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+        t_all = pa.concat_tables(tbls, promote_options="default")
+        order = np.argsort(t_all["vec_id"].to_numpy(), kind="stable")
+        ids_all = t_all["vec_id"].to_numpy().astype(np.int64)[order]
+        labels_all = t_all["label"].to_numpy().astype(np.int64)[order]
+        Q = _quantize_milli(_emb_matrix(t_all))[order]
+        ref = ray.put((ids_all, labels_all, Q))
+
+        class NN:
+            def __init__(self):
+                self.ids, self.labels, self.Q = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids_b = b["vec_id"].to_numpy().astype(np.int64)
+                lab_b = b["label"].to_numpy().astype(np.int64)
+                sims = _quantize_milli(_emb_matrix(b)) @ self.Q.T
+                # exclude self; argmax over id-ascending columns == the
+                # smallest-id neighbor on ties (np.argmax picks first max)
+                sims[ids_b[:, None] == self.ids[None, :]] = -np.inf
+                nn = sims.argmax(axis=1)
+                return partial_counts(lab_b, self.labels[nn])
+
+        partials = ds.map_batches(NN, batch_format="pyarrow",
+                                  batch_size=2048, concurrency=(1, 4))
+    else:
+        # IVF nprobe=1 scale path: bounded-sample centroid fit, one
+        # stateless assign pass, one cell groupby; per-cell exact argmax
+        st = _bounded_head(ds, "vec_id", 4096)
+        cents = _kmeans_cosine(_normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in st["embedding"]])),
+            n_cells)
+        cref = ray.put(cents)
+
+        def assign(t: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(t).astype(np.float64))
+            cell = (m @ ray.get(cref).T).argmax(axis=1)
+            q = _quantize_milli(_emb_matrix(t))
+            return pa.table({
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "label": t["label"].cast(pa.int64()),
+                "cell": pa.array(cell.astype(np.int64)),
+                "qvec": H.pack_u64_rows(q.view(np.uint64)),
+            })
+
+        def cell_nn(g: "pd.DataFrame") -> "pd.DataFrame":
+            o = np.argsort(g["vec_id"].to_numpy(), kind="stable")
+            ids = g["vec_id"].to_numpy()[o]
+            labs = g["label"].to_numpy()[o]
+            Q = np.stack([np.frombuffer(v, np.uint64).view(np.float64)
+                          for v in g["qvec"].to_numpy()[o]])
+            if len(ids) < 2:   # singleton cell: no neighbor, no verdict row
+                return pd.DataFrame(
+                    {"label": labs, "n_vecs": 1, "nn_match": 0})
+            sims = Q @ Q.T
+            np.fill_diagonal(sims, -np.inf)
+            nn = sims.argmax(axis=1)
+            return partial_counts(labs, labs[nn]).to_pandas()
+
+        partials = (ds.map_batches(assign, batch_format="pyarrow")
+                    .groupby("cell").map_groups(cell_nn, batch_format="pandas"))
+
+    return (partials.groupby("label")
+            .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                       Sum("nn_match", alias_name="nn_match")))
+
+
+def knn_label_check_sql() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+                        x -> FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)) AS qe
+  FROM embeddings
+), nn AS (
+  SELECT a.vec_id, a.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_inner_product(a.qe, b.qe) DESC, b.vec_id ASC
+         ) AS rn,
+         b.label AS nlabel
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT)
+           AS nn_match
+FROM nn WHERE rn = 1 GROUP BY label
+"""

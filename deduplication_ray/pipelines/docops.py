@@ -5354,3 +5354,57 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS cluster_size
       FROM documents GROUP BY text)
 GROUP BY cluster_size
 """
+
+# ------------------------------------------- cross-source duplication matrix
+
+def q_cross_source_dup_matrix(sf_dir: str, tau: float = 0.6):
+    """Provenance diagnostic over the near-dup graph: near-dup PAIR counts
+    per unordered (source, source) combination — "which crawl sources
+    duplicate each other?", the signal behind source-level dedup ordering,
+    mirror detection and crawl-budget allocation (a hot off-diagonal cell
+    means two feeds ship the same content; a hot diagonal cell means a
+    source self-duplicates).
+
+    Built on the size-dispatched exact gram-Jaccard detector
+    (``q_ngram_jaccard_pairs`` — all-pairs below ``exact_limit``, MinHash
+    banding above); the source attribution is two broadcast lookups on the
+    bounded pair list and the final groupby is |sources|^2-bounded, so the
+    matrix costs pair-list size, not corpus size, on top of the detector."""
+    from ray.data.aggregate import Count
+
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
+    pairs = q_ngram_jaccard_pairs(sf_dir, tau=tau) \
+        .select_columns(["src", "dst"])
+    src_tbl = _docs(sf_dir, ["doc_id", "source"])
+    e = lookup_join(
+        pairs, src_tbl.rename_columns({"doc_id": "src", "source": "s_a"}),
+        on=["src"], cfg=cfg)
+    e = lookup_join(
+        e, src_tbl.rename_columns({"doc_id": "dst", "source": "s_b"}),
+        on=["dst"], cfg=cfg)
+
+    def canon(t: pa.Table) -> pa.Table:
+        # unordered pair key: lexicographic (min, max) of the source names
+        a, b = t["s_a"], t["s_b"]
+        swap = pc.greater(a, b)
+        return pa.table({"source_a": pc.if_else(swap, b, a),
+                         "source_b": pc.if_else(swap, a, b)})
+
+    return (e.map_batches(canon, batch_format="pyarrow")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Count(alias_name="n_pairs")))
+
+
+def cross_source_dup_matrix_sql(tau: float = 0.6) -> str:
+    return f"""
+WITH pairs AS ({ngram_jaccard_pairs_sql(tau)})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.src
+JOIN documents db ON db.doc_id = p.dst
+GROUP BY 1, 2
+"""

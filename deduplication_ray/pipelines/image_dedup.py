@@ -466,3 +466,27 @@ def reconstruct(run_dir: str, cfg: DedupConfig | None = None) -> ray.data.Datase
         on=["cluster_id"],
         cfg=cfg,
     )
+
+
+def modality_agreement(input_ds: ray.data.Dataset,
+                       cfg: DedupConfig | None = None):
+    """Cross-modal drift probe for the image+caption graft cell: cluster the
+    corpus twice — once from the PIXEL channels alone (pHash + SimHash
+    multi-index bands) and once from the CAPTION channels alone (MinHash
+    LSH bands + exact caption hash) — and report pair-level agreement as
+    the exact Adjusted Rand Index (``evaluate.cluster_agreement``; pair
+    sets never materialized). A high ARI says captions alone reproduce the
+    pixel dedup decisions (cheap-channel-first tiering is safe); a low one
+    says the modalities catch different duplicate families and the fused
+    engine is doing real work. One signature pass feeds both clusterings —
+    pixels are decoded exactly once."""
+    from deduplication_ray.pipelines.evaluate import cluster_agreement
+    from deduplication_ray.stages.tuning import apply_context_tuning
+
+    cfg = cfg or DedupConfig()
+    apply_context_tuning()
+    sigs = compute_signatures(input_ds, cfg).materialize()
+    pix = _channel_clusters(sigs, cfg, lsh.BAND_PHASH, lsh.BAND_SUBSTR)
+    cap = _channel_clusters(sigs, cfg, 0, lsh.BAND_PHASH,
+                            exact_key=("cap_hash",), has_pixels=False)
+    return cluster_agreement(pix, cap, id_col="image_id")

@@ -396,3 +396,55 @@ def test_image_ann_topk_finds_planted_twins(tiny_fixture, ray_session):
         assert top1 in set(fam["vid"]), (q, top1)
         checked += 1
     assert checked >= 1  # the first planted cluster sits at the lowest ids
+
+
+def test_knn_label_check_planted_twins_both_paths(ray_session, tmp_path):
+    """Every vector has an EXACT duplicate twin with the same label -> each
+    vector's 1-NN (max inner product) is its twin, so nn_match == n_vecs
+    per label on the exact path; the IVF scale path (identical vectors
+    always share a cell) must reproduce that perfectly."""
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.pipelines.ann import q_knn_label_check
+
+    rng = np.random.default_rng(7)
+    n, d = 60, 16
+    base = rng.standard_normal((n, d))
+    # equal norms make the twin the PROVABLE max-inner-product neighbor
+    # (q.o <= |q||o| = |q|^2 with equality only at o == q)
+    base = (base / np.linalg.norm(base, axis=1, keepdims=True) * 10.0) \
+        .astype(np.float32)
+    m = np.repeat(base, 2, axis=0)          # rows 2i, 2i+1 identical
+    labels = np.repeat(np.arange(n) % 3, 2).astype(np.int32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(2 * n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    exact = q_knn_label_check(str(tmp_path)).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    assert (exact["nn_match"] == exact["n_vecs"]).all()
+    assert exact["n_vecs"].sum() == 2 * n
+
+    ivf = q_knn_label_check(str(tmp_path), exact_limit=0, n_cells=4) \
+        .to_pandas().sort_values("label").reset_index(drop=True)
+    assert (ivf["nn_match"] == ivf["n_vecs"]).all()
+    assert ivf["n_vecs"].sum() == 2 * n
+
+
+def test_knn_label_check_scale_path_structure(ray_session):
+    """IVF (nprobe=1) path on real testdata: same label universe and
+    member counts as the exact path; match counts bounded by membership."""
+    from deduplication_ray.pipelines.ann import q_knn_label_check
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_knn_label_check(sf).to_pandas().sort_values("label") \
+        .reset_index(drop=True)
+    ivf = q_knn_label_check(sf, exact_limit=0).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    assert list(exact["label"]) == list(ivf["label"])
+    assert list(exact["n_vecs"]) == list(ivf["n_vecs"])
+    assert (ivf["nn_match"] <= ivf["n_vecs"]).all()

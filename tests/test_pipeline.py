@@ -520,3 +520,23 @@ def test_image_pipeline_recall_with_oph_signatures(tiny_fixture, ray_session):
     assert m["recall"] >= 0.99, m
     assert m["precision"] >= 0.99, m
     shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def test_modality_agreement_report(tiny_fixture, ray_session):
+    """Pixel-only vs caption-only clusterings of the planted fixture must
+    substantially agree (duplicate families are planted in BOTH modalities)
+    while neither side drops ids; ARI is exact-rational micro units."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import modality_agreement
+    from deduplication_ray.sources import storage
+
+    df = modality_agreement(
+        storage.read_table(f"{tiny_fixture}/data"),
+        DedupConfig(num_partitions=4, sig_concurrency=2))
+    r = df.iloc[0]
+    assert r["only_a"] == 0 and r["only_b"] == 0
+    assert r["pairs_agree"] > 0
+    assert r["pairs_agree"] <= min(r["pairs_a"], r["pairs_b"])
+    assert -1_000_000 <= r["ari_micro"] <= 1_000_000
+    # planted dup families are cross-modal: the channels must mostly agree
+    assert r["ari_micro"] >= 400_000
