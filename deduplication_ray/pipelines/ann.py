@@ -1437,7 +1437,7 @@ GROUP BY label, t.dim
 
 def q_knn_label_check(sf_dir: str, table: str = "embeddings",
                       exact_limit: int = EXACT_PAIRS_LIMIT,
-                      n_cells: int = 16):
+                      n_cells: int = 16, nprobe: int = 2):
     """1-NN label-consistency audit (the Confident-Learning-style "are the
     labels where their neighbors are?" report): every vector finds its
     nearest OTHER vector by maximum inner product over the milli-quantized
@@ -1449,10 +1449,14 @@ def q_knn_label_check(sf_dir: str, table: str = "embeddings",
     Size-dispatched like every lookup in this engine: corpora up to
     ``exact_limit`` vectors broadcast the quantized matrix once (ray.put)
     and each batch does one exact f64 matmul against it — oracle-identical
-    to the DuckDB all-pairs join. Above the limit, vectors are assigned to
-    spherical k-means cells (bounded-sample fit, the IVF nprobe=1
-    approximation) and the 1-NN search runs within each cell via one
-    groupby shuffle — linear in corpus size, candidates bounded per cell."""
+    to the DuckDB all-pairs join. Above the limit, the IVF path: every
+    vector is indexed (BASE) in its top-1 spherical-k-means cell and
+    probes (QUERY) its top-``nprobe`` cells; per cell each query's best
+    base neighbor is computed exactly, and a per-vector hash-grouped
+    reduce keeps the globally best probed candidate (exact integer sims,
+    ties to the smaller neighbor id — the same order as the exact tier).
+    One cell groupby + one bounded per-vector reduce; candidate volume is
+    nprobe x cell size per vector, linear in corpus size."""
     from ray.data.aggregate import Sum
 
     ds = storage.read_table(f"{sf_dir}/{table}.parquet",
@@ -1492,46 +1496,116 @@ def q_knn_label_check(sf_dir: str, table: str = "embeddings",
 
         partials = ds.map_batches(NN, batch_format="pyarrow",
                                   batch_size=2048, concurrency=(1, 4))
-    else:
-        # IVF nprobe=1 scale path: bounded-sample centroid fit, one
-        # stateless assign pass, one cell groupby; per-cell exact argmax
-        st = _bounded_head(ds, "vec_id", 4096)
-        cents = _kmeans_cosine(_normalize(np.stack(
-            [np.asarray(v, dtype=np.float64) for v in st["embedding"]])),
-            n_cells)
-        cref = ray.put(cents)
+        return (partials.groupby("label")
+                .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                           Sum("nn_match", alias_name="nn_match")))
 
-        def assign(t: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(t).astype(np.float64))
-            cell = (m @ ray.get(cref).T).argmax(axis=1)
-            q = _quantize_milli(_emb_matrix(t))
-            return pa.table({
-                "vec_id": t["vec_id"].cast(pa.int64()),
-                "label": t["label"].cast(pa.int64()),
-                "cell": pa.array(cell.astype(np.int64)),
-                "qvec": H.pack_u64_rows(q.view(np.uint64)),
-            })
+    # ---- IVF scale path -------------------------------------------------
+    import pyarrow.compute as pc
 
-        def cell_nn(g: "pd.DataFrame") -> "pd.DataFrame":
-            o = np.argsort(g["vec_id"].to_numpy(), kind="stable")
-            ids = g["vec_id"].to_numpy()[o]
-            labs = g["label"].to_numpy()[o]
-            Q = np.stack([np.frombuffer(v, np.uint64).view(np.float64)
-                          for v in g["qvec"].to_numpy()[o]])
-            if len(ids) < 2:   # singleton cell: no neighbor, no verdict row
-                return pd.DataFrame(
-                    {"label": labs, "n_vecs": 1, "nn_match": 0})
-            sims = Q @ Q.T
-            np.fill_diagonal(sims, -np.inf)
-            nn = sims.argmax(axis=1)
-            return partial_counts(labs, labs[nn]).to_pandas()
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+    from deduplication_ray.stages.join import lookup_join
 
-        partials = (ds.map_batches(assign, batch_format="pyarrow")
-                    .groupby("cell").map_groups(cell_nn, batch_format="pandas"))
+    cfg = DedupConfig(num_partitions=8)
+    st = _bounded_head(ds, "vec_id", 4096)
+    cents = _kmeans_cosine(_normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in st["embedding"]])),
+        n_cells)
+    cref = ray.put(cents)
+    p = min(max(nprobe, 1), cents.shape[0])
 
-    return (partials.groupby("label")
-            .aggregate(Sum("n_vecs", alias_name="n_vecs"),
-                       Sum("nn_match", alias_name="nn_match")))
+    def assign(t: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(t).astype(np.float64))
+        csims = m @ ray.get(cref).T
+        top = np.argsort(-csims, kind="stable", axis=1)[:, :p]  # col 0 = base
+        q = _quantize_milli(_emb_matrix(t))
+        n = t.num_rows
+        rep = np.repeat(np.arange(n), p)
+        return pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()).to_numpy()[rep],
+            "label": t["label"].cast(pa.int64()).to_numpy()[rep],
+            "cell": pa.array(top.reshape(-1).astype(np.int64)),
+            "is_base": pa.array(np.tile(np.arange(p) == 0, n)),
+            "qvec": H.pack_u64_rows(q.view(np.uint64)).take(
+                pa.array(rep)),
+        })
+
+    def cell_nn(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = g["vec_id"].to_numpy()
+        labs = g["label"].to_numpy()
+        Q = np.stack([np.frombuffer(v, np.uint64).view(np.float64)
+                      for v in g["qvec"].to_numpy()])
+        bm = g["is_base"].to_numpy()
+        bo = np.argsort(ids[bm], kind="stable")  # id-asc base columns
+        bids, blabs, BQ = ids[bm][bo], labs[bm][bo], Q[bm][bo]
+        if len(bids) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64"),
+                                 "nid": pd.Series([], dtype="int64"),
+                                 "nlabel": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="int64")})
+        sims = Q @ BQ.T
+        sims[ids[:, None] == bids[None, :]] = -np.inf
+        j = sims.argmax(axis=1)
+        best = sims[np.arange(len(ids)), j]
+        keep = best > -np.inf
+        return pd.DataFrame({
+            "vec_id": ids[keep], "label": labs[keep],
+            "nid": bids[j][keep], "nlabel": blabs[j][keep],
+            "sim": best[keep].astype(np.int64),
+        })
+
+    def best_per_vec(t: pa.Table) -> pa.Table:
+        vec = t["vec_id"].to_numpy()
+        sim = t["sim"].to_numpy()
+        nid = t["nid"].to_numpy()
+        order = np.lexsort((nid, -sim, vec))  # per vec: sim desc, nid asc
+        v_s = vec[order]
+        first = np.concatenate([[True], v_s[1:] != v_s[:-1]]) \
+            if len(v_s) else np.zeros(0, bool)
+        return t.take(pa.array(order[first]))
+
+    cand = (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cell").map_groups(cell_nn, batch_format="pandas"))
+    best = hash_grouped_reduce(
+        cand,
+        key_hash=lambda t: H.splitmix64(
+            t["vec_id"].to_numpy().view(np.uint64)),
+        reduce_fn=best_per_vec,
+        num_parts=cfg.num_partitions,
+    )
+
+    def match_partial(t: pa.Table) -> pa.Table:
+        labs = t["label"].to_numpy()
+        nl = t["nlabel"].to_numpy()
+        uniq, inv = np.unique(labs, return_inverse=True)
+        match = np.bincount(inv, weights=(nl == labs), minlength=len(uniq))
+        return pa.table({"label": uniq.astype(np.int64),
+                         "nn_match": match.astype(np.int64)})
+
+    matches = (best.map_batches(match_partial, batch_format="pyarrow")
+               .groupby("label").aggregate(Sum("nn_match",
+                                               alias_name="nn_match")))
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        labs = t["label"].to_numpy().astype(np.int64)
+        uniq, cnt = np.unique(labs, return_counts=True)
+        return pa.table({"label": uniq, "n_vecs": cnt.astype(np.int64)})
+
+    totals = (ds.select_columns(["label"])
+              .map_batches(total_partial, batch_format="pyarrow")
+              .groupby("label").aggregate(Sum("n_vecs",
+                                              alias_name="n_vecs")))
+    joined = lookup_join(totals, matches, on=["label"], cfg=cfg, how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": t["label"],
+            "n_vecs": t["n_vecs"],
+            "nn_match": pc.fill_null(t["nn_match"], 0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 def knn_label_check_sql() -> str:
