@@ -164,6 +164,26 @@ def _img_embedding_ds():
     return emb.map_batches(int_vec_ids, batch_format="pyarrow").materialize()
 
 
+def _img_keep_best_query(sf_dir: str):
+    """Quality-aware representative election over the image fixture's
+    clusters: per near-dup cluster, the largest-pixel-area member wins
+    (ties to the smaller id) — ``image_dedup.keep_best_representatives``.
+    Rows-only; serial argmax parity asserted in
+    tests/test_pipeline.py::test_keep_best_representatives_serial_parity."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import \
+        keep_best_representatives
+    from deduplication_ray.sources import storage
+
+    clusters = _img_fixture_query(sf_dir)
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    meta = storage.read_table(f"{fix_dir}/data",
+                              columns=["image_id", "w", "h"])
+    return keep_best_representatives(clusters, meta,
+                                     DedupConfig(num_partitions=8))
+
+
 def _img_modality_query(sf_dir: str):
     """Cross-modal agreement (exact ARI) between the pixel-only and
     caption-only clusterings of the image fixture —
@@ -758,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dedup_eval": _text_eval_query,
         "image_semdedup": _img_semdedup_query,
         "image_modality_agreement": _img_modality_query,
+        "image_dedup_keep_best": _img_keep_best_query,
         "image_ann_topk": _img_ann_query,
         "image_rot_dup_pairs": _img_rot_query,
         "image_crop_dup_pairs": _img_crop_query,

@@ -490,3 +490,66 @@ def modality_agreement(input_ds: ray.data.Dataset,
     cap = _channel_clusters(sigs, cfg, 0, lsh.BAND_PHASH,
                             exact_key=("cap_hash",), has_pixels=False)
     return cluster_agreement(pix, cap, id_col="image_id")
+
+
+def keep_best_representatives(clusters: ray.data.Dataset,
+                              meta: ray.data.Dataset,
+                              cfg: DedupConfig | None = None):
+    """Quality-aware representative election — the image-payload "keep the
+    best copy" curation policy: within each near-dup cluster, keep the
+    member with the largest pixel area (w x h), ties to the smaller
+    image_id. Replaces the stability-oriented min-id election when output
+    quality matters (the highest-resolution original wins over re-encoded
+    or downscaled copies). ``meta`` is (image_id, w, h) — prune the read
+    to those columns; pixels never move.
+
+    Plan: one lookup join attaches the areas to the cluster table, then a
+    hash-grouped vectorized argmax per cluster_id (one lexsort per
+    partition, `groupred.hash_grouped_reduce`) — the only exchange is
+    (id, label, area) rows. Output (cluster_id, best_id, best_px,
+    n_members)."""
+    import pandas as pd
+
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = cfg or DedupConfig()
+
+    def with_px(t: pa.Table) -> pa.Table:
+        px = (t["w"].cast(pa.int64()).to_numpy()
+              * t["h"].cast(pa.int64()).to_numpy())
+        return pa.table({"image_id": t["image_id"],
+                         "cluster_id": t["cluster_id"],
+                         "px": pa.array(px)})
+
+    j = lookup_join(clusters, meta, on=["image_id"], cfg=cfg) \
+        .map_batches(with_px, batch_format="pyarrow")
+
+    def elect(t: pa.Table) -> pa.Table:
+        cl = t["cluster_id"].to_pandas().to_numpy()
+        ids = t["image_id"].to_pandas().to_numpy()
+        px = t["px"].to_numpy()
+        codes, uniq = pd.factorize(cl, sort=False)
+        order = np.lexsort((ids, -px, codes))   # per cluster: px desc, id asc
+        c_s = codes[order]
+        first = np.concatenate([[True], c_s[1:] != c_s[:-1]]) \
+            if len(c_s) else np.zeros(0, bool)
+        win = order[first]
+        return pa.table({
+            "cluster_id": pa.array(cl[win], pa.string()),
+            "best_id": pa.array(ids[win], pa.string()),
+            "best_px": pa.array(px[win]),
+            "n_members": pa.array(np.bincount(codes, minlength=len(uniq))
+                                  [c_s[first]].astype(np.int64)),
+        })
+
+    return hash_grouped_reduce(
+        j,
+        key_hash=lambda t: H.hash_bytes_array(
+            t["cluster_id"].combine_chunks()
+            if isinstance(t["cluster_id"], pa.ChunkedArray)
+            else t["cluster_id"]),
+        reduce_fn=elect,
+        num_parts=cfg.num_partitions,
+    )

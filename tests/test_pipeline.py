@@ -540,3 +540,39 @@ def test_modality_agreement_report(tiny_fixture, ray_session):
     assert -1_000_000 <= r["ari_micro"] <= 1_000_000
     # planted dup families are cross-modal: the channels must mostly agree
     assert r["ari_micro"] >= 400_000
+
+
+def test_keep_best_representatives_serial_parity(tiny_run, tiny_fixture,
+                                                 ray_session):
+    """Distributed keep-best election == serial pandas argmax with the same
+    (px desc, id asc) order, on the session's finished tiny run."""
+    import pandas as pd
+
+    from deduplication_ray.pipelines.image_dedup import \
+        keep_best_representatives
+    from deduplication_ray.sources import storage
+
+    run_dir, cfg, _ = tiny_run
+    clusters = storage.read_table(f"{run_dir}/clusters")
+    meta = storage.read_table(f"{tiny_fixture}/data",
+                              columns=["image_id", "w", "h"])
+    got = keep_best_representatives(clusters, meta, cfg).to_pandas() \
+        .sort_values("cluster_id").reset_index(drop=True)
+
+    cl = clusters.to_pandas().merge(meta.to_pandas(), on="image_id")
+    cl["px"] = cl["w"].astype("int64") * cl["h"].astype("int64")
+    cl = cl.sort_values(["cluster_id", "px", "image_id"],
+                        ascending=[True, False, True])
+    want = cl.groupby("cluster_id", sort=True).agg(
+        best_id=("image_id", "first"), best_px=("px", "first"),
+        n_members=("image_id", "size")).reset_index()
+
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["cluster_id", "best_id", "best_px", "n_members"]],
+        want[["cluster_id", "best_id", "best_px", "n_members"]],
+        check_dtype=False)
+    # the election is quality-aware: on the planted fixture at least one
+    # cluster's best member is NOT the min-id representative
+    mins = cl.groupby("cluster_id")["image_id"].min()
+    assert (got.set_index("cluster_id")["best_id"] != mins).any()
