@@ -1515,10 +1515,10 @@ def q_knn_label_check(sf_dir: str, table: str = "embeddings",
     p = min(max(nprobe, 1), cents.shape[0])
 
     def assign(t: pa.Table) -> pa.Table:
-        m = _normalize(_emb_matrix(t).astype(np.float64))
-        csims = m @ ray.get(cref).T
+        m = _emb_matrix(t)
+        csims = _normalize(m.astype(np.float64)) @ ray.get(cref).T
         top = np.argsort(-csims, kind="stable", axis=1)[:, :p]  # col 0 = base
-        q = _quantize_milli(_emb_matrix(t))
+        q = _quantize_milli(m)
         n = t.num_rows
         rep = np.repeat(np.arange(n), p)
         return pa.table({

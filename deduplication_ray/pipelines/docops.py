@@ -5377,7 +5377,8 @@ def q_cross_source_dup_matrix(sf_dir: str, tau: float = 0.6):
     cfg = DedupConfig(num_partitions=8)
     pairs = q_ngram_jaccard_pairs(sf_dir, tau=tau) \
         .select_columns(["src", "dst"])
-    src_tbl = _docs(sf_dir, ["doc_id", "source"])
+    # materialized once: both lookup sides derive from the same scan
+    src_tbl = _docs(sf_dir, ["doc_id", "source"]).materialize()
     e = lookup_join(
         pairs, src_tbl.rename_columns({"doc_id": "src", "source": "s_a"}),
         on=["src"], cfg=cfg)
