@@ -189,6 +189,105 @@ def ensure_fixture() -> str:
 
 
 MODAL_ROWS = int(os.environ.get("BENCH_MODAL_ROWS", "4000"))
+TEXT_ROWS = int(os.environ.get("BENCH_TEXT_ROWS", "60000"))
+
+
+def ensure_text_fixture() -> str:
+    """Generate (once, cached) the planted text-corpus fixture for the
+    text-engine scaling protocol. NOT timed. The sf documents table tops
+    out at 5k docs (doc_lsh_dedup ~5 s total — per-stage setup dominates
+    both scaling legs, the 'floor artifact' in BENCH/BASELINE.md), so the
+    text criterion needs a corpus big enough for real parallel work."""
+    from deduplication_ray.sources import fixtures, storage
+
+    d = f"/tmp/dedup_ray_benchtxt_{SEED}_{TEXT_ROWS}"
+    m = storage.read_manifest(d)
+    if not (m and m.get("n_rows") == TEXT_ROWS):
+        shutil.rmtree(d, ignore_errors=True)
+        fixtures.generate_text(d, TEXT_ROWS, seed=SEED)
+    return d
+
+
+def run_text_job() -> dict:
+    """One timed text-engine leg (invoked in a fresh subprocess per CPU
+    count by ``run_text_scaling``)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+    from deduplication_ray.sources import storage
+
+    fix = ensure_text_fixture()
+    storage.read_table(f"{fix}/data").count()  # warm the page cache
+    cfg = DedupConfig(num_partitions=max(8, NUM_CPUS))
+    with CpuCounters() as cpu:
+        t0 = time.time()
+        n = text_dedup_clusters(
+            storage.read_table(f"{fix}/data", columns=["doc_id", "text"]),
+            cfg).count()
+        sec = time.time() - t0
+    out = {
+        "text_rows": TEXT_ROWS,
+        "clusters": n,
+        "sec": round(sec, 2),
+        "docs_per_sec": round(TEXT_ROWS / sec, 1),
+        "num_cpus": NUM_CPUS,
+        "busy_cores": cpu.busy_cores,
+        **host_health_probe(),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_text_scaling() -> dict:
+    """Text-engine analog of ``run_scaling``: the full MinHash-LSH +
+    substring + union-find engine over the planted ``TEXT_ROWS``-doc
+    fixture at lo vs hi CPUs in FRESH processes."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    ensure_text_fixture()
+    ray.shutdown()
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        cmd = [sys.executable, os.path.abspath(__file__), "--text-job"]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    return {
+        "metric": f"scaling efficiency (text dedup engine, {lo} vs {hi} cpus)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "text_rows": TEXT_ROWS,
+        f"sec_{lo}": r_lo["sec"],
+        f"sec_{hi}": r_hi["sec"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        f"busy_cores_{lo}": r_lo.get("busy_cores"),
+        f"busy_cores_{hi}": r_hi.get("busy_cores"),
+        f"host_probe_{lo}": {k: r_lo.get(k) for k in
+                             ("host_mem_gbps", "host_sort_units")},
+        f"host_probe_{hi}": {k: r_hi.get(k) for k in
+                             ("host_mem_gbps", "host_sort_units")},
+    }
 
 
 def ensure_modal_fixture(kind: str) -> str:
@@ -368,5 +467,9 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--text-scaling" in sys.argv:
+        print(json.dumps(run_text_scaling()))
+    elif "--text-job" in sys.argv:
+        print(json.dumps(run_text_job()))
     else:
         print(json.dumps(run_bench()))

@@ -409,7 +409,12 @@ def edges_from_buckets(
     # NOT deduped here: callers union edge families first, then dedupe once
     if tagged.count() <= cfg.local_pairs_limit:
         return _edges_from_tagged_local(tagged, cfg)
-    return _edges_from_tagged_partitioned(tagged, cfg)
+    # materialized: every caller feeds this into dedupe_edges' hash-grouped
+    # shuffle, and chaining the pairing groupby().map_groups lazily into
+    # that second shuffle measured ~13 s of pure overhead at 60k docs /
+    # 36M bucket rows (28.8 s vs 2.1 s for the dedupe leg) — the edge set
+    # is lean (~1-2 rows per input row), object-store residency is cheap
+    return _edges_from_tagged_partitioned(tagged, cfg).materialize()
 
 
 def _edges_from_tagged_local(tagged: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
