@@ -3,6 +3,11 @@
 Plain run:     python bench.py            -> ONE JSON line (driver contract)
 Scaling run:   python bench.py --scaling  -> same pipeline at num_cpus=8 and
                32 in fresh subprocesses; prints throughputs + efficiency.
+Text scaling:  python bench.py --text-scaling -> the TEXT engine
+               (MinHash-LSH + substring + union-find) over a generated
+               BENCH_TEXT_ROWS-doc planted corpus at the same two CPU
+               counts (the sf documents table tops out at 5k docs — too
+               small for a meaningful parallel fraction).
 
 Protocol follows the reference's bench scripts (sweep + elapsed-time scrape,
 ``/root/reference/scripts/encode_bench.sh:67-83``) adapted to the graft: the
@@ -11,7 +16,8 @@ deterministic synthetic image+caption fixture, plus per-query seconds over
 the sf0.1 testdata tables.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
-BENCH_IMG_ROWS (default 60000), BENCH_COLD=1 (drop the page cache before the
+BENCH_IMG_ROWS (default 60000), BENCH_TEXT_ROWS (default 150000),
+BENCH_COLD=1 (drop the page cache before the
 image pipeline instead of warming it — reference cache hygiene; needs root).
 """
 
@@ -189,7 +195,7 @@ def ensure_fixture() -> str:
 
 
 MODAL_ROWS = int(os.environ.get("BENCH_MODAL_ROWS", "4000"))
-TEXT_ROWS = int(os.environ.get("BENCH_TEXT_ROWS", "60000"))
+TEXT_ROWS = int(os.environ.get("BENCH_TEXT_ROWS", "150000"))
 
 
 def ensure_text_fixture() -> str:

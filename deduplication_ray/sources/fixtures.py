@@ -934,17 +934,29 @@ def plan_text_rows(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFr
     return docs, truth
 
 
-def generate_text(out_dir: str, n_rows: int, seed: int = 42) -> None:
+def generate_text(out_dir: str, n_rows: int, seed: int = 42,
+                  num_files: int = 16) -> None:
     """Materialize the planted text fixture: docs at ``out_dir``/data,
-    labels at ``out_dir``/truth (driver-side — text rendering is cheap)."""
+    labels at ``out_dir``/truth (driver-side — text rendering is cheap).
+    Docs are sharded over ``num_files`` parquet files so Ray's read (and
+    the fused signature stage) parallelizes — a single-file table capped
+    the signature stage at the file's row-group count regardless of
+    session CPUs."""
     import os
 
     from deduplication_ray.sources import storage
 
     docs, truth = plan_text_rows(n_rows, seed)
     os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
-    storage.write_arrow_table(pa.Table.from_pandas(docs, preserve_index=False),
-                              os.path.join(out_dir, "data"))
+    dt = pa.Table.from_pandas(docs, preserve_index=False)
+    shards = max(1, min(num_files, dt.num_rows))
+    step = (dt.num_rows + shards - 1) // shards
+    for i in range(shards):
+        part = dt.slice(i * step, step)
+        if part.num_rows:
+            storage.write_arrow_table(
+                part, os.path.join(out_dir, "data"),
+                filename=f"part-{i}.parquet")
     storage.write_arrow_table(pa.Table.from_pandas(truth, preserve_index=False),
                               os.path.join(out_dir, "truth"))
     storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
