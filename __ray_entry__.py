@@ -746,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": ann.q_embedding_label_centroids,  # class prototypes
         "knn_label_check": ann.q_knn_label_check,  # 1-NN label audit
         "cross_source_dup_matrix": docops.q_cross_source_dup_matrix,  # provenance
+        "embedding_drift_check": ann.q_embedding_drift_check,  # drift kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -926,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_centroids": ann.embedding_label_centroids_sql(),
         "knn_label_check": ann.knn_label_check_sql(),
         "cross_source_dup_matrix": docops.cross_source_dup_matrix_sql(),
+        "embedding_drift_check": ann.embedding_drift_check_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_ppjoin_pairs": docops.doc_ppjoin_pairs_sql(),

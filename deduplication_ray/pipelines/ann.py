@@ -1629,3 +1629,59 @@ SELECT label, COUNT(*) AS n_vecs,
            AS nn_match
 FROM nn WHERE rn = 1 GROUP BY label
 """
+
+
+def q_embedding_drift_check(sf_dir: str, table: str = "embeddings"):
+    """Embedding-SPACE drift monitor — the representation-level complement
+    of ``docops.q_source_drift_tvd`` (which watches the categorical source
+    mix): per dimension, exact-integer member counts and milli-quantized
+    coordinate sums for two corpus snapshots, from which a consumer reads
+    the per-dim mean shift (did the new crawl's embedding distribution
+    move?). Snapshots are derived deterministically from the single
+    testdata table (vec_id parity), the same derived-snapshot pattern the
+    TVD monitor uses.
+
+    Scale plan: one stateless pass computes per-batch per-dim partial sums
+    for both sides (vectors never shuffle); the merge exchanges
+    dim x #blocks x 40 B rows."""
+    from ray.data.aggregate import Sum
+
+    ds = storage.read_table(f"{sf_dir}/{table}.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = _quantize_milli(_emb_matrix(t))
+        a = (t["vec_id"].to_numpy() % 2) == 0
+        dim = q.shape[1]
+        return pa.table({
+            "dim": np.arange(dim, dtype=np.int64),
+            "n_a": np.full(dim, int(a.sum()), np.int64),
+            "n_b": np.full(dim, int((~a).sum()), np.int64),
+            "sum_milli_a": q[a].sum(axis=0).astype(np.int64)
+            if a.any() else np.zeros(dim, np.int64),
+            "sum_milli_b": q[~a].sum(axis=0).astype(np.int64)
+            if (~a).any() else np.zeros(dim, np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("dim")
+            .aggregate(Sum("n_a", alias_name="n_a"),
+                       Sum("n_b", alias_name="n_b"),
+                       Sum("sum_milli_a", alias_name="sum_milli_a"),
+                       Sum("sum_milli_b", alias_name="sum_milli_b")))
+
+
+def embedding_drift_check_sql(dim: int = 64) -> str:
+    q = ("CAST(FLOOR(CAST(embedding[CAST(t.dim AS INT) + 1] AS DOUBLE)"
+         " * 1000 + 0.5) AS BIGINT)")
+    return f"""
+SELECT CAST(t.dim AS BIGINT) AS dim,
+       CAST(COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_a,
+       CAST(COUNT(*) FILTER (WHERE vec_id % 2 <> 0) AS BIGINT) AS n_b,
+       CAST(COALESCE(SUM(CASE WHEN vec_id % 2 = 0 THEN {q} END), 0)
+            AS BIGINT) AS sum_milli_a,
+       CAST(COALESCE(SUM(CASE WHEN vec_id % 2 <> 0 THEN {q} END), 0)
+            AS BIGINT) AS sum_milli_b
+FROM embeddings, range(0, {dim}) t(dim)
+GROUP BY t.dim
+"""
