@@ -2,7 +2,9 @@
 sf0.01 (the driver's scale) and value-hash-compare against its DuckDB
 oracle, exactly like the driver's CORRECTNESS_r{N} gate. Usage:
 
-    python tools/correctness_sweep.py [sf_dir]
+    python tools/correctness_sweep.py [sf_dir] [query ...]
+    python tools/correctness_sweep.py [sf_dir] --chunk 40   # fresh Ray
+        session per 40-query chunk, one retry per crashed chunk
 """
 import json
 import os
@@ -14,7 +16,9 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")
+        and not a.isdigit()]
+SF = _pos[0] if _pos and os.path.isdir(_pos[0]) else "/root/testdata/sf0.01"
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
@@ -33,6 +37,38 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _chunked(argv) -> int:
+    """Driver mode: split the oracle-backed registry into chunks and run
+    each chunk in a FRESH subprocess (fresh Ray session). A very long
+    single session accumulating ~1000 datasets tripped a Ray-core race
+    once (task_manager.cc "Tried to complete task that was not pending",
+    observed 2026-08-20 after 73 queries); chunking bounds the blast
+    radius and lets a crashed chunk retry once without losing the sweep."""
+    import subprocess
+    chunk = int(argv[argv.index("--chunk") + 1])
+    import __ray_entry__ as E
+    names = [n for n in E.queries() if n in E.oracle_sql()]
+    failures, checked = [], 0
+    for i in range(0, len(names), chunk):
+        part = names[i:i + chunk]
+        for attempt in (1, 2):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), SF, *part],
+                capture_output=True, text=True)
+            sys.stdout.write(r.stdout)
+            ok = r.returncode == 0 and '"failed": []' in r.stdout
+            if ok or attempt == 2:
+                if not ok:
+                    failures.extend(part)  # conservatively flag the chunk
+                break
+            print(f"chunk {i // chunk} rc={r.returncode}; retrying once",
+                  flush=True)
+        checked += len(part)
+    print(json.dumps({"sf": SF, "checked": checked, "failed": failures,
+                      "mode": f"chunked:{chunk}"}))
+    return 1 if failures else 0
+
+
 def main() -> int:
     import ray
     if not ray.is_initialized():
@@ -49,9 +85,11 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * "
                     f"FROM read_parquet('{SF}/{t}.parquet')")
+    only = {a for a in sys.argv[1:]
+            if a != SF and not a.startswith("--") and not a.isdigit()}
     failures = []
     for name in qs:
-        if name not in oq:
+        if name not in oq or (only and name not in only):
             continue
         t0 = time.time()
         try:
@@ -67,11 +105,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name:34s} {type(exc).__name__}: "
                   f"{str(exc)[:160]}", flush=True)
-    print(json.dumps({"sf": SF, "checked": len(oq),
+    print(json.dumps({"sf": SF,
+                      "checked": len(only) if only else len(oq),
                       "failed": failures}))
     ray.shutdown()
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_chunked(sys.argv) if "--chunk" in sys.argv else main())
