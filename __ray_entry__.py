@@ -164,6 +164,22 @@ def _img_embedding_ds():
     return emb.map_batches(int_vec_ids, batch_format="pyarrow").materialize()
 
 
+def _img_density_query(sf_dir: str):
+    """Transitive-chaining audit of the image fixture run: per-cluster
+    verified-edge density (``evaluate.cluster_density_report``) — low
+    density on a big cluster means it merged through chains, not direct
+    verification. Rows-only; serial parity asserted in
+    tests/test_pipeline.py::test_cluster_density_serial_parity."""
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.evaluate import cluster_density_report
+
+    _img_fixture_query(sf_dir)  # ensure the checkpointed run exists
+    n = TINY_FIXTURE_ROWS
+    cfg = DedupConfig(num_partitions=8)
+    run_dir = f"/tmp/dedup_ray_imgrun_{FIXTURE_SEED}_{n}_{cfg.config_hash()}"
+    return cluster_density_report(run_dir, cfg)
+
+
 def _img_keep_best_query(sf_dir: str):
     """Quality-aware representative election over the image fixture's
     clusters: per near-dup cluster, the largest-pixel-area member wins
@@ -780,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_semdedup": _img_semdedup_query,
         "image_modality_agreement": _img_modality_query,
         "image_dedup_keep_best": _img_keep_best_query,
+        "image_dup_cluster_density": _img_density_query,
         "image_ann_topk": _img_ann_query,
         "image_rot_dup_pairs": _img_rot_query,
         "image_crop_dup_pairs": _img_crop_query,

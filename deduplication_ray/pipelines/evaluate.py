@@ -231,3 +231,58 @@ def cluster_agreement(a, b, id_col: str = "doc_id",
         "pairs_agree": [s_ab],
         "ari_micro": [ari_micro],
     })
+
+
+def cluster_density_report(run_dir: str, cfg=None):
+    """Per-cluster edge-density diagnostic over a finished run — the
+    transitive-chaining audit every union-find dedup engine needs: a
+    cluster whose verified-edge count is far below its all-pairs count
+    was merged through CHAINS (a-b, b-c, ... with a and z never directly
+    verified), the classic false-merge mode when near-dup thresholds are
+    loose. Output per multi-member cluster: member count, verified edge
+    count, and density in exact integer milli units
+    (2E * 1000 // (n * (n - 1))). density_milli == 1000 -> every pair
+    directly verified (a clique, safe); low density on a big cluster ->
+    inspect the threshold.
+
+    Plan: one lookup join labels the verified edge list by its src
+    endpoint (src and dst share a cluster after convergence), then two
+    bounded groupby-counts (edges per label, members per label) and one
+    join — cost rides the edge list and the cluster table, never media."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.sources import storage
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = cfg or DedupConfig()
+    edges = storage.read_table(f"{run_dir}/verified_edges",
+                               columns=["src", "dst"])
+    clusters = storage.read_table(f"{run_dir}/clusters")
+
+    labeled = lookup_join(
+        edges.select_columns(["src"]),
+        clusters.rename_columns({"image_id": "src"}),
+        on=["src"], cfg=cfg)
+    e_per = labeled.groupby("cluster_id").aggregate(
+        Count(alias_name="n_edges"))
+    m_per = clusters.groupby("cluster_id").aggregate(
+        Count(alias_name="n_members"))
+    j = lookup_join(m_per, e_per, on=["cluster_id"], cfg=cfg, how="left")
+
+    def density(t: pa.Table) -> pa.Table:
+        n = t["n_members"].to_numpy().astype(np.int64)
+        e = pc.fill_null(t["n_edges"], 0).cast(pa.int64()).to_numpy()
+        keep = n >= 2
+        n, e = n[keep], e[keep]
+        return pa.table({
+            "cluster_id": t["cluster_id"].filter(pa.array(keep)),
+            "n_members": pa.array(n),
+            "n_edges": pa.array(e),
+            "density_milli": pa.array(2 * e * 1000 // (n * (n - 1))),
+        })
+
+    return j.map_batches(density, batch_format="pyarrow")

@@ -576,3 +576,39 @@ def test_keep_best_representatives_serial_parity(tiny_run, tiny_fixture,
     # cluster's best member is NOT the min-id representative
     mins = cl.groupby("cluster_id")["image_id"].min()
     assert (got.set_index("cluster_id")["best_id"] != mins).any()
+
+
+def test_cluster_density_serial_parity(tiny_run, ray_session):
+    """Distributed per-cluster density report == serial pandas recompute
+    from the run's own verified_edges + clusters checkpoints; density is
+    a valid fraction (0, 1000] and every pair-verified 2-cluster is a
+    clique."""
+    from deduplication_ray.pipelines.evaluate import cluster_density_report
+    from deduplication_ray.sources import storage
+
+    run_dir, cfg, _ = tiny_run
+    got = cluster_density_report(run_dir, cfg).to_pandas() \
+        .sort_values("cluster_id").reset_index(drop=True)
+
+    cl = storage.read_table(f"{run_dir}/clusters").to_pandas()
+    ed = storage.read_table(f"{run_dir}/verified_edges").to_pandas()
+    lab = cl.set_index("image_id")["cluster_id"]
+    ec = ed.assign(cluster_id=ed["src"].map(lab)) \
+        .groupby("cluster_id").size()
+    mc = cl.groupby("cluster_id").size()
+    want = (
+        mc[mc >= 2].rename("n_members").to_frame()
+        .join(ec.rename("n_edges")).fillna(0).astype("int64")
+        .reset_index())
+    want["density_milli"] = (2 * want["n_edges"] * 1000
+                             // (want["n_members"] * (want["n_members"] - 1)))
+    want = want.sort_values("cluster_id").reset_index(drop=True)
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got[["cluster_id", "n_members", "n_edges", "density_milli"]],
+        want[["cluster_id", "n_members", "n_edges", "density_milli"]],
+        check_dtype=False)
+    assert ((got["density_milli"] > 0) & (got["density_milli"] <= 1000)).all()
+    two = got[got["n_members"] == 2]
+    assert (two["density_milli"] == 1000).all()
