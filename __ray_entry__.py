@@ -200,6 +200,28 @@ def _img_keep_best_query(sf_dir: str):
                                      DedupConfig(num_partitions=8))
 
 
+def _img_keep_sharpest_query(sf_dir: str):
+    """Sharpness-aware representative election over the image fixture's
+    clusters (``image_dedup.keep_sharpest_representatives``): only
+    multi-member clusters decode, highest Laplacian-energy member wins.
+    Rows-only; the blurry-upscale policy difference vs the area election
+    is asserted in tests/test_pipeline.py::test_keep_sharpest_prefers_
+    sharp_original."""
+    import os
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.image_dedup import \
+        keep_sharpest_representatives
+    from deduplication_ray.sources import fixtures, storage
+
+    clusters = _img_fixture_query(sf_dir)
+    n = TINY_FIXTURE_ROWS
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    return keep_sharpest_representatives(
+        clusters, storage.read_table(f"{fix_dir}/data"),
+        DedupConfig(num_partitions=8))
+
+
 def _img_modality_query(sf_dir: str):
     """Cross-modal agreement (exact ARI) between the pixel-only and
     caption-only clusterings of the image fixture —
@@ -797,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_modality_agreement": _img_modality_query,
         "image_dedup_keep_best": _img_keep_best_query,
         "image_dup_cluster_density": _img_density_query,
+        "image_dedup_keep_sharpest": _img_keep_sharpest_query,
         "image_ann_topk": _img_ann_query,
         "image_rot_dup_pairs": _img_rot_query,
         "image_crop_dup_pairs": _img_crop_query,

@@ -379,3 +379,23 @@ def decode_vseq_frames(data: bytes, every_k: int = 1):
         if i % every_k == 0:
             yield i, decode_image(data[off:off + ln], fmt, w, h)
         off += ln
+
+
+def laplacian_sharpness_milli(gray: np.ndarray) -> int:
+    """Integer-exact sharpness score: mean squared discrete Laplacian over
+    the interior, scaled by 1000/(255^2) — the classic
+    focus/blur measure (variance-of-Laplacian family); a relative score
+    (the 4-neighbor Laplacian of hard edges can exceed 255, so values
+    above 1000 are possible and simply mean 'very sharp'). Blur removes
+    high-frequency energy, so an interpolated UPSCALE scores below its
+    source even though it has more pixels — the signal a quality-aware
+    representative election needs that raw pixel area cannot provide.
+    Deterministic: rounds the float32 luma to int64 once, then all
+    arithmetic is integer."""
+    g = np.rint(gray).astype(np.int64)
+    if g.shape[0] < 3 or g.shape[1] < 3:
+        return 0
+    lap = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+           - g[1:-1, :-2] - g[1:-1, 2:])
+    npix = lap.shape[0] * lap.shape[1]
+    return int(int((lap * lap).sum()) * 1000 // (npix * 255 * 255))

@@ -553,3 +553,91 @@ def keep_best_representatives(clusters: ray.data.Dataset,
         reduce_fn=elect,
         num_parts=cfg.num_partitions,
     )
+
+
+def keep_sharpest_representatives(clusters: ray.data.Dataset,
+                                  input_ds: ray.data.Dataset,
+                                  cfg: DedupConfig | None = None):
+    """Sharpness-aware representative election — the quality policy the
+    pixel-area election (``keep_best_representatives``) cannot express: an
+    interpolated UPSCALE has more pixels but less high-frequency energy
+    than its source, so area keeps the blurry enlargement while the
+    Laplacian score (``codecs.laplacian_sharpness_milli``) keeps the
+    original. Ties (exact copies) break to the smaller image_id.
+
+    Scale plan: only MULTI-member clusters decode — the cluster table is
+    counted first and singleton rows (the vast majority of a deduped
+    corpus) never touch pixels; the dup slice decodes once per distinct
+    payload in a stateless map_batches pass and the election is one
+    hash-grouped vectorized argmax. Output (cluster_id, best_id,
+    sharp_milli, n_members)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from deduplication_ray.functions import codecs as C
+    from deduplication_ray.functions import hashing as H
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = cfg or DedupConfig()
+    sizes = clusters.groupby("cluster_id").aggregate(
+        Count(alias_name="n_members"))
+    multi = sizes.filter(expr="n_members >= 2")
+    members = lookup_join(clusters, multi, on=["cluster_id"], cfg=cfg)
+    rows = lookup_join(
+        input_ds.select_columns(["image_id", "bytes", "fmt", "w", "h"]),
+        members, on=["image_id"], cfg=cfg)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster_id": pa.array([], pa.string()),
+                             "image_id": pa.array([], pa.string()),
+                             "n_members": pa.array([], pa.int64()),
+                             "sharp_milli": pa.array([], pa.int64())})
+        payloads = (t["bytes"].combine_chunks()
+                    if isinstance(t["bytes"], pa.ChunkedArray) else t["bytes"])
+        pbuf, poffs = H._arrow_flat_buffer(payloads)
+        fmts = t["fmt"].to_pylist()
+        ws = t["w"].to_numpy()
+        hs = t["h"].to_numpy()
+        out = np.empty(t.num_rows, np.int64)
+        for i in range(t.num_rows):
+            img = C.decode_image(bytes(pbuf[poffs[i]:poffs[i + 1]]),
+                                 fmts[i], int(ws[i]), int(hs[i]))
+            out[i] = C.laplacian_sharpness_milli(C.to_grayscale(img))
+        return pa.table({"cluster_id": t["cluster_id"],
+                         "image_id": t["image_id"],
+                         "n_members": t["n_members"].cast(pa.int64()),
+                         "sharp_milli": pa.array(out)})
+
+    scored = rows.map_batches(score, batch_format="pyarrow",
+                              batch_size=cfg.text_batch_size)
+
+    def elect(t: pa.Table) -> pa.Table:
+        cl = t["cluster_id"].to_pandas().to_numpy()
+        ids = t["image_id"].to_pandas().to_numpy()
+        sm = t["sharp_milli"].to_numpy()
+        nm = t["n_members"].to_numpy()
+        codes, _ = pd.factorize(cl, sort=False)
+        order = np.lexsort((ids, -sm, codes))
+        c_s = codes[order]
+        first = np.concatenate([[True], c_s[1:] != c_s[:-1]]) \
+            if len(c_s) else np.zeros(0, bool)
+        win = order[first]
+        return pa.table({
+            "cluster_id": pa.array(cl[win], pa.string()),
+            "best_id": pa.array(ids[win], pa.string()),
+            "sharp_milli": pa.array(sm[win]),
+            "n_members": pa.array(nm[win]),
+        })
+
+    return hash_grouped_reduce(
+        scored,
+        key_hash=lambda t: H.hash_bytes_array(
+            t["cluster_id"].combine_chunks()
+            if isinstance(t["cluster_id"], pa.ChunkedArray)
+            else t["cluster_id"]),
+        reduce_fn=elect,
+        num_parts=cfg.num_partitions,
+    )

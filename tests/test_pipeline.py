@@ -612,3 +612,52 @@ def test_cluster_density_serial_parity(tiny_run, ray_session):
     assert ((got["density_milli"] > 0) & (got["density_milli"] <= 1000)).all()
     two = got[got["n_members"] == 2]
     assert (two["density_milli"] == 1000).all()
+
+
+def test_keep_sharpest_prefers_sharp_original(ray_session):
+    """The sharpness election picks the crisp ORIGINAL over its box-blurred
+    2x UPSCALE — exactly the case the pixel-area election gets wrong (the
+    upscale has 4x the pixels) — and ties on exact copies break to the
+    smaller id."""
+    import ray.data
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.functions import codecs as C
+    from deduplication_ray.pipelines.image_dedup import (
+        keep_best_representatives, keep_sharpest_representatives)
+
+    rng = np.random.default_rng(5)
+    rows, cl_rows = [], []
+
+    def add(iid: str, img: np.ndarray, cluster: str):
+        rows.append({
+            "image_id": iid, "bytes": C.encode_image(img, "raw"),
+            "w": np.int32(img.shape[1]), "h": np.int32(img.shape[0]),
+            "fmt": "raw", "caption": "c", "phash": np.int64(0),
+        })
+        cl_rows.append({"image_id": iid, "cluster_id": cluster})
+
+    for k in range(4):
+        base = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+        # blurred 2x upscale: nearest-neighbor enlarge then two box passes
+        up = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1).astype(np.float32)
+        for _ in range(2):
+            up[1:-1, 1:-1] = (up[:-2, 1:-1] + up[2:, 1:-1] + up[1:-1, :-2]
+                              + up[1:-1, 2:] + up[1:-1, 1:-1]) / 5
+        add(f"cl{k}_a_orig", base, f"cl{k}_a_orig")
+        add(f"cl{k}_b_blurup", up.astype(np.uint8), f"cl{k}_a_orig")
+
+    import pandas as pd
+    cfg = DedupConfig(num_partitions=4)
+    inp = ray.data.from_pandas(pd.DataFrame(rows))
+    clusters = ray.data.from_pandas(pd.DataFrame(cl_rows))
+
+    sharp = keep_sharpest_representatives(clusters, inp, cfg).to_pandas()
+    assert len(sharp) == 4
+    assert sharp["best_id"].str.endswith("_a_orig").all()
+    assert (sharp["n_members"] == 2).all()
+
+    # the area election demonstrably keeps the blurry upscale instead
+    area = keep_best_representatives(
+        clusters, inp.select_columns(["image_id", "w", "h"]), cfg).to_pandas()
+    assert area["best_id"].str.endswith("_b_blurup").all()
