@@ -200,6 +200,28 @@ def _img_keep_best_query(sf_dir: str):
                                      DedupConfig(num_partitions=8))
 
 
+def _img_validation_query(sf_dir: str):
+    """North-rule per-row invariant audit of the image fixture run
+    (``evaluate.validate_run``, the CLI ``validate`` verb): decoded-pixel
+    equality + exact caption equality + lossy-codec PSNR >= 40 dB over
+    every representative, exposed as a one-row counters query so the
+    driver exercises the invariant the input_hint pins. Rows-only; the
+    zero-violation assertion lives in
+    tests/test_pipeline.py::test_per_row_invariants."""
+    import pandas as pd
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.evaluate import validate_run
+
+    _img_fixture_query(sf_dir)  # ensure the checkpointed run exists
+    n = TINY_FIXTURE_ROWS
+    cfg = DedupConfig(num_partitions=8)
+    fix_dir = f"/tmp/dedup_ray_imgfix_{FIXTURE_SEED}_{n}"
+    run_dir = f"/tmp/dedup_ray_imgrun_{FIXTURE_SEED}_{n}_{cfg.config_hash()}"
+    m = validate_run(f"{fix_dir}/data", run_dir, cfg)
+    return pd.DataFrame([{k: int(v) for k, v in m.items()}])
+
+
 def _img_keep_sharpest_query(sf_dir: str):
     """Sharpness-aware representative election over the image fixture's
     clusters (``image_dedup.keep_sharpest_representatives``): only
@@ -820,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_keep_best": _img_keep_best_query,
         "image_dup_cluster_density": _img_density_query,
         "image_dedup_keep_sharpest": _img_keep_sharpest_query,
+        "image_run_validation": _img_validation_query,
         "image_ann_topk": _img_ann_query,
         "image_rot_dup_pairs": _img_rot_query,
         "image_crop_dup_pairs": _img_crop_query,
