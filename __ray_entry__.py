@@ -229,12 +229,10 @@ def _img_keep_sharpest_query(sf_dir: str):
     Rows-only; the blurry-upscale policy difference vs the area election
     is asserted in tests/test_pipeline.py::test_keep_sharpest_prefers_
     sharp_original."""
-    import os
-
     from deduplication_ray.config import DedupConfig
     from deduplication_ray.pipelines.image_dedup import \
         keep_sharpest_representatives
-    from deduplication_ray.sources import fixtures, storage
+    from deduplication_ray.sources import storage
 
     clusters = _img_fixture_query(sf_dir)
     n = TINY_FIXTURE_ROWS

@@ -208,7 +208,9 @@ def ensure_text_fixture() -> str:
 
     d = f"/tmp/dedup_ray_benchtxt_{SEED}_{TEXT_ROWS}"
     m = storage.read_manifest(d)
-    if not (m and m.get("n_rows") == TEXT_ROWS):
+    # num_files gate: a fixture cached by the pre-shard generator (single
+    # file) would silently cap read parallelism — regenerate it
+    if not (m and m.get("n_rows") == TEXT_ROWS and m.get("num_files")):
         shutil.rmtree(d, ignore_errors=True)
         fixtures.generate_text(d, TEXT_ROWS, seed=SEED)
     return d
@@ -258,12 +260,7 @@ def run_text_scaling() -> dict:
     """Text-engine analog of ``run_scaling``: the full MinHash-LSH +
     substring + union-find engine over the planted ``TEXT_ROWS``-doc
     fixture at lo vs hi CPUs in FRESH processes."""
-    import ray
-
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
-    ensure_text_fixture()
-    ray.shutdown()
+    ensure_text_fixture()  # driver-side pandas/pyarrow: no Ray needed
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))

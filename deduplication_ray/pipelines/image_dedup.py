@@ -601,18 +601,29 @@ def keep_sharpest_representatives(clusters: ray.data.Dataset,
         fmts = t["fmt"].to_pylist()
         ws = t["w"].to_numpy()
         hs = t["h"].to_numpy()
-        out = np.empty(t.num_rows, np.int64)
-        for i in range(t.num_rows):
+        # batch-local distinct-payload probe (the signature stage's
+        # dict_find analog): exact-copy clusters — the common case here —
+        # score each identical (payload, fmt, w, h) exactly once
+        dk = (H.hash_bytes_array(payloads)
+              ^ H.hash_bytes_array(t["fmt"])
+              ^ (ws.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              ^ (hs.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+        uniq, inv = np.unique(dk, return_inverse=True)
+        first = np.zeros(len(uniq), np.int64)
+        first[inv[::-1]] = np.arange(t.num_rows - 1, -1, -1)
+        scores = np.empty(len(uniq), np.int64)
+        for u, i in enumerate(first):
             img = C.decode_image(bytes(pbuf[poffs[i]:poffs[i + 1]]),
                                  fmts[i], int(ws[i]), int(hs[i]))
-            out[i] = C.laplacian_sharpness_milli(C.to_grayscale(img))
+            scores[u] = C.laplacian_sharpness_milli(C.to_grayscale(img))
+        out = scores[inv]
         return pa.table({"cluster_id": t["cluster_id"],
                          "image_id": t["image_id"],
                          "n_members": t["n_members"].cast(pa.int64()),
                          "sharp_milli": pa.array(out)})
 
     scored = rows.map_batches(score, batch_format="pyarrow",
-                              batch_size=cfg.text_batch_size)
+                              batch_size=cfg.batch_size)
 
     def elect(t: pa.Table) -> pa.Table:
         cl = t["cluster_id"].to_pandas().to_numpy()

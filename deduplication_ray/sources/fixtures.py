@@ -960,4 +960,5 @@ def generate_text(out_dir: str, n_rows: int, seed: int = 42,
     storage.write_arrow_table(pa.Table.from_pandas(truth, preserve_index=False),
                               os.path.join(out_dir, "truth"))
     storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
+                                     "num_files": shards,
                                      "stage": "text_fixture"})

@@ -18,7 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _pos = [a for a in sys.argv[1:] if not a.startswith("--")
         and not a.isdigit()]
-SF = _pos[0] if _pos and os.path.isdir(_pos[0]) else "/root/testdata/sf0.01"
+if _pos and not os.path.isdir(_pos[0]):
+    sys.exit(f"correctness_sweep: first positional arg {_pos[0]!r} is not a "
+             "directory (expected the sf_dir; query names follow it)")
+SF = _pos[0] if _pos else "/root/testdata/sf0.01"
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
@@ -56,13 +59,24 @@ def _chunked(argv) -> int:
                 [sys.executable, os.path.abspath(__file__), SF, *part],
                 capture_output=True, text=True)
             sys.stdout.write(r.stdout)
-            ok = r.returncode == 0 and '"failed": []' in r.stdout
-            if ok or attempt == 2:
-                if not ok:
-                    failures.extend(part)  # conservatively flag the chunk
+            summary = None
+            for line in reversed(r.stdout.splitlines()):
+                if line.startswith("{"):
+                    try:
+                        summary = json.loads(line)
+                    except ValueError:
+                        pass
+                    break
+            if summary is not None:
+                # the subprocess completed its loop: trust ITS failed list
+                # (deterministic mismatches re-fail identically — no retry)
+                failures.extend(summary.get("failed", []))
                 break
-            print(f"chunk {i // chunk} rc={r.returncode}; retrying once",
-                  flush=True)
+            if attempt == 2:
+                failures.extend(part)  # chunk crashed twice: flag it all
+                break
+            print(f"chunk {i // chunk} crashed (rc={r.returncode}); "
+                  "retrying once", flush=True)
         checked += len(part)
     print(json.dumps({"sf": SF, "checked": checked, "failed": failures,
                       "mode": f"chunked:{chunk}"}))
@@ -87,6 +101,9 @@ def main() -> int:
                     f"FROM read_parquet('{SF}/{t}.parquet')")
     only = {a for a in sys.argv[1:]
             if a != SF and not a.startswith("--") and not a.isdigit()}
+    unknown = only - set(oq)
+    if unknown:
+        sys.exit(f"correctness_sweep: unknown query name(s) {sorted(unknown)}")
     failures = []
     for name in qs:
         if name not in oq or (only and name not in only):
