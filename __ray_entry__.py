@@ -805,6 +805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_check": ann.q_knn_label_check,  # 1-NN label audit
         "cross_source_dup_matrix": docops.q_cross_source_dup_matrix,  # provenance
         "embedding_drift_check": ann.q_embedding_drift_check,  # drift kin
+        "events_type_transitions": R.q_events_type_transitions,  # lag kin
+        "customer_revenue_deciles": R.q_customer_revenue_deciles,  # rank kin
+        "dup_rate_by_length": docops.q_dup_rate_by_length,  # dedup-stats kin
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -989,6 +992,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_check": ann.knn_label_check_sql(),
         "cross_source_dup_matrix": docops.cross_source_dup_matrix_sql(),
         "embedding_drift_check": ann.embedding_drift_check_sql(),
+        "events_type_transitions": R.Q_EVENTS_TYPE_TRANSITIONS_SQL,
+        "customer_revenue_deciles": R.Q_CUSTOMER_REVENUE_DECILES_SQL,
+        "dup_rate_by_length": docops.dup_rate_by_length_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_ppjoin_pairs": docops.doc_ppjoin_pairs_sql(),

@@ -5409,3 +5409,67 @@ JOIN documents da ON da.doc_id = p.src
 JOIN documents db ON db.doc_id = p.dst
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------- dup rate by length bucket
+
+def q_dup_rate_by_length(sf_dir: str, bucket_chars: int = 200,
+                         max_bucket: int = 9):
+    """Exact-duplicate RATE by document-length bucket — the curation
+    diagnostic behind length-aware dedup policy ("are short docs the dup
+    problem?"): per ``bucket_chars``-wide length bucket (capped at
+    ``max_bucket``), the doc count and the count of docs whose text occurs
+    more than once corpus-wide, plus the rate in exact integer milli.
+
+    Scale shape: one content groupby (the exact-dedup exchange — group
+    cardinality = distinct texts) emitting ONE (bucket, k) row per
+    distinct text; the bucket rollup is |buckets|-bounded. Identical
+    texts share a length, so the bucket is constant within each group."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir, ["text", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        b = np.minimum(t["n_chars"].to_numpy() // bucket_chars, max_bucket)
+        return pa.table({"text": t["text"],
+                         "len_bucket": pa.array(b.astype(np.int64))})
+
+    per_text = (ds.map_batches(keyed, batch_format="pyarrow")
+                .groupby(["text", "len_bucket"])
+                .aggregate(Count(alias_name="k")))
+
+    def expand(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy().astype(np.int64)
+        return pa.table({
+            "len_bucket": t["len_bucket"].cast(pa.int64()),
+            "n_docs": pa.array(k),
+            "n_dup_docs": pa.array(np.where(k > 1, k, 0)),
+        })
+
+    agg = (per_text.map_batches(expand, batch_format="pyarrow")
+           .groupby("len_bucket")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_dup_docs", alias_name="n_dup_docs")))
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy().astype(np.int64)
+        d = t["n_dup_docs"].to_numpy().astype(np.int64)
+        return t.append_column("dup_milli", pa.array(d * 1000 // n))
+
+    return agg.map_batches(rate, batch_format="pyarrow")
+
+
+def dup_rate_by_length_sql(bucket_chars: int = 200, max_bucket: int = 9) -> str:
+    return f"""
+WITH c AS (SELECT text, COUNT(*) AS k FROM documents GROUP BY text),
+d AS (
+  SELECT LEAST(n_chars // {bucket_chars}, {max_bucket}) AS len_bucket,
+         (c.k > 1) AS isdup
+  FROM documents JOIN c USING (text))
+SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST((SUM(CASE WHEN isdup THEN 1 ELSE 0 END) * 1000) // COUNT(*)
+            AS BIGINT) AS dup_milli
+FROM d GROUP BY 1
+"""

@@ -4638,3 +4638,144 @@ SELECT event_id,
                 -1) AS last_purchase_cents
 FROM events
 """
+
+
+# -------------------------------------------------- behavior-sequence model
+
+def q_events_type_transitions(sf_dir: str, num_buckets: int = 32):
+    """Event-type TRANSITION matrix: for every consecutive same-user event
+    pair (ordered by ts, event_id), count (prev_type -> next_type) — the
+    first-order Markov model input behind behavior modeling, funnel
+    discovery and bot detection (a user whose transition row is one giant
+    self-loop is a scraper).
+
+    Scale shape: the lag kernel's bucketed plan (one user-hash shuffle,
+    one vectorized sort + shift per bucket) with the transition counts
+    PRE-AGGREGATED inside each bucket, so the final exchange is
+    |types|^2 x #buckets rows, independent of event volume."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def trans_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        out = pd.DataFrame({
+            "prev_type": g["event_type"].shift()[same_user],
+            "next_type": g["event_type"][same_user],
+        })
+        return (out.groupby(["prev_type", "next_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(trans_bucket, batch_format="pandas")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+Q_EVENTS_TYPE_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------- revenue concentration
+
+def q_customer_revenue_deciles(sf_dir: str):
+    """Revenue CONCENTRATION report (the Pareto/Lorenz table): customers
+    ranked by lifetime order revenue, split into ten equal-count deciles
+    (decile 0 = top spenders; ties broken by custkey like the SQL
+    ROW_NUMBER), each with its customer count and exact revenue cents —
+    "what share of revenue comes from the top 10%?".
+
+    Scale shape: the per-customer aggregate is the only full-volume
+    exchange (pre-summed per batch); the global equal-count split over the
+    |customers|-bounded result uses the engine's distributed zipWithIndex
+    (range sort -> #blocks-row metadata pass -> driver prefix sums ->
+    stateless rank pass) — no per-row driver work."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"],
+                                     pa.scalar(100.0))).cast(pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey").aggregate(Sum("cents",
+                                                    alias_name="cents")))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "neg_cents", pc.negate(t["cents"].cast(pa.int64())))
+
+    sorted_ds = (per_cust.map_batches(keyed, batch_format="pyarrow")
+                 .sort(["neg_cents", "o_custkey"]).materialize())
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k0": pa.array([], pa.int64()),
+                             "c0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"k0": t["neg_cents"].slice(0, 1).cast(pa.int64()),
+                         "c0": t["o_custkey"].slice(0, 1).cast(pa.int64()),
+                         "cnt": pa.array([t.num_rows], pa.int64())})
+
+    meta = pa.concat_tables(
+        list(sorted_ds.map_batches(block_meta, batch_format="pyarrow",
+                                   batch_size=None)
+             .iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default").to_pandas()
+    meta = meta.sort_values(["k0", "c0"]).reset_index(drop=True)
+    total = int(meta["cnt"].sum())
+    offsets = {(int(r.k0), int(r.c0)): int(o) for r, o in zip(
+        meta.itertuples(), np.concatenate([[0], np.cumsum(meta["cnt"])[:-1]]))}
+    ref = ray.put((offsets, total))
+
+    def decile(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"decile": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        offs, n = ray.get(ref)
+        base = offs[(int(t["neg_cents"][0].as_py()),
+                     int(t["o_custkey"][0].as_py()))]
+        rank = base + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table({"decile": pa.array(rank * 10 // n),
+                         "cents": t["cents"].cast(pa.int64())})
+
+    return (sorted_ds.map_batches(decile, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+            .groupby("decile")
+            .aggregate(Count(alias_name="n_customers"),
+                       Sum("cents", alias_name="revenue_cents")))
+
+
+Q_CUSTOMER_REVENUE_DECILES_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) - 1 AS rnk,
+         COUNT(*) OVER () AS n
+  FROM cust)
+SELECT CAST((rnk * 10) // n AS BIGINT) AS decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM ranked GROUP BY 1
+"""
