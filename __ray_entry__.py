@@ -808,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": R.q_events_type_transitions,  # lag kin
         "customer_revenue_deciles": R.q_customer_revenue_deciles,  # rank kin
         "dup_rate_by_length": docops.q_dup_rate_by_length,  # dedup-stats kin
+        "split_leakage_matrix": docops.q_split_leakage_matrix,  # leakage audit
         # ---- tier 3: rows-only (non-SQL-expressible) detectors ------------
         "embedding_kmeans_cells": ann.embedding_kmeans_cells,
         "embedding_kmeans_refine": ann.embedding_kmeans_refine,
@@ -995,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_transitions": R.Q_EVENTS_TYPE_TRANSITIONS_SQL,
         "customer_revenue_deciles": R.Q_CUSTOMER_REVENUE_DECILES_SQL,
         "dup_rate_by_length": docops.dup_rate_by_length_sql(),
+        "split_leakage_matrix": docops.split_leakage_matrix_sql(),
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_ppjoin_pairs": docops.doc_ppjoin_pairs_sql(),

@@ -5473,3 +5473,57 @@ SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
             AS BIGINT) AS dup_milli
 FROM d GROUP BY 1
 """
+
+
+# ------------------------------------------- cross-split leakage audit
+
+def q_split_leakage_matrix(sf_dir: str, tau: float = 0.6):
+    """Cross-split LEAKAGE audit of the NAIVE per-doc train/val/test split:
+    near-dup pair counts per unordered (split, split) combination — the
+    off-diagonal cells (train x test, train x val) are exactly the
+    contaminated pairs the cluster-level ``doc_leakage_safe_split``
+    exists to prevent, quantified. The diagonal is benign within-split
+    duplication.
+
+    Same plan as ``q_cross_source_dup_matrix``: rides the size-dispatched
+    gram-Jaccard pair list, two broadcast split lookups (the split is a
+    pure doc_id hash — the lookup table is derived, never scanned from
+    storage), one 3x3-bounded groupby."""
+    from ray.data.aggregate import Count
+
+    from deduplication_ray.stages.join import lookup_join
+
+    cfg = DedupConfig(num_partitions=8)
+    pairs = q_ngram_jaccard_pairs(sf_dir, tau=tau) \
+        .select_columns(["src", "dst"])
+    splits = q_doc_split(sf_dir).materialize()
+    e = lookup_join(
+        pairs, splits.rename_columns({"doc_id": "src", "split": "sp_a"}),
+        on=["src"], cfg=cfg)
+    e = lookup_join(
+        e, splits.rename_columns({"doc_id": "dst", "split": "sp_b"}),
+        on=["dst"], cfg=cfg)
+
+    def canon(t: pa.Table) -> pa.Table:
+        a, b = t["sp_a"], t["sp_b"]
+        swap = pc.greater(a, b)
+        return pa.table({"split_a": pc.if_else(swap, b, a),
+                         "split_b": pc.if_else(swap, a, b)})
+
+    return (e.map_batches(canon, batch_format="pyarrow")
+            .groupby(["split_a", "split_b"])
+            .aggregate(Count(alias_name="n_pairs")))
+
+
+def split_leakage_matrix_sql(tau: float = 0.6) -> str:
+    return f"""
+WITH pairs AS ({ngram_jaccard_pairs_sql(tau)}),
+s AS ({Q_DOC_SPLIT_SQL})
+SELECT LEAST(sa.split, sb.split) AS split_a,
+       GREATEST(sa.split, sb.split) AS split_b,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN s sa ON sa.doc_id = p.src
+JOIN s sb ON sb.doc_id = p.dst
+GROUP BY 1, 2
+"""
