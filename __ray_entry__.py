@@ -730,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_first_lowshuffle": R.q_dedup_keep_first_lowshuffle,  # 2-pass
         "events_dedup_window": R.q_events_dedup_window,  # kernel: events_lag
         "orders_cube": R.q_orders_cube,                  # kernel: orders_rollup
+        "orders_grouping_sets": R.q_orders_grouping_sets,  # OLAP trio member
         "events_running_total": R.q_events_running_total,  # kernel: events_lag
         "doc_weighted_sample": docops.q_doc_weighted_sample,  # doc_uniform_
         "lang_stratified_sample": docops.q_lang_stratified_sample,  # src_cap
@@ -997,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_revenue_deciles": R.Q_CUSTOMER_REVENUE_DECILES_SQL,
         "dup_rate_by_length": docops.dup_rate_by_length_sql(),
         "split_leakage_matrix": docops.split_leakage_matrix_sql(),
+        "orders_grouping_sets": R.Q_ORDERS_GROUPING_SETS_SQL,
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_ppjoin_pairs": docops.doc_ppjoin_pairs_sql(),

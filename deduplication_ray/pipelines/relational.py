@@ -4779,3 +4779,64 @@ SELECT CAST((rnk * 10) // n AS BIGINT) AS decile,
        CAST(SUM(cents) AS BIGINT) AS revenue_cents
 FROM ranked GROUP BY 1
 """
+
+
+def q_orders_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((priority), (status), ()) — the third member
+    of the OLAP trio next to ROLLUP and CUBE: the caller picks the exact
+    grouping levels, here the two one-dimension marginals plus the grand
+    total WITHOUT the fine (priority, status) cells.
+
+    Scale plan: identical to the rollup's — aggregate ONCE at the finest
+    level any requested set needs (here (priority, status), bounded by
+    group cardinality), then derive every requested set from that bounded
+    aggregate on the driver; the raw table is scanned exactly once."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"],
+                                     pa.scalar(100.0))).cast(pa.int64())
+        g = (t.set_column(2, "cents", cents)
+             .group_by(["o_orderpriority", "o_orderstatus"])
+             .aggregate([("cents", "sum"), ("cents", "count")]))
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"],
+            "o_orderstatus": g["o_orderstatus"],
+            "total_cents": g["cents_sum"].cast(pa.int64()),
+            "n_orders": g["cents_count"].cast(pa.int64()),
+        })
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["o_orderpriority", "o_orderstatus"])
+            .aggregate(Sum("total_cents", alias_name="total_cents"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .to_pandas())  # bounded: |priorities| x |statuses| rows
+
+    by_prio = (fine.groupby("o_orderpriority", as_index=False)
+               [["total_cents", "n_orders"]].sum())
+    by_prio["o_orderstatus"] = "ALL"
+    by_status = (fine.groupby("o_orderstatus", as_index=False)
+                 [["total_cents", "n_orders"]].sum())
+    by_status["o_orderpriority"] = "ALL"
+    grand = pd.DataFrame({
+        "o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+        "total_cents": [fine["total_cents"].sum()],
+        "n_orders": [fine["n_orders"].sum()],
+    })
+    cols = ["o_orderpriority", "o_orderstatus", "n_orders", "total_cents"]
+    out = pd.concat([by_prio[cols], by_status[cols], grand[cols]],
+                    ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out
+
+
+Q_ORDERS_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
