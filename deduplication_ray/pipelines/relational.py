@@ -4840,3 +4840,116 @@ SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
+
+
+def q_peak_concurrent_sessions(sf_dir: str, gap_minutes: int = 30,
+                               num_buckets: int = 32):
+    """PEAK CONCURRENCY over session intervals — the classic sweep-line
+    ("maximum overlapping intervals") operator, distributed: sessions are
+    derived exactly like ``q_sessionize`` but reduced to (start, end)
+    intervals; every interval emits a +1/-1 boundary event; the answer is
+    the maximum of the boundary stream's running sum. Convention: at an
+    identical instant, ends sort before starts (touching sessions do not
+    overlap) — encoded identically in the SQL's ORDER BY ts, d.
+
+    Scale shape: the running max NEVER materializes a global prefix on one
+    machine — after ONE range sort of the (2 x #sessions)-row boundary
+    stream, each block reduces to (block sum S_i, block max-prefix M_i)
+    plus its first-key ordering triple; the driver prefix-sums the
+    #blocks-row metadata and takes max_i(offset_i + M_i). Same two-pass
+    discipline as the distributed zipWithIndex."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def session_intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = (new_user | gap).cumsum()
+        agg = g.assign(sid=sid).groupby("sid", sort=False)["ts"] \
+            .agg(["min", "max"]).reset_index(drop=True)
+        return pd.DataFrame({
+            "t0": agg["min"].astype("int64"),  # us since epoch
+            "t1": agg["max"].astype("int64"),
+        })
+
+    sessions = (ds.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(session_intervals, batch_format="pandas")
+                .materialize())
+    n_sessions = sessions.count()
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        t0 = t["t0"].to_numpy()
+        t1 = t["t1"].to_numpy()
+        # unique tiebreak key so block metadata orders unambiguously even
+        # when many boundaries share (ts, d); the running sum itself is
+        # invariant to order within an equal-(ts, d) run
+        uid = H.splitmix64(np.concatenate([t0 ^ (t1 << 1),
+                                           t1 ^ (t0 << 1)]).astype(np.uint64))
+        return pa.table({
+            "ts": pa.array(np.concatenate([t0, t1])),
+            "d": pa.array(np.concatenate([np.ones(len(t0), np.int64),
+                                          -np.ones(len(t1), np.int64)])),
+            "uid": pa.array(uid.view(np.int64)
+                            + np.arange(2 * len(t0), dtype=np.int64)),
+        })
+
+    sorted_b = (sessions.map_batches(boundaries, batch_format="pyarrow")
+                .sort(["ts", "d", "uid"]).materialize())
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("ts0", "d0", "u0", "s", "m")})
+        d = t["d"].to_numpy()
+        pref = np.cumsum(d)
+        return pa.table({
+            "ts0": t["ts"].slice(0, 1).cast(pa.int64()),
+            "d0": t["d"].slice(0, 1),
+            "u0": t["uid"].slice(0, 1),
+            "s": pa.array([int(pref[-1])], pa.int64()),
+            "m": pa.array([int(pref.max())], pa.int64()),
+        })
+
+    meta = pa.concat_tables(
+        list(sorted_b.map_batches(block_meta, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+             .iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default").to_pandas()
+    meta = meta.sort_values(["ts0", "d0", "u0"]).reset_index(drop=True)
+    offsets = np.concatenate([[0], np.cumsum(meta["s"].to_numpy())[:-1]])
+    peak = int((offsets + meta["m"].to_numpy()).max()) if len(meta) else 0
+    return pd.DataFrame([{"peak_concurrency": peak,
+                          "n_sessions": int(n_sessions)}])
+
+
+Q_PEAK_CONCURRENT_SESSIONS_SQL = """
+WITH s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+    FROM events)),
+sess AS (
+  SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+  FROM s GROUP BY 1, 2),
+b AS (
+  SELECT t0 AS ts, 1 AS d FROM sess
+  UNION ALL
+  SELECT t1 AS ts, -1 AS d FROM sess),
+c AS (
+  SELECT SUM(d) OVER (ORDER BY ts, d ROWS UNBOUNDED PRECEDING) AS conc
+  FROM b)
+SELECT CAST((SELECT MAX(conc) FROM c) AS BIGINT) AS peak_concurrency,
+       CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions
+"""
