@@ -760,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_ppjoin_pairs": docops.q_doc_weighted_ppjoin_pairs,
         "events_session_stats": R.q_events_session_stats,  # sessionize kin
         "peak_concurrent_sessions": R.q_peak_concurrent_sessions,  # sweep-line
+        "session_type_cooccurrence": R.q_session_type_cooccurrence,  # basket
         "source_lang_matrix": docops.q_source_lang_matrix,  # distinct_pairs kin
         "events_funnel_steps": R.q_events_funnel_steps,  # funnel kin
         "simhash_angular_check": ann.q_simhash_angular_check,  # emb_pairs kin
@@ -1001,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_matrix": docops.split_leakage_matrix_sql(),
         "orders_grouping_sets": R.Q_ORDERS_GROUPING_SETS_SQL,
         "peak_concurrent_sessions": R.Q_PEAK_CONCURRENT_SESSIONS_SQL,
+        "session_type_cooccurrence": R.Q_SESSION_TYPE_COOCCURRENCE_SQL,
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_ppjoin_pairs": docops.doc_ppjoin_pairs_sql(),

@@ -4953,3 +4953,69 @@ c AS (
 SELECT CAST((SELECT MAX(conc) FROM c) AS BIGINT) AS peak_concurrency,
        CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions
 """
+
+
+def q_session_type_cooccurrence(sf_dir: str, gap_minutes: int = 30,
+                                num_buckets: int = 32):
+    """Event-type CO-OCCURRENCE within sessions — the market-basket
+    primitive (baskets = sessions, items = distinct event types): for every
+    unordered type pair, the number of sessions containing BOTH. The
+    input to association rules, "users who X also Y" surfaces and bundle
+    detection.
+
+    Scale shape: sessions are bucket-local by construction (users are
+    hash-co-located, a session belongs to one user), so pair generation
+    never shuffles raw events twice — one user-hash exchange, one
+    vectorized per-bucket pass (sessionize diff/cumsum, distinct
+    (session, type) dedup, per-session all-pairs over the DISTINCT types
+    — bounded by |event types|, not session length), then a
+    |types|²-bounded count exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def cooccur_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        g = g.assign(sid=(new_user | gap).cumsum())
+        st = g[["sid", "event_type"]].drop_duplicates()
+        m = st.merge(st, on="sid")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return (m.groupby(["event_type_x", "event_type_y"], as_index=False)
+                .size()
+                .rename(columns={"event_type_x": "type_a",
+                                 "event_type_y": "type_b", "size": "n"}))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(cooccur_bucket,
+                                          batch_format="pandas")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n", alias_name="n_sessions")))
+
+
+Q_SESSION_TYPE_COOCCURRENCE_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+  FROM (
+    SELECT user_id, ts, event_type,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+    FROM events)),
+st AS (SELECT DISTINCT user_id, session_id, event_type FROM s)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_sessions
+FROM st a
+JOIN st b ON a.user_id = b.user_id AND a.session_id = b.session_id
+         AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
