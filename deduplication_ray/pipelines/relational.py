@@ -5019,3 +5019,55 @@ JOIN st b ON a.user_id = b.user_id AND a.session_id = b.session_id
          AND a.event_type < b.event_type
 GROUP BY 1, 2
 """
+
+
+def q_monthly_revenue_yoy(sf_dir: str):
+    """Monthly revenue with YEAR-OVER-YEAR growth — the reporting staple:
+    per calendar month, exact revenue cents and the YoY ratio in integer
+    milli (cur * 1000 // same-month-last-year; -1 when no prior-year
+    month exists). Division stays integer on both engines so the
+    value-hash crosses cleanly.
+
+    Scale shape: per-batch (month, cents) partials -> one
+    |months|-bounded groupby -> driver join against itself shifted one
+    year (#months rows — years x 12, never row count)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"],
+                                     pa.scalar(100.0))).cast(pa.int64())
+        yk = pc.add(pc.multiply(pc.year(t["o_orderdate"]), pa.scalar(100)),
+                    pc.month(t["o_orderdate"])).cast(pa.int64())
+        return pa.table({"month_key": yk, "cents": cents})
+
+    per_month = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby("month_key")
+                 .aggregate(Sum("cents", alias_name="revenue_cents"))
+                 .to_pandas())  # bounded: years x 12 rows
+
+    prev = per_month.copy()
+    prev["month_key"] = prev["month_key"] + 100  # shift forward one year
+    j = per_month.merge(prev.rename(columns={"revenue_cents": "prev_cents"}),
+                        on="month_key", how="left")
+    pc_ = j["prev_cents"]
+    j["yoy_milli"] = np.where(
+        pc_.notna() & (pc_ != 0),
+        j["revenue_cents"] * 1000 // pc_.fillna(1).astype("int64"),
+        -1).astype("int64")
+    return j[["month_key", "revenue_cents", "yoy_milli"]]
+
+
+Q_MONTHLY_REVENUE_YOY_SQL = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+             AS month_key,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders GROUP BY 1)
+SELECT a.month_key, a.revenue_cents,
+       CAST(COALESCE((a.revenue_cents * 1000) // NULLIF(b.revenue_cents, 0),
+                     -1) AS BIGINT) AS yoy_milli
+FROM m a LEFT JOIN m b ON b.month_key = a.month_key - 100
+"""
