@@ -1118,3 +1118,22 @@ def test_cluster_agreement_ari(ray_session):
     got = int(r["ari_micro"].iloc[0])
     assert got == expect
     assert 0 < got < 1_000_000
+
+
+def test_global_reductions_partition_invariant(entry_mod, ray_session):
+    """The sweep-line peak and the transition matrix must be bit-identical
+    at different bucket counts (the distributed block-prefix / bucketed
+    reductions cannot depend on partitioning)."""
+    from deduplication_ray.pipelines import relational as R
+
+    a = R.q_peak_concurrent_sessions(SF_DIR, num_buckets=3).reset_index(
+        drop=True)
+    b = R.q_peak_concurrent_sessions(SF_DIR, num_buckets=32).reset_index(
+        drop=True)
+    assert a.equals(b)
+
+    ta = R.q_events_type_transitions(SF_DIR, num_buckets=3).to_pandas() \
+        .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    tb = R.q_events_type_transitions(SF_DIR, num_buckets=32).to_pandas() \
+        .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    assert ta.equals(tb)
