@@ -5527,3 +5527,105 @@ JOIN s sa ON sa.doc_id = p.src
 JOIN s sb ON sb.doc_id = p.dst
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------- per-doc content novelty
+
+def q_doc_ngram_novelty(sf_dir: str):
+    """Per-document CONTENT NOVELTY — the data-valuation signal dedup
+    thresholds can't see: for every doc, the fraction (exact integer
+    milli) of its distinct char-5-grams whose corpus-wide FIRST occurrence
+    (min doc_id) is this doc. A re-crawl of known content scores ~0; the
+    doc that introduced a template scores high even though later copies
+    out-number it. Output (doc_id, n_grams, n_novel, novelty_milli).
+
+    Scale shape: one stateless pass emits per-batch DISTINCT (gram-hash,
+    doc) pairs (one lexsort, grams die at the scan); ONE gram-hash
+    partitioned reduce marks each gram's min-doc occurrence; a
+    |docs|-bounded groupby sums the per-doc flags. Two exchanges, both
+    over 16-byte rows."""
+    from ray.data.aggregate import Sum
+
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+    from deduplication_ray.stages.signatures import normalize_captions
+
+    cfg = DedupConfig(num_partitions=8)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def gram_pairs(t: pa.Table) -> pa.Table:
+        cap = normalize_captions(t["text"])
+        grams, offs = H.shingle_window_hashes(cap, cfg.shingle_k)
+        counts = offs[1:] - offs[:-1]
+        docs = np.repeat(t["doc_id"].to_numpy(), counts)
+        order = np.lexsort((grams, docs))
+        g_s, d_s = grams[order], docs[order]
+        keep = np.concatenate([[True], (g_s[1:] != g_s[:-1])
+                               | (d_s[1:] != d_s[:-1])]) \
+            if len(g_s) else np.zeros(0, bool)
+        return pa.table({
+            "gh": pa.array(H.bitcast_u64_to_i64(g_s[keep]), pa.int64()),
+            "doc_id": pa.array(d_s[keep]),
+        })
+
+    pairs = ds.map_batches(gram_pairs, batch_format="pyarrow",
+                           batch_size=cfg.text_batch_size)
+
+    def mark_first(t: pa.Table) -> pa.Table:
+        gh = t["gh"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        order = np.lexsort((doc, gh))
+        g_s, d_s = gh[order], doc[order]
+        # cross-block repeats of the same (gh, doc) pair: drop them so a
+        # doc's gram counts once even when its rows straddled batches
+        keep = np.concatenate([[True], (g_s[1:] != g_s[:-1])
+                               | (d_s[1:] != d_s[:-1])]) \
+            if len(g_s) else np.zeros(0, bool)
+        g_s, d_s = g_s[keep], d_s[keep]
+        first = np.concatenate([[True], g_s[1:] != g_s[:-1]]) \
+            if len(g_s) else np.zeros(0, bool)
+        return pa.table({
+            "doc_id": pa.array(d_s),
+            "n_grams": pa.array(np.ones(len(d_s), np.int64)),
+            "n_novel": pa.array(first.astype(np.int64)),
+        })
+
+    marked = hash_grouped_reduce(
+        pairs,
+        key_hash=lambda t: t["gh"].to_numpy().view(np.uint64),
+        reduce_fn=mark_first,
+        num_parts=cfg.num_partitions * 2,
+    )
+    agg = (marked.groupby("doc_id")
+           .aggregate(Sum("n_grams", alias_name="n_grams"),
+                      Sum("n_novel", alias_name="n_novel")))
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t["n_grams"].to_numpy().astype(np.int64)
+        v = t["n_novel"].to_numpy().astype(np.int64)
+        return t.append_column("novelty_milli", pa.array(v * 1000 // n))
+
+    return agg.map_batches(rate, batch_format="pyarrow")
+
+
+def doc_ngram_novelty_sql(k: int = 5) -> str:
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), {k}) AS g
+  FROM norm, UNNEST(generate_series(1, length(s) - {k} + 1)) AS t(i)
+  WHERE length(s) >= {k}
+  UNION
+  SELECT doc_id, s AS g FROM norm WHERE length(s) < {k}
+), firsts AS (
+  SELECT g, MIN(doc_id) AS d0 FROM grams GROUP BY g
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.d0 = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST((SUM(CASE WHEN f.d0 = doc_id THEN 1 ELSE 0 END) * 1000)
+            // COUNT(*) AS BIGINT) AS novelty_milli
+FROM grams JOIN firsts f USING (g)
+GROUP BY doc_id
+"""
