@@ -763,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_cooccurrence": R.q_session_type_cooccurrence,  # basket
         "monthly_revenue_yoy": R.q_monthly_revenue_yoy,  # reporting kin
         "doc_ngram_novelty": docops.q_doc_ngram_novelty,  # data valuation
+        "events_hourly_profile": R.q_events_hourly_profile,  # diurnal heatmap
         "source_lang_matrix": docops.q_source_lang_matrix,  # distinct_pairs kin
         "events_funnel_steps": R.q_events_funnel_steps,  # funnel kin
         "simhash_angular_check": ann.q_simhash_angular_check,  # emb_pairs kin
@@ -1007,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "session_type_cooccurrence": R.Q_SESSION_TYPE_COOCCURRENCE_SQL,
         "monthly_revenue_yoy": R.Q_MONTHLY_REVENUE_YOY_SQL,
         "doc_ngram_novelty": docops.doc_ngram_novelty_sql(),
+        "events_hourly_profile": R.Q_EVENTS_HOURLY_PROFILE_SQL,
         # exact path (<=1500 docs) reproduces the gram-set SQL exactly
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs_sql(),
         "doc_ppjoin_pairs": docops.doc_ppjoin_pairs_sql(),

@@ -5071,3 +5071,32 @@ SELECT a.month_key, a.revenue_cents,
                      -1) AS BIGINT) AS yoy_milli
 FROM m a LEFT JOIN m b ON b.month_key = a.month_key - 100
 """
+
+
+def q_events_hourly_profile(sf_dir: str):
+    """Activity heatmap, long form: event counts per (event_type,
+    hour-of-day) — the diurnal-profile report behind bot detection (a
+    flat 24-hour profile is automation), capacity planning and timezone
+    inference. Stateless per-batch (type, hour) partials; the exchange is
+    |types| x 24-bounded."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.set_column(1, "hour", pc.hour(t["ts"]).cast(pa.int64()))
+             .group_by(["event_type", "hour"]).aggregate([("hour", "count")]))
+        return pa.table({"event_type": g["event_type"],
+                         "hour": g["hour"],
+                         "n": g["hour_count"].cast(pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["event_type", "hour"])
+            .aggregate(Sum("n", alias_name="n_events")))
+
+
+Q_EVENTS_HOURLY_PROFILE_SQL = """
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
