@@ -1456,7 +1456,15 @@ def q_knn_label_check(sf_dir: str, table: str = "embeddings",
     reduce keeps the globally best probed candidate (exact integer sims,
     ties to the smaller neighbor id — the same order as the exact tier).
     One cell groupby + one bounded per-vector reduce; candidate volume is
-    nprobe x cell size per vector, linear in corpus size."""
+    nprobe x cell size per vector, linear in corpus size.
+
+    ORACLE-PARITY SCOPE: the registered ``knn_label_check_sql()`` is the
+    exact all-pairs join, so value-hash parity is guaranteed only on the
+    exact tier (corpus <= ``exact_limit``, default 200k — every sweep/test
+    corpus in this repo). Above the limit the IVF path is approximate
+    (recall < 1 when a true neighbor lives outside the probed cells); do
+    NOT hash-compare it against the SQL there — use the recall gates in
+    ``tests/test_ann.py`` instead."""
     from ray.data.aggregate import Sum
 
     ds = storage.read_table(f"{sf_dir}/{table}.parquet",

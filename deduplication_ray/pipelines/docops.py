@@ -5158,7 +5158,8 @@ GROUP BY p.doc_id
 
 # --------------------------------------------- edit-distance near-dup pairs
 
-def q_edit_distance_pairs(sf_dir: str, n: int = 5, num_buckets: int = 64):
+def q_edit_distance_pairs(sf_dir: str, n: int = 5, num_buckets: int = 64,
+                          gram_df_cap: int = 8192):
     """Edit-distance-verified near-duplicate pairs: candidates = document
     pairs sharing at least one word n-gram (the rendezvous that makes this
     sub-quadratic — a pair within the distance budget shares many full
@@ -5195,15 +5196,57 @@ def q_edit_distance_pairs(sf_dir: str, n: int = 5, num_buckets: int = 64):
             "bucket": pa.array((gu % np.uint64(num_buckets)).astype(np.int64)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on="gh")
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        m = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
-        return m.rename(columns={"doc_id_x": "src", "doc_id_y": "dst"})
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # Vectorized within-gram all-pairs over the bucket, with the same
+        # LOUD cap as PPJoin (docops.py bucket_cap): an exact-candidate
+        # contract (the oracle joins on ANY shared gram) forbids lossy
+        # DF-dropping, so a boilerplate gram shared by > gram_df_cap docs
+        # must fail fast instead of silently emitting a quadratic pair
+        # product (50k-doc gram -> 2.5G rows in one group).
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        gh = g["gh"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, gh))
+        gh, d = gh[order], d[order]
+        uniq = np.concatenate([[True], (gh[1:] != gh[:-1])
+                               | (d[1:] != d[:-1])]) \
+            if len(gh) else np.zeros(0, bool)
+        gh, d = gh[uniq], d[uniq]
+        k = len(gh)
+        if k < 2:
+            return empty
+        new = np.concatenate([[True], gh[1:] != gh[:-1]])
+        grp = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, k))
+        if sizes.max() > gram_df_cap:
+            raise ValueError(
+                f"edit-distance gram bucket of {int(sizes.max())} docs "
+                f"exceeds gram_df_cap={gram_df_cap}; raise n or the cap "
+                f"(exactness forbids lossy DF-dropping here)")
+        within = np.arange(k, dtype=np.int64) - starts[grp]
+        total = int(within.sum())
+        if total == 0:
+            return empty
+        # element j pairs with its `within[j]` predecessors in the same
+        # gram group; doc ids are strictly increasing within a group, so
+        # src < dst by construction
+        j_idx = np.repeat(np.arange(k, dtype=np.int64), within)
+        csum = np.concatenate([[0], np.cumsum(within)])
+        i_idx = starts[grp[j_idx]] + (np.arange(total, dtype=np.int64)
+                                      - csum[j_idx])
+        src, dst = d[i_idx], d[j_idx]
+        porder = np.lexsort((dst, src))
+        src, dst = src[porder], dst[porder]
+        pk = np.concatenate([[True], (src[1:] != src[:-1])
+                             | (dst[1:] != dst[:-1])])
+        return pa.table({"src": pa.array(src[pk], pa.int64()),
+                         "dst": pa.array(dst[pk], pa.int64())})
 
     pairs = (ds.map_batches(gram_doc_pairs, batch_format="pyarrow")
              .groupby("bucket").map_groups(bucket_pairs,
-                                           batch_format="pandas")
+                                           batch_format="pyarrow")
              .groupby(["src", "dst"]).count())
 
     def drop_count(t: pa.Table) -> pa.Table:

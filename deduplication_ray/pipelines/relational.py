@@ -4887,32 +4887,34 @@ def q_peak_concurrent_sessions(sf_dir: str, gap_minutes: int = 30,
     def boundaries(t: pa.Table) -> pa.Table:
         t0 = t["t0"].to_numpy()
         t1 = t["t1"].to_numpy()
-        # unique tiebreak key so block metadata orders unambiguously even
-        # when many boundaries share (ts, d); the running sum itself is
-        # invariant to order within an equal-(ts, d) run
-        uid = H.splitmix64(np.concatenate([t0 ^ (t1 << 1),
-                                           t1 ^ (t0 << 1)]).astype(np.uint64))
         return pa.table({
             "ts": pa.array(np.concatenate([t0, t1])),
             "d": pa.array(np.concatenate([np.ones(len(t0), np.int64),
                                           -np.ones(len(t1), np.int64)])),
-            "uid": pa.array(uid.view(np.int64)
-                            + np.arange(2 * len(t0), dtype=np.int64)),
         })
 
-    sorted_b = (sessions.map_batches(boundaries, batch_format="pyarrow")
-                .sort(["ts", "d", "uid"]).materialize())
+    # Collapse the boundary stream to its UNIQUE (ts, d) keys with a
+    # weighted delta (sum of d == d * multiplicity). The running-sum max is
+    # invariant under the collapse (every peak occurs right after a run of
+    # +1 events, and the weighted cumsum evaluates exactly those
+    # run-boundary prefixes), and it makes the downstream block ordering
+    # DETERMINISTIC: sorted blocks now have globally distinct first keys,
+    # so the driver's metadata sort cannot misorder equal-first-key blocks
+    # (the previous hashed tiebreak was unique only with high probability).
+    from ray.data.aggregate import Sum
+
+    weighted = (sessions.map_batches(boundaries, batch_format="pyarrow")
+                .groupby(["ts", "d"]).aggregate(Sum("d", alias_name="w")))
+    sorted_b = weighted.sort(["ts", "d"]).materialize()
 
     def block_meta(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({c: pa.array([], pa.int64())
-                             for c in ("ts0", "d0", "u0", "s", "m")})
-        d = t["d"].to_numpy()
-        pref = np.cumsum(d)
+                             for c in ("ts0", "d0", "s", "m")})
+        pref = np.cumsum(t["w"].to_numpy())
         return pa.table({
             "ts0": t["ts"].slice(0, 1).cast(pa.int64()),
             "d0": t["d"].slice(0, 1),
-            "u0": t["uid"].slice(0, 1),
             "s": pa.array([int(pref[-1])], pa.int64()),
             "m": pa.array([int(pref.max())], pa.int64()),
         })
@@ -4922,7 +4924,7 @@ def q_peak_concurrent_sessions(sf_dir: str, gap_minutes: int = 30,
                                   batch_size=None, zero_copy_batch=True)
              .iter_batches(batch_format="pyarrow", batch_size=None)),
         promote_options="default").to_pandas()
-    meta = meta.sort_values(["ts0", "d0", "u0"]).reset_index(drop=True)
+    meta = meta.sort_values(["ts0", "d0"]).reset_index(drop=True)
     offsets = np.concatenate([[0], np.cumsum(meta["s"].to_numpy())[:-1]])
     peak = int((offsets + meta["m"].to_numpy()).max()) if len(meta) else 0
     return pd.DataFrame([{"peak_concurrency": peak,

@@ -951,14 +951,18 @@ def generate_text(out_dir: str, n_rows: int, seed: int = 42,
     dt = pa.Table.from_pandas(docs, preserve_index=False)
     shards = max(1, min(num_files, dt.num_rows))
     step = (dt.num_rows + shards - 1) // shards
+    written = 0
     for i in range(shards):
         part = dt.slice(i * step, step)
         if part.num_rows:
             storage.write_arrow_table(
                 part, os.path.join(out_dir, "data"),
                 filename=f"part-{i}.parquet")
+            written += 1
     storage.write_arrow_table(pa.Table.from_pandas(truth, preserve_index=False),
                               os.path.join(out_dir, "truth"))
+    # record the shard count actually on disk (ceil-division can leave the
+    # tail slices empty, e.g. n_rows=5 / shards=4 writes 3 files)
     storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
-                                     "num_files": shards,
+                                     "num_files": written,
                                      "stage": "text_fixture"})

@@ -63,17 +63,21 @@ def _stub_fsspec_http() -> None:
         pass
 
 
-def ensure_blocks(ds: ray.data.Dataset, min_blocks: int) -> ray.data.Dataset:
-    """Repartition so downstream all-to-all operators get ``min_blocks``
-    reducers — splitting few-block inputs for parallelism AND coalescing
-    many-small-block inputs so the shuffle pays per-partition cost
-    ``min_blocks`` times, not once per tiny block (skipping the coalesce
-    when blocks >= target measured +9 s on the image bucket shuffle at
-    150k rows / 32 CPUs). Materializes first: repartitioning the LAZY
-    stream re-plans the whole upstream DAG into the exchange, which
-    measured ~1.8 s slower than materialize-then-slice on a 36M-row
-    bucket stream."""
+def ensure_blocks(ds: ray.data.Dataset, num_blocks: int) -> ray.data.Dataset:
+    """Repartition so downstream all-to-all operators get EXACTLY
+    ``num_blocks`` reducers — splitting few-block inputs for parallelism
+    AND coalescing many-small-block inputs so the shuffle pays
+    per-partition cost ``num_blocks`` times, not once per tiny block
+    (skipping the coalesce when blocks >= target measured +9 s on the
+    image bucket shuffle at 150k rows / 32 CPUs). Exact-count contract:
+    callers pass ``cfg.num_partitions``, which is the ONE partitioning
+    degree reused across every shuffle of a run — a session with more
+    CPUs than ``num_partitions`` should raise the config knob, not expect
+    this helper to preserve a larger upstream block count. Materializes
+    first: repartitioning the LAZY stream re-plans the whole upstream DAG
+    into the exchange, which measured ~1.8 s slower than
+    materialize-then-slice on a 36M-row bucket stream."""
     ds = ds.materialize()
-    if ds.num_blocks() == min_blocks:
+    if ds.num_blocks() == num_blocks:
         return ds
-    return ds.repartition(min_blocks)
+    return ds.repartition(num_blocks)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -62,10 +63,10 @@ def verify_edges(
         n = t.num_rows
         if n == 0:
             return t.select(["src", "dst", "kind"])
-        keep = np.zeros(n, dtype=bool)
-        kind = np.asarray(t["kind"].to_pylist())
-        for k in _TRUSTED_KINDS:
-            keep |= kind == k
+        trusted = pc.fill_null(
+            pc.is_in(t["kind"], value_set=pa.array(_TRUSTED_KINDS)), False
+        )
+        keep = trusted.combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
 
         ms = H.unpack_u64_rows(t["minhash_src"], cfg.num_perm)
         md = H.unpack_u64_rows(t["minhash_dst"], cfg.num_perm)

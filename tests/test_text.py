@@ -294,3 +294,37 @@ def test_cli_compare_verb(ray_session, tmp_path, capsys):
     assert rc == 0
     assert rep["rows"] == 300
     assert rep["ari_micro"] == 1_000_000  # modes agree on this corpus
+
+
+def test_edit_distance_hot_gram_cap(ray_session, tmp_path):
+    """The edit-distance candidate kernel must fail LOUDLY (PPJoin
+    precedent — exactness forbids lossy DF-dropping) when one word n-gram
+    is shared by more than gram_df_cap docs, instead of silently emitting
+    a quadratic pair product; with the cap above the planted DF the same
+    corpus verifies normally and matches the DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from deduplication_ray.pipelines.docops import (edit_distance_pairs_sql,
+                                                    q_edit_distance_pairs)
+
+    boiler = "the quick brown fox jumps"            # one hot 5-gram
+    docs = [f"{boiler} unique tail {i} word{i} extra{i}" for i in range(6)]
+    docs += ["entirely different text with no shared grams at all here ok"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    with _pytest.raises(Exception, match="gram_df_cap"):
+        q_edit_distance_pairs(str(tmp_path), gram_df_cap=3).materialize()
+
+    got = (q_edit_distance_pairs(str(tmp_path), gram_df_cap=64).to_pandas()
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = (con.execute(edit_distance_pairs_sql()).df()
+            .sort_values(["src", "dst"]).reset_index(drop=True))
+    con.close()
+    assert got.astype("int64").equals(want.astype("int64"))
