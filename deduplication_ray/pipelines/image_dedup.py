@@ -63,25 +63,41 @@ def build_edges(
 ) -> ray.data.Dataset:
     """Exact + LSH-candidate + suffix-array/winnowing substring edges.
 
-    One bucket stream carries every banded family (MinHash bands, pHash /
-    SimHash multi-index bands, winnowing fingerprints) so bucket stats, hot
-    detection and salting run exactly once."""
-    buckets = signatures.map_batches(
-        lsh.ExplodeBands(cfg), batch_format="pyarrow", batch_size=cfg.text_batch_size
-    )
+    One bucket stream carries every candidate family (MinHash bands, pHash /
+    SimHash multi-index bands, the exact content-key family, winnowing /
+    L-gram fingerprints) so bucket stats, hot detection and salting run
+    exactly once. The stream is passed to ``edges_from_buckets`` as a
+    single materialized Dataset (measured: recomputing the explode/gram
+    maps into each consumer's exchange re-plans the upstream into the sort
+    and stalls under backpressure — 29s vs 10.7s for the tag+pair leg at 8
+    CPUs / 150k rows — so one materialize of the wide stream beats two
+    fused recomputes); the TAGGING map, by contrast, fuses lazily into the
+    pairing exchange inside ``edges_from_buckets``, which drops the
+    separate tagged-stream materialization."""
     extra = []
     needs_verify = input_ds is not None and cfg.substring_rendezvous == "winnow"
-    if input_ds is not None:
-        from deduplication_ray.stages.substring import substring_buckets, suffix_array_edges
+    if input_ds is not None and cfg.use_suffix_array:
+        from deduplication_ray.stages.substring import suffix_array_edges
 
-        buckets = buckets.union(substring_buckets(input_ds, cfg))
-        if cfg.use_suffix_array:
-            extra.append(suffix_array_edges(input_ds, cfg))
+        extra.append(suffix_array_edges(input_ds, cfg))
 
-    edges = lsh.edges_from_buckets(buckets, cfg).union(lsh.exact_edges(signatures, cfg))
+    def bucket_src() -> ray.data.Dataset:
+        b = signatures.map_batches(
+            lsh.ExplodeBands(cfg, families=("minhash", "phash", "simhash",
+                                            "exact")),
+            batch_format="pyarrow", batch_size=cfg.text_batch_size,
+        )
+        if input_ds is not None:
+            from deduplication_ray.stages.substring import substring_buckets
+
+            b = b.union(substring_buckets(input_ds, cfg))
+        return b
+
+    edges = lsh.edges_from_buckets(bucket_src(), cfg)
     for e in extra:
         edges = edges.union(e)
-    deduped = lsh.dedupe_edges(edges, keep_sc=needs_verify)
+    deduped = lsh.dedupe_edges(edges, num_parts=2 * cfg.num_partitions,
+                               keep_sc=needs_verify)
     if needs_verify:
         from deduplication_ray.stages.substring import split_and_verify_substring
 
@@ -102,6 +118,42 @@ def verify_candidates(
 ) -> ray.data.Dataset:
     attached = verify.attach_signatures(edges, signatures, cfg)
     return verify.verify_edges(attached, cfg, has_pixels=True)
+
+
+def fast_verified_edges(
+    signatures: ray.data.Dataset,
+    cfg: DedupConfig,
+    input_ds: ray.data.Dataset | None,
+    sig_ref,
+) -> ray.data.Dataset:
+    """Fused verified-edge fast path ('grams' mode, broadcast tier): the
+    pairing kernel exchanges 18-byte (id-hash, id-hash, prio, sc) rows
+    instead of id strings, the pair dedupe runs over those slim rows, and
+    ONE gather against the broadcast signature index resolves the strings
+    AND applies the verify_edges signal checks — replacing the separate
+    exact-edges stage, the two attach joins and the verify pass of the
+    string path. Semantics match ``verify_candidates(build_edges(...))``:
+    same bucket families (exact content-key included), same trusted kinds,
+    same Jaccard/Hamming OR-checks."""
+
+    def bucket_src() -> ray.data.Dataset:
+        b = signatures.map_batches(
+            lsh.ExplodeBands(cfg, families=("minhash", "phash", "simhash",
+                                            "exact")),
+            batch_format="pyarrow", batch_size=cfg.text_batch_size,
+        )
+        if input_ds is not None:
+            from deduplication_ray.stages.substring import substring_buckets
+
+            b = b.union(substring_buckets(input_ds, cfg))
+        return b
+
+    pairs = lsh.slim_pairs_from_buckets(bucket_src(), cfg)
+    deduped = lsh.dedupe_slim_pairs(pairs, cfg)
+    ve = verify.resolve_and_verify_pairs(deduped, sig_ref, cfg,
+                                         has_pixels=True)
+    return ve.map_batches(lambda t: t.select(["src", "dst", "kind"]),
+                          batch_format="pyarrow")
 
 
 def finalize_clusters(
@@ -231,8 +283,14 @@ def run_pipeline(
     # checkpoint write), which drops one full materialize+write+re-read
     # barrier from every run
     def make_vedges() -> ray.data.Dataset:
-        ve = verify_candidates(
-            build_edges(sigs, cfg, read_captions()), sigs, cfg)
+        sig_ref = None
+        if cfg.substring_rendezvous == "grams" and not cfg.use_suffix_array:
+            sig_ref = verify.signature_index(sigs, cfg)
+        if sig_ref is not None:
+            ve = fast_verified_edges(sigs, cfg, read_captions(), sig_ref)
+        else:
+            ve = verify_candidates(
+                build_edges(sigs, cfg, read_captions()), sigs, cfg)
         # opt-in extra pixel-identity channels: their pairs are already
         # verified by construction (min relative-orientation / valid-window
         # Hamming), so they join AFTER the pHash/SimHash verify — which

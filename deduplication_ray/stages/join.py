@@ -53,11 +53,40 @@ def _key_hashes(t: pa.Table, on: list[str]) -> np.ndarray:
     return h if h is not None else np.zeros(t.num_rows, np.uint64)
 
 
+@ray.remote(num_cpus=0.5)
+def _block_key_hashes(tbl: pa.Table, on: list[str]) -> np.ndarray:
+    """Per-block key hashes for the broadcast index — runs where the block
+    lives; only the u64 array travels to the driver. Empty blocks may carry
+    a STALE schema (a lazy rename/Project over zero rows is dropped), so
+    they hash to nothing unconditionally — ``_resolve_small`` skips the
+    same blocks, keeping row indices aligned."""
+    if tbl.num_rows == 0:
+        return np.zeros(0, np.uint64)
+    return _key_hashes(tbl, on)
+
+
+def _resolve_small(small) -> pa.Table:
+    """The broadcast payload is either a driver-built pa.Table (tiny/empty
+    lookups) or a LIST OF BLOCK REFS (the normal path): the lookup's blocks
+    stay in the object store and each task ray.gets them zero-copy (plasma
+    mmap) and concatenates metadata-only — the driver never copies the
+    lookup's bytes, which removed an O(|lookup|) driver-serial section from
+    every broadcast join (measured ~1s per join at a 600k-row signature
+    table)."""
+    if isinstance(small, pa.Table):
+        return small
+    blocks = [b for b in ray.get(list(small)) if b.num_rows]
+    if not blocks:
+        return ray.get(small[0]).slice(0, 0) if small else pa.table({})
+    return pa.concat_tables(blocks, promote_options="default")
+
+
 class _GatherMerge:
     """Broadcast unique-key lookup realized as a vectorized gather: probe by
-    searchsorted over presorted key hashes (built ONCE on the driver), take
-    matched lookup rows, confirm key equality exactly. No per-batch hash
-    table build."""
+    searchsorted over presorted key hashes (built ONCE on the driver from
+    distributed per-block hashes — 8 bytes/row to the driver, never the
+    data), take matched lookup rows, confirm key equality exactly. No
+    per-batch hash table build."""
 
     def __init__(self, ref, on: list[str], how: str):
         self.ref = ref
@@ -69,7 +98,8 @@ class _GatherMerge:
         import pyarrow.compute as pc
 
         if self._state is None:
-            self._state = ray.get(self.ref)
+            small, sorted_h, order = ray.get(self.ref)
+            self._state = (_resolve_small(small), sorted_h, order)
         small, sorted_h, order = self._state
         non_key = [c for c in small.column_names if c not in self.on]
 
@@ -135,7 +165,15 @@ def lookup_join(
     ``how``: 'inner' or 'left'. Output columns: ds columns + lookup's
     non-key columns (caller guarantees no name collisions).
     """
-    MAX_BROADCAST_BYTES = 512 * 1024 * 1024
+    # bytes guard: broadcast payloads are SHARED plasma blocks (every task
+    # maps the same buffers read-only — no per-task copy), so the guard only
+    # needs to keep one lookup within a worker heap's mmap budget; the row
+    # guard (cfg.broadcast_limit) is what keeps 10^12-row tables off this
+    # path. 512MB silently pushed the 600k-row signature attach onto the
+    # aggregator-actor join (measured cliff); 2GB keeps every sub-limit
+    # lookup on the gather path.
+    MAX_BROADCAST_BYTES = 2 * 1024 * 1024 * 1024
+    small_refs: list | None = None
     if isinstance(lookup, pd.DataFrame):
         small = pa.Table.from_pandas(lookup, preserve_index=False)
         n = len(lookup)
@@ -144,12 +182,17 @@ def lookup_join(
         n = lookup_rows if lookup_rows is not None else lookup.count()
         nbytes = lookup.size_bytes() or 0
         if n <= cfg.broadcast_limit and nbytes <= MAX_BROADCAST_BYTES:
-            # collect via Arrow — Dataset.to_pandas() on an EMPTY dataset
-            # returns a column-less DataFrame (schema lost), breaking merge
-            tbls = list(lookup.iter_batches(batch_format="pyarrow",
-                                            batch_size=None))
-            if tbls:
-                small = pa.concat_tables(tbls, promote_options="default")
+            if n > 0:
+                # broadcast BY REFERENCE: keep the lookup's blocks in the
+                # object store and ship the ref list; only the 8-byte/row
+                # key hashes (computed distributed, per block) reach the
+                # driver for the one argsort that builds the probe index
+                small_refs = [r for r in lookup.to_arrow_refs()]
+                hs = ray.get([_block_key_hashes.remote(r, list(on))
+                              for r in small_refs])
+                kh = (np.concatenate(hs) if hs
+                      else np.zeros(0, np.uint64))
+                small = None
             else:
                 schema = lookup.schema()
                 arrow_schema = getattr(schema, "base_schema", None)
@@ -189,28 +232,30 @@ def lookup_join(
                 on=tuple(on),
             )
 
-    small = small.combine_chunks()
+    if small_refs is None:
+        small = small.combine_chunks()
+        kh = _key_hashes(small, on)
+    payload = small_refs if small_refs is not None else small
 
     # Unique-key fast path: when every lookup key is distinct (signature
     # attach, label/cluster/rep lookups — the common case here), the join is
     # a GATHER, not a join: presort the key hashes ONCE on the driver and
-    # ship (sorted_hashes, permutation, table); each batch does a
+    # ship (sorted_hashes, permutation, block refs); each batch does a
     # searchsorted probe + take. pa.Table.join would rebuild a hash table
     # over the whole lookup for EVERY batch (measured: 2/3 of the signature
     # attach cost at 60k rows x 64 blocks). Hash equality is confirmed
     # against the actual key values, so a 64-bit collision can only cause a
     # fallback-free exact mismatch -> row treated as unmatched, never a
     # wrong match.
-    kh = _key_hashes(small, on)
     order = np.argsort(kh, kind="stable")
     sorted_h = kh[order]
     unique_keys = bool(len(sorted_h) == 0 or (sorted_h[1:] != sorted_h[:-1]).all())
     if unique_keys:
-        ref = ray.put((small, sorted_h, order.astype(np.int64)))
+        ref = ray.put((payload, sorted_h, order.astype(np.int64)))
         return ds.map_batches(
             _GatherMerge(ref, list(on), how), batch_format="pyarrow")
 
-    ref = ray.put(small)
+    ref = ray.put(payload)
     pa_join_type = "inner" if how == "inner" else "left outer"
 
     class Merge:
@@ -225,7 +270,7 @@ def lookup_join(
 
         def __call__(self, t: pa.Table) -> pa.Table:
             if self.lookup is None:
-                self.lookup = ray.get(ref)
+                self.lookup = _resolve_small(ray.get(ref)).combine_chunks()
             right = self.lookup
             if t.num_rows == 0:
                 # empty batches carry null-typed columns, which the Arrow

@@ -57,9 +57,21 @@ BAND_SUBSTR_EXACT = 4000  # full L-gram rendezvous: bucket key IS the L-gram
                       # hash, so membership proves the >=L shared substring
                       # -> trusted kind 'substr', no verification join, and
                       # hot-bucket star links are true by construction
+BAND_EXACT = 5000     # exact-duplicate family: bucket key = hash(content
+                      # key), so co-membership IS identity (128-bit ck) ->
+                      # trusted kind 'exact'. Folding exact dedup into the
+                      # shared bucket stream removes the separate
+                      # exact_edges stage's two executions + shuffle + join
+                      # from every pipeline run; connectivity matches the
+                      # min-id star (all-pairs below bucket_cap, salted
+                      # stars + ambassadors above — same components either
+                      # way, and hash-min union-find elects the same min-id
+                      # representative)
 
 
 def kind_of_band(band: int) -> str:
+    if band >= BAND_EXACT:
+        return "exact"
     if band >= BAND_SUBSTR_EXACT:
         return "substr"
     if band >= BAND_SUBSTR:
@@ -125,6 +137,12 @@ class ExplodeBands:
                 b, k = _hash16_bands(H.bitcast_i64_to_u64(batch[col].to_numpy()), base)
                 fam_bands.append(b.reshape(n, 4))
                 fam_buckets.append(k.reshape(n, 4))
+        if "exact" in self.families and "ck1" in batch.column_names and n:
+            ckb = H.hash_u64_pair(
+                batch["ck1"].to_numpy().view(np.uint64),
+                batch["ck2"].to_numpy().view(np.uint64))
+            fam_bands.append(np.full((n, 1), BAND_EXACT, dtype=np.int32))
+            fam_buckets.append(H.bitcast_u64_to_i64(ckb).reshape(n, 1))
 
         if not fam_bands or n == 0:
             return pa.table({
@@ -213,8 +231,11 @@ def _kind_column(band_arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 
     b = band_arr.combine_chunks() if isinstance(band_arr, pa.ChunkedArray) else band_arr
     return pc.if_else(
-        pc.greater_equal(b, BAND_SUBSTR_EXACT),
-        pa.scalar("substr"),
+        pc.greater_equal(b, BAND_EXACT),
+        pa.scalar("exact"),
+        pc.if_else(
+            pc.greater_equal(b, BAND_SUBSTR_EXACT),
+            pa.scalar("substr"),
         pc.if_else(
             pc.greater_equal(b, BAND_SUBSTR),
             pa.scalar("substr_cand"),
@@ -224,6 +245,7 @@ def _kind_column(band_arr: pa.ChunkedArray | pa.Array) -> pa.Array:
                 pc.if_else(pc.greater_equal(b, BAND_PHASH),
                            pa.scalar("phash"), pa.scalar("minhash")),
             ),
+        ),
         ),
     )
 
@@ -314,6 +336,153 @@ def multi_bucket_arrays_fast(buckets: ray.data.Dataset, cfg: DedupConfig):
     return comp[order], ns[order]
 
 
+@ray.remote(num_cpus=0.25)
+def _block_multi_sum(tbl: pa.Table) -> int:
+    """Total multi-bucket member rows in one index block — the only thing
+    the driver reads per block."""
+    return int(tbl["n"].to_numpy().sum()) if tbl.num_rows else 0
+
+
+def multi_bucket_index(buckets: ray.data.Dataset, cfg: DedupConfig):
+    """DISTRIBUTED multi-bucket index: the (composite key, count) table of
+    multi-member buckets stays in the object store as hash-partitioned,
+    per-partition-SORTED blocks; the driver reads only (partition id, row
+    sum) per block. Replaces ``multi_bucket_arrays_fast``'s driver-side
+    collect + argsort + re-put — an O(|multi buckets|) driver-serial
+    section (240MB / ~2s at 600k rows) that grew linearly with corpus
+    size. Returns (ray handle for _KeyTaggerIdx, total multi-bucket rows)
+    or (None, 0) when there are no multi buckets."""
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+
+    n_parts = 2 * cfg.num_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        comp = H.hash_u64_pair(
+            t["band"].to_numpy().view(np.uint64),
+            t["bucket"].to_numpy().view(np.uint64))
+        uniq, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "comp": pa.array(H.bitcast_u64_to_i64(uniq), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        comp = t["comp"].to_numpy().view(np.uint64)
+        ns = t["n"].to_numpy()
+        order = np.argsort(comp, kind="stable")
+        comp, ns = comp[order], ns[order]
+        starts = np.nonzero(np.concatenate([[True], comp[1:] != comp[:-1]]))[0]
+        totals = np.add.reduceat(ns, starts)
+        keep = totals >= 2
+        ck = comp[starts][keep]
+        # the part id travels as a COLUMN: map_groups may pack several
+        # groups' outputs into one block, so block-level part attribution
+        # is not possible — the tagger splits blocks by this column
+        return pa.table({
+            "comp": pa.array(H.bitcast_u64_to_i64(ck), pa.int64()),
+            "n": pa.array(totals[keep].astype(np.int64)),
+            "part": pa.array((ck % np.uint64(n_parts)).astype(np.int64)),
+        })
+
+    partials = buckets.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None, zero_copy_batch=True)
+    multi = hash_grouped_reduce(
+        partials, lambda t: t["comp"].to_numpy().view(np.uint64), merge,
+        n_parts).materialize()
+    refs = [r for r in multi.to_arrow_refs()]
+    sums = ray.get([_block_multi_sum.remote(r) for r in refs])
+    total = sum(sums)
+    if total == 0:
+        return None, 0
+    keep = [r for r, s in zip(refs, sums) if s > 0]
+    return ray.put((keep, n_parts)), total
+
+
+class _KeyTaggerIdx:
+    """_KeyTagger against the DISTRIBUTED multi-bucket index: per task,
+    ray.get the index blocks (plasma-local, zero-copy) and probe each batch
+    partition-wise — comp %% n_parts routes to that partition's sorted key
+    array. Same drop/salt semantics as _KeyTagger."""
+
+    def __init__(self, ref, cap: int, gram_drop_df: int):
+        self._ref = ref
+        self._cap = cap
+        self._gram_drop_df = gram_drop_df
+        self.keys = None
+
+    def _ensure(self):
+        if self.keys is not None:
+            return
+        refs, n_parts = ray.get(self._ref)
+        blocks = ray.get(list(refs))
+        segs: list[list] = [[] for _ in range(n_parts)]
+        cnt_segs: list[list] = [[] for _ in range(n_parts)]
+        for b in blocks:
+            if b.num_rows == 0:
+                continue
+            k = b["comp"].to_numpy().view(np.uint64)
+            n = b["n"].to_numpy()
+            p = b["part"].to_numpy()
+            # one block may pack SEVERAL groups' (contiguous, sorted)
+            # outputs — split on the part column's run boundaries
+            bounds = np.concatenate(
+                [[0], np.flatnonzero(p[1:] != p[:-1]) + 1, [len(p)]])
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                segs[p[lo]].append(k[lo:hi])
+                cnt_segs[p[lo]].append(n[lo:hi])
+        keys: list = [None] * n_parts
+        counts: list = [None] * n_parts
+        for p in range(n_parts):
+            if not segs[p]:
+                continue
+            k = np.concatenate(segs[p])
+            n = np.concatenate(cnt_segs[p])
+            if len(segs[p]) > 1 and np.any(k[1:] < k[:-1]):
+                order = np.argsort(k, kind="stable")
+                k, n = k[order], n[order]
+            keys[p], counts[p] = k, n
+        self.keys = keys
+        self.counts = counts
+        self.n_parts = np.uint64(n_parts)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        self._ensure()
+        nrows = t.num_rows
+        if nrows == 0:
+            return t.slice(0, 0)
+        band = t["band"].to_numpy()
+        bucket = t["bucket"].to_numpy()
+        comp = H.hash_u64_pair(band.view(np.uint64), bucket.view(np.uint64))
+        part = (comp % self.n_parts).astype(np.int64)
+        keep = np.zeros(nrows, dtype=bool)
+        cnt = np.zeros(nrows, dtype=np.int64)
+        for p in np.unique(part):
+            ks = self.keys[p]
+            if ks is None or len(ks) == 0:
+                continue
+            m = part == p
+            pos = np.minimum(np.searchsorted(ks, comp[m]), len(ks) - 1)
+            found = ks[pos] == comp[m]
+            keep[m] = found
+            c = np.zeros(found.shape, np.int64)
+            c[found] = self.counts[p][pos[found]]
+            cnt[m] = c
+        keep &= ~((band == BAND_GRAM_SAMPLE) & (cnt > self._gram_drop_df))
+        if not np.any(keep):
+            return t.slice(0, 0)
+        t = t.filter(pa.array(keep))
+        cnt = cnt[keep]
+        n_salts = np.where(cnt > self._cap, -(-cnt // self._cap), 0)
+        salt = np.full(t.num_rows, -1, dtype=np.int64)
+        hot = n_salts > 0
+        if hot.any():
+            idh = H.hash_bytes_array(
+                t["image_id"].combine_chunks().filter(pa.array(hot)))
+            salt[hot] = (idh % n_salts[hot].astype(np.uint64)).astype(np.int64)
+        return t.set_column(
+            t.column_names.index("salt"), "salt", pa.array(salt, pa.int64()))
+
+
 class _KeyTagger:
     """Vectorized (band, bucket) membership + salt assignment from broadcast
     (sorted composite keys, counts) arrays (ray.get once per actor,
@@ -375,7 +544,7 @@ def candidate_edges(
 
 
 def edges_from_buckets(
-    buckets: ray.data.Dataset, cfg: DedupConfig
+    buckets, cfg: DedupConfig
 ) -> ray.data.Dataset:
     """(band, bucket, salt, image_id) rows -> deduplicated edges (src<dst, kind).
 
@@ -387,27 +556,50 @@ def edges_from_buckets(
     ambassador re-link) runs driver-local when small, else sharded by
     bucket hash across the cluster. Zero per-group map_groups calls over
     singleton buckets; the only full-stream shuffle is the stats groupby.
+
+    ``buckets`` may be a Dataset (materialized once, read by both the stats
+    and the tagging pass — right when the upstream is expensive to
+    recompute, e.g. decoded video frames) or a ZERO-ARG CALLABLE returning
+    the bucket Dataset: then the stream is consumed FUSED twice — once into
+    the stats partial-count, once into the tag+pair chain — and the full
+    bucket stream never touches the object store (its explode/gram maps
+    recompute instead; cheap when upstream is a materialized signature
+    table + a pruned parquet read). The fused form removes two
+    full-stream materializations and one repartition from every run.
     """
     from deduplication_ray.stages.tuning import apply_context_tuning, ensure_blocks
 
     apply_context_tuning()
-    buckets = ensure_blocks(buckets, cfg.num_partitions).materialize()
-    keys, counts = multi_bucket_arrays_fast(buckets, cfg)
+    if callable(buckets):
+        src = buckets
+    else:
+        mat = ensure_blocks(buckets, cfg.num_partitions).materialize()
+        src = lambda: mat  # noqa: E731
+    keys, counts = multi_bucket_arrays_fast(src(), cfg)
     if len(keys) == 0:
         return _empty_edge_ds()
 
     multi_ref = ray.put((keys, counts))
-    tagged = buckets.map_batches(
+    tagged = src().map_batches(
         _KeyTagger(multi_ref, cfg.bucket_cap, cfg.gram_sample_drop_df),
         batch_format="pyarrow",
-    ).materialize()
+    )
+    # materialize before the pairing exchange: a sort-based all-to-all over
+    # a LAZY producer re-plans the producer into the exchange and measures
+    # ~1.5x slower end-to-end at low parallelism (16.2s vs 2.7+8.0s at 8
+    # CPUs / 150k rows) — the tagged stream is 1/3 the bucket stream, so
+    # its residency is the cheapest of the three candidates
+    if int(counts.sum()) > cfg.local_pairs_limit:
+        tagged = tagged.materialize()
 
     # size dispatch: a small tagged set (dup candidates only) pairs faster in
     # one driver-local numpy pass than through distributed barriers; above
     # the limit, the SAME kernel runs sharded by bucket hash across the
-    # cluster (no driver serial section — the scale path)
+    # cluster (no driver serial section — the scale path). The dispatch
+    # reads sum(multi-bucket counts) — an upper bound on the tagged row
+    # count already in driver memory, so no extra count() execution.
     # NOT deduped here: callers union edge families first, then dedupe once
-    if tagged.count() <= cfg.local_pairs_limit:
+    if int(counts.sum()) <= cfg.local_pairs_limit:
         return _edges_from_tagged_local(tagged, cfg)
     # materialized: every caller feeds this into dedupe_edges' hash-grouped
     # shuffle, and chaining the pairing groupby().map_groups lazily into
@@ -422,11 +614,11 @@ def _edges_from_tagged_local(tagged: ray.data.Dataset, cfg: DedupConfig) -> ray.
     ``cfg.local_pairs_limit``): one numpy pass beats distributed-barrier
     latency when the candidate set is tiny. Large sets go through
     ``_edges_from_tagged_partitioned`` — same kernel, sharded by bucket."""
-    tbl = (pa.concat_tables(list(tagged.iter_batches(batch_format="pyarrow")),
-                            promote_options="default")
-           if tagged.count() else None)
-    if tbl is None or tbl.num_rows == 0:
+    tbls = [t for t in tagged.iter_batches(batch_format="pyarrow")
+            if t.num_rows]
+    if not tbls:
         return _empty_edge_ds()
+    tbl = pa.concat_tables(tbls, promote_options="default")
     return ray.data.from_arrow(_pair_tagged_table(tbl, cfg))
 
 
@@ -569,9 +761,10 @@ def _pair_tagged_table(tbl: pa.Table, cfg: DedupConfig) -> pa.Table:
     # has low Jaccard, so the pair died in verify despite being a true dup.)
     is_sc = ((bands >= BAND_SUBSTR) & (bands < BAND_SUBSTR_EXACT)).astype(np.int8)
     prio_of_band = np.select(
-        [bands >= BAND_SUBSTR_EXACT, bands >= BAND_SUBSTR,
+        [bands >= BAND_EXACT, bands >= BAND_SUBSTR_EXACT, bands >= BAND_SUBSTR,
          bands >= BAND_SIMHASH, bands >= BAND_PHASH],
-        [KIND_PRIORITY.index("substr"), KIND_PRIORITY.index("substr_cand"),
+        [KIND_PRIORITY.index("exact"), KIND_PRIORITY.index("substr"),
+         KIND_PRIORITY.index("substr_cand"),
          KIND_PRIORITY.index("simhash"), KIND_PRIORITY.index("phash")],
         default=KIND_PRIORITY.index("minhash"),
     )
@@ -593,6 +786,208 @@ def _pair_tagged_table(tbl: pa.Table, cfg: DedupConfig) -> pa.Table:
                      "dst": pa.array(dst[keep], pa.string()),
                      "kind": kind,
                      "sc": pa.array(sc, pa.int8())})
+
+
+def _pair_tagged_table_slim(tbl: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """SLIM variant of ``_pair_tagged_table`` for the fused verified-edge
+    path: pairs leave the kernel as 64-bit image-id HASHES
+    ``(ah, bh, prio:int8, sc:int8)`` — 18 bytes/row instead of ~75 with the
+    id strings — so the global pair-dedupe exchange moves 4x fewer bytes
+    and the kernel never gathers object-dtype string arrays (the 90M-pair
+    string min/max was the kernel's hottest loop). Strings come back after
+    the dedupe via one broadcast gather against the signature index
+    (``verify.resolve_and_verify_pairs``). Hash-collision budget: ids are
+    hashed with the engine's standard 64-bit mix; an id collision requires
+    two distinct image_ids in the SAME broadcast tier (<= cfg.broadcast_
+    limit = 1M rows -> E[collisions] ~ 1e12/2^65 < 1e-7); above the tier
+    the caller falls back to the string path."""
+    empty = pa.table({"ah": pa.array([], pa.int64()),
+                      "bh": pa.array([], pa.int64()),
+                      "prio": pa.array([], pa.int8()),
+                      "sc": pa.array([], pa.int8())})
+    if tbl.num_rows == 0:
+        return empty
+    band = tbl["band"].to_numpy()
+    bucket = tbl["bucket"].to_numpy()
+    salt = tbl["salt"].to_numpy()
+    idh = H.hash_bytes_array(
+        tbl["image_id"].combine_chunks()
+        if isinstance(tbl["image_id"], pa.ChunkedArray) else tbl["image_id"])
+    has_px = "ph" in tbl.column_names
+    ph = tbl["ph"].to_numpy() if has_px else np.zeros(len(band), np.int64)
+    sh = tbl["sh"].to_numpy() if has_px else np.zeros(len(band), np.int64)
+
+    out_a, out_b, out_band = [], [], []
+
+    def pair_groups(sel: np.ndarray, group_key: np.ndarray, mode: str) -> None:
+        if not sel.any():
+            return
+        idx = np.nonzero(sel)[0]
+        order = np.argsort(group_key[idx], kind="stable")
+        idx = idx[order]
+        gk = group_key[idx]
+        starts = np.nonzero(np.concatenate([[True], gk[1:] != gk[:-1]]))[0]
+        sizes = np.diff(np.concatenate([starts, [len(idx)]]))
+        if mode == "star":
+            # per group: min-hash-id row linked to every other row (anchor
+            # choice by hash order — deterministic, components unchanged)
+            grp = np.repeat(np.arange(len(starts)), sizes)
+            g_min = np.minimum.reduceat(idh[idx], starts)[grp]
+            mask = idh[idx] != g_min
+            out_a.append(g_min[mask])
+            out_b.append(idh[idx][mask])
+            out_band.append(band[idx][mask])
+            return
+        for s_val in np.unique(sizes):
+            if s_val < 2:
+                continue
+            gsel = sizes == s_val
+            gstarts = starts[gsel]
+            iu, ju = np.triu_indices(int(s_val), k=1)
+            a = (gstarts[:, None] + iu[None, :]).ravel()
+            b = (gstarts[:, None] + ju[None, :]).ravel()
+            ra, rb = idx[a], idx[b]
+            keep = np.ones(len(ra), dtype=bool)
+            if has_px:
+                keep = _pixel_pair_keep(band[ra], ph[ra], ph[rb], sh[ra], sh[rb], cfg)
+            ha, hb = idh[ra][keep], idh[rb][keep]
+            out_a.append(np.minimum(ha, hb))
+            out_b.append(np.maximum(ha, hb))
+            out_band.append(band[ra][keep])
+
+    comp = H.hash_u64_pair(band.view(np.uint64), bucket.view(np.uint64))
+    with np.errstate(over="ignore"):
+        comp_salt = H.hash_u64_pair(comp, salt.view(np.uint64))
+
+    cold = salt == -1
+    pair_groups(cold, comp, "allpairs")
+
+    hot = salt >= 0
+    if hot.any():
+        pair_groups(hot, comp_salt, "star")
+        # ambassadors: per sub-bucket min-hash row, all-pairs per (band,
+        # bucket) — pure u64 reduceat, no pandas
+        hidx = np.nonzero(hot)[0]
+        order_h = np.lexsort((idh[hidx], comp_salt[hidx]))
+        hs = hidx[order_h]
+        ks = comp_salt[hidx][order_h]
+        first = np.concatenate([[True], ks[1:] != ks[:-1]])
+        midx = hs[first]   # min idh per sub-bucket (idh ascending in ties)
+        sel = np.zeros(len(band), dtype=bool)
+        sel[midx] = True
+        pair_groups(sel, comp, "allpairs")
+
+    if not out_a:
+        return empty
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    bands = np.concatenate(out_band).astype(np.int64)
+    # self-pairs from id-hash ties are impossible (same id never pairs with
+    # itself: all-pairs groups have distinct rows and star masks id==anchor),
+    # but two DISTINCT ids colliding to one hash would make a==b — drop them
+    nz = a != b
+    a, b, bands = a[nz], b[nz], bands[nz]
+    is_sc = ((bands >= BAND_SUBSTR) & (bands < BAND_SUBSTR_EXACT)).astype(np.int8)
+    prio_of_band = np.select(
+        [bands >= BAND_EXACT, bands >= BAND_SUBSTR_EXACT, bands >= BAND_SUBSTR,
+         bands >= BAND_SIMHASH, bands >= BAND_PHASH],
+        [KIND_PRIORITY.index("exact"), KIND_PRIORITY.index("substr"),
+         KIND_PRIORITY.index("substr_cand"),
+         KIND_PRIORITY.index("simhash"), KIND_PRIORITY.index("phash")],
+        default=KIND_PRIORITY.index("minhash"),
+    ).astype(np.int8)
+    order = np.lexsort((prio_of_band, b, a))
+    a_s, b_s = a[order], b[order]
+    first = np.concatenate([[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
+    starts = np.flatnonzero(first)
+    sc = np.maximum.reduceat(is_sc[order], starts)
+    return pa.table({
+        "ah": pa.array(H.bitcast_u64_to_i64(a_s[first]), pa.int64()),
+        "bh": pa.array(H.bitcast_u64_to_i64(b_s[first]), pa.int64()),
+        "prio": pa.array(prio_of_band[order][first], pa.int8()),
+        "sc": pa.array(sc, pa.int8()),
+    })
+
+
+def slim_pairs_from_buckets(
+    buckets: ray.data.Dataset, cfg: DedupConfig
+) -> ray.data.Dataset:
+    """The fused verified-edge fast path's pairing stage: stats -> broadcast
+    tag -> SLIM pairing kernel, identical bucket semantics to
+    ``edges_from_buckets`` but pairs exchange as (ah, bh, prio, sc) id-hash
+    rows. Caller must follow with ``dedupe_slim_pairs`` + the resolve/verify
+    gather (``verify.resolve_and_verify_pairs``)."""
+    from deduplication_ray.stages.tuning import apply_context_tuning, ensure_blocks
+
+    apply_context_tuning()
+    buckets = ensure_blocks(buckets, cfg.num_partitions).materialize()
+    idx_ref, total_multi = multi_bucket_index(buckets, cfg)
+    empty = ray.data.from_arrow(_pair_tagged_table_slim(
+        pa.table({"band": pa.array([], pa.int64())}).slice(0, 0), cfg))
+    if idx_ref is None:
+        return empty
+    tagged = buckets.map_batches(
+        _KeyTaggerIdx(idx_ref, cfg.bucket_cap, cfg.gram_sample_drop_df),
+        batch_format="pyarrow",
+    )
+    if total_multi <= cfg.local_pairs_limit:
+        tbls = [t for t in tagged.iter_batches(batch_format="pyarrow")
+                if t.num_rows]
+        if not tbls:
+            return empty
+        return ray.data.from_arrow(_pair_tagged_table_slim(
+            pa.concat_tables(tbls, promote_options="default"), cfg))
+    tagged = tagged.materialize()
+    n_parts = max(cfg.num_partitions * 4, 8)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        comp = H.hash_u64_pair(
+            t["band"].to_numpy().view(np.uint64),
+            t["bucket"].to_numpy().view(np.uint64),
+        )
+        return t.append_column(
+            "part", pa.array((comp % np.uint64(n_parts)).astype(np.int64)))
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        return _pair_tagged_table_slim(t, cfg)
+
+    return tagged.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(pair_part, batch_format="pyarrow") \
+        .materialize()
+
+
+def dedupe_slim_pairs(pairs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    """Collapse duplicate (ah, bh) id-hash pairs across bands/partitions —
+    keep the best (min) prio, OR the sc flag. Same hash-partitioned
+    vectorized reduce as ``dedupe_edges`` but over the 18-byte slim rows;
+    returns a LAZY dataset so the caller can fuse the resolve/verify gather
+    into the same execution."""
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
+
+    def red(t: pa.Table) -> pa.Table:
+        a = t["ah"].to_numpy()
+        b = t["bh"].to_numpy()
+        prio = t["prio"].to_numpy()
+        sc = t["sc"].to_numpy()
+        order = np.lexsort((prio, b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.concatenate([[True], (a_s[1:] != a_s[:-1])
+                                | (b_s[1:] != b_s[:-1])])
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "ah": pa.array(a_s[first]),
+            "bh": pa.array(b_s[first]),
+            "prio": pa.array(prio[order][first], pa.int8()),
+            "sc": pa.array(np.maximum.reduceat(sc[order], starts), pa.int8()),
+        })
+
+    return hash_grouped_reduce(
+        pairs,
+        lambda t: H.hash_u64_pair(t["ah"].to_numpy().view(np.uint64),
+                                  t["bh"].to_numpy().view(np.uint64)),
+        red,
+        2 * cfg.num_partitions,
+    )
 
 
 def _empty_edge_ds() -> ray.data.Dataset:

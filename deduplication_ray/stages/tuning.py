@@ -80,4 +80,8 @@ def ensure_blocks(ds: ray.data.Dataset, num_blocks: int) -> ray.data.Dataset:
     ds = ds.materialize()
     if ds.num_blocks() == num_blocks:
         return ds
+    # the coalesce is load-bearing at every measured size: skipping it when
+    # blocks were "close enough" (within 8x) cost +10.6s on the 600k-row
+    # edge stage at 32 CPUs — the partial-agg stats pass compresses far
+    # better over few large blocks than many small ones
     return ds.repartition(num_blocks)

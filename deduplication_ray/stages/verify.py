@@ -26,6 +26,61 @@ from deduplication_ray.functions import hashing as H
 _TRUSTED_KINDS = ("exact", "cap_exact", "substr")
 
 
+class _AttachBoth:
+    """ONE broadcast gather that attaches signature columns to BOTH edge
+    endpoints: probe src and dst against the same presorted id-hash index
+    (built once on the driver from distributed per-block hashes), take the
+    matched signature rows, confirm id equality exactly. Replaces two
+    chained lookup_joins — one execution, one broadcast, one index."""
+
+    def __init__(self, ref, cols: list[str]):
+        self.ref = ref
+        self.cols = cols
+        self._state = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from deduplication_ray.stages.join import _key_hashes, _resolve_small
+
+        if self._state is None:
+            small, sorted_h, order = ray.get(self.ref)
+            self._state = (_resolve_small(small), sorted_h, order)
+        small, sorted_h, order = self._state
+        if t.num_rows == 0 or small.num_rows == 0:
+            t = t.slice(0, 0)
+            cols = {f.name: pa.array([], f.type if not pa.types.is_null(f.type)
+                                     else pa.string()) for f in t.schema}
+            for side in ("src", "dst"):
+                for c in self.cols:
+                    cols[f"{c}_{side}"] = pa.array(
+                        [], small.schema.field(c).type)
+            return pa.table(cols)
+
+        keep = np.ones(t.num_rows, dtype=bool)
+        gathered: dict[str, pa.ChunkedArray] = {}
+        for side in ("src", "dst"):
+            ph = _key_hashes(t, [side])
+            if len(sorted_h):
+                pos = np.minimum(np.searchsorted(sorted_h, ph),
+                                 len(sorted_h) - 1)
+                cand = order[pos]
+                matched = sorted_h[pos] == ph
+            else:
+                cand = np.zeros(len(ph), np.int64)
+                matched = np.zeros(len(ph), bool)
+            if matched.any():
+                idx = pa.array(cand, pa.int64())
+                eq = pc.fill_null(
+                    pc.equal(t[side], small["image_id"].take(idx)), False)
+                matched &= eq.to_numpy(zero_copy_only=False).astype(bool)
+            keep &= matched
+            for c in self.cols:
+                gathered[f"{c}_{side}"] = small[c].take(pa.array(cand))
+        out = t
+        for name, col in gathered.items():
+            out = out.append_column(name, col)
+        return out.filter(pa.array(keep))
+
+
 def attach_signatures(
     edges: ray.data.Dataset,
     signatures: ray.data.Dataset,
@@ -34,24 +89,151 @@ def attach_signatures(
 ) -> ray.data.Dataset:
     """edges(src,dst,kind) + signatures -> edges with _src/_dst signature cols.
 
-    Hash-partitioned joins on the edge endpoints (Ray Dataset.join); the
-    signature table is too large to broadcast at 10^12 rows, so this is the
-    genuinely-shuffling path (R17's gather generalized to a distributed join).
+    Size-dispatched (R17's gather generalized): below ``cfg.broadcast_limit``
+    the signature table broadcasts BY BLOCK REFS and one ``_AttachBoth``
+    gather attaches both endpoints in a single map execution; above it — the
+    10^12-row path, where no table broadcasts — two hash-partitioned
+    ``Dataset.join`` exchanges on the edge endpoints.
     """
-    from deduplication_ray.stages.join import lookup_join
+    from deduplication_ray.stages.join import _block_key_hashes, lookup_join
 
     cols = cols or ["phash", "simhash", "minhash"]
     sig = signatures.select_columns(["image_id", *cols]).materialize()
     n_sig = sig.count()
-    src_side = sig.rename_columns({c: f"{c}_src" for c in cols}).rename_columns(
-        {"image_id": "src"}
-    )
-    dst_side = sig.rename_columns({c: f"{c}_dst" for c in cols}).rename_columns(
-        {"image_id": "dst"}
-    )
-    e = lookup_join(edges, src_side, on=["src"], cfg=cfg, lookup_rows=n_sig)
-    e = lookup_join(e, dst_side, on=["dst"], cfg=cfg, lookup_rows=n_sig)
-    return e
+    if (n_sig == 0 or n_sig > cfg.broadcast_limit
+            or (sig.size_bytes() or 0) > 2 * 1024 * 1024 * 1024):
+        src_side = sig.rename_columns(
+            {c: f"{c}_src" for c in cols}).rename_columns({"image_id": "src"})
+        dst_side = sig.rename_columns(
+            {c: f"{c}_dst" for c in cols}).rename_columns({"image_id": "dst"})
+        e = lookup_join(edges, src_side, on=["src"], cfg=cfg, lookup_rows=n_sig)
+        e = lookup_join(e, dst_side, on=["dst"], cfg=cfg, lookup_rows=n_sig)
+        return e
+
+    refs = list(sig.to_arrow_refs())
+    hs = ray.get([_block_key_hashes.remote(r, ["image_id"]) for r in refs])
+    kh = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+    order = np.argsort(kh, kind="stable")
+    ref = ray.put((refs, kh[order], order.astype(np.int64)))
+    return edges.map_batches(_AttachBoth(ref, cols), batch_format="pyarrow")
+
+
+def signature_index(
+    signatures: ray.data.Dataset, cfg: DedupConfig,
+    cols: list[str] | None = None,
+):
+    """Broadcast signature index for the fused verified-edge fast path:
+    (block refs, sorted image_id hashes, permutation) in the object store,
+    built with the driver touching only 8 bytes/row. Returns the ray.put
+    handle, or None when the table exceeds the broadcast tier (row or byte
+    guard) — callers then fall back to the string/shuffle path, which is
+    the 10^12-row plan."""
+    from deduplication_ray.stages.join import _block_key_hashes
+
+    cols = cols or ["phash", "simhash", "minhash"]
+    sig = signatures.select_columns(["image_id", *cols]).materialize()
+    n_sig = sig.count()
+    if (n_sig == 0 or n_sig > cfg.broadcast_limit
+            or (sig.size_bytes() or 0) > 2 * 1024 * 1024 * 1024):
+        return None
+    refs = list(sig.to_arrow_refs())
+    hs = ray.get([_block_key_hashes.remote(r, ["image_id"]) for r in refs])
+    kh = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+    order = np.argsort(kh, kind="stable")
+    return ray.put((refs, kh[order], order.astype(np.int64)))
+
+
+class _ResolveVerify:
+    """One fused map over deduped SLIM pairs (ah, bh, prio, sc): gather the
+    id strings and signature columns for both endpoints from the broadcast
+    signature index, apply the verify_edges signal checks, and emit
+    verified (src, dst, kind, sc). Replaces the attach (two joins) + verify
+    stages of the string path with a single per-batch gather."""
+
+    def __init__(self, ref, cfg: DedupConfig, has_pixels: bool,
+                 do_verify: bool = True):
+        self.ref = ref
+        self.cfg = cfg
+        self.has_pixels = has_pixels
+        self.do_verify = do_verify
+        self._state = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from deduplication_ray.stages.join import _resolve_small
+        from deduplication_ray.stages.lsh import KIND_PRIORITY
+
+        if self._state is None:
+            small, sorted_h, order = ray.get(self.ref)
+            self._state = (_resolve_small(small), sorted_h, order)
+        small, sorted_h, order = self._state
+        empty = pa.table({"src": pa.array([], pa.string()),
+                          "dst": pa.array([], pa.string()),
+                          "kind": pa.array([], pa.string()),
+                          "sc": pa.array([], pa.int8())})
+        if t.num_rows == 0 or small.num_rows == 0:
+            return empty
+        cfg = self.cfg
+        rows = {}
+        ok = np.ones(t.num_rows, dtype=bool)
+        for side in ("ah", "bh"):
+            h = t[side].to_numpy().view(np.uint64)
+            pos = np.minimum(np.searchsorted(sorted_h, h), len(sorted_h) - 1)
+            matched = sorted_h[pos] == h
+            ok &= matched
+            rows[side] = order[pos]
+        if not ok.all():
+            # every pair hash came from a signature row, so a miss can only
+            # be a stale index — fail loudly rather than silently drop
+            raise RuntimeError(
+                f"resolve_and_verify: {int((~ok).sum())} pair endpoints "
+                "missing from the signature index")
+        ia = pa.array(rows["ah"], pa.int64())
+        ib = pa.array(rows["bh"], pa.int64())
+        prio = t["prio"].to_numpy()
+        sc = t["sc"].to_numpy()
+        keep = np.ones(t.num_rows, dtype=bool)
+        if self.do_verify:
+            trusted_prio = np.array(
+                [KIND_PRIORITY.index("exact"), KIND_PRIORITY.index("substr")],
+                dtype=prio.dtype)
+            keep = np.isin(prio, trusted_prio)
+            if "minhash" in small.column_names:
+                ms = H.unpack_u64_rows(small["minhash"].take(ia), cfg.num_perm)
+                md = H.unpack_u64_rows(small["minhash"].take(ib), cfg.num_perm)
+                keep |= (ms == md).mean(axis=1) >= cfg.jaccard_tau
+            if self.has_pixels and "phash" in small.column_names:
+                for col, tol in (("phash", cfg.phash_hamming_t),
+                                 ("simhash", cfg.simhash_hamming_t)):
+                    ca = small[col].take(ia).combine_chunks() \
+                        .to_numpy(zero_copy_only=False)
+                    cb = small[col].take(ib).combine_chunks() \
+                        .to_numpy(zero_copy_only=False)
+                    hd = H.hamming_distance_u64(
+                        H.bitcast_i64_to_u64(ca), H.bitcast_i64_to_u64(cb))
+                    keep |= hd <= tol
+            # substring candidates survive unverified — the exact L-gram
+            # join downstream is their verdict (winnow mode only)
+            keep |= (sc > 0) | (prio == KIND_PRIORITY.index("substr_cand"))
+        k = pa.array(keep)
+        kindset = pa.array(KIND_PRIORITY)
+        kind = pa.compute.take(
+            kindset, pa.array(prio[keep].astype(np.int32)))
+        return pa.table({
+            "src": small["image_id"].take(ia.filter(k)),
+            "dst": small["image_id"].take(ib.filter(k)),
+            "kind": kind,
+            "sc": pa.array(sc[keep], pa.int8()),
+        })
+
+
+def resolve_and_verify_pairs(
+    slim_pairs: ray.data.Dataset, sig_ref, cfg: DedupConfig,
+    has_pixels: bool = True, do_verify: bool = True,
+) -> ray.data.Dataset:
+    """Deduped slim pairs -> verified (src, dst, kind, sc) edges (lazy)."""
+    return slim_pairs.map_batches(
+        _ResolveVerify(sig_ref, cfg, has_pixels, do_verify),
+        batch_format="pyarrow", batch_size=65536)
 
 
 def verify_edges(
