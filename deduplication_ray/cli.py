@@ -266,6 +266,12 @@ def main(argv: list[str] | None = None) -> int:
                         "hive-partitioned <col>=<value>/ tree (resumable "
                         "consumption; see storage.write_partitioned)")
     s.add_argument("--num-cpus", type=int, default=None)
+    s.add_argument("--limit", type=int, default=1000,
+                   help="preview mode only (no --dest): cap on rows pulled "
+                        "driver-side from a Dataset result — an unbounded "
+                        "result (e.g. a full pair list at sf0.1+) never "
+                        "materializes on the driver; use --dest for a "
+                        "streaming parquet write of the full result")
     s.add_argument("--stats", action="store_true",
                    help="print Ray Data per-operator execution stats after "
                         "the run (wall time, rows, bytes per stage)")
@@ -373,9 +379,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"query": args.name, "rows": n,
                               "dest": args.dest}))
         else:
-            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            if hasattr(res, "write_parquet"):  # Dataset: bounded preview —
+                # the full result stays distributed; count() is a streaming
+                # aggregate, only `--limit` rows ever reach the driver
+                n = res.count()
+                df = res.limit(args.limit).to_pandas()
+                truncated = n > args.limit
+            else:  # already a driver-side pandas/Arrow result (bounded)
+                df = res.to_pandas() if hasattr(res, "to_pandas") else res
+                n, truncated = len(df), False
             print(df.head(20).to_string())
-            print(json.dumps({"query": args.name, "rows": len(df)}))
+            print(json.dumps({"query": args.name, "rows": n,
+                              "preview_limit": args.limit,
+                              "truncated": truncated}))
         if args.stats and hasattr(res, "stats"):
             print(res.stats())
         ray.shutdown()

@@ -53,13 +53,23 @@ def _key_hashes(t: pa.Table, on: list[str]) -> np.ndarray:
     return h if h is not None else np.zeros(t.num_rows, np.uint64)
 
 
+def _as_arrow_block(tbl) -> pa.Table:
+    """Ray Data blocks are pa.Table OR pandas.DataFrame (when the producing
+    stage ran ``batch_format=\"pandas\"``); the by-refs broadcast index must
+    accept both."""
+    if isinstance(tbl, pa.Table):
+        return tbl
+    return pa.Table.from_pandas(tbl, preserve_index=False)
+
+
 @ray.remote(num_cpus=0.5)
-def _block_key_hashes(tbl: pa.Table, on: list[str]) -> np.ndarray:
+def _block_key_hashes(tbl, on: list[str]) -> np.ndarray:
     """Per-block key hashes for the broadcast index — runs where the block
     lives; only the u64 array travels to the driver. Empty blocks may carry
     a STALE schema (a lazy rename/Project over zero rows is dropped), so
     they hash to nothing unconditionally — ``_resolve_small`` skips the
     same blocks, keeping row indices aligned."""
+    tbl = _as_arrow_block(tbl)
     if tbl.num_rows == 0:
         return np.zeros(0, np.uint64)
     return _key_hashes(tbl, on)
@@ -75,9 +85,11 @@ def _resolve_small(small) -> pa.Table:
     table)."""
     if isinstance(small, pa.Table):
         return small
-    blocks = [b for b in ray.get(list(small)) if b.num_rows]
+    blocks = [b for b in map(_as_arrow_block, ray.get(list(small)))
+              if b.num_rows]
     if not blocks:
-        return ray.get(small[0]).slice(0, 0) if small else pa.table({})
+        return (_as_arrow_block(ray.get(small[0])).slice(0, 0)
+                if small else pa.table({}))
     return pa.concat_tables(blocks, promote_options="default")
 
 

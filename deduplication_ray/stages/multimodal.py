@@ -75,10 +75,11 @@ class DecodeImages:
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """REAL RIFF/WAVE PCM decoder (pure numpy + struct — no codec library):
-    parses the chunk list, supports PCM (format 1) at 8/16/32 bits, any
-    channel count (downmixed to mono float32 in [-1, 1]). Compressed
-    formats (MP3/AAC inside WAV, IEEE float, etc.) raise NotImplementedError
-    — that is the stub boundary now, not the container format itself."""
+    parses the chunk list, supports integer PCM (format 1) at 8/16/32 bits
+    AND IEEE-float PCM (format 3) at 32/64 bits, any channel count
+    (downmixed to mono float32 in [-1, 1]). Compressed formats (MP3/AAC
+    inside WAV, ADPCM, etc.) raise NotImplementedError — that is the stub
+    boundary now, not the container format itself."""
     import struct
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -97,10 +98,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_code is None or pcm is None:
         raise ValueError("WAVE missing fmt/data chunk")
+    if fmt_code == 3:  # IEEE float — self-contained in numpy, no codec lib
+        if bits == 32:
+            x = np.frombuffer(pcm[: len(pcm) // 4 * 4], dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(pcm[: len(pcm) // 8 * 8], dtype="<f8").astype(np.float32)
+        else:
+            raise NotImplementedError(f"{bits}-bit IEEE-float PCM unsupported")
+        x = np.clip(x, -1.0, 1.0)
+        if channels and channels > 1:
+            x = x[: len(x) // channels * channels].reshape(-1, channels).mean(axis=1)
+        return x, int(rate)
     if fmt_code != 1:
         raise NotImplementedError(
             f"WAVE format {fmt_code} needs a codec library not present here "
-            "(PCM is self-contained)")
+            "(compressed formats are the stub boundary; integer PCM and "
+            "IEEE-float PCM are self-contained)")
     if bits == 16:
         x = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2").astype(np.float32) / 32768.0
     elif bits == 8:
@@ -283,20 +296,30 @@ class VideoSignatures:
         return pa.table(cols)
 
 
-def encode_wav(pcm: np.ndarray, rate: int, bits: int = 16) -> bytes:
+def encode_wav(pcm: np.ndarray, rate: int, bits: int = 16,
+               ieee_float: bool = False) -> bytes:
     """Minimal RIFF/WAVE PCM writer (mono), the inverse of ``decode_wav``.
-    ``pcm`` is float in [-1, 1]; 8- or 16-bit output."""
+    ``pcm`` is float in [-1, 1]; 8- or 16-bit integer output, or 32/64-bit
+    IEEE-float (format code 3) with ``ieee_float=True``."""
     import struct
 
     x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
-    if bits == 16:
+    if ieee_float:
+        if bits == 32:
+            body = x.astype("<f4").tobytes()
+        elif bits == 64:
+            body = x.astype("<f8").tobytes()
+        else:
+            raise NotImplementedError(f"{bits}-bit float writer unsupported")
+    elif bits == 16:
         body = (x * 32767.0).round().astype("<i2").tobytes()
     elif bits == 8:
         body = (x * 127.0 + 128.0).round().astype(np.uint8).tobytes()
     else:
         raise NotImplementedError(f"{bits}-bit PCM writer unsupported")
     block = bits // 8
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * block, block, bits)
+    fmt = struct.pack("<HHIIHH", 3 if ieee_float else 1, 1, rate,
+                      rate * block, block, bits)
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
               + b"data" + struct.pack("<I", len(body)) + body
               + (b"\x00" if len(body) & 1 else b""))

@@ -153,3 +153,28 @@ def test_audio_reverse_channel_catches_reversed_reuploads(ray_session,
                      truth.rename(columns={"audio_id": "image_id"}))
     assert m["recall"] >= 0.99, m
     assert m["precision"] >= 0.99, m
+
+
+def test_float_wav_dups_cluster_with_int_wav(ray_session):
+    """A float32-WAV re-encode of the same recording must land in the same
+    cluster as its 16-bit-PCM original: the decoder normalizes both to mono
+    float32, so the spectral shingles line up exactly."""
+    from deduplication_ray.stages.multimodal import encode_wav
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(6):
+        pcm = F.render_audio_pcm(100 + i, F.AUDIO_RATE)
+        rows.append((f"a{i:02d}_int", encode_wav(pcm, F.AUDIO_RATE, 16)))
+        if i < 2:  # plant float re-encodes of the first two recordings
+            rows.append((f"a{i:02d}_flt",
+                         encode_wav(pcm, F.AUDIO_RATE, 32, ieee_float=True)))
+    t = pa.table({"audio_id": [r[0] for r in rows],
+                  "bytes": [r[1] for r in rows]})
+    out = audio_dedup_clusters(
+        ray.data.from_arrow(t), DedupConfig(num_partitions=2)).to_pandas()
+    c = out.set_index("audio_id")["cluster_id"]
+    for i in range(2):
+        assert c[f"a{i:02d}_int"] == c[f"a{i:02d}_flt"]
+    # distinct recordings stay apart
+    assert c[["a02_int", "a03_int", "a04_int", "a05_int"]].nunique() == 4

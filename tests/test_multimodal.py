@@ -162,3 +162,36 @@ def test_audio_wav_compressed_format_raises():
         + b"data" + struct.pack("<I", 4) + b"\x00" * 4
     with pytest.raises(NotImplementedError):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_decode_wav_ieee_float():
+    """IEEE-float WAV (format code 3) decodes without a codec library —
+    lossless round-trip at 32/64 bits vs the integer PCM quantization."""
+    from deduplication_ray.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(5)
+    pcm = np.clip(rng.randn(4000) * 0.3, -1, 1).astype(np.float32)
+    for bits, tol in ((32, 0.0), (64, 1e-7)):
+        x, rate = decode_wav(encode_wav(pcm, 16000, bits, ieee_float=True))
+        assert rate == 16000
+        assert len(x) == len(pcm)
+        assert np.abs(x - pcm).max() <= tol
+
+
+def test_decode_wav_ieee_float_multichannel_downmix():
+    import struct
+
+    from deduplication_ray.stages.multimodal import decode_wav
+
+    n, rate = 1000, 8000
+    left = np.full(n, 0.5, np.float32)
+    right = np.full(n, -0.25, np.float32)
+    inter = np.empty(2 * n, np.float32)
+    inter[0::2], inter[1::2] = left, right
+    body = inter.astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 2, rate, rate * 8, 8, 32)
+    payload = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(body)) + body)
+    x, r = decode_wav(b"RIFF" + struct.pack("<I", len(payload)) + payload)
+    assert r == rate and len(x) == n
+    assert np.allclose(x, 0.125)
