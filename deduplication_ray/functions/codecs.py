@@ -139,6 +139,13 @@ def decode_qrgb(data: bytes) -> np.ndarray:
 
 # ---------------------------------------------------------------- dispatch
 
+JPEG_QUALITY = 99  # 4:4:4 at this quality keeps PSNR >= 40 dB even on the
+                   # fixture's noise-textured content (worst observed 49.2 dB
+                   # over 150 seeds; q<=92 dips to ~33 on near-white-noise
+                   # texture), satisfying the per-row lossy-fmt invariant
+                   # the north rule demands
+
+
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw":
         return encode_raw(img)
@@ -146,6 +153,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return encode_png(img)
     if fmt == "qrgb":
         return encode_qrgb(img)
+    if fmt == "jpg":
+        from deduplication_ray.functions.jpeg import encode_jpeg  # lazy: jpeg imports dct_matrix from here
+
+        return encode_jpeg(img, quality=JPEG_QUALITY)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -159,6 +170,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return decode_png(bytes(data))
     if fmt == "qrgb":
         return decode_qrgb(bytes(data))
+    if fmt == "jpg":
+        from deduplication_ray.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(data))
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -73,7 +73,8 @@ def _edit_caption(rng: np.random.Generator, caption: str, vocab: list[str], n_ed
     return " ".join(words)
 
 
-def plan_rows(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+def plan_rows(n_rows: int, seed: int = 42,
+              fmts: tuple[str, ...] = _FMTS) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Build the spec table + truth clusters.
 
     Returns ``(spec, truth)``:
@@ -114,7 +115,7 @@ def plan_rows(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
         return int(rng.integers(32, 65)), int(rng.integers(32, 65))
 
     def fmt() -> str:
-        return _FMTS[int(rng.integers(3))]
+        return fmts[int(rng.integers(len(fmts)))]
 
     # --- dup clusters (built first; uniques fill the remainder) ---
     for kind, quota in quotas.items():
@@ -138,8 +139,10 @@ def plan_rows(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
                     add("unique", ps, 0, fmt(), w, h, base_cap, cl)
                     made += 1
                     continue
-                fmts = ["raw", "png", "qrgb"][:size]
-                for i, f in enumerate(fmts):
+                # distinct formats from the configured set (do NOT rebind
+                # ``fmts`` — the fmt() closure reads the parameter)
+                reenc_fmts = (list(fmts) * 3)[:size]
+                for i, f in enumerate(reenc_fmts):
                     cap = base_cap if (i == 0 or rng.random() < 0.5) \
                         else _salad(rng, vocab)
                     add("reenc", ps, 0, f, w, h, cap, cl)
@@ -267,11 +270,13 @@ class RenderImages:
             img = apply_noise(render_pattern(int(pseeds[i]), int(ws[i]), int(hs[i])),
                               int(nseeds[i]))
             data = C.encode_image(img, fmts[i])
-            if fmts[i] == "qrgb":
-                dec = C.decode_qrgb(data)
+            if fmts[i] in ("qrgb", "jpg"):  # lossy: phash over what a
+                # reader will decode, gated by the PSNR >= 40 dB invariant
+                dec = C.decode_image(data, fmts[i], int(ws[i]), int(hs[i]))
                 if C.psnr_db(img, dec) < 40.0:
-                    raise AssertionError("qrgb codec violated PSNR >= 40 dB")
-                img = dec  # phash over what a reader will decode
+                    raise AssertionError(
+                        f"{fmts[i]} codec violated PSNR >= 40 dB")
+                img = dec
             payloads.append(data)
             grays[i] = C.resize_area(C.to_grayscale(img), self.size)
         ph = C.phash64_batch(grays, self.size, self.lowfreq)
@@ -288,7 +293,9 @@ class RenderImages:
         )
 
 
-def generate(out_dir: str, n_rows: int, seed: int = 42, num_files: int | None = None) -> None:
+def generate(out_dir: str, n_rows: int, seed: int = 42,
+             num_files: int | None = None,
+             fmts: tuple[str, ...] = _FMTS) -> None:
     """Materialize a fixture dataset: table at ``out_dir``/data, labels at
     ``out_dir``/truth (separate dirs so a directory read of the table never
     picks up truth files).
@@ -302,7 +309,7 @@ def generate(out_dir: str, n_rows: int, seed: int = 42, num_files: int | None = 
 
     from deduplication_ray.sources import storage
 
-    spec, truth = plan_rows(n_rows, seed)
+    spec, truth = plan_rows(n_rows, seed, fmts=fmts)
     if num_files is None:
         num_files = max(4, min(64, n_rows // 2000))
     ds = ray.data.from_pandas(spec).repartition(num_files)

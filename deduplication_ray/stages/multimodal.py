@@ -3,9 +3,10 @@
 The engine treats image/audio/video as ``binary`` columns with metadata
 columns (fmt, w, h / sample_rate / fps), processed by actor-pool
 ``map_batches`` stages. Self-contained decoders are REAL: raw / png / qrgb
-images (functions/codecs.py) and RIFF/WAVE PCM audio (``decode_wav`` below,
-pure numpy+struct). Only codecs that genuinely require absent libraries
-(JPEG, MP3/AAC, H.264) are stubbed behind an import-try +
+/ baseline-sequential jpg images (functions/codecs.py, functions/jpeg.py)
+and RIFF/WAVE integer- and IEEE-float-PCM audio (``decode_wav`` below, pure
+numpy+struct). Only codecs that genuinely require absent libraries
+(progressive JPEG, MP3/AAC, H.264) are stubbed behind an import-try +
 ``NotImplementedError`` — clearly marked stub boundaries.
 """
 
@@ -29,8 +30,9 @@ except ImportError:
 class DecodeImages:
     """binary+fmt -> decoded thumbnail features (grayscale SxS as binary).
 
-    Real for raw/png/qrgb; JPEG and friends raise NotImplementedError unless
-    Pillow is importable (stub boundary, clearly marked).
+    Real for raw/png/qrgb/jpg (baseline sequential); progressive JPEG and
+    other library-bound formats raise NotImplementedError unless Pillow is
+    importable (stub boundary, clearly marked).
     """
 
     def __init__(self, cfg: DedupConfig | None = None, thumb: int = 32):
@@ -38,8 +40,8 @@ class DecodeImages:
         self.thumb = thumb
 
     def decode_one(self, data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-        if fmt in ("raw", "png", "qrgb"):
-            return C.decode_image(data, fmt, w, h)
+        if fmt in ("raw", "png", "qrgb", "jpg"):  # jpg: pure-numpy baseline
+            return C.decode_image(data, fmt, w, h)  # decoder, functions/jpeg.py
         if HAVE_PIL:
             import io
 
