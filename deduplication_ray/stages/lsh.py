@@ -937,6 +937,11 @@ def slim_pairs_from_buckets(
             return empty
         return ray.data.from_arrow(_pair_tagged_table_slim(
             pa.concat_tables(tbls, promote_options="default"), cfg))
+    # Materialize the tagged stream before the pairing exchange even though
+    # it has one consumer: letting the tagging map fuse into the sort-based
+    # groupby re-plans it INTO the exchange, which under backpressure
+    # measured +22s on the 8-CPU leg and +3s at 32 CPUs (600k rows) — same
+    # stall ``edges_from_buckets`` documents for its two-consumer stream.
     tagged = tagged.materialize()
     n_parts = max(cfg.num_partitions * 4, 8)
 
