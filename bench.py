@@ -63,6 +63,46 @@ def host_health_probe() -> dict:
             "host_degraded": bw < 2.0}
 
 
+def bus_bandwidth_scale(lo: int, hi: int) -> dict:
+    """Aggregate host memory bandwidth at ``lo`` vs ``hi`` concurrent
+    streams — the single-host confound in the N-vs-4N stand-in protocol.
+
+    On a real cluster, 4N nodes bring 4N memory buses, so aggregate
+    bandwidth scales with the node count. On ONE host, the hi leg's workers
+    share the lo leg's bus: measured here, 8->32 streams yields only ~2.7x
+    aggregate (33 -> 89 GB/s), so a bandwidth-bound stage CANNOT show
+    better than ~0.67 'efficiency' on this box no matter how well the
+    engine scales. The scaling report therefore records both the raw
+    single-host ratio (the conservative number) and the ratio normalized
+    by this measured bus curve (the number a multi-bus cluster would see
+    for the bandwidth-bound fraction)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q):
+        a = np.ones(12_500_000, dtype=np.float64)  # 100 MB
+        t0 = time.time()
+        for _ in range(6):
+            a.copy()
+        q.put(6 * a.nbytes * 2 / (time.time() - t0) / 1e9)
+
+    agg = {}
+    for n in (lo, hi):
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q,)) for _ in range(n)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        agg[n] = sum(q.get() for _ in range(n))
+    return {
+        f"bus_gbps_{lo}": round(agg[lo], 1),
+        f"bus_gbps_{hi}": round(agg[hi], 1),
+        # aggregate-bandwidth gain the single host actually provides
+        # between the two leg widths (a 4N-node cluster provides hi/lo)
+        "bus_scale": round(agg[hi] / agg[lo], 3),
+    }
+
+
 def drop_page_cache() -> bool:
     """Reference-parity cache hygiene (``scripts/encode_bench.sh:56-69``
     syncs + drops the page cache before each cold run): vm.drop_caches=3.
@@ -429,10 +469,17 @@ def run_scaling() -> dict:
     # share (each cluster node has its own memory bus)
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    bus = bus_bandwidth_scale(lo, hi)  # before the legs: idle machine
     r_lo, r_hi = one(lo), one(hi)
     t_lo = r_lo["queries"]["image_dedup"]
     t_hi = r_hi["queries"]["image_dedup"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # single-host bus correction: a bandwidth-bound stage can scale at most
+    # bus_scale (not hi/lo) on one box; 4N real nodes bring 4N buses. The
+    # normalized number bounds what the same code shows on a multi-bus
+    # cluster; the raw number is the conservative single-host measurement.
+    bus_eff = round((t_lo / t_hi) / bus["bus_scale"], 3) \
+        if bus.get("bus_scale") else None
     # compute-bound complement: the text engine's per-doc work is FMA
     # sweeps (P MinHash permutations), not object-store byte traffic, so its
     # ratio keeps measuring ORCHESTRATION scaling even in windows where the
@@ -448,6 +495,8 @@ def run_scaling() -> dict:
         f"images_per_sec_{lo}": r_lo["images_per_sec"],
         f"images_per_sec_{hi}": r_hi["images_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "bus_normalized_efficiency": bus_eff,
+        **bus,
         "text_scaling_efficiency": text_eff,
         "img_rows": IMG_ROWS,
         f"total_sec_{lo}": r_lo["value"],
