@@ -304,7 +304,9 @@ def run_text_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        cmd = [sys.executable, os.path.abspath(__file__), "--text-job"]
+        pin = (["taskset", "-c", f"0-{ncpu - 1}"]
+               if shutil.which("taskset") else [])  # see run_scaling.one
+        cmd = pin + [sys.executable, os.path.abspath(__file__), "--text-job"]
         out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                              check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -454,7 +456,15 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        cmd = _perf_cmd() + [sys.executable, os.path.abspath(__file__)]
+        # PIN the leg to ncpu physical cores: ray.init(num_cpus=n) bounds
+        # only logical task slots — fractional-CPU actors (shuffle
+        # aggregators at 0.25) and write tasks still fan out over every
+        # host core, silently deflating the lo leg's wall time (measured
+        # 11% at 4 CPUs / 600k rows). OS affinity makes each leg an honest
+        # n-core machine, which is what the N-vs-4N criterion models.
+        pin = (["taskset", "-c", f"0-{ncpu - 1}"]
+               if shutil.which("taskset") else [])
+        cmd = pin + _perf_cmd() + [sys.executable, os.path.abspath(__file__)]
         out = subprocess.run(cmd,
                              env=env, capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))

@@ -60,6 +60,7 @@ def build_edges(
     signatures: ray.data.Dataset,
     cfg: DedupConfig,
     input_ds: ray.data.Dataset | None = None,
+    substr_buckets: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Exact + LSH-candidate + suffix-array/winnowing substring edges.
 
@@ -87,10 +88,12 @@ def build_edges(
                                             "exact")),
             batch_format="pyarrow", batch_size=cfg.text_batch_size,
         )
+        if substr_buckets is not None:  # prefetched, blocks reused as-is
+            return b.union(substr_buckets)
         if input_ds is not None:
-            from deduplication_ray.stages.substring import substring_buckets
+            from deduplication_ray.stages.substring import substring_buckets as _sb
 
-            b = b.union(substring_buckets(input_ds, cfg))
+            b = b.union(_sb(input_ds, cfg))
         return b
 
     edges = lsh.edges_from_buckets(bucket_src(), cfg)
@@ -125,6 +128,7 @@ def fast_verified_edges(
     cfg: DedupConfig,
     input_ds: ray.data.Dataset | None,
     sig_ref,
+    substr_buckets: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Fused verified-edge fast path ('grams' mode, broadcast tier): the
     pairing kernel exchanges 18-byte (id-hash, id-hash, prio, sc) rows
@@ -142,10 +146,14 @@ def fast_verified_edges(
                                             "exact")),
             batch_format="pyarrow", batch_size=cfg.text_batch_size,
         )
+        if substr_buckets is not None:
+            # prefetched (already-materialized) gram buckets: the union
+            # reuses their blocks, no recompute
+            return b.union(substr_buckets)
         if input_ds is not None:
-            from deduplication_ray.stages.substring import substring_buckets
+            from deduplication_ray.stages.substring import substring_buckets as _sb
 
-            b = b.union(substring_buckets(input_ds, cfg))
+            b = b.union(_sb(input_ds, cfg))
         return b
 
     pairs = lsh.slim_pairs_from_buckets(bucket_src(), cfg)
@@ -255,6 +263,37 @@ def run_pipeline(
             return input_ds
         return storage.read_table(input_path)
 
+    # Overlap the gram-fingerprint bucket build (captions only — independent
+    # of the signature stage) with the signature decode below: the two
+    # largest map stages otherwise run back-to-back with a barrier between
+    # them, and the multi-core legs idle through each other's straggler
+    # tails. A 1-core run is unaffected (work serializes either way); at 4+
+    # cores the overlap fills the barrier gaps. Fast path only — the string
+    # path unions the lazy stream as before.
+    _substr_prefetch: dict = {}
+    _substr_thread = None
+    if (cfg.substring_rendezvous == "grams" and not cfg.use_suffix_array
+            and not run.is_complete("verified_edges")):
+        import threading
+
+        from deduplication_ray.stages.substring import substring_buckets
+
+        def _read_captions_early() -> ray.data.Dataset:
+            if input_ds is not None:
+                return input_ds.select_columns(["image_id", "caption"])
+            return storage.read_table(input_path,
+                                      columns=["image_id", "caption"])
+
+        def _prefetch() -> None:
+            try:
+                _substr_prefetch["ds"] = substring_buckets(
+                    _read_captions_early(), cfg).materialize()
+            except BaseException as exc:  # surfaced on join in make_vedges
+                _substr_prefetch["err"] = exc
+
+        _substr_thread = threading.Thread(target=_prefetch, daemon=True)
+        _substr_thread.start()
+
     if input_ds is None and os.path.isdir(input_path):
         # partition-level lineage: signatures computed per input-shard group,
         # each group committed atomically — a killed run resumes at the first
@@ -286,11 +325,19 @@ def run_pipeline(
         sig_ref = None
         if cfg.substring_rendezvous == "grams" and not cfg.use_suffix_array:
             sig_ref = verify.signature_index(sigs, cfg)
+        pre_sb = None
+        if _substr_thread is not None:
+            _substr_thread.join()
+            if "err" in _substr_prefetch:
+                raise _substr_prefetch["err"]
+            pre_sb = _substr_prefetch.get("ds")
         if sig_ref is not None:
-            ve = fast_verified_edges(sigs, cfg, read_captions(), sig_ref)
+            ve = fast_verified_edges(sigs, cfg, read_captions(), sig_ref,
+                                     substr_buckets=pre_sb)
         else:
             ve = verify_candidates(
-                build_edges(sigs, cfg, read_captions()), sigs, cfg)
+                build_edges(sigs, cfg, read_captions(),
+                            substr_buckets=pre_sb), sigs, cfg)
         # opt-in extra pixel-identity channels: their pairs are already
         # verified by construction (min relative-orientation / valid-window
         # Hamming), so they join AFTER the pHash/SimHash verify — which
