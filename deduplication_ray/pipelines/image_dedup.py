@@ -406,6 +406,7 @@ def run_pipeline(
 
     representatives = run.run_stage("representatives", reps, ["clusters"])
 
+    run.flush()  # manifests must exist before rows are read below
     metrics = {
         "config_hash": cfg.config_hash(),
         "stages_executed": run.executed,

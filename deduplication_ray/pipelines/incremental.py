@@ -468,6 +468,7 @@ def ingest_delta(
     clusters = run.run_stage(
         "clusters", lambda: finalize_clusters(ids, labels, cfg), ["labels"])
 
+    run.flush()  # manifests must exist before rows are read below
     metrics = {
         "config_hash": cfg.config_hash(),
         "stages_executed": run.executed,
@@ -587,6 +588,7 @@ def merge_runs(
     run.run_stage(
         "clusters", lambda: finalize_clusters(ids, labels, cfg), ["labels"])
 
+    run.flush()  # manifests must exist before rows are read below
     metrics = {
         "config_hash": cfg.config_hash(),
         "stages_executed": run.executed,
@@ -665,6 +667,7 @@ def _modal_kit(kind: str, cfg: DedupConfig) -> dict:
 
 
 def _modal_metrics(run: CheckpointedRun, cfg: DedupConfig) -> dict:
+    run.flush()  # manifests must exist before rows are read below
     metrics = {
         "config_hash": cfg.config_hash(),
         "stages_executed": run.executed,
@@ -969,6 +972,7 @@ def delete_ids(
 
         run.run_stage("representatives", reps, ["clusters"])
 
+    run.flush()  # manifests must exist before rows are read below
     metrics = {
         "config_hash": cfg.config_hash(),
         "deleted_ids": len(dels),

@@ -176,6 +176,7 @@ def run_text_pipeline(input_path: str, run_dir: str,
     run.run_stage("clusters",
                   lambda: finalize_clusters(ids, labels, cfg), ["labels"])
 
+    run.flush()  # manifests must exist before rows are read below
     metrics = {
         "config_hash": cfg.config_hash(),
         "stages_executed": run.executed,

@@ -41,6 +41,7 @@ class CheckpointedRun:
         self.skipped: list[str] = []   # stages resumed from checkpoint
         self.executed: list[str] = []  # stages computed this run
         self.timings: dict[str, float] = {}  # stage -> wall seconds (this run)
+        self._pending: list = []       # (stage, thread, errbox) deferred commits
 
     def stage_dir(self, stage: str) -> str:
         return os.path.join(self.run_dir, stage)
@@ -93,21 +94,54 @@ class CheckpointedRun:
             # shuffle outputs fragment into hundreds of tiny blocks; feeding
             # those into the next shuffle multiplies its fixed costs
             out = out.repartition(self.cfg.num_partitions).materialize()
-        storage.write_table(out, sdir)
-        n = out.count()
-        storage.write_manifest(
-            sdir,
-            {
-                "stage": stage,
-                "config_hash": self.cfg.config_hash(),
-                "upstream": upstream or [],
-                "rows": n,
-                "complete": True,
-            },
-        )
+
+        def _commit() -> None:
+            storage.write_table(out, sdir)
+            storage.write_manifest(
+                sdir,
+                {
+                    "stage": stage,
+                    "config_hash": self.cfg.config_hash(),
+                    "upstream": upstream or [],
+                    "rows": out.count(),
+                    "complete": True,
+                },
+            )
+
+        # The parquet write is durability, not lineage: downstream stages
+        # consume the materialized dataset directly, so the write runs on a
+        # side thread and overlaps the next stage's compute (multi-core
+        # runs were idling through each checkpoint encode — ~5s at 600k
+        # rows / 4 cores). Crash before the manifest lands == stage not
+        # complete == recompute on resume; ``flush()`` joins every pending
+        # commit (and re-raises its error) before the run is declared done.
+        import threading
+
+        errbox: dict = {}
+
+        def _safe_commit() -> None:
+            try:
+                _commit()
+            except BaseException as exc:  # re-raised by flush()
+                errbox["err"] = exc
+
+        th = threading.Thread(target=_safe_commit, daemon=True)
+        th.start()
+        self._pending.append((stage, th, errbox))
         self.executed.append(stage)
         self.timings[stage] = round(_time.time() - t0, 2)
         return out
+
+    def flush(self) -> None:
+        """Join every deferred checkpoint commit; re-raise the first error.
+        Must run before a caller declares the run complete."""
+        pending, self._pending = self._pending, []
+        for stage, th, errbox in pending:
+            th.join()
+            if "err" in errbox:
+                raise RuntimeError(
+                    f"deferred checkpoint write of stage {stage!r} failed"
+                ) from errbox["err"]
 
     def run_stage_sharded(
         self,
