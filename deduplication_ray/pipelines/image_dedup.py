@@ -158,6 +158,8 @@ def fast_verified_edges(
 
     pairs = lsh.slim_pairs_from_buckets(bucket_src(), cfg)
     deduped = lsh.dedupe_slim_pairs(pairs, cfg)
+    if isinstance(sig_ref, verify.DeferredSignatureIndex):
+        sig_ref = sig_ref.get()  # index build overlapped the pairing chain
     ve = verify.resolve_and_verify_pairs(deduped, sig_ref, cfg,
                                          has_pixels=True)
     return ve.map_batches(lambda t: t.select(["src", "dst", "kind"]),
@@ -322,17 +324,17 @@ def run_pipeline(
     # checkpoint write), which drops one full materialize+write+re-read
     # barrier from every run
     def make_vedges() -> ray.data.Dataset:
-        sig_ref = None
+        deferred_idx = None
         if cfg.substring_rendezvous == "grams" and not cfg.use_suffix_array:
-            sig_ref = verify.signature_index(sigs, cfg)
+            deferred_idx = verify.DeferredSignatureIndex(sigs, cfg)
         pre_sb = None
         if _substr_thread is not None:
             _substr_thread.join()
             if "err" in _substr_prefetch:
                 raise _substr_prefetch["err"]
             pre_sb = _substr_prefetch.get("ds")
-        if sig_ref is not None:
-            ve = fast_verified_edges(sigs, cfg, read_captions(), sig_ref,
+        if deferred_idx is not None and deferred_idx.eligible:
+            ve = fast_verified_edges(sigs, cfg, read_captions(), deferred_idx,
                                      substr_buckets=pre_sb)
         else:
             ve = verify_candidates(

@@ -118,6 +118,45 @@ def attach_signatures(
     return edges.map_batches(_AttachBoth(ref, cols), batch_format="pyarrow")
 
 
+class DeferredSignatureIndex:
+    """``signature_index`` started on a side thread: the broadcast index is
+    needed only by the final resolve/verify gather, so its build (a count,
+    a per-block hash task round, a driver argsort) overlaps the pairing
+    chain instead of serializing before it. ``get()`` joins and re-raises.
+    ``eligible`` is decided synchronously (metadata-only count/size) so the
+    caller can branch fast-path/string-path without waiting."""
+
+    def __init__(self, signatures: ray.data.Dataset, cfg: DedupConfig):
+        import threading
+
+        self._box: dict = {}
+        sig = signatures.materialize()  # no-op on checkpointed input
+        n = sig.count()
+        self.eligible = not (
+            n == 0 or n > cfg.broadcast_limit
+            or (sig.size_bytes() or 0) > 2 * 1024 * 1024 * 1024)
+        if not self.eligible:
+            self._th = None
+            return
+
+        def _build() -> None:
+            try:
+                self._box["ref"] = signature_index(sig, cfg)
+            except BaseException as exc:
+                self._box["err"] = exc
+
+        self._th = threading.Thread(target=_build, daemon=True)
+        self._th.start()
+
+    def get(self):
+        if self._th is None:
+            return None
+        self._th.join()
+        if "err" in self._box:
+            raise self._box["err"]
+        return self._box["ref"]
+
+
 def signature_index(
     signatures: ray.data.Dataset, cfg: DedupConfig,
     cols: list[str] | None = None,
