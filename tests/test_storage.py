@@ -77,6 +77,7 @@ def test_checkpoint_layer_is_format_agnostic(ray_session, tmp_path,
     r1 = CheckpointedRun(run_dir, cfg)
     out1 = r1.run_stage("s1", stage)
     assert r1.executed == ["s1"] and out1.count() == 10
+    r1.flush()  # checkpoint writes are deferred; durability lands at flush
 
     walked = [f for _, _, fs in os.walk(run_dir) for f in fs]
     assert any(f.endswith(FAKE_EXT) for f in walked)
