@@ -380,8 +380,10 @@ def main(argv: list[str] | None = None) -> int:
                               "dest": args.dest}))
         else:
             if hasattr(res, "write_parquet"):  # Dataset: bounded preview —
-                # the full result stays distributed; count() is a streaming
-                # aggregate, only `--limit` rows ever reach the driver
+                # materialize ONCE so count() and the limit() preview share a
+                # single execution (blocks stay distributed / spillable; only
+                # `--limit` rows ever reach the driver)
+                res = res.materialize()
                 n = res.count()
                 df = res.limit(args.limit).to_pandas()
                 truncated = n > args.limit

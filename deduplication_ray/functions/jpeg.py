@@ -524,7 +524,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:         # SOS — entropy data follows
+            if scan is not None:
+                # T.81 allows one non-interleaved scan per component; this
+                # decoder handles the single interleaved-scan baseline only.
+                # Overwriting `scan` would silently decode just the last
+                # component — fail loudly at the stub boundary instead.
+                raise NotImplementedError(
+                    "multiple SOS segments (non-interleaved multi-scan "
+                    "baseline JPEG) are outside this decoder — single "
+                    "interleaved scan only")
             ns = body[0]
+            if frame is not None and ns < len(frame[2]):
+                raise NotImplementedError(
+                    f"SOS covers {ns} of {len(frame[2])} frame components "
+                    "(non-interleaved per-component scans) — outside this "
+                    "single-interleaved-scan baseline decoder")
             smap = {}
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
@@ -544,6 +558,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
+    if len(comps) == 1 and (comps[0][1] != 1 or comps[0][2] != 1):
+        # A single-component scan is non-interleaved per T.81 §A.2: one data
+        # unit per MCU, sampling factors do not apply. Normalizing to 1x1
+        # decodes such grayscale frames correctly instead of misplacing MCUs.
+        cid, _, _, qid = comps[0]
+        comps = [(cid, 1, 1, qid)]
     smap, raw = scan
 
     # strip restart markers, unstuff 0xFF00; record byte offsets of RSTs so
@@ -581,6 +601,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for bpm in blocks_per_mcu]
     decs = []
     for cid, _h, _v, _q in comps:
+        if cid not in smap:
+            raise ValueError(
+                f"SOS component ids {sorted(smap)} do not cover frame "
+                f"component {cid}")
         tdc, tac = smap[cid]
         try:
             decs.append((htables[(0, tdc)], htables[(1, tac)]))

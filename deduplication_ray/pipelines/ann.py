@@ -1436,7 +1436,7 @@ GROUP BY label, t.dim
 
 
 def q_knn_label_check(sf_dir: str, table: str = "embeddings",
-                      exact_limit: int = EXACT_PAIRS_LIMIT,
+                      exact_limit: int | None = None,
                       n_cells: int = 16, nprobe: int = 2):
     """1-NN label-consistency audit (the Confident-Learning-style "are the
     labels where their neighbors are?" report): every vector finds its
@@ -1464,11 +1464,28 @@ def q_knn_label_check(sf_dir: str, table: str = "embeddings",
     corpus in this repo). Above the limit the IVF path is approximate
     (recall < 1 when a true neighbor lives outside the probed cells); do
     NOT hash-compare it against the SQL there — use the recall gates in
-    ``tests/test_ann.py`` instead."""
+    ``tests/test_ann.py`` instead.
+
+    ENFORCED: the default call (``exact_limit=None``) is the oracle-backed
+    registry entry, so it RAISES rather than silently switching to the
+    approximate IVF tier when the corpus outgrows ``EXACT_PAIRS_LIMIT`` —
+    a future sf bump turns the CORRECTNESS row into a loud error, never a
+    nondeterministic hash mismatch. Pass ``exact_limit`` explicitly (e.g.
+    0) to opt into the size-dispatched production behavior."""
     from ray.data.aggregate import Sum
 
+    oracle_enforced = exact_limit is None
+    if exact_limit is None:
+        exact_limit = EXACT_PAIRS_LIMIT
     ds = storage.read_table(f"{sf_dir}/{table}.parquet",
                             columns=["vec_id", "label", "embedding"])
+    n_corpus = ds.count()
+    if oracle_enforced and n_corpus > exact_limit:
+        raise RuntimeError(
+            f"knn_label_check: corpus exceeds exact_limit={exact_limit}; "
+            "the registered oracle SQL is the exact all-pairs join and the "
+            "IVF tier is approximate — pass exact_limit explicitly to opt "
+            "into size dispatch (and drop the oracle hash comparison)")
 
     def partial_counts(labels: np.ndarray, nlabels: np.ndarray) -> pa.Table:
         uniq, inv, cnt = np.unique(labels, return_inverse=True,
@@ -1479,7 +1496,7 @@ def q_knn_label_check(sf_dir: str, table: str = "embeddings",
                          "n_vecs": cnt.astype(np.int64),
                          "nn_match": match.astype(np.int64)})
 
-    if ds.count() <= exact_limit:
+    if n_corpus <= exact_limit:
         tbls = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
         t_all = pa.concat_tables(tbls, promote_options="default")
         order = np.argsort(t_all["vec_id"].to_numpy(), kind="stable")

@@ -133,7 +133,10 @@ def plan_rows(n_rows: int, seed: int = 42,
                     add("exact", ps, 0, f, w, h, base_cap, cl)
                 made += min(size, quota - made)
             elif kind == "reenc":
-                size = min(3, quota - made) if quota - made >= 2 else quota - made
+                # cap at len(fmts): a reenc member in a REPEATED format would
+                # be byte-identical to an earlier member — an exact dup, not a
+                # re-encode — quietly weakening the planted truth
+                size = min(3, len(fmts), quota - made)
                 if size < 2:
                     # cannot plant a pair; absorb remainder as unique
                     add("unique", ps, 0, fmt(), w, h, base_cap, cl)
@@ -141,7 +144,8 @@ def plan_rows(n_rows: int, seed: int = 42,
                     continue
                 # distinct formats from the configured set (do NOT rebind
                 # ``fmts`` — the fmt() closure reads the parameter)
-                reenc_fmts = (list(fmts) * 3)[:size]
+                perm = rng.permutation(len(fmts))[:size]
+                reenc_fmts = [fmts[int(j)] for j in perm]
                 for i, f in enumerate(reenc_fmts):
                     cap = base_cap if (i == 0 or rng.random() < 0.5) \
                         else _salad(rng, vocab)

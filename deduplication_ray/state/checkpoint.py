@@ -95,19 +95,6 @@ class CheckpointedRun:
             # those into the next shuffle multiplies its fixed costs
             out = out.repartition(self.cfg.num_partitions).materialize()
 
-        def _commit() -> None:
-            storage.write_table(out, sdir)
-            storage.write_manifest(
-                sdir,
-                {
-                    "stage": stage,
-                    "config_hash": self.cfg.config_hash(),
-                    "upstream": upstream or [],
-                    "rows": out.count(),
-                    "complete": True,
-                },
-            )
-
         # The parquet write is durability, not lineage: downstream stages
         # consume the materialized dataset directly, so the write runs on a
         # side thread and overlaps the next stage's compute (multi-core
@@ -118,10 +105,32 @@ class CheckpointedRun:
         import threading
 
         errbox: dict = {}
+        # Chain commits: the parquet write runs freely in parallel, but each
+        # manifest lands only after the PREVIOUS stage's whole commit finished
+        # — so complete(downstream) always implies complete(upstream) on disk
+        # and latest_labels_round() can never observe r{k+1} without r{k}.
+        prev = self._pending[-1] if self._pending else None
 
         def _safe_commit() -> None:
             try:
-                _commit()
+                storage.write_table(out, sdir)
+                if prev is not None:
+                    prev[1].join()
+                    if "err" in prev[2]:
+                        raise RuntimeError(
+                            f"upstream stage {prev[0]!r} commit failed; "
+                            f"leaving {stage!r} incomplete"
+                        )
+                storage.write_manifest(
+                    sdir,
+                    {
+                        "stage": stage,
+                        "config_hash": self.cfg.config_hash(),
+                        "upstream": upstream or [],
+                        "rows": out.count(),
+                        "complete": True,
+                    },
+                )
             except BaseException as exc:  # re-raised by flush()
                 errbox["err"] = exc
 
@@ -170,6 +179,10 @@ class CheckpointedRun:
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = _time.time()
+        # Sharded stages write completion manifests synchronously; join any
+        # deferred run_stage commits first so this stage can never be marked
+        # complete while an upstream manifest is still in flight.
+        self.flush()
         sdir = self.stage_dir(stage)
         os.makedirs(sdir, exist_ok=True)
         m = storage.read_manifest(sdir) or {}

@@ -435,6 +435,24 @@ def test_knn_label_check_planted_twins_both_paths(ray_session, tmp_path):
     assert ivf["n_vecs"].sum() == 2 * n
 
 
+def test_knn_label_check_oracle_guard_raises_above_exact_limit(
+        ray_session, monkeypatch):
+    """The registered (default) call must RAISE when the corpus outgrows the
+    exact tier rather than silently hash-comparing IVF output against the
+    exact all-pairs oracle SQL (verdict r4 item #4)."""
+    import pytest
+
+    from deduplication_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(ann, "EXACT_PAIRS_LIMIT", 5)
+    with pytest.raises(RuntimeError, match="exceeds exact_limit"):
+        ann.q_knn_label_check(sf)
+    # explicit opt-in still dispatches to the IVF tier without raising
+    out = ann.q_knn_label_check(sf, exact_limit=5).to_pandas()
+    assert len(out) > 0
+
+
 def test_knn_label_check_scale_path_structure(ray_session):
     """IVF (nprobe=1) path on real testdata: same label universe and
     member counts as the exact path; match counts bounded by membership."""

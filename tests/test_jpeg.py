@@ -88,6 +88,37 @@ def test_progressive_raises_not_implemented():
         J.decode_jpeg(bytes(data))
 
 
+def test_second_sos_raises_not_implemented():
+    """Per-component (multi-SOS) baseline files must fail loudly at the
+    stub boundary, not silently decode only the last scan."""
+    img = _natural(16, 16)
+    data = J.encode_jpeg(img)
+    i = data.find(b"\xff\xda")
+    j = data.rfind(b"\xff\xd9")
+    assert 0 < i < j
+    doubled = data[:j] + data[i:j] + data[j:]  # replay SOS+entropy before EOI
+    with pytest.raises(NotImplementedError, match="multiple SOS"):
+        J.decode_jpeg(doubled)
+
+
+def test_partial_component_sos_raises_not_implemented():
+    """An SOS naming fewer components than the frame (first scan of a
+    non-interleaved file) must raise, not KeyError mid-decode."""
+    img = _natural(16, 16)
+    data = J.encode_jpeg(img)
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    seglen = int.from_bytes(data[i + 2:i + 4], "big")
+    body = data[i + 2:i + 2 + seglen]  # [len16, ns, (cid,tt)*ns, ss, se, ah_al]
+    ns = body[2]
+    assert ns == 3
+    new_body = bytes([0, 0, 1]) + body[3:5] + body[3 + 2 * ns:]
+    new_body = (len(new_body)).to_bytes(2, "big") + new_body[2:]
+    patched = data[:i + 2] + new_body + data[i + 2 + seglen:]
+    with pytest.raises(NotImplementedError, match="1 of 3"):
+        J.decode_jpeg(patched)
+
+
 def test_malformed_raises_value_error():
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x00\x01\x02")

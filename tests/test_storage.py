@@ -89,6 +89,41 @@ def test_checkpoint_layer_is_format_agnostic(ray_session, tmp_path,
     assert sorted(out2.to_pandas()["k"]) == list(range(10))
 
 
+def test_deferred_commits_are_ordered(ray_session, tmp_path, monkeypatch):
+    """complete(downstream) must imply complete(upstream): if stage s1's
+    manifest never lands, s2 must NOT be marked complete even though its
+    compute and table write succeeded (commit threads are chained)."""
+    import time
+
+    cfg = DedupConfig(num_partitions=2)
+    run_dir = str(tmp_path / "run_ordered")
+    real_manifest = storage.write_manifest
+    real_write = storage.write_table
+
+    def slow_s1_write(ds, path, **kw):
+        if os.sep + "s1" in path:
+            time.sleep(0.3)  # make s1 the LAST commit to finish naturally
+        return real_write(ds, path, **kw)
+
+    def failing_s1_manifest(path, m, **kw):
+        if m.get("stage") == "s1" and m.get("complete"):
+            raise OSError("injected: s1 manifest write failed")
+        return real_manifest(path, m, **kw)
+
+    monkeypatch.setattr(storage, "write_table", slow_s1_write)
+    monkeypatch.setattr(storage, "write_manifest", failing_s1_manifest)
+    r = CheckpointedRun(run_dir, cfg)
+    r.run_stage("s1", lambda: ray.data.from_arrow(pa.table({"k": [1, 2]})))
+    r.run_stage("s2", lambda: ray.data.from_arrow(pa.table({"k": [3]})),
+                upstream=["s1"])
+    with pytest.raises(RuntimeError):
+        r.flush()
+    monkeypatch.setattr(storage, "write_manifest", real_manifest)
+    monkeypatch.setattr(storage, "write_table", real_write)
+    assert not r.is_complete("s1")
+    assert not r.is_complete("s2")  # chained: s2 refused to outrun s1
+
+
 def test_set_format_rejects_unregistered():
     with pytest.raises(ValueError, match="not registered"):
         storage.set_format("lance")

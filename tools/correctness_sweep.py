@@ -63,7 +63,11 @@ def _chunked(argv) -> int:
     failures, checked, records = [], 0, {}
     for i in range(0, len(names), chunk):
         part = names[i:i + chunk]
-        part_out = tempfile.mktemp(suffix=".json") if out_path else None
+        if out_path:  # mkstemp, not racy/deprecated mktemp; child rewrites it
+            fd, part_out = tempfile.mkstemp(suffix=".json")
+            os.close(fd)
+        else:
+            part_out = None
         for attempt in (1, 2):
             extra = ["--out", part_out] if part_out else []
             r = subprocess.run(
