@@ -44,6 +44,17 @@ class DedupConfig:
     simhash_dim: int = 64         # feature dims (8x8 tile means)
     simhash_bits: int = 64
     simhash_hamming_t: int = 6
+    # Cross-channel corroboration for PIXEL accepts: an edge admitted via one
+    # pixel hash (phash within phash_hamming_t, or simhash within
+    # simhash_hamming_t) must ALSO sit within pixel_corr_t on the OTHER pixel
+    # hash. True pixel dups satisfy both trivially (measured on planted
+    # fixtures: every pair with phash<=10 has simhash<=4, vs min 12 / p0.1 18
+    # for unrelated pairs), while a CHANCE Hamming-ball collision between
+    # unrelated images corroborates with probability ~2e-3 — the ~10^2
+    # single-channel chance edges that merged whole clusters at 1M rows
+    # (precision 0.976, BENCH sample 21) die here. 64 disables (old OR
+    # semantics). Image paths only; video/audio/embedding verifies are theirs.
+    pixel_corr_t: int = 20
 
     # --- optional extra pixel-identity channels (opt-in: each widens the
     # duplicate definition AND the signature row) ---

@@ -5,8 +5,10 @@ endpoints' signatures (two hash-partitioned joins — signatures are the lean
 ~1KB/row table, never pixels) and keeps an edge iff any signal passes:
 
 * estimated Jaccard(minhash_src, minhash_dst) >= cfg.jaccard_tau
-* popcount(phash_src ^ phash_dst)   <= cfg.phash_hamming_t
-* popcount(simhash_src ^ simhash_dst) <= cfg.simhash_hamming_t
+* popcount(phash_src ^ phash_dst)   <= cfg.phash_hamming_t   (corroborated:
+  the simhash distance must also be <= cfg.pixel_corr_t)
+* popcount(simhash_src ^ simhash_dst) <= cfg.simhash_hamming_t (corroborated:
+  the phash distance must also be <= cfg.pixel_corr_t)
 * exact edges (kind == 'exact' / 'cap_exact' / 'substr') pass by construction
 
 The per-batch check is pure vectorized numpy over Arrow columns.
@@ -249,15 +251,22 @@ class _ResolveVerify:
                 dtype=prio.dtype)
             keep = np.isin(prio, trusted_prio)
             if self.has_pixels and "phash" in small.column_names:
-                for col, tol in (("phash", cfg.phash_hamming_t),
-                                 ("simhash", cfg.simhash_hamming_t)):
+                hds = {}
+                for col in ("phash", "simhash"):
                     ca = small[col].take(ia).combine_chunks() \
                         .to_numpy(zero_copy_only=False)
                     cb = small[col].take(ib).combine_chunks() \
                         .to_numpy(zero_copy_only=False)
-                    hd = H.hamming_distance_u64(
+                    hds[col] = H.hamming_distance_u64(
                         H.bitcast_i64_to_u64(ca), H.bitcast_i64_to_u64(cb))
-                    keep |= hd <= tol
+                # corroborated accept: an in-ball hit on one pixel hash must
+                # sit within pixel_corr_t on the other (see config.py — the
+                # chance-edge / transitive-merge fix; recall-free by measure)
+                corr = cfg.pixel_corr_t
+                keep |= ((hds["phash"] <= cfg.phash_hamming_t)
+                         & (hds["simhash"] <= corr))
+                keep |= ((hds["simhash"] <= cfg.simhash_hamming_t)
+                         & (hds["phash"] <= corr))
             # substring candidates survive unverified — the exact L-gram
             # join downstream is their verdict (winnow mode only)
             keep |= (sc > 0) | (prio == KIND_PRIORITY.index("substr_cand"))
@@ -320,8 +329,11 @@ def verify_edges(
                 H.bitcast_i64_to_u64(t["simhash_src"].to_numpy()),
                 H.bitcast_i64_to_u64(t["simhash_dst"].to_numpy()),
             )
-            keep |= ph <= cfg.phash_hamming_t
-            keep |= sh <= cfg.simhash_hamming_t
+            # corroborated accept (see config.pixel_corr_t): an in-ball hit
+            # on one pixel hash needs the other within the loose corr bound —
+            # kills single-channel chance collisions without any recall cost
+            keep |= (ph <= cfg.phash_hamming_t) & (sh <= cfg.pixel_corr_t)
+            keep |= (sh <= cfg.simhash_hamming_t) & (ph <= cfg.pixel_corr_t)
 
         return t.select(["src", "dst", "kind"]).filter(pa.array(keep))
 

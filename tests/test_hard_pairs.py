@@ -59,6 +59,96 @@ def _edit_words(rng, cap: str, vocab: list, n: int) -> str:
     return " ".join(words)
 
 
+def test_chance_bridge_edge_does_not_merge_clusters(ray_session):
+    """PRECISION at the hard end (verdict r4 #1): a single-channel chance
+    Hamming-ball collision between two unrelated clusters — the exact
+    failure mode that cost 2.4pt precision at 1M rows — must NOT survive
+    verification and merge the clusters. The bridge is planted at the
+    signature level (b1's phash = a's phash with 9 flips confined to the
+    upper 48 bits, so one 16-bit multi-index band still collides) and
+    driven through the REAL production fast path: ExplodeBands ->
+    slim_pairs -> dedupe -> broadcast index -> resolve/verify ->
+    union-find. With cross-channel corroboration disabled
+    (pixel_corr_t=64) the same bridge DOES merge — proving the planted
+    edge is effective and the corroboration gate is what kills it."""
+    import dataclasses
+
+    import ray.data
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.stages import lsh, verify
+    from deduplication_ray.state import unionfind
+
+    cfg = DedupConfig(num_partitions=2)
+    rng = np.random.default_rng(99)
+    P_A = np.uint64(rng.integers(0, 2 ** 63))
+    S_A = np.uint64(rng.integers(0, 2 ** 63))
+    P_B, S_B = ~P_A, ~S_A  # unrelated pixel content: distance 64
+    # b1's phash chance-collides into A's Hamming ball: 9 flips, all in the
+    # upper 48 bits -> the low 16-bit band bucket still matches A exactly
+    bridge_flips = np.uint64(0)
+    for bit in (17, 23, 30, 38, 41, 47, 52, 58, 63):
+        bridge_flips |= np.uint64(1) << np.uint64(bit)
+    P_BRIDGE = P_A ^ bridge_flips
+
+    def minhash_row(seed: int) -> np.ndarray:
+        return np.random.default_rng(seed).integers(
+            0, 2 ** 63, size=cfg.num_perm, dtype=np.uint64)
+
+    mh_a, mh_b = minhash_row(1), minhash_row(2)  # same caption per cluster
+    ids, phs, shs, mhs, cks = [], [], [], [], []
+    for i in range(3):  # cluster A: identical pixels, shared caption
+        ids.append(f"a{i}")
+        phs.append(P_A)
+        shs.append(S_A)
+        mhs.append(mh_a)
+        cks.append(1000 + i)
+    for i in range(3):  # cluster B: shared caption; b1 carries the bridge
+        ids.append(f"b{i}")
+        phs.append(P_BRIDGE if i == 1 else P_B)
+        shs.append(S_B)
+        mhs.append(mh_b)
+        cks.append(2000 + i)
+    assert int(H.popcount64(np.array([P_A ^ P_BRIDGE], np.uint64))[0]) == 9
+    assert int(H.popcount64(np.array([S_A ^ S_B], np.uint64))[0]) \
+        > cfg.pixel_corr_t  # genuinely unrelated on the other channel
+    sig_tbl = pa.table({
+        "image_id": pa.array(ids),
+        "ck1": pa.array([np.int64(c) for c in cks], pa.int64()),
+        "ck2": pa.array(
+            H.bitcast_u64_to_i64(np.array(
+                [H.hash_bytes_array(pa.array(["capA" if i < 3 else "capB"]))[0]
+                 for i in range(6)], np.uint64)), pa.int64()),
+        "phash": pa.array(H.bitcast_u64_to_i64(np.array(phs, np.uint64)),
+                          pa.int64()),
+        "simhash": pa.array(H.bitcast_u64_to_i64(np.array(shs, np.uint64)),
+                            pa.int64()),
+        "minhash": H.pack_u64_rows(np.stack(mhs)),
+    })
+
+    def merged(c: DedupConfig) -> bool:
+        sig_ds = ray.data.from_arrow(sig_tbl)
+        buckets = sig_ds.map_batches(
+            lsh.ExplodeBands(c, families=("minhash", "phash", "simhash",
+                                          "exact")),
+            batch_format="pyarrow")
+        pairs = lsh.dedupe_slim_pairs(lsh.slim_pairs_from_buckets(buckets, c),
+                                      c)
+        ref = verify.signature_index(sig_ds, c)
+        ve = verify.resolve_and_verify_pairs(pairs, ref, c, has_pixels=True)
+        lab = unionfind.local_components(ve).to_pandas()
+        lab = dict(zip(lab["node"], lab["label"]))
+        groups = {x: lab.get(x, x) for x in ids}
+        # each planted cluster must stay internally connected either way
+        assert groups["a0"] == groups["a1"] == groups["a2"]
+        assert groups["b0"] == groups["b1"] == groups["b2"]
+        return groups["a0"] == groups["b0"]
+
+    assert not merged(cfg), "chance bridge survived corroborated verify"
+    assert merged(dataclasses.replace(cfg, pixel_corr_t=64)), \
+        "planted bridge was ineffective — test is vacuous"
+
+
 def test_hard_pair_recall_is_total(ray_session, tmp_path):
     from deduplication_ray.config import DedupConfig
     from deduplication_ray.pipelines.image_dedup import run_pipeline
