@@ -222,15 +222,22 @@ class PeakRssSampler:
         return False
 
 
+# ~25% of bench rows carry REAL baseline-JPEG payloads (verdict r4 #5): the
+# headline number pays the realistic decode cost instead of raw/png only
+BENCH_FMTS = ("raw", "png", "qrgb", "jpg")
+
+
 def ensure_fixture() -> str:
     """Generate (once, cached) the bench image fixture. NOT timed."""
     from deduplication_ray.sources import fixtures, storage
 
     d = _img_fixture_dir()
     m = storage.read_manifest(d)
-    if not (m and m.get("n_rows") == IMG_ROWS):
+    if not (m and m.get("n_rows") == IMG_ROWS
+            and tuple(m.get("fmts") or ()) == BENCH_FMTS):
         shutil.rmtree(d, ignore_errors=True)
-        fixtures.generate(d, IMG_ROWS, seed=SEED, num_files=64)
+        fixtures.generate(d, IMG_ROWS, seed=SEED, num_files=64,
+                          fmts=BENCH_FMTS)
     return d
 
 

@@ -327,7 +327,8 @@ def generate(out_dir: str, n_rows: int, seed: int = 42,
     storage.write_arrow_table(pa.Table.from_pandas(truth),
                               os.path.join(out_dir, "truth"))
     storage.write_manifest(out_dir, {"n_rows": n_rows, "seed": seed,
-                                     "num_files": num_files, "stage": "fixture"})
+                                     "num_files": num_files, "stage": "fixture",
+                                     "fmts": list(fmts)})
 
 
 def _rot_selection(image_ids: pa.Array | pa.ChunkedArray,
