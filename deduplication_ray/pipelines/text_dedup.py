@@ -50,6 +50,31 @@ def text_edge_dag(caps: "ray.data.Dataset", sigs: "ray.data.Dataset",
     from deduplication_ray.stages.substring import (
         substring_buckets, suffix_array_edges)
 
+    # Fused slim-pair fast path (the image flagship's r4 treatment, ported):
+    # 'grams' mode + broadcast-tier signatures -> the pairing kernel
+    # exchanges 18-byte id-hash rows, the exact caption family rides the
+    # SAME bucket stream (cap_hash exact bands), and ONE gather against the
+    # broadcast signature index resolves strings + applies the Jaccard
+    # verify — replacing the string pairing, the separate exact_edges stage,
+    # the two attach joins and the verify pass (their four materialize
+    # barriers were the text engine's scaling drag: stragglers idle 32 CPUs
+    # at every barrier). Semantics match the string path below: same bucket
+    # families, same trusted kinds, same jaccard_tau check.
+    if cfg.substring_rendezvous == "grams" and not cfg.use_suffix_array:
+        deferred = verify.DeferredSignatureIndex(sigs, cfg)
+        if deferred.eligible:
+            buckets = sigs.map_batches(
+                lsh.ExplodeBands(cfg, families=("minhash", "exact")),
+                batch_format="pyarrow", batch_size=cfg.text_batch_size,
+            ).union(substring_buckets(caps, cfg))
+            pairs = lsh.dedupe_slim_pairs(
+                lsh.slim_pairs_from_buckets(buckets, cfg), cfg)
+            ve = verify.resolve_and_verify_pairs(pairs, deferred.get(), cfg,
+                                                 has_pixels=False)
+            return ve.map_batches(
+                lambda t: t.select(["src", "dst", "kind"]),
+                batch_format="pyarrow")
+
     buckets = sigs.map_batches(lsh.ExplodeBands(cfg), batch_format="pyarrow",
                                batch_size=cfg.text_batch_size)
     buckets = buckets.union(substring_buckets(caps, cfg))

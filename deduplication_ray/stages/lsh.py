@@ -137,12 +137,19 @@ class ExplodeBands:
                 b, k = _hash16_bands(H.bitcast_i64_to_u64(batch[col].to_numpy()), base)
                 fam_bands.append(b.reshape(n, 4))
                 fam_buckets.append(k.reshape(n, 4))
-        if "exact" in self.families and "ck1" in batch.column_names and n:
-            ckb = H.hash_u64_pair(
-                batch["ck1"].to_numpy().view(np.uint64),
-                batch["ck2"].to_numpy().view(np.uint64))
-            fam_bands.append(np.full((n, 1), BAND_EXACT, dtype=np.int32))
-            fam_buckets.append(H.bitcast_u64_to_i64(ckb).reshape(n, 1))
+        if "exact" in self.families and n:
+            if "ck1" in batch.column_names:  # image: 128-bit content key
+                ckb = H.hash_u64_pair(
+                    batch["ck1"].to_numpy().view(np.uint64),
+                    batch["ck2"].to_numpy().view(np.uint64))
+            elif "cap_hash" in batch.column_names:  # text: caption equality
+                ch = batch["cap_hash"].to_numpy().view(np.uint64)
+                ckb = H.hash_u64_pair(ch, ch)
+            else:
+                ckb = None
+            if ckb is not None:
+                fam_bands.append(np.full((n, 1), BAND_EXACT, dtype=np.int32))
+                fam_buckets.append(H.bitcast_u64_to_i64(ckb).reshape(n, 1))
 
         if not fam_bands or n == 0:
             return pa.table({
