@@ -116,6 +116,36 @@ def test_text_dedup_partition_determinism(ray_session):
     assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
 
 
+def test_text_fast_path_matches_string_path(ray_session, tmp_path):
+    """The fused slim-pair fast path (grams mode, broadcast tier — the
+    default at bench/test sizes) must yield clusters IDENTICAL to the
+    string path (forced via broadcast_limit=0, the 10^12-row join tier):
+    one semantics, two physical plans."""
+    import dataclasses
+
+    from deduplication_ray.config import DedupConfig
+    from deduplication_ray.pipelines.text_dedup import text_dedup_clusters
+    from deduplication_ray.sources import fixtures, storage
+
+    fix = str(tmp_path / "txtfix")
+    fixtures.generate_text(fix, 3000, seed=17)
+    ds = storage.read_table(f"{fix}/data", columns=["doc_id", "text"])
+    cfg = DedupConfig(num_partitions=4, sa_batch_size=1024)
+    fast = text_dedup_clusters(ds, cfg).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    slow = text_dedup_clusters(
+        ds, dataclasses.replace(cfg, broadcast_limit=0)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(slow)
+    # and both recover the planted truth exactly at this size
+    from deduplication_ray.pipelines.evaluate import pair_metrics
+
+    truth = storage.read_table(f"{fix}/truth").to_pandas() \
+        .rename(columns={"doc_id": "image_id"})
+    m = pair_metrics(fast.rename(columns={"doc_id": "image_id"}), truth)
+    assert m["recall"] >= 0.99 and m["precision"] >= 0.99, m
+
+
 def test_text_dedup_all_unique_corpus(ray_session, tmp_path):
     """A corpus with ZERO duplicate edges (every doc unique) must yield all
     singletons through both the lazy and the checkpointed text pipelines —
