@@ -223,30 +223,82 @@ class _HuffDecoder:
     """Flat 2**16 peek table: table[peek16] = (length << 8) | symbol_index.
     One array index per decoded symbol — no tree walk."""
 
-    __slots__ = ("lut", "maxlen")
+    __slots__ = ("lut", "maxlen", "_lut_py")
 
     def __init__(self, bits: list[int], huffvals: list[int]) -> None:
-        # Plain Python-list LUT: a list index is ~3x cheaper per symbol in
-        # the hot entropy loop than a numpy scalar index + int() box, and
-        # building it with C-speed slice assignment beats np.zeros+tolist
-        # (~1.4 ms/file — per-image optimized tables defeat any cache).
-        lut = [0] * (1 << 16)
+        # numpy uint32 LUT: the C fast path reads the buffer directly; the
+        # pure-Python fallback converts to a plain list ONCE per decoder
+        # (lazily — a list index is ~3x cheaper per symbol than a numpy
+        # scalar index + int() box in the Python loop).
+        lut = np.zeros(1 << 16, dtype=np.uint32)
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 lo = code << (16 - length)
                 hi = (code + 1) << (16 - length)
-                lut[lo:hi] = [(length << 16) | (huffvals[k] & 0xFFFF)] \
-                    * (hi - lo)
+                lut[lo:hi] = (length << 16) | (huffvals[k] & 0xFFFF)
                 code += 1
                 k += 1
             code <<= 1
         self.lut = lut
         self.maxlen = 16
+        self._lut_py = None
 
     def lut_list(self) -> list:
-        return self.lut
+        if self._lut_py is None:
+            self._lut_py = self.lut.tolist()
+        return self._lut_py
+
+
+# ---- optional compiled entropy loop --------------------------------------
+# On hosts with a C compiler the per-symbol hot loop runs from
+# jpeg_entropy.c (compiled once into a content-hashed .so under the temp
+# dir, loaded via ctypes — no packages installed, no network). Everything
+# else (marker parse, LUT build, dequant/IDCT/color) stays in Python/numpy,
+# and the pure-Python loop below remains the always-available fallback with
+# IDENTICAL semantics (parity-tested). ~10-20x on the entropy section.
+FORCE_PURE_PYTHON = False  # tests flip this to pin fallback parity
+
+_CENTROPY = None  # None = not tried; False = unavailable; else ctypes fn
+
+
+def _load_centropy():
+    global _CENTROPY
+    if _CENTROPY is not None:
+        return _CENTROPY or None
+    import ctypes
+    import hashlib
+    import os
+    import subprocess
+    import tempfile
+
+    try:
+        src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "jpeg_entropy.c")
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(tempfile.gettempdir(), f"dedup_ray_jpegc_{tag}.so")
+        if not os.path.exists(so):
+            tmp = f"{so}.build{os.getpid()}"  # concurrent workers: unique
+            subprocess.run(["cc", "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                           check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)  # atomic publish
+        lib = ctypes.CDLL(so)
+        fn = lib.decode_scan
+        pu32 = ctypes.POINTER(ctypes.c_uint32)
+        pi32 = ctypes.POINTER(ctypes.c_int32)
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                       ctypes.POINTER(pu32), ctypes.POINTER(pu32),
+                       ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+                       ctypes.POINTER(pi32), ctypes.POINTER(ctypes.c_long),
+                       ctypes.POINTER(ctypes.c_int32), ctypes.c_long]
+        fn.restype = ctypes.c_int
+        _CENTROPY = fn
+        return fn
+    except Exception:  # no compiler / sandboxed exec / bad toolchain
+        _CENTROPY = False
+        return None
 
 
 # decoders cached by table content: batch workloads decode thousands of
@@ -623,6 +675,43 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         except KeyError as exc:
             raise ValueError(f"missing huffman table {exc}") from exc
 
+    cfn = None if FORCE_PURE_PYTHON else _load_centropy()
+    if cfn is not None:
+        import ctypes
+
+        ncomp = len(comps)
+        pu32 = ctypes.POINTER(ctypes.c_uint32)
+        pi32 = ctypes.POINTER(ctypes.c_int32)
+        dc_ptrs = (pu32 * ncomp)(
+            *[d[0].lut.ctypes.data_as(pu32) for d in decs])
+        ac_ptrs = (pu32 * ncomp)(
+            *[d[1].lut.ctypes.data_as(pu32) for d in decs])
+        bpm_arr = (ctypes.c_int * ncomp)(*blocks_per_mcu)
+        coef_ptrs = (pi32 * ncomp)(
+            *[c.ctypes.data_as(pi32) for c in coef])
+        bidx_arr = (ctypes.c_long * ncomp)(*([0] * ncomp))
+        span = restart_interval or n_mcus
+        done = 0
+        chunk_i = 0
+        while done < n_mcus:
+            if chunk_i >= len(chunks):
+                raise ValueError("missing restart segment")
+            pred_arr = (ctypes.c_int32 * ncomp)(*([0] * ncomp))
+            data_c = chunks[chunk_i]
+            rc = cfn(data_c, len(data_c), dc_ptrs, ac_ptrs, ncomp, bpm_arr,
+                     coef_ptrs, bidx_arr, pred_arr,
+                     min(span, n_mcus - done))
+            if rc == -1:
+                raise ValueError("bad huffman code (DC)")
+            if rc == -2:
+                raise ValueError("bad huffman code (AC)")
+            if rc == -3:
+                raise ValueError("AC index overflow")
+            done += span
+            chunk_i += 1
+        return _reconstruct(comps, coef, qtables, mcu_w, mcu_h,
+                            hmax, vmax, fh, fw)
+
     # Entropy loop, fully inlined: bit state lives in LOCAL ints (acc/nbits/
     # pos) and the Huffman LUTs are plain Python lists — one dict-free,
     # call-free iteration per symbol. Semantics identical to the _BitReader
@@ -725,7 +814,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     k += 1
                 bidx[ci] += 1
 
-    # ---- vectorized reconstruction ----
+    return _reconstruct(comps, coef, qtables, mcu_w, mcu_h,
+                        hmax, vmax, fh, fw)
+
+
+def _reconstruct(comps, coef, qtables, mcu_w, mcu_h, hmax, vmax, fh, fw):
+    """Dequantize + de-zigzag + IDCT + raster/upsample/color — shared by the
+    compiled and pure-Python entropy paths (identical coef layout)."""
     planes = []
     for ci, (cid, ch, cv, qid) in enumerate(comps):
         q = qtables.get(qid)
@@ -742,7 +837,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         bw_c = mcu_w * ch                   # blocks across, this component
         bh_c = mcu_h * cv
         raster = np.zeros((bh_c * bw_c, 8, 8), dtype=np.float32)
-        bi = 0
         # vectorized index map MCU->raster
         order = np.empty(bh_c * bw_c, dtype=np.int64)
         k = 0
@@ -759,7 +853,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:fh, :fw])
-        bi += 1
 
     if len(planes) == 1:
         g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)

@@ -88,6 +88,27 @@ def test_progressive_raises_not_implemented():
         J.decode_jpeg(bytes(data))
 
 
+def test_compiled_entropy_path_matches_pure_python():
+    """The optional ctypes-compiled entropy loop must be BITWISE identical
+    to the pure-Python fallback across subsampling x restart-interval
+    variants (and the fallback must still work when forced)."""
+    imgs = [_natural(40 + 8 * i, 56, seed=i) for i in range(4)]
+    enc = [J.encode_jpeg(i, quality=q, subsample=s, restart_interval=r)
+           for i in imgs for q in (92, 70) for s in (False, True)
+           for r in (0, 2)]
+    default_outs = [J.decode_jpeg(e) for e in enc]
+    prev = J.FORCE_PURE_PYTHON
+    try:
+        J.FORCE_PURE_PYTHON = True
+        pure_outs = [J.decode_jpeg(e) for e in enc]
+    finally:
+        J.FORCE_PURE_PYTHON = prev
+    for a, b in zip(default_outs, pure_outs):
+        assert np.array_equal(a, b)
+    # informational: on hosts without a compiler the default IS the pure
+    # path and this test still pins fallback self-consistency
+
+
 def test_second_sos_raises_not_implemented():
     """Per-component (multi-SOS) baseline files must fail loudly at the
     stub boundary, not silently decode only the last scan."""
