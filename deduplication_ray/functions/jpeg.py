@@ -331,7 +331,7 @@ def _encode_component_blocks(qblocks_zz: np.ndarray) -> tuple[list, list, list]:
     dc_syms, ac_syms = set(), set()
     for b in range(n):
         diff = int(diffs[b])
-        dsize = int(_bit_size(diff))
+        dsize = abs(diff).bit_length()  # JPEG category == bit_length(|v|)
         dc_syms.add(dsize)
         acs = qblocks_zz[b, 1:]
         nz = np.flatnonzero(acs)
@@ -345,7 +345,7 @@ def _encode_component_blocks(qblocks_zz: np.ndarray) -> tuple[list, list, list]:
                 ac_syms.add(0xF0)
                 run -= 16
             v = int(acs[pos])
-            size = int(_bit_size(v))
+            size = abs(v).bit_length()
             sym = (run << 4) | size
             ac_ops.append((sym, v, size))
             ac_syms.add(sym)
@@ -459,7 +459,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
                 dc = int(abs_dc[ci][b])
                 diff = dc - last_dc[ci]
                 last_dc[ci] = dc
-                dsize = int(_bit_size(diff))
+                dsize = abs(diff).bit_length()
                 emit_block(ci, (dsize, diff, recs[ci][b][2]))
                 idx[ci] += 1
     bw.flush()
