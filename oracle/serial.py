@@ -6,7 +6,9 @@ distributed pipeline is supposed to recover:
   pair (i, j) is a duplicate iff ANY of
     * exact:   bytes_i == bytes_j and norm_caption_i == norm_caption_j
     * caption: estimated MinHash Jaccard >= tau        (same P, seed)
-    * pixels:  pHash Hamming <= t  or  SimHash Hamming <= t
+    * pixels:  pHash Hamming <= t  or  SimHash Hamming <= t, with the
+               in-ball hit corroborated by the OTHER pixel hash within
+               cfg.pixel_corr_t (mirrors stages/verify.py)
     * substr:  normalized captions share a substring >= Lmin chars
 
 then clusters = connected components, representative = min image_id.
@@ -92,8 +94,12 @@ def serial_clusters(table: pa.Table, cfg: DedupConfig | None = None) -> pd.DataF
             continue
         exact = (byte_hash[j] == byte_hash[i]) & (cap_hash[j] == cap_hash[i])
         jacc = (sig[j] == sig[i][None, :]).mean(axis=1) >= cfg.jaccard_tau
-        ph = H.popcount64(phash[j] ^ phash[i]) <= cfg.phash_hamming_t
-        sh = H.popcount64(simhash[j] ^ simhash[i]) <= cfg.simhash_hamming_t
+        phd = H.popcount64(phash[j] ^ phash[i])
+        shd = H.popcount64(simhash[j] ^ simhash[i])
+        # corroborated pixel accept, mirroring stages/verify.py: an in-ball
+        # hit on one pixel hash needs the other within cfg.pixel_corr_t
+        ph = (phd <= cfg.phash_hamming_t) & (shd <= cfg.pixel_corr_t)
+        sh = (shd <= cfg.simhash_hamming_t) & (phd <= cfg.pixel_corr_t)
         hit = exact | jacc | ph | sh
         for jj in j[hit]:
             dsu.union(i, int(jj))
