@@ -380,13 +380,16 @@ def main(argv: list[str] | None = None) -> int:
                               "dest": args.dest}))
         else:
             if hasattr(res, "write_parquet"):  # Dataset: bounded preview —
-                # materialize ONCE so count() and the limit() preview share a
-                # single execution (blocks stay distributed / spillable; only
-                # `--limit` rows ever reach the driver)
-                res = res.materialize()
-                n = res.count()
-                df = res.limit(args.limit).to_pandas()
-                truncated = n > args.limit
+                # ONE bounded execution: fetch limit+1 rows (streaming limit
+                # stops the executor early; no full materialize — a result
+                # bigger than the object store must not be pinned for a
+                # 20-row preview). Exact row count is printed only when the
+                # result fits inside the limit; a truncated preview reports
+                # rows=null rather than re-executing the whole query.
+                df = res.limit(args.limit + 1).to_pandas()
+                truncated = len(df) > args.limit
+                df = df.head(args.limit)
+                n = None if truncated else len(df)
             else:  # already a driver-side pandas/Arrow result (bounded)
                 df = res.to_pandas() if hasattr(res, "to_pandas") else res
                 n, truncated = len(df), False

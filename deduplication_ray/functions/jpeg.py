@@ -176,14 +176,6 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per the spec
 
 
-def _bit_size(v: np.ndarray | int) -> np.ndarray | int:
-    """JPEG magnitude category: number of bits of |v| (0 for v == 0)."""
-    a = np.abs(v)
-    with np.errstate(divide="ignore"):
-        return np.where(a == 0, 0,
-                        np.floor(np.log2(np.maximum(a, 1))).astype(np.int64) + 1)
-
-
 def _amplitude_bits(v: int, size: int) -> int:
     """Magnitude bits: v >= 0 -> v; v < 0 -> v + 2^size - 1 (one's compl.)."""
     return v if v >= 0 else v + (1 << size) - 1
@@ -223,7 +215,8 @@ def _canonical_codes(bits: list[int], huffvals: list[int]) -> dict[int, tuple[in
 
 
 class _HuffDecoder:
-    """Flat 2**16 peek table: table[peek16] = (length << 8) | symbol_index.
+    """Flat 2**16 peek table: table[peek16] = (length << 16) | symbol —
+    the shared contract of the Python loop AND jpeg_entropy.c (ABI).
     One array index per decoded symbol — no tree walk."""
 
     __slots__ = ("lut", "maxlen", "_lut_py")
@@ -277,16 +270,31 @@ def _load_centropy():
     import tempfile
 
     try:
+        import stat as _stat
+
         src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "jpeg_entropy.c")
         with open(src, "rb") as f:
             tag = hashlib.sha256(f.read()).hexdigest()[:16]
-        so = os.path.join(tempfile.gettempdir(), f"dedup_ray_jpegc_{tag}.so")
+        # never load a library another user could have planted: the cache
+        # lives in a per-UID 0700 directory whose ownership and mode are
+        # verified before any CDLL (a predictable world-writable /tmp path
+        # would be a code-execution hole on shared hosts)
+        cache_dir = os.path.join(tempfile.gettempdir(),
+                                 f"dedup_ray_jpegc_{os.getuid()}")
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid() or _stat.S_IMODE(st.st_mode) != 0o700:
+            raise RuntimeError("jpegc cache dir not exclusively owned")
+        so = os.path.join(cache_dir, f"{tag}.so")
         if not os.path.exists(so):
             tmp = f"{so}.build{os.getpid()}"  # concurrent workers: unique
             subprocess.run(["cc", "-O2", "-shared", "-fPIC", "-o", tmp, src],
                            check=True, capture_output=True, timeout=120)
             os.replace(tmp, so)  # atomic publish
+        fst = os.stat(so)
+        if fst.st_uid != os.getuid():
+            raise RuntimeError("jpegc .so not owned by this user")
         lib = ctypes.CDLL(so)
         fn = lib.decode_scan
         pu32 = ctypes.POINTER(ctypes.c_uint32)
@@ -316,7 +324,10 @@ def _get_huff(bits: list[int], huffvals: list[int]) -> _HuffDecoder:
     dec = _HUFF_CACHE.get(key)
     if dec is None:
         if len(_HUFF_CACHE) >= 64:
-            _HUFF_CACHE.clear()
+            # FIFO-evict the oldest half (dict preserves insertion order) so
+            # hot standard tables survive a stream of one-off custom tables
+            for k in list(_HUFF_CACHE)[:32]:
+                _HUFF_CACHE.pop(k, None)
         dec = _HuffDecoder(bits, huffvals)
         _HUFF_CACHE[key] = dec
     return dec
@@ -710,6 +721,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("bad huffman code (AC)")
             if rc == -3:
                 raise ValueError("AC index overflow")
+            if rc == -4:
+                raise ValueError("corrupt DC magnitude category")
             done += span
             chunk_i += 1
         return _reconstruct(comps, coef, qtables, mcu_w, mcu_h,
@@ -760,6 +773,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if ln == 0:
                     raise ValueError("bad huffman code (DC)")
                 sym = e & 0xFFFF
+                if sym > 15:  # T.81 DC categories are <= 15 (12-bit max);
+                    # the C path rejects the same symbols (parity contract)
+                    raise ValueError("corrupt DC magnitude category")
                 nbits -= ln
                 acc &= (1 << nbits) - 1
                 if sym:

@@ -6,7 +6,9 @@
  * Contract mirrors the Python loop exactly (same LUT format: 2^16 entries
  * of (length << 16) | symbol; pad with 1-bits past the end; EXTEND per
  * T.81 F.2.2.1). Returns 0 on success, -1 bad DC code, -2 bad AC code,
- * -3 AC index overflow.
+ * -3 AC index overflow, -4 corrupt DC magnitude category (> 15 — the
+ * Python fallback rejects the same symbols, keeping the two paths
+ * divergence-free on malformed input; AC sizes are <= 15 by construction).
  */
 #include <stdint.h>
 
@@ -41,6 +43,8 @@ int decode_scan(const unsigned char *data, long dlen,
                 if (ln == 0)
                     return -1;
                 sym = e & 0xFFFFu;
+                if (sym > 15)
+                    return -4; /* corrupt DC category: shift would be UB */
                 nbits -= (int)ln;
                 acc &= (1u << nbits) - 1u;
                 int32_t diff = 0;

@@ -92,6 +92,8 @@ def _chunked(argv) -> int:
                     os.unlink(part_out)
                 break
             if attempt == 2:
+                if part_out and os.path.exists(part_out):
+                    os.unlink(part_out)  # mkstemp pre-created it
                 failures.extend(part)  # chunk crashed twice: flag it all
                 for n in part:
                     records[n] = {"rows_match": False, "schema_match": False,
