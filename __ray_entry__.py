@@ -659,10 +659,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     When adding a query: oracle-backed + novel semantics -> tier 1 (and move a
     redundant entry down); otherwise append to its tier.
+
+    ROUND-5 WINDOW ROTATION: rounds 1-4 all scored the same first-50 window,
+    so the driver-signed artifact never covered tier 2 (each tier-2 entry IS
+    value-hash-checked vs DuckDB every pytest run, but by the repo's own
+    tests, not the driver).  ``_R5_WINDOW`` below promotes 50 oracle-backed
+    tier-2 queries — none of which appear in CORRECTNESS_r04.json — into the
+    scored window, so across rounds the driver signs 100 distinct queries.
+    The dict literal keeps its thematic tier layout; only the returned
+    ordering is rotated, and the first-50-are-oracle-backed invariant
+    (tests/test_queries.py::test_registry_ordering_contract) still holds.
     """
     from deduplication_ray.pipelines import ann, docops, relational as R
 
-    return {
+    q = {
         # ---- tier 1: the 50-query driver window (all oracle-backed) -------
         # relational sub-operators
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -863,6 +873,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dedup_incremental": _modal_incremental_query("audio"),
         "embedding_dedup_incremental": _embedding_incremental_query,
     }
+    # round-5 rotation (see docstring): promoted window first, then every
+    # remaining entry in its original registration order.
+    rotated = {name: q[name] for name in _R5_WINDOW}
+    rotated.update((name, fn) for name, fn in q.items()
+                   if name not in rotated)
+    return rotated
+
+
+# The 50 oracle-backed queries scored by the driver in round 5 — the first 50
+# tier-2 entries in registration order, disjoint from the round-1..4 window
+# (the keys of CORRECTNESS_r04.json).  All 142 oracle-backed queries were
+# green in CORRECTNESS_full_r04/r05, so promotion carries no risk.
+_R5_WINDOW = (
+    "signup_purchase_funnel", "semi_join_bloom", "dedup_keep_first",
+    "dedup_keep_first_index", "dedup_keep_first_lowshuffle",
+    "events_dedup_window", "orders_cube", "orders_grouping_sets",
+    "events_running_total", "doc_weighted_sample", "lang_stratified_sample",
+    "top_terms", "doc_word_repetition", "events_moving_window",
+    "events_fill_forward", "events_daily_gapfill", "doc_passage_dedup",
+    "doc_norm_exact_dedup", "doc_similar_topk", "source_drift_tvd",
+    "doc_bm25_topk", "doc_token_estimate", "source_dup_stats",
+    "dup_cluster_size_hist", "doc_version_diff", "doc_token_budget_mix",
+    "source_overlap_matrix", "doc_gopher_rules", "table_profile",
+    "events_user_degree_hist", "minhash_jaccard_check", "bbit_minhash_check",
+    "oph_minhash_check", "weighted_jaccard_check",
+    "doc_weighted_ppjoin_pairs", "events_session_stats",
+    "peak_concurrent_sessions", "session_type_cooccurrence",
+    "monthly_revenue_yoy", "doc_ngram_novelty", "events_hourly_profile",
+    "source_lang_matrix", "events_funnel_steps", "simhash_angular_check",
+    "events_retention_cohorts", "orders_price_deciles",
+    "events_value_outliers", "doc_pii_stats", "events_orders_salted_join",
+    "lineitem_flag_overlap_kmv",
+)
 
 
 def oracle_sql() -> dict[str, str]:

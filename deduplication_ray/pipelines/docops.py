@@ -1275,19 +1275,28 @@ def q_source_cap_sample(sf_dir: str, k: int = 10):
         ids = t["doc_id"].to_numpy()
         h = ((ids.astype(np.uint64) % np.uint64(2**31))
              * np.uint64(_SPLIT_MULT)) % np.uint64(_SPLIT_MOD)
-        df = pd.DataFrame({"doc_id": ids,
-                           "source": t["source"].to_pandas().to_numpy(),
-                           "h": h.astype(np.int64)})
-        df = (df.sort_values(["source", "h", "doc_id"])
-              .groupby("source", as_index=False).head(k))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        h = h.astype(np.int64)
+        src = t["source"].combine_chunks() if isinstance(
+            t["source"], pa.ChunkedArray) else t["source"]
+        scode = src.dictionary_encode().indices.to_numpy()
+        order = np.lexsort((ids, h, scode))
+        # rank within source (sources are contiguous after the lexsort)
+        sc = scode[order]
+        brk = np.concatenate([[0], np.flatnonzero(sc[1:] != sc[:-1]) + 1]) \
+            if len(sc) else np.zeros(0, np.int64)
+        rank = np.arange(len(sc)) - np.repeat(
+            brk, np.diff(np.concatenate([brk, [len(sc)]])).astype(np.int64))
+        keep = order[rank < k]
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "source": src.take(pa.array(keep)),
+                         "h": pa.array(h[keep])})
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(["h", "doc_id"]).head(k)
-                [["doc_id", "source"]])
+    def final(t: pa.Table) -> pa.Table:
+        return (t.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+                .slice(0, k).select(["doc_id", "source"]))
 
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("source").map_groups(final, batch_format="pandas"))
+            .groupby("source").map_groups(final, batch_format="pyarrow"))
 
 
 def source_cap_sample_sql(k: int = 10) -> str:
@@ -1378,13 +1387,18 @@ def q_doc_token_budget_mix(sf_dir: str,
         return pa.Table.from_pandas(df[_greedy_keep(df, bud)],
                                     preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["h", "doc_id"])
-        keep = _greedy_keep(g, ray.get(ref))
-        return g[keep][["doc_id", "source", "n_tokens"]]
+    def final(t: pa.Table) -> pa.Table:
+        # one source per group: the greedy prefix test is a plain cumsum
+        t = t.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        n_tok = t["n_tokens"].to_numpy()
+        lim = ray.get(ref).get(t["source"][0].as_py(), 0) \
+            if t.num_rows else 0
+        keep = (np.cumsum(n_tok) - n_tok) < lim
+        return t.filter(pa.array(keep)).select(
+            ["doc_id", "source", "n_tokens"])
 
     return (ds.map_batches(prune, batch_format="pyarrow")
-            .groupby("source").map_groups(final, batch_format="pandas"))
+            .groupby("source").map_groups(final, batch_format="pyarrow"))
 
 
 def doc_token_budget_mix_sql(permille: int = _MIX_DEFAULT_PERMILLE,
@@ -2459,30 +2473,38 @@ def q_doc_dedup_keep_best(sf_dir: str):
     cfg = DedupConfig(num_partitions=8)
     joined = lookup_join(clusters, quality, on=["doc_id"], cfg=cfg)
 
-    # per-partition argmax then one bounded final argmax — no bit packing
-    # (a packed (quality, id) key would corrupt for ids >= 2^31), and no
-    # row-level shuffle: each batch emits at most one row per cluster
+    # per-partition argmax then one hash-partitioned vectorized final argmax
+    # (cluster count is O(rows), so a per-group map_groups would pay Ray's
+    # per-group overhead; hash_grouped_reduce reduces every cluster in a
+    # partition in ONE pass) — no bit packing (a packed (quality, id) key
+    # would corrupt for ids >= 2^31); each batch emits <= one row per cluster
+    def _best_per_cluster(t: pa.Table) -> pa.Table:
+        cl = t["cluster_id"].to_numpy()
+        did = t["kept_doc_id"].to_numpy()
+        qm = t["kept_quality_milli"].to_numpy()
+        order = np.lexsort((did, -qm, cl))
+        cls = cl[order]
+        first = np.concatenate([[True], cls[1:] != cls[:-1]]) \
+            if len(cls) else np.zeros(0, bool)
+        keep = order[first]
+        return pa.table({"cluster_id": pa.array(cl[keep]),
+                         "kept_doc_id": pa.array(did[keep]),
+                         "kept_quality_milli": pa.array(qm[keep])})
+
     def partial_best(t: pa.Table) -> pa.Table:
-        df = pa.table({
-            "cluster_id": t["cluster_id"],
+        return _best_per_cluster(pa.table({
+            "cluster_id": t["cluster_id"].cast(pa.int64()),
             "kept_doc_id": t["doc_id"].cast(pa.int64()),
             "kept_quality_milli": t["quality_milli"].cast(pa.int64()),
-        }).to_pandas()
-        df = df.sort_values(
-            ["cluster_id", "kept_quality_milli", "kept_doc_id"],
-            ascending=[True, False, True], kind="mergesort")
-        return pa.Table.from_pandas(
-            df.drop_duplicates("cluster_id", keep="first"),
-            preserve_index=False)
+        }))
 
-    def final_best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["kept_quality_milli", "kept_doc_id"],
-                          ascending=[False, True], kind="mergesort")
-        return g.head(1)[["cluster_id", "kept_doc_id", "kept_quality_milli"]]
+    from deduplication_ray.stages.groupred import hash_grouped_reduce
 
-    return (joined.map_batches(partial_best, batch_format="pyarrow")
-            .groupby("cluster_id").map_groups(final_best,
-                                              batch_format="pandas"))
+    return hash_grouped_reduce(
+        joined.map_batches(partial_best, batch_format="pyarrow"),
+        key_hash=lambda t: t["cluster_id"].to_numpy().astype(np.uint64),
+        reduce_fn=_best_per_cluster,
+        num_parts=cfg.num_partitions)
 
 
 # --------------------------------------------------------- sequence packing
@@ -3474,32 +3496,40 @@ def q_source_overlap_matrix(sf_dir: str):
         return t.append_column(
             "part", pa.array((hp % np.uint64(n_parts)).astype(np.int64)))
 
-    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
-        tok_codes, _ = pd.factorize(g["tok"].to_numpy(), sort=False)
-        src = g["source"].to_numpy()
-        order = np.lexsort((src, tok_codes))
-        rid, src = tok_codes[order], src[order]
+    def pair_part(t: pa.Table) -> pa.Table:
+        tok = t["tok"].combine_chunks() if isinstance(
+            t["tok"], pa.ChunkedArray) else t["tok"]
+        src = t["source"].combine_chunks() if isinstance(
+            t["source"], pa.ChunkedArray) else t["source"]
+        rid = tok.dictionary_encode().indices.to_numpy()
+        sd = src.dictionary_encode()
+        scode, sdict = sd.indices.to_numpy().astype(np.int64), sd.dictionary
+        n_src = max(len(sdict), 1)
+        order = np.lexsort((scode, rid))
+        rid, scode = rid[order], scode[order]
         out_a, out_b = [], []
         d = 1
         while True:
             same = rid[d:] == rid[:-d] if d < len(rid) else np.array([], bool)
             if not same.any():
                 break
-            out_a.append(src[:-d][same])
-            out_b.append(src[d:][same])
+            out_a.append(scode[:-d][same])
+            out_b.append(scode[d:][same])
             d += 1
         if not out_a:
-            return pd.DataFrame({"src_a": pd.Series([], dtype=str),
-                                 "src_b": pd.Series([], dtype=str),
-                                 "n": pd.Series([], dtype="int64")})
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        return (pd.DataFrame({"src_a": a, "src_b": b})
-                .groupby(["src_a", "src_b"], as_index=False).size()
-                .rename(columns={"size": "n"}))
+            return pa.table({"src_a": pa.array([], pa.string()),
+                             "src_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pair = (np.concatenate(out_a) * n_src) + np.concatenate(out_b)
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            "src_a": sdict.take(pa.array(upair // n_src)),
+            "src_b": sdict.take(pa.array(upair % n_src)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
 
     inter = (dt.map_batches(part_of, batch_format="pyarrow")
-             .groupby("part").map_groups(pair_part, batch_format="pandas")
+             .groupby("part").map_groups(pair_part, batch_format="pyarrow")
              .groupby(["src_a", "src_b"]).aggregate(Sum("n",
                                                         alias_name="inter")))
 
@@ -4845,16 +4875,16 @@ def q_doc_span_dup_flags(sf_dir: str, n: int = 8, drop_permille: int = 300,
         return pa.table({"doc_id": pa.array(d, pa.int64()),
                          "n_grams": pa.array(per.astype(np.int64))})
 
-    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        docs_per_gram = g.groupby("gh", sort=False)["doc_id"] \
-            .transform("size").to_numpy()
-        dup = (docs_per_gram >= 2).astype(np.int64)
-        out = (pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "nd": dup})
-               .groupby("doc_id", sort=False)["nd"].sum().reset_index())
-        return out
+    def bucket_dups(t: pa.Table) -> pa.Table:
+        gh = t["gh"].to_numpy()
+        _, inv, cnt = np.unique(gh, return_inverse=True, return_counts=True)
+        dup = (cnt[inv] >= 2).astype(np.int64)
+        ud, dinv = np.unique(t["doc_id"].to_numpy(), return_inverse=True)
+        nd = np.bincount(dinv, weights=dup).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ud), "nd": pa.array(nd)})
 
     dups = (ds.map_batches(gram_doc_pairs, batch_format="pyarrow")
-            .groupby("bucket").map_groups(bucket_dups, batch_format="pandas")
+            .groupby("bucket").map_groups(bucket_dups, batch_format="pyarrow")
             .groupby("doc_id").aggregate(Sum("nd", alias_name="n_dup")))
 
     totals = ds.map_batches(doc_totals, batch_format="pyarrow")
@@ -4955,18 +4985,19 @@ def _dup_occurrence_rows(sf_dir: str, n: int, num_buckets: int, ds=None):
                 (gh % np.uint64(num_buckets)).astype(np.int64)),
         })
 
-    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
-        c = g.groupby("gh", sort=False)["gh"].transform("size").to_numpy()
-        keep = c >= 2
-        d = g["doc_id"].to_numpy()[keep]
-        return pd.DataFrame({
-            "doc_id": d,
-            "pos": g["pos"].to_numpy()[keep],
-            "doc_bucket": (d % num_buckets).astype(np.int64),
+    def dup_only(t: pa.Table) -> pa.Table:
+        gh = t["gh"].to_numpy()
+        _, inv, cnt = np.unique(gh, return_inverse=True, return_counts=True)
+        keep = cnt[inv] >= 2
+        d = t["doc_id"].to_numpy()[keep]
+        return pa.table({
+            "doc_id": pa.array(d),
+            "pos": pa.array(t["pos"].to_numpy()[keep]),
+            "doc_bucket": pa.array((d % num_buckets).astype(np.int64)),
         })
 
     return (ds.map_batches(occurrences, batch_format="pyarrow")
-            .groupby("bucket").map_groups(dup_only, batch_format="pandas"))
+            .groupby("bucket").map_groups(dup_only, batch_format="pyarrow"))
 
 
 def q_doc_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64,
@@ -4984,24 +5015,25 @@ def q_doc_dup_spans(sf_dir: str, n: int = 8, num_buckets: int = 64,
     island rule one vectorized gap test (next_pos - pos > n)."""
     dup = _dup_occurrence_rows(sf_dir, n, num_buckets, ds=ds)
 
-    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
-        d = g["doc_id"].to_numpy()
-        p = g["pos"].to_numpy()
+    def merge_spans(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        p = t["pos"].to_numpy()
         if len(d) == 0:
-            return pd.DataFrame({"doc_id": [], "span_start": [],
-                                 "span_end": []})
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "span_start": pa.array([], pa.int64()),
+                             "span_end": pa.array([], pa.int64())})
         o = np.lexsort((p, d))
         d, p = d[o], p[o]
         brk = np.concatenate([[True],
                               (d[1:] != d[:-1]) | (p[1:] - p[:-1] > n)])
         first = np.flatnonzero(brk)
         last = np.concatenate([first[1:] - 1, [len(p) - 1]])
-        return pd.DataFrame({"doc_id": d[brk],
-                             "span_start": p[brk],
-                             "span_end": p[last] + n})
+        return pa.table({"doc_id": pa.array(d[brk]),
+                         "span_start": pa.array(p[brk]),
+                         "span_end": pa.array(p[last] + n)})
 
     return (dup.groupby("doc_bucket")
-            .map_groups(merge_spans, batch_format="pandas"))
+            .map_groups(merge_spans, batch_format="pyarrow"))
 
 
 def doc_dup_spans_sql(n: int = 8) -> str:

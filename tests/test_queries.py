@@ -171,6 +171,24 @@ def test_registry_ordering_contract(entry_mod):
     assert all(n not in oq for n in qs[first_rows_only:])
 
 
+def test_round5_window_rotation(entry_mod):
+    """Round-5 rotation contract: the scored window (first 50) is exactly
+    _R5_WINDOW and is disjoint from the round-1..4 driver window, so the
+    driver-signed artifacts cumulatively cover 100 distinct queries."""
+    import json
+    import os
+
+    qs = list(entry_mod.queries())
+    assert tuple(qs[:50]) == entry_mod._R5_WINDOW
+    assert len(set(entry_mod._R5_WINDOW)) == 50
+    r04 = os.path.join(os.path.dirname(entry_mod.__file__),
+                       "CORRECTNESS_r04.json")
+    if os.path.exists(r04):  # repo checkout; absent in a bare install
+        with open(r04) as f:
+            prior = set(json.load(f))
+        assert not prior & set(entry_mod._R5_WINDOW)
+
+
 def test_rows_only_queries_execute(entry_mod):
     qs, oq = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = [n for n in qs if n not in oq]
