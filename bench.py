@@ -255,11 +255,17 @@ def ensure_text_fixture() -> str:
 
     d = f"/tmp/dedup_ray_benchtxt_{SEED}_{TEXT_ROWS}"
     m = storage.read_manifest(d)
-    # num_files gate: a fixture cached by the pre-shard generator (single
-    # file) would silently cap read parallelism — regenerate it
-    if not (m and m.get("n_rows") == TEXT_ROWS and m.get("num_files")):
+    # num_files gate: map-stage parallelism is bounded by input block count,
+    # so a fixture with fewer shards than 2x the widest scaling leg caps the
+    # canon/signature/bucket stages there regardless of session CPUs
+    # (measured: 16 shards held the signature stage at 3.8 s on 32 CPUs vs
+    # 4.6 s on 8 — a 1.2x "speedup" from 4x the cores). Regenerate cached
+    # fixtures written by an older, under-sharded generator.
+    shards = 64
+    if not (m and m.get("n_rows") == TEXT_ROWS
+            and m.get("num_files", 0) >= shards):
         shutil.rmtree(d, ignore_errors=True)
-        fixtures.generate_text(d, TEXT_ROWS, seed=SEED)
+        fixtures.generate_text(d, TEXT_ROWS, seed=SEED, num_files=shards)
     return d
 
 
