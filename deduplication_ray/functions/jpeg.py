@@ -509,49 +509,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
 
 # ------------------------------------------------------------- decoder
 
-class _BitReader:
-    """Bit reader over UNSTUFFED scan bytes (0xFF00 -> 0xFF already applied);
-    pads with 1-bits past the end (spec padding) so trailing EOB decodes."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int) -> None:
-        while self.nbits < need:
-            byte = self.data[self.pos] if self.pos < len(self.data) else 0xFF
-            self.pos += 1
-            self.acc = ((self.acc << 8) | byte) & 0xFFFFFFFF
-            self.nbits += 8
-
-    def peek16(self) -> int:
-        self._fill(16)
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self._fill(n)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def receive(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill(n)
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-
-def _extend(v: int, size: int) -> int:
-    """Inverse of _amplitude_bits (T.81 F.2.2.1 EXTEND)."""
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline-sequential JPEG bytes -> (h, w, 3) uint8 RGB (grayscale
     replicated to 3 channels). Raises NotImplementedError for progressive /
@@ -730,9 +687,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     # Entropy loop, fully inlined: bit state lives in LOCAL ints (acc/nbits/
     # pos) and the Huffman LUTs are plain Python lists — one dict-free,
-    # call-free iteration per symbol. Semantics identical to the _BitReader
-    # form (kept above for reference/readers); measured ~3x on the decode
-    # hot path, which the jpg-bearing bench fixture exposes end-to-end.
+    # call-free iteration per symbol (bit reads pad with 1-bits past the end
+    # per the spec so trailing EOB decodes; EXTEND per T.81 F.2.2.1).
+    # Reference semantics for this loop live in jpeg_entropy.c, which the
+    # parity tests compare bit-for-bit. Measured ~3x on the decode hot
+    # path, which the jpg-bearing bench fixture exposes end-to-end.
     ncomp = len(comps)
     dc_luts = [d[0].lut_list() for d in decs]
     ac_luts = [d[1].lut_list() for d in decs]

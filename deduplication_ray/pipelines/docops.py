@@ -3503,7 +3503,18 @@ def q_source_overlap_matrix(sf_dir: str):
             t["source"], pa.ChunkedArray) else t["source"]
         rid = tok.dictionary_encode().indices.to_numpy()
         sd = src.dictionary_encode()
-        scode, sdict = sd.indices.to_numpy().astype(np.int64), sd.dictionary
+        # rank codes by SORTED dictionary so code comparisons == string
+        # comparisons: dictionary_encode assigns codes by first appearance,
+        # and pairing below directs each pair (a < b) by code — raw codes
+        # would direct pairs by block arrival order, breaking the oracle's
+        # src_a < src_b (string) contract whenever a partition sees sources
+        # out of lexicographic order
+        raw_dict = sd.dictionary.to_numpy(zero_copy_only=False)
+        d_order = np.argsort(raw_dict)
+        rank = np.empty(len(raw_dict), np.int64)
+        rank[d_order] = np.arange(len(raw_dict))
+        scode = rank[sd.indices.to_numpy()]
+        sdict = sd.dictionary.take(pa.array(d_order))  # sdict[rank] == str
         n_src = max(len(sdict), 1)
         order = np.lexsort((scode, rid))
         rid, scode = rid[order], scode[order]

@@ -393,8 +393,10 @@ class _RotAugment:
                                  fmts[i], int(ws[i]), int(hs[i]))
             timg = np.ascontiguousarray(C.dihedral_apply(img, k))
             data = C.encode_image(timg, fmts[i])
-            if fmts[i] == "qrgb":
-                timg = C.decode_qrgb(data)  # hash what a reader will decode
+            if fmts[i] in ("qrgb", "jpg"):  # lossy: hash what a reader
+                timg = C.decode_image(data, fmts[i],  # will decode
+                                      int(timg.shape[1]),
+                                      int(timg.shape[0]))
             new["image_id"].append(f"rot{k}_of_{ids[i]}")
             new["bytes"].append(data)
             new["w"].append(int(timg.shape[1]))
@@ -530,8 +532,10 @@ class _CropAugment:
                                  fmts[i], int(ws[i]), int(hs[i]))
             timg = np.ascontiguousarray(crop_apply(img, v))
             data = C.encode_image(timg, fmts[i])
-            if fmts[i] == "qrgb":
-                timg = C.decode_qrgb(data)  # hash what a reader will decode
+            if fmts[i] in ("qrgb", "jpg"):  # lossy: hash what a reader
+                timg = C.decode_image(data, fmts[i],  # will decode
+                                      int(timg.shape[1]),
+                                      int(timg.shape[0]))
             new["image_id"].append(f"crop_{CROP_VARIANTS[v]}_of_{ids[i]}")
             new["bytes"].append(data)
             new["w"].append(int(timg.shape[1]))

@@ -423,6 +423,44 @@ def test_doc_redact_pii_on_planted_pii(ray_session, tmp_path):
     assert list(mine["n_redactions"]) == [1, 2, 1, 0]
 
 
+def test_source_overlap_matrix_pair_direction(ray_session, tmp_path):
+    """Pairs must be directed by SOURCE STRING order (src_a < src_b) even
+    when sources first APPEAR in reverse order: dictionary_encode assigns
+    codes by first appearance, so pairing by raw code would emit
+    ('zeta','alpha') rows that split/flip intersection keys vs the
+    oracle's a.source < b.source join (regression for the Arrow rewrite
+    of pair_part)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplication_ray.pipelines.docops import (
+        Q_SOURCE_OVERLAP_MATRIX_SQL, q_source_overlap_matrix)
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # 'zeta' appears before 'alpha' in every batch
+        "source": pa.array(["zeta.example", "zeta.example",
+                            "alpha.example", "mid.example"]),
+        "text": pa.array(["shared tokens one two", "zeta only words",
+                          "shared tokens one two", "shared tokens extra"]),
+    })
+    d = str(tmp_path / "overlap_sf")
+    os.makedirs(d)
+    pq.write_table(rows, f"{d}/documents.parquet")
+
+    mine = (q_source_overlap_matrix(d).to_pandas()
+            .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+    assert (mine["src_a"] < mine["src_b"]).all()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{d}/documents.parquet')")
+    oracle = (con.execute(Q_SOURCE_OVERLAP_MATRIX_SQL).fetchdf()
+              .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
 def test_pack_sequences_invariants(entry_mod, ray_session):
     """Packing manifest conservation laws: (1) per-doc token spans sum to
     the doc's token count (nothing lost or duplicated at sequence cuts);
