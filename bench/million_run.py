@@ -50,7 +50,12 @@ def main() -> None:
 
     run_dir = f"/tmp/dedup_ray_millionrun_{NUM_CPUS}"
     shutil.rmtree(run_dir, ignore_errors=True)
-    cfg = DedupConfig(num_partitions=max(8, NUM_CPUS))
+    # MILLION_PARTS: partitioning override for scaling-protocol runs — the
+    # narrow legs (1/4 CPUs) default to 8 partitions, whose coarse tasks
+    # leave packing idle in barrier tails; the protocol requires the SAME
+    # value on both legs of a comparison
+    n_parts = int(os.environ.get("MILLION_PARTS", max(8, NUM_CPUS)))
+    cfg = DedupConfig(num_partitions=n_parts)
     with bench.PeakRssSampler() as rss, bench.CpuCounters() as cpu:
         t0 = time.time()
         metrics = image_dedup.run_pipeline(f"{fix}/data", run_dir, cfg)
